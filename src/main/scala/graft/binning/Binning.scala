@@ -1,0 +1,106 @@
+package graft.binning
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** One histogram axis: a regular grid of `nbins` bins over [lo, hi).
+  *
+  * Semantics follow the reference's floor-binning kernels
+  * (`/root/reference/mpes/fprocessing.py:3525-3609`): bin index
+  * `floor((x - lo) * nbins / (hi - lo))`, left-closed right-open bins,
+  * out-of-range events dropped (range guard, `fprocessing.py:3538-3541`).
+  * This is the reference's own default ("numba") semantics, which differs
+  * from `np.histogramdd` only at the exact right edge (SURVEY.md §7.4.5).
+  *
+  * `sqlBin`/`sqlPred` emit the *textually identical* arithmetic for the
+  * DuckDB oracle so both engines evaluate the same IEEE-754 expression
+  * tree — a single source of truth for bin math.
+  */
+case class BinAxis(name: String, nbins: Int, lo: Double, hi: Double) {
+  require(nbins > 0 && hi > lo, s"bad axis $name")
+  val width: Double = hi - lo
+  def step: Double = width / nbins
+
+  /** Bin index expression (LongType) for a value column. */
+  def bin(c: Column): Column =
+    floor((c - lit(lo)) * lit(nbins.toDouble) / lit(width)).cast(LongType)
+
+  /** In-range predicate: lo <= x < hi. */
+  def pred(c: Column): Column = c >= lit(lo) && c < lit(hi)
+
+  /** Same bin arithmetic as ANSI SQL over column expression `col`. */
+  def sqlBin(col: String): String =
+    s"CAST(floor(($col - $lo) * ${nbins.toDouble} / $width) AS BIGINT)"
+
+  def sqlPred(col: String): String = s"($col >= $lo AND $col < $hi)"
+
+  /** Axis coordinate vector: bin midpoints (reference `utils.calcax`,
+    * `utils.py:336-353`, ret='midpoint'). */
+  def midpoints: Array[Double] = Array.tabulate(nbins)(i => lo + (i + 0.5) * step)
+
+  /** Axis coordinate vector: bin edges (nbins + 1 values). */
+  def edges: Array[Double] = Array.tabulate(nbins + 1)(i => lo + i * step)
+}
+
+/** N-D histogram binning — the reference's core aggregation
+  * (`distributedBinning`, `fprocessing.py:2448-2486`), re-expressed as a
+  * Catalyst aggregation.
+  *
+  * Two physical paths, chosen by grid size / sparsity (SURVEY.md §2.4):
+  *
+  *  - '''Relational''' ([[histogramNd]]): `groupBy(binExprs).count()`.
+  *    Catalyst runs partial (map-side) + final hash aggregation — the
+  *    same algebra as the reference's per-partition histogram + parallel
+  *    combine (`fprocessing.py:1722-1740`) but with the shuffle keyed by
+  *    bin, so the *final* aggregation is itself distributed. This is the
+  *    100 TB path: no single node ever holds more than its key range.
+  *
+  *  - '''Dense''' ([[NdHistogramAgg]]): a `TypedImperativeAggregate`
+  *    whose buffer is the whole `Array[Long]` grid. One pass, no
+  *    row-level shuffle — only `numPartitions` serialized grids move.
+  *    Right when the grid is small (≤ ~1e7 cells) and dense; wrong for
+  *    huge grids (all partials converge on one reducer).
+  */
+object Binning {
+
+  /** Relational N-D histogram: returns DataFrame[bin_<axis>..., cnt: Long],
+    * empty bins absent (sparse). Scales to arbitrary grid sizes.
+    */
+  def histogramNd(df: DataFrame, axes: Seq[(Column, BinAxis)]): DataFrame = {
+    val pred = axes.map { case (c, a) => a.pred(c) }.reduce(_ && _)
+    val bins = axes.map { case (c, a) => a.bin(c).as(s"bin_${a.name}") }
+    df.filter(pred)
+      .groupBy(bins: _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Oracle SQL for [[histogramNd]] over a named table. `cols(i)` is the
+    * SQL expression feeding axis i. */
+  def histogramNdSql(table: String, axes: Seq[(String, BinAxis)]): String = {
+    val pred = axes.map { case (c, a) => a.sqlPred(c) }.mkString(" AND ")
+    val bins = axes.map { case (c, a) => s"${a.sqlBin(c)} AS bin_${a.name}" }.mkString(", ")
+    val names = axes.map { case (_, a) => s"bin_${a.name}" }.mkString(", ")
+    s"SELECT $bins, count(*) AS cnt FROM $table WHERE $pred GROUP BY $names"
+  }
+
+  /** Per-axis 1D histograms for QC — reference `viewEventHistogram`
+    * (`fprocessing.py:2763-2805`). One row per (axis, bin). */
+  def eventHistograms(df: DataFrame, axes: Seq[(Column, BinAxis)]): DataFrame =
+    axes.map { case (c, a) =>
+      df.filter(a.pred(c))
+        .groupBy(a.bin(c).as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(a.name).as("axis"), col("bin"), col("cnt"))
+    }.reduce(_.unionByName(_))
+
+  /** Block-rebin of a sparse histogram by integer factors per axis —
+    * reference `utils.arraybin` (`utils.py:295-333`), expressed as
+    * re-aggregation (counts are conserved: sum semantics). */
+  def rebin(hist: DataFrame, binCols: Seq[String], factors: Seq[Int]): DataFrame = {
+    val coarse = binCols.zip(factors).map { case (c, f) =>
+      floor(col(c) / lit(f.toLong)).cast(LongType).as(c)
+    }
+    hist.groupBy(coarse: _*).agg(sum(col("cnt")).as("cnt"))
+  }
+}
