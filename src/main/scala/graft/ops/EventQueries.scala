@@ -43,6 +43,15 @@ object EventQueries {
         col("value") -> axValue))
     },
 
+    // dense TypedImperativeAggregate path, exploded to the sparse layout —
+    // must agree bin-for-bin with the relational hist_3d oracle
+    "hist_3d_dense" -> { (s, dir) =>
+      graft.binning.NdHistogramAgg.histogramNdDense(Tables.events(s, dir), Seq(
+        col("user_id").cast("double") -> axUser,
+        hour(col("ts")).cast("double") -> axHour,
+        col("value") -> axValue))
+    },
+
     // jittered variant — nondeterministic by design ⇒ rows-only check
     "hist_1d_jitter" -> { (s, dir) =>
       val jv = Calib.jitterUniform(col("value"), amp = 0.5, step = axValue.step, seed = 42L)
@@ -198,6 +207,7 @@ object EventQueries {
       "hist_1d" -> histSql1,
       "hist_2d" -> histSql2,
       "hist_3d" -> histSql3,
+      "hist_3d_dense" -> histSql3,
 
       "hist_rebin" ->
         s"""SELECT CAST(floor(bin_value / 2) AS BIGINT) AS bin_value,

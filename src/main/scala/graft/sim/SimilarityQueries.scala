@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): exact brute-force cosine top-k as the
+  * baseline, and sign-random-projection (SimHash-LSH) bucketing as the
+  * approximate/scale path.
+  *
+  * Cross-engine exactness: inner products are quantized per-element to
+  * integers (`round(x*y*1e12) :: long`) and summed exactly — double
+  * summation order differs between engines, integer sums don't. The
+  * 1e-12 relative quantization is far below float32 input precision.
+  *
+  * Scale notes (100 TB): brute-force top-k is a broadcast-join of the
+  * (small) query set against the full corpus — linear scan, no shuffle
+  * of the corpus. The LSH path buckets the corpus once (per-row map) and
+  * turns candidate generation into a bucket-local equi-join.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  /** Exact integer-quantized squared-norm scaled by 1e12. */
+  private val norm2e12 =
+    "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  private val norm2e12Sql =
+    "CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
+
+  /** Quantized dot of columns e1, e2 (both array<float>). */
+  private val dotE12 =
+    "aggregate(zip_with(e1, e2, (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  private def dotE12Sql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
+
+  val queries: Map[String, Q] = Map(
+    // L2 norms of every vector
+    "emb_norms" -> { (s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr(norm2e12).as("norm2_e12"),
+        sqrt(expr(norm2e12).cast("double") / lit(1e12)).as("l2_norm"))
+    },
+
+    // brute-force cosine top-10 for query vectors vec_id < 5
+    "emb_cosine_topk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
+      val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+        .withColumn("dot_e12", expr(dotE12))
+        .withColumn("n1_e12", expr("aggregate(transform(e1, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("n2_e12", expr("aggregate(transform(e2, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
+    // sign-random-projection LSH buckets (deterministic hashed projections)
+    "emb_ann_buckets" -> { (s, dir) =>
+      // proj(p, d) = (phash(p || '_' || d) % 2001 - 1000), an integer in
+      // [-1000, 1000]; per-plane score = sum_d proj * round(x * 1e6) — all
+      // integer arithmetic, so the sign is cross-engine exact.
+      val e = Tables.embeddings(s, dir)
+      val planes = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("p", explode(sequence(lit(0), lit(PLANES - 1))))
+        .withColumn("proj",
+          conv(substring(md5(concat(col("p"), lit("_"), col("d"))), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
+        .groupBy("vec_id", "p")
+        .agg(sum(col("proj") * round(col("x").cast("double") * 1e6).cast("long")).as("score"))
+      planes.groupBy("vec_id")
+        .agg(sum(when(col("score") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L)).as("bucket"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "emb_norms" ->
+      s"""SELECT vec_id, $norm2e12Sql AS norm2_e12,
+         |  sqrt(CAST($norm2e12Sql AS DOUBLE) / 1e12) AS l2_norm
+         |FROM embeddings""".stripMargin,
+
+    "emb_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS e1 FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cid, embedding AS e2 FROM embeddings),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+         |  FROM q JOIN c ON qid != cid)
+         |SELECT qid, rank, cid, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 10""".stripMargin,
+
+    "emb_ann_buckets" ->
+      s"""WITH expl AS (
+         |  SELECT vec_id, CAST(d - 1 AS INT) AS d, embedding[d] AS x
+         |  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)),
+         |planes AS (
+         |  SELECT vec_id, p,
+         |    sum((CAST(concat('0x', substr(md5(concat(p, '_', d)), 1, 15)) AS BIGINT) % 2001 - 1000)
+         |        * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS score
+         |  FROM expl CROSS JOIN (SELECT unnest(range($PLANES)) AS p)
+         |  GROUP BY vec_id, p)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM planes GROUP BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,284 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * token/quality stats, language-ID heuristic, fingerprinting, exact
+  * dedup, word-shingle MinHash + LSH candidate pairs + verified Jaccard,
+  * SimHash. All pure Catalyst expressions (higher-order array functions),
+  * no UDFs — everything stays codegen-friendly and scales by partition.
+  *
+  * Cross-engine portable hash: `h(s) = int64(md5_hex(s)[0,15), base 16)`
+  * (15 hex digits < 2^60 fits a signed 64-bit int in both engines).
+  *
+  * Scale notes (100 TB): every op here is per-row or key-grouped —
+  * shingle explosion is the only fan-out (×~n_tokens), and the LSH
+  * band-join replaces the O(n²) all-pairs comparison with a
+  * bucket-local equi-join, which is the standard web-scale dedup shape.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable 60-bit hash of a string expression. */
+  private def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def phashSql(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  // MinHash parameters: k permutations in b bands of r rows
+  private val K = 16
+  private val BANDS = 4
+  private val P = 1073741789L // prime < 2^30
+  private val H30 = 1073741824L // 2^30
+
+  private val STOP = Seq("the", "a", "of", "and")
+
+  /** documents → (doc_id, shingle) distinct word-3-gram shingles. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")
+      )).as("shingle"))
+
+  private val shinglesSql: String =
+    """SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** (doc_id, seed, minh): the MinHash signature, k rows per doc. */
+  private def minhashSig(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .withColumn("h30", phash(col("shingle")) % lit(H30))
+      .select(col("doc_id"), col("h30"),
+        explode(sequence(lit(0), lit(K - 1))).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min((col("h30") * (col("seed") * 2 + 1) + col("seed") * lit(7919L)) % lit(P)).as("minh"))
+
+  private val minhashSigSql: String =
+    s"""SELECT doc_id, seed, min((h30 * (seed * 2 + 1) + seed * 7919) % $P) AS minh
+       |FROM (SELECT doc_id, ${phashSql("shingle")} % $H30 AS h30
+       |      FROM ($shinglesSql)) CROSS JOIN (SELECT unnest(range($K)) AS seed)
+       |GROUP BY doc_id, seed""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // ---- token counting + quality scoring ----
+    "txt_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          // exact arithmetic: avg token length from total chars minus separators
+          ((length(col("text")) - (size(col("toks")) - 1)).cast("double") / size(col("toks"))).as("avg_tok_len"),
+          size(filter(col("toks"), t => t.isin(STOP: _*))).as("n_stop"),
+          (size(filter(col("toks"), t => t.isin(STOP: _*))).cast("double") / size(col("toks"))).as("stop_ratio"))
+    },
+
+    // ---- language-ID heuristic (marker-word + script detection) ----
+    "txt_langid" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      def hits(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+      val en = hits(Seq("the", "a", "of", "and", "is"))
+      val de = hits(Seq("der", "die", "das", "und", "ist"))
+      val fr = hits(Seq("le", "la", "les", "et", "est"))
+      val es = hits(Seq("el", "los", "las", "y", "es"))
+      val zh = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(zh > 0, "zh")
+          .when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und").as("pred_lang"),
+        col("lang").as("label_lang"))
+    },
+
+    // ---- document fingerprint: normalize + hash ----
+    "txt_fingerprint" -> { (s, dir) =>
+      val norm = regexp_replace(lower(col("text")), "[^a-z0-9\\u4e00-\\u9fff]+", " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"), md5(trim(norm)).as("fingerprint"))
+    },
+
+    // ---- exact dedup: hash-groupBy, keep min doc_id ----
+    "dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- MinHash signatures (k=16 permutations over word-3-gram shingles) ----
+    "dedup_minhash_sig" -> { (s, dir) => minhashSig(Tables.documents(s, dir)) },
+
+    // ---- LSH: band signatures → candidate pairs → exact Jaccard verify ----
+    "dedup_lsh_pairs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = minhashSig(docs)
+      // band signature: concat of the band's r minhash values in seed order
+      val bands = sig
+        .withColumn("band", (col("seed") / lit(K / BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          x => x.getField("minh").cast("string")), ",").as("sig"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+      // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
+      val sh = shingles(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("d1", "d2"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+        .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          (col("n1.n") + col("n2.n") - col("inter")).as("uni"),
+          (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+
+    // ---- brute-force n-gram Jaccard baseline (bounded subset) ----
+    "dedup_jaccard_brute" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      val sh = shingles(docs)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("s1").join(sh.as("s2"),
+          col("s1.shingle") === col("s2.shingle") && col("s1.doc_id") < col("s2.doc_id"))
+        .groupBy(col("s1.doc_id").as("d1"), col("s2.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+        .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+        .select(col("d1"), col("d2"),
+          (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    },
+
+    // ---- SimHash (32-bit, distinct-token features) ----
+    "dedup_simhash" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", phash(col("tok")) % lit(4294967296L))
+      val bits = tok
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(h >> b) & 1") === 1L, 1).otherwise(-1)).as("w"))
+      bits.groupBy("doc_id")
+        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_tok_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and'))) AS INT) AS n_stop,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "txt_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, text FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS es,
+        |  len(regexp_extract_all(text, '[一-鿿]')) AS zh
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |    WHEN fr >= es AND fr > 0 THEN 'fr'
+        |    WHEN es > 0 THEN 'es'
+        |    ELSE 'und' END AS pred_lang,
+        |  lang AS label_lang
+        |FROM sc""".stripMargin,
+
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9一-鿿]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"SELECT doc_id, CAST(seed AS INT) AS seed, CAST(minh AS BIGINT) AS minh FROM ($minhashSigSql)",
+
+    "dedup_lsh_pairs" ->
+      s"""WITH mh AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
+         |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+         |  FROM mh GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh s1 ON c.d1 = s1.doc_id
+         |  JOIN sh s2 ON c.d2 = s2.doc_id AND s1.shingle = s2.shingle
+         |  GROUP BY c.d1, c.d2)
+         |SELECT c.d1, c.d2, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         |  CAST(n1.n + n2.n - coalesce(i.inter, 0) AS BIGINT) AS uni,
+         |  CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+         |JOIN sizes n1 ON c.d1 = n1.doc_id
+         |JOIN sizes n2 ON c.d2 = n2.doc_id
+         |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin,
+
+    "dedup_jaccard_brute" ->
+      s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 100),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS inter
+         |  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes n1 ON i.d1 = n1.doc_id
+         |JOIN sizes n2 ON i.d2 = n2.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.3""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${phashSql("tok")} % 4294967296 AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |        FROM documents)),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS w
+         |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b)
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.binning.{BinAxis, Binning, NdHistogramAgg}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class BinningSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val ax = BinAxis("v", 10, 0.0, 100.0)
+
+  test("bin-edge ownership: floor semantics, left-closed right-open, range guard") {
+    import spark.implicits._
+    // reference numba kernels (fprocessing.py:3538-3541): pure floor,
+    // out-of-range dropped; 100.0 (== hi) must be dropped, 0.0 lands in bin 0
+    val df = Seq(-0.001, 0.0, 9.999999, 10.0, 99.999, 100.0, 150.0).toDF("v")
+    val got = Binning.histogramNd(df, Seq(col("v") -> ax))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 9L -> 1L)) // -0.001, 100.0, 150.0 dropped
+  }
+
+  test("sum of counts == number of in-range rows") {
+    val ev = Tables.events(spark, sfDir)
+    val h = Binning.histogramNd(ev, Seq(col("value") -> BinAxis("value", 100, 0.0, 500.0)))
+    val total = h.agg(sum("cnt")).collect()(0).getLong(0)
+    val inRange = ev.filter(col("value") >= 0.0 && col("value") < 500.0).count()
+    assert(total == inRange)
+  }
+
+  test("histogram invariant under repartitioning") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 97) * 1.03).toDF("v")
+    def run(parts: Int) =
+      Binning.histogramNd(df.repartition(parts), Seq(col("v") -> ax))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(2) && run(2) == run(8))
+  }
+
+  test("dense TypedImperativeAggregate path == relational groupBy path") {
+    val ev = Tables.events(spark, sfDir)
+    val axes = Seq(
+      col("user_id").cast("double") -> BinAxis("user", 40, 0.0, 200.0),
+      col("value") -> BinAxis("value", 100, 0.0, 500.0))
+    val rel = Binning.histogramNd(ev, axes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = NdHistogramAgg.histogramNdDense(ev, axes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dense == rel)
+  }
+
+  test("dense path invariant under repartitioning (merge correctness)") {
+    val ev = Tables.events(spark, sfDir)
+    val axes = Seq(col("value") -> BinAxis("value", 100, 0.0, 500.0))
+    def run(parts: Int) =
+      NdHistogramAgg.histogramNdDense(ev.repartition(parts), axes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(3) && run(3) == run(8))
+  }
+
+  test("rebin conserves counts") {
+    val ev = Tables.events(spark, sfDir)
+    val fine = Binning.histogramNd(ev, Seq(col("value") -> BinAxis("value", 200, 0.0, 500.0)))
+    val coarse = Binning.rebin(fine, Seq("bin_value"), Seq(2))
+    val a = fine.agg(sum("cnt")).collect()(0).getLong(0)
+    val b = coarse.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(a == b)
+    assert(coarse.count() <= 100)
+  }
+
+  test("axis midpoints and edges") {
+    val a = BinAxis("x", 4, 0.0, 8.0)
+    assert(a.midpoints.toSeq == Seq(1.0, 3.0, 5.0, 7.0))
+    assert(a.edges.toSeq == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+
+  test("jitter-off determinism: two runs identical") {
+    val ev = Tables.events(spark, sfDir)
+    val axes = Seq(col("value") -> BinAxis("value", 100, 0.0, 500.0))
+    val a = Binning.histogramNd(ev, axes).collect().toSeq.sortBy(_.getLong(0))
+    val b = Binning.histogramNd(ev, axes).collect().toSeq.sortBy(_.getLong(0))
+    assert(a == b)
+  }
+}
