@@ -72,15 +72,21 @@ object SimilarityQueries {
       // proj(p, d) = (phash(p || '_' || d) % 2001 - 1000), an integer in
       // [-1000, 1000]; per-plane score = sum_d proj * round(x * 1e6) — all
       // integer arithmetic, so the sign is cross-engine exact.
+      // one pass over (vec, dim) rows with PLANES parallel score
+      // aggregates (no ×PLANES row explode — at scale the explode would
+      // shuffle 8× the corpus)
       val e = Tables.embeddings(s, dir)
-      val planes = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("p", explode(sequence(lit(0), lit(PLANES - 1))))
-        .withColumn("proj",
-          conv(substring(md5(concat(col("p"), lit("_"), col("d"))), 1, 15), 16, 10).cast("long") % 2001L - 1000L)
-        .groupBy("vec_id", "p")
-        .agg(sum(col("proj") * round(col("x").cast("double") * 1e6).cast("long")).as("score"))
-      planes.groupBy("vec_id")
-        .agg(sum(when(col("score") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L)).as("bucket"))
+      val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
+      val scoreAggs = (0 until PLANES).map { p =>
+        val proj = conv(substring(md5(concat(lit(p), lit("_"), col("d"))), 1, 15), 16, 10)
+          .cast("long") % 2001L - 1000L
+        sum(proj * col("xq")).as(s"s$p")
+      }
+      val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
+        .reduce(_ + _)
+      expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
+        .select(col("vec_id"), fold.as("bucket"))
     }
   )
 

@@ -52,14 +52,22 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |WHERE len(toks) >= 3""".stripMargin
 
-  /** (doc_id, seed, minh): the MinHash signature, k rows per doc. */
-  private def minhashSig(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .withColumn("h30", phash(col("shingle")) % lit(H30))
-      .select(col("doc_id"), col("h30"),
-        explode(sequence(lit(0), lit(K - 1))).as("seed"))
-      .groupBy("doc_id", "seed")
-      .agg(min((col("h30") * (col("seed") * 2 + 1) + col("seed") * lit(7919L)) % lit(P)).as("minh"))
+  /** (doc_id, seed, minh): the MinHash signature, k rows per doc.
+    *
+    * One aggregation pass with K parallel `min` columns (then unpivoted
+    * via `stack`) instead of a K-fold row explosion — at 100 TB the
+    * explode variant would shuffle K× the shingle volume for no reason.
+    */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs).withColumn("h30", phash(col("shingle")) % lit(H30))
+    val aggs = (0 until K).map { s =>
+      min((col("h30") * lit(2L * s + 1) + lit(7919L * s)) % lit(P)).as(s"m$s")
+    }
+    val wide = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack($K, " +
+      (0 until K).map(s => s"$s, m$s").mkString(", ") + ") AS (seed, minh)"
+    wide.select(col("doc_id"), expr(stackExpr))
+  }
 
   private val minhashSigSql: String =
     s"""SELECT doc_id, seed, min((h30 * (seed * 2 + 1) + seed * 7919) % $P) AS minh
@@ -169,15 +177,17 @@ object TextQueries {
 
     // ---- SimHash (32-bit, distinct-token features) ----
     "dedup_simhash" -> { (s, dir) =>
+      // one pass, 32 parallel bit-weight aggregates (no ×32 row explode)
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .withColumn("h", phash(col("tok")) % lit(4294967296L))
-      val bits = tok
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(expr("(h >> b) & 1") === 1L, 1).otherwise(-1)).as("w"))
-      bits.groupBy("doc_id")
-        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+      val ws = (0 until 32).map { b =>
+        sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"w$b")
+      }
+      val fold = (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy("doc_id").agg(ws.head, ws.tail: _*)
+        .select(col("doc_id"), fold.as("simhash"))
     }
   )
 
