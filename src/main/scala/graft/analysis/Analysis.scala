@@ -1,0 +1,193 @@
+package graft.analysis
+
+/** Driver-side analysis operators over collected spectra/grids —
+  * SURVEY.md §2.10. These consume the (small) binned volume the cluster
+  * produced; they are deliberately plain-Scala/Breeze, not distributed.
+  *
+  * Reimplemented from the reference's published semantics (not copied):
+  *  - Shirley background: `/root/reference/mpes/analysis.py:58-155`
+  *    (Proctor & Sherwood, Anal. Chem. 54, 13 (1982))
+  *  - peak detection: `analysis.py:308-427` (Billauer peakdet scheme)
+  *  - Savitzky-Golay smoothing: `fprocessing.py:216-229`
+  *  - spectrum normalization `normspec`: `utils.py:152-188`
+  *  - nearest index `find_nearest`: `utils.py:15-30`
+  */
+object Analysis {
+
+  /** Iterative Shirley-Proctor-Sherwood background for one (x, y)
+    * spectrum. Returns the background array (same length as y).
+    */
+  def shirley(x0: Array[Double], y0: Array[Double], tol: Double = 1e-5,
+              maxIter: Int = 20): Array[Double] = {
+    require(x0.length == y0.length && x0.length > 2)
+    // energies in decreasing order
+    val reversed = x0.head < x0.last
+    val x = if (reversed) x0.reverse else x0
+    val y = if (reversed) y0.reverse else y0
+    val n = y.length
+
+    val maxIdx = y.indices.maxBy(y(_))
+    if (maxIdx == 0 || maxIdx >= n - 1) return new Array[Double](n)
+
+    val lmIdx = (0 until maxIdx).minBy(y(_))
+    val rmIdx = (maxIdx until n).minBy(y(_))
+    val yl = y(lmIdx); val yr = y(rmIdx)
+    val iMax = rmIdx - 1
+
+    // background shape B; total background S = yr + B
+    var b = new Array[Double](n)
+    java.util.Arrays.fill(b, 0, lmIdx, yl - yr)
+
+    // trapezoid of the background-subtracted signal between i and i+1
+    def seg(i: Int, bb: Array[Double]): Double =
+      (x(i) - x(i + 1)) * 0.5 * (y(i) + y(i + 1) - 2 * yr - bb(i) - bb(i + 1))
+
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      var kSum = 0.0
+      var i = lmIdx
+      while (i < iMax) { kSum += seg(i, b); i += 1 }
+      val k = (yl - yr) / kSum
+
+      val bNew = b.clone()
+      i = lmIdx
+      while (i < rmIdx) {
+        var ySum = 0.0
+        var j = i
+        while (j < iMax) { ySum += seg(j, b); j += 1 }
+        bNew(i) = k * ySum
+        i += 1
+      }
+      val diff = math.sqrt(b.zip(bNew).map { case (u, v) => (u - v) * (u - v) }.sum)
+      b = bNew
+      if (diff < tol) done = true
+      iter += 1
+    }
+    val s = b.map(_ + yr)
+    if (reversed) s.reverse else s
+  }
+
+  final case class Peak(pos: Double, height: Double)
+
+  /** Lookahead local max/min detection (Billauer scheme): a candidate
+    * maximum is confirmed when the signal drops below it by `delta` and
+    * no higher value appears within `lookahead` samples.
+    * Returns (maxima, minima).
+    */
+  def peakDetect1d(y: Array[Double], x: Array[Double] = null,
+                   lookahead: Int = 200, delta: Double = 0.0): (Seq[Peak], Seq[Peak]) = {
+    require(lookahead >= 1)
+    require(delta >= 0)
+    val xs = if (x == null) Array.tabulate(y.length)(_.toDouble) else x
+    require(xs.length == y.length)
+    val n = y.length
+    val maxPeaks = Seq.newBuilder[Peak]
+    val minPeaks = Seq.newBuilder[Peak]
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var mxPos = 0.0
+    var mnPos = 0.0
+    var index = 0
+    var break = false
+    while (index < n - lookahead && !break) {
+      val yy = y(index)
+      if (yy > mx) { mx = yy; mxPos = xs(index) }
+      if (yy < mn) { mn = yy; mnPos = xs(index) }
+
+      var continue = false
+      if (yy < mx - delta && !mx.isPosInfinity) {
+        val ahead = y.slice(index, index + lookahead).max
+        if (ahead < mx) {
+          maxPeaks += Peak(mxPos, mx)
+          mx = Double.PositiveInfinity
+          mn = Double.PositiveInfinity
+          if (index + lookahead >= n) break = true
+          continue = true
+        }
+      }
+      if (!continue && !break && yy > mn + delta && !mn.isNegInfinity) {
+        val ahead = y.slice(index, index + lookahead).min
+        if (ahead > mn) {
+          minPeaks += Peak(mnPos, mn)
+          mn = Double.NegativeInfinity
+          mx = Double.NegativeInfinity
+          if (index + lookahead >= n) break = true
+        }
+      }
+      index += 1
+    }
+    (maxPeaks.result(), minPeaks.result())
+  }
+
+  /** Savitzky-Golay smoothing: least-squares polynomial of `polyOrder`
+    * over a centered window of `window` (odd) points, evaluated at the
+    * center. Edges use polynomial extrapolation of the terminal windows
+    * (scipy 'interp' mode equivalent).
+    */
+  def savitzkyGolay(y: Array[Double], window: Int, polyOrder: Int): Array[Double] = {
+    require(window % 2 == 1 && window > polyOrder)
+    val half = window / 2
+    val coeffs = sgCoeffs(window, polyOrder, 0)
+    val n = y.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (i >= half && i < n - half) {
+        var acc = 0.0
+        var j = 0
+        while (j < window) { acc += coeffs(j) * y(i - half + j); j += 1 }
+        out(i) = acc
+      } else {
+        // fit the terminal window, evaluate the polynomial at the edge point
+        val base = if (i < half) 0 else n - window
+        val p = polyFit(Array.tabulate(window)(k => (base + k).toDouble),
+          y.slice(base, base + window), polyOrder)
+        out(i) = polyEval(p, i.toDouble)
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Convolution coefficients for the SG filter via normal equations. */
+  private def sgCoeffs(window: Int, polyOrder: Int, deriv: Int): Array[Double] = {
+    import breeze.linalg._
+    val half = window / 2
+    val a = DenseMatrix.tabulate(window, polyOrder + 1) { (i, j) =>
+      math.pow(i - half, j)
+    }
+    // pinv row `deriv` gives the coefficients (times deriv!)
+    val p = pinv(a)
+    Array.tabulate(window)(i => p(deriv, i))
+  }
+
+  /** Least-squares polynomial fit (ascending coefficient order). */
+  def polyFit(x: Array[Double], y: Array[Double], order: Int): Array[Double] = {
+    import breeze.linalg._
+    val a = DenseMatrix.tabulate(x.length, order + 1) { (i, j) => math.pow(x(i), j) }
+    val sol = pinv(a) * DenseVector(y)
+    sol.toArray
+  }
+
+  def polyEval(coeffs: Array[Double], x: Double): Double = {
+    var acc = 0.0
+    var i = coeffs.length - 1
+    while (i >= 0) { acc = acc * x + coeffs(i); i -= 1 }
+    acc
+  }
+
+  /** Spectrum normalization (reference `normspec`): smooth optionally,
+    * then scale each trace to unit max. */
+  def normSpec(traces: Array[Array[Double]], smooth: Boolean = false,
+               window: Int = 15, polyOrder: Int = 1): Array[Array[Double]] =
+    traces.map { t =>
+      val s = if (smooth) savitzkyGolay(t, window, polyOrder) else t
+      val m = s.max
+      if (m == 0) s else s.map(_ / m)
+    }
+
+  /** Index of the array element nearest to `v` (reference `find_nearest`). */
+  def findNearest(v: Double, arr: Array[Double]): Int =
+    arr.indices.minBy(i => math.abs(arr(i) - v))
+}

@@ -1,0 +1,145 @@
+package graft.binning
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-resident dense N-D histogram volume — the engine's analogue of
+  * the reference's "histdict" / xarray containers (SURVEY.md §1.1 B/C:
+  * `fprocessing.py:1199-1210`, `bandstructure.py:22-57`): a flat
+  * row-major count array plus one axis-coordinate vector (midpoints) per
+  * dimension and a name per axis.
+  *
+  * Grids are small relative to the event table (≤ ~1e8 cells) — the
+  * cluster reduces 100 TB of events to this; analysis then runs on the
+  * driver (§2.10 ops).
+  */
+case class BinnedGrid(data: Array[Long], axes: Seq[BinAxis]) {
+  val shape: Seq[Int] = axes.map(_.nbins)
+  private val strides: Seq[Long] = shape.indices.map(i => shape.drop(i + 1).product.toLong)
+  require(data.length == shape.product, s"data ${data.length} != ${shape.product}")
+
+  def apply(idx: Int*): Long = {
+    require(idx.length == axes.length)
+    data(idx.zip(strides).map { case (i, s) => i * s }.sum.toInt)
+  }
+
+  def totalCount: Long = data.sum
+
+  /** Axis coordinate vectors (midpoints, reference `utils.calcax`). */
+  def axisValues: Seq[Array[Double]] = axes.map(_.midpoints)
+
+  /** Crop by per-axis index ranges [from, until) — reference
+    * `updateHistogram` slicing (`fprocessing.py:3263-3290`). */
+  def slice(ranges: Seq[(Int, Int)]): BinnedGrid = {
+    require(ranges.length == axes.length)
+    val newAxes = axes.zip(ranges).map { case (a, (f, u)) =>
+      require(f >= 0 && u <= a.nbins && f < u, s"bad slice ($f,$u) on ${a.name}")
+      BinAxis(a.name, u - f, a.lo + f * a.step, a.lo + u * a.step)
+    }
+    val newShape = ranges.map { case (f, u) => u - f }
+    val out = new Array[Long](newShape.product)
+    val newStrides = newShape.indices.map(i => newShape.drop(i + 1).product)
+    def walk(dim: Int, srcBase: Long, dstBase: Int): Unit =
+      if (dim == axes.length) out(dstBase) = data(srcBase.toInt)
+      else {
+        val (f, u) = ranges(dim)
+        var i = f
+        while (i < u) {
+          walk(dim + 1, srcBase + i * strides(dim), dstBase + (i - f) * newStrides(dim))
+          i += 1
+        }
+      }
+    walk(0, 0L, 0)
+    BinnedGrid(out, newAxes)
+  }
+
+  /** Block-sum rebin by integer factors (reference `utils.arraybin`,
+    * `utils.py:295-333`; counts conserved). Axis length must divide. */
+  def rebin(factors: Seq[Int]): BinnedGrid = {
+    require(factors.length == axes.length)
+    axes.zip(factors).foreach { case (a, f) =>
+      require(a.nbins % f == 0, s"${a.name}: ${a.nbins} % $f != 0")
+    }
+    val newAxes = axes.zip(factors).map { case (a, f) => BinAxis(a.name, a.nbins / f, a.lo, a.hi) }
+    val newShape = newAxes.map(_.nbins)
+    val newStrides = newShape.indices.map(i => newShape.drop(i + 1).product)
+    val out = new Array[Long](newShape.product)
+    var flat = 0
+    while (flat < data.length) {
+      var rem = flat.toLong
+      var dst = 0
+      var d = 0
+      while (d < axes.length) {
+        val i = (rem / strides(d)).toInt
+        rem %= strides(d)
+        dst += (i / factors(d)) * newStrides(d)
+        d += 1
+      }
+      out(dst) += data(flat)
+      flat += 1
+    }
+    BinnedGrid(out, newAxes)
+  }
+
+  /** 1D profile along `axis`, summing all other axes (EDC/MDC extraction
+    * shape). */
+  def profile(axis: Int): Array[Long] = {
+    val out = new Array[Long](shape(axis))
+    var flat = 0
+    while (flat < data.length) {
+      out(((flat / strides(axis)) % shape(axis)).toInt) += data(flat)
+      flat += 1
+    }
+    out
+  }
+
+  /** Back to the sparse relational layout for further distributed work. */
+  def toDF(spark: SparkSession): DataFrame = {
+    val rows = data.zipWithIndex.collect { case (c, flat) if c > 0 =>
+      val idx = axes.indices.map(d => (flat / strides(d)) % shape(d))
+      Row.fromSeq(idx :+ c)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      axes.map(a => org.apache.spark.sql.types.StructField(s"bin_${a.name}",
+        org.apache.spark.sql.types.LongType)) :+
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}
+
+object BinnedGrid {
+
+  /** Densify a sparse relational histogram (bin_*..., cnt) produced by
+    * [[Binning.histogramNd]] into a driver grid. */
+  def collect(hist: DataFrame, axes: Seq[BinAxis]): BinnedGrid = {
+    val strides = axes.indices.map(i => axes.drop(i + 1).map(_.nbins).product.toLong)
+    val data = new Array[Long](axes.map(_.nbins).product)
+    hist.select(axes.map(a => col(s"bin_${a.name}")) :+ col("cnt"): _*)
+      .collect().foreach { r =>
+        val flat = axes.indices.map(d => r.getLong(d) * strides(d)).sum
+        data(flat.toInt) = r.getLong(axes.length)
+      }
+    BinnedGrid(data, axes)
+  }
+
+  /** Persist as a parquet of sparse cells plus a JSON axes sidecar —
+    * the engine's equivalent of the reference's `binned/ + axes/` HDF5
+    * layout (`xarray_to_h5`, `fprocessing.py:3354-3416`). */
+  def save(grid: BinnedGrid, spark: SparkSession, path: String): Unit = {
+    grid.toDF(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/binned")
+    val axesJson = grid.axes.map { a =>
+      s"""{"name":"${a.name}","nbins":${a.nbins},"lo":${a.lo},"hi":${a.hi}}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/axes.json"), axesJson)
+  }
+
+  def load(spark: SparkSession, path: String): BinnedGrid = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/axes.json"))
+    val axes = """\{"name":"([^"]+)","nbins":(\d+),"lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+      .findAllMatchIn(json).map { m =>
+        BinAxis(m.group(1), m.group(2).toInt, m.group(3).toDouble, m.group(4).toDouble)
+      }.toSeq
+    collect(spark.read.parquet(s"$path/binned"), axes)
+  }
+}

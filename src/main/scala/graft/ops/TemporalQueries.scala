@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.binning.BinAxis
+
+/** Temporal operators beyond simple tumbling windows: sliding windows,
+  * as-of joins (the reference's "aperture/lens-mode config by validity
+  * timestamp" lookup, SURVEY.md §2.3), and the streaming histogram's
+  * batch-equivalent.
+  */
+object TemporalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scalable as-of join: for each left row, the latest right row with
+    * the same key and ts <= left.ts. Implemented as union + ordered
+    * window carry-forward — one shuffle on (key, ts), no broadcast or
+    * range-explosion, which is the 100 TB-safe shape (a sort-merge
+    * as-of per key).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCol: String, outCol: String): DataFrame = {
+    val l = left.withColumn("_side", lit(1)).withColumn("_v", lit(null).cast("double"))
+    val r = right.select(col(key), col(ts), col(valueCol).as("_v"))
+      .withColumn("_side", lit(0))
+    val cols = l.columns.toSeq
+    val unioned = l.unionByName(r.select(
+      cols.map(c => if (r.columns.contains(c)) col(c) else lit(null).cast(l.schema(c).dataType).as(c)): _*))
+    // right rows sort before left rows at equal ts (_side 0 < 1) so a
+    // config row taking effect exactly at ts applies to that event
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(outCol, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_v")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // as-of join: each event picks up the latest prior purchase value
+    // of the same user (config-by-validity-timestamp shape)
+    "asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      asofJoin(ev, purchases, "user_id", "ts", "value", "asof_value")
+        .select(col("event_id"), col("asof_value"))
+    },
+
+    // sliding window: 2-minute windows sliding by 1 minute
+    "sliding_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * lit(100)).cast("long")).as("sum_cents"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("cnt"), col("sum_cents"))
+    },
+
+    // batch-equivalent of the streaming windowed histogram
+    "stream_hist_batch" -> { (s, dir) =>
+      graft.streaming.StreamOps.batchHistogram(
+        Tables.events(s, dir), BinAxis("value", 20, 0.0, 500.0), "1 minute")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT e.event_id, r.value AS asof_value
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin,
+
+    // Spark sliding windows: an event at t belongs to windows starting at
+    // floor_minute(t) and floor_minute(t) - 60s (width 2 min, slide 1 min)
+    "sliding_window" ->
+      """WITH starts AS (
+        |  SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) - off AS w_start,
+        |    value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 60]) AS off))
+        |SELECT w_start, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM starts GROUP BY w_start""".stripMargin,
+
+    "stream_hist_batch" -> {
+      val ax = BinAxis("value", 20, 0.0, 500.0)
+      s"""SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS w_start,
+         |  ${ax.sqlBin("value")} AS bin_value, count(*) AS cnt
+         |FROM events WHERE ${ax.sqlPred("value")}
+         |GROUP BY 1, 2""".stripMargin
+    }
+  )
+}

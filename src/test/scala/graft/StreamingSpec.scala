@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.binning.BinAxis
+import graft.streaming.StreamOps
+
+/** Streaming windowed histogram driven synchronously over the parquet
+  * events (memory sink, complete mode) must equal the batch plan on the
+  * same data — the aggregate is algebraic, so batch and streaming agree.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming windowed histogram == batch result") {
+    val ax = BinAxis("value", 20, 0.0, 500.0)
+    // stage the events file into a drop-folder (file streaming sources
+    // monitor directories)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dropDir.resolve("events_0.parquet"))
+    val streamed = StreamOps.streamingHistogram(
+      StreamOps.readEvents(spark, dropDir.toString), ax)
+    val q = streamed.writeStream
+      .format("memory").queryName("stream_hist")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_hist").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val exp = StreamOps.batchHistogram(Tables.events(spark, sfDir), ax)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == exp)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("as-of join matches window-free reference computation") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("value").as("p_v"))
+    // reference: correlated max — latest purchase ts' <= ts per user
+    val expected = ev.join(purchases,
+        col("user_id") === col("p_uid") && col("p_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("p_v"), col("p_ts")).as("asof_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val got = ops.TemporalQueries.queries("asof_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == expected)
+  }
+}
