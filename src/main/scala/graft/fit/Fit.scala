@@ -1,0 +1,133 @@
+package graft.fit
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed per-trace curve fitting — the engine's replacement for the
+  * reference's sequential `bootstrapfit` loop (`analysis.py:3034-3163`):
+  * per-pixel / per-trace fits are independent, so they distribute as
+  * `Dataset[Trace].map(fit)` across the cluster (SURVEY.md §2.10 note);
+  * only the optional row-to-row parameter propagation stays sequential.
+  *
+  * Lineshapes per `analysis.py:2893-2964` (gaussian; voigt via the
+  * pseudo-Voigt approximation rather than the complex wofz).
+  */
+object Fit {
+
+  final case class Trace(key: String, xs: Array[Double], ys: Array[Double])
+  final case class GaussFit(key: String, amp: Double, center: Double,
+                            sigma: Double, sse: Double, iters: Int)
+
+  @inline def gaussian(amp: Double, ctr: Double, sig: Double, x: Double): Double =
+    amp * math.exp(-(x - ctr) * (x - ctr) / (2 * sig * sig))
+
+  /** Pseudo-Voigt profile: η·Lorentzian + (1−η)·Gaussian of common FWHM. */
+  def pseudoVoigt(amp: Double, ctr: Double, fwhm: Double, eta: Double, x: Double): Double = {
+    val g = math.exp(-4 * math.log(2) * (x - ctr) * (x - ctr) / (fwhm * fwhm))
+    val l = 1.0 / (1.0 + 4 * (x - ctr) * (x - ctr) / (fwhm * fwhm))
+    amp * (eta * l + (1 - eta) * g)
+  }
+
+  /** Damped Gauss-Newton gaussian fit of one trace. Start values from
+    * moments (max, centroid, rms width). Finite-guarded: a step that
+    * does not reduce SSE raises the damping instead of diverging.
+    */
+  def fitGaussian(xs: Array[Double], ys: Array[Double], maxIter: Int = 100): (Double, Double, Double, Double, Int) = {
+    val n = xs.length
+    require(n >= 3)
+    // moment-based start
+    var amp = ys.max
+    val ysum = ys.sum
+    var ctr = if (ysum > 0) xs.zip(ys).map { case (x, y) => x * y }.sum / ysum else xs(n / 2)
+    var sig = {
+      val v = if (ysum > 0) xs.zip(ys).map { case (x, y) => y * (x - ctr) * (x - ctr) }.sum / ysum else 1.0
+      math.max(math.sqrt(math.max(v, 1e-12)), 1e-6)
+    }
+    def sse(a: Double, c: Double, s: Double): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val r = ys(i) - gaussian(a, c, s, xs(i)); acc += r * r; i += 1 }
+      acc
+    }
+    var cost = sse(amp, ctr, sig)
+    var lambda = 1e-3
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged && lambda < 1e10) {
+      // J^T J (3×3) and J^T r accumulated in one pass
+      val jtj = Array.ofDim[Double](3, 3)
+      val jtr = new Array[Double](3)
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        val ex = math.exp(-(x - ctr) * (x - ctr) / (2 * sig * sig))
+        val f = amp * ex
+        val r = ys(i) - f
+        val ja = ex
+        val jc = f * (x - ctr) / (sig * sig)
+        val js = f * (x - ctr) * (x - ctr) / (sig * sig * sig)
+        val jv = Array(ja, jc, js)
+        var p = 0
+        while (p < 3) {
+          jtr(p) += jv(p) * r
+          var q = 0
+          while (q < 3) { jtj(p)(q) += jv(p) * jv(q); q += 1 }
+          p += 1
+        }
+        i += 1
+      }
+      // damped 3×3 solve (Cramer on JTJ + λ·diag)
+      val m = Array.tabulate(3, 3)((p, q) =>
+        jtj(p)(q) + (if (p == q) lambda * (1 + jtj(p)(p)) else 0.0))
+      val det =
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+          m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+          m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+      if (det == 0 || !java.lang.Double.isFinite(det)) {
+        lambda *= 10
+      } else {
+        def solve(k: Int): Double = {
+          val mm = m.map(_.clone())
+          for (p <- 0 until 3) mm(p)(k) = jtr(p)
+          (mm(0)(0) * (mm(1)(1) * mm(2)(2) - mm(1)(2) * mm(2)(1)) -
+            mm(0)(1) * (mm(1)(0) * mm(2)(2) - mm(1)(2) * mm(2)(0)) +
+            mm(0)(2) * (mm(1)(0) * mm(2)(1) - mm(1)(1) * mm(2)(0))) / det
+        }
+        val (da, dc, ds) = (solve(0), solve(1), solve(2))
+        val (na, nc, ns) = (amp + da, ctr + dc, math.max(math.abs(sig + ds), 1e-9))
+        val nCost = sse(na, nc, ns)
+        if (java.lang.Double.isFinite(nCost) && nCost < cost) {
+          val rel = (cost - nCost) / math.max(cost, 1e-300)
+          amp = na; ctr = nc; sig = ns; cost = nCost
+          lambda = math.max(lambda / 3, 1e-12)
+          if (rel < 1e-12) converged = true
+        } else lambda *= 10
+      }
+      it += 1
+    }
+    (amp, ctr, sig, cost, it)
+  }
+
+  /** Fit every trace in parallel across the cluster. */
+  def fitTraces(traces: Dataset[Trace]): Dataset[GaussFit] = {
+    import traces.sparkSession.implicits._
+    traces.map { t =>
+      val (a, c, s, sse, it) = fitGaussian(t.xs, t.ys)
+      GaussFit(t.key, a, c, s, sse, it)
+    }
+  }
+
+  /** Build per-key traces from a binned histogram table: one trace per
+    * `keyCol`, (bin, cnt) pairs sorted by bin. */
+  def tracesFromHistogram(spark: SparkSession,
+                          hist: org.apache.spark.sql.DataFrame,
+                          keyCol: String, binCol: String, cntCol: String): Dataset[Trace] = {
+    import spark.implicits._
+    hist.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(binCol), col(cntCol)))).as("pts"))
+      .select(col(keyCol).cast("string").as("key"),
+        expr("transform(pts, p -> CAST(p." + binCol + " AS DOUBLE))").as("xs"),
+        expr("transform(pts, p -> CAST(p." + cntCol + " AS DOUBLE))").as("ys"))
+      .as[Trace]
+  }
+}

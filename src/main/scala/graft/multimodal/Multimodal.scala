@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque `binary` payloads with a typed metadata struct, processed by a
+  * per-partition batched decode/feature-extract stage.
+  *
+  * The Spark-side mechanics — schema, partition batching, feature
+  * extraction shape — are real and tested. The media decode itself is a
+  * STUB (this environment ships no image/audio codecs): `decodeStub`
+  * computes deterministic byte-level features where a real pipeline
+  * would hand the byte buffer to a codec. Swapping in a real decoder
+  * changes one function, not the dataflow.
+  */
+object Multimodal {
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("fmt", StringType),
+      StructField("n_bytes", IntegerType))))))
+
+  /** Materialize a payload table from `documents` (UTF-8 bytes stand in
+    * for encoded media; at 100 TB this column is the dominant I/O, which
+    * is why everything downstream is per-partition streaming, never a
+    * driver collect). */
+  def payloads(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit("utf8-text").as("fmt"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes")).as("meta"))
+
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, head_byte: Int,
+                                 byte_sum_mod: Long, payload_md5: String)
+
+  /** STUB decode: byte-level features standing in for codec output.
+    * A real implementation would decode `bytes` (JPEG/PNG/WAV/...) here
+    * and emit embeddings / dimensions / frame samples instead.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    (if (bytes.nonEmpty) bytes(0) & 0xff else -1, sum % 997L)
+  }
+
+  /** Per-partition batched feature extraction (the mapInPandas-shaped
+    * stage): iterator-in/iterator-out so each task streams its rows
+    * through the decoder without materializing the partition. */
+  def extractFeatures(payloadDf: DataFrame): DataFrame = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    val md5col = payloadDf.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
+    val feats = payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (head, checksum) = decodeStub(bytes)
+          (id, bytes.length, head, checksum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "head_byte", "byte_sum_mod")
+    feats.join(md5col, "doc_id")
+  }
+}

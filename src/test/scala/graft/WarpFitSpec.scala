@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.warp.Warp
+import graft.fit.Fit
+
+class WarpFitSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("TPS interpolates control points exactly") {
+    val src = Array((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0), (5.0, 5.0))
+    val dst = Array((1.0, -0.5), (10.5, 0.2), (0.3, 11.0), (9.8, 10.1), (5.5, 5.2))
+    val tps = Warp.tpsFit(src, dst)
+    src.zip(dst).foreach { case (s, d) =>
+      val (x, y) = tps(s._1, s._2)
+      assert(math.abs(x - d._1) < 1e-8 && math.abs(y - d._2) < 1e-8)
+    }
+  }
+
+  test("TPS of an affine point set is affine everywhere") {
+    // if dst = A·src exactly, the TPS must reproduce the affine map
+    val src = Array((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (7.0, 3.0))
+    def aff(p: (Double, Double)) = (2.0 * p._1 + 0.5 * p._2 + 1.0, -0.3 * p._1 + 1.5 * p._2 - 2.0)
+    val tps = Warp.tpsFit(src, src.map(aff))
+    val probe = (3.3, 6.7)
+    val (x, y) = tps(probe._1, probe._2)
+    val (ex, ey) = aff(probe)
+    assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6)
+  }
+
+  test("findHomography recovers a known homography") {
+    val h = Array(Array(0.9, 0.1, 5.0), Array(-0.05, 1.1, -3.0), Array(1e-4, -2e-4, 1.0))
+    val src = Array((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0), (37.0, 62.0))
+    val dst = src.map { case (x, y) => Warp.applyH(h, x, y) }
+    val got = Warp.findHomography(src, dst)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(got(i)(j) - h(i)(j)) < 1e-6, s"h($i)($j)")
+  }
+
+  test("parametric transforms compose correctly") {
+    val r = Warp.rotation(math.Pi / 2, cx = 1.0, cy = 1.0)
+    val (x, y) = Warp.applyH(r, 2.0, 1.0) // rotate (2,1) 90° about (1,1) → (1,2)
+    assert(math.abs(x - 1.0) < 1e-12 && math.abs(y - 2.0) < 1e-12)
+    val s = Warp.scaling(2.0, 3.0)
+    assert(Warp.applyH(s, 1.0, 1.0) == (2.0, 3.0))
+    val sh = Warp.shearing(0.5, 0.0)
+    assert(Warp.applyH(sh, 2.0, 4.0) == (4.0, 4.0))
+  }
+
+  test("deformation field round-trips the warp at grid points") {
+    val f = Warp.deformationField(64, (x, y) => (x + 1.5, y - 0.5))
+    assert(f(0)(10)(20) == 11.5f && f(1)(10)(20) == 19.5f)
+  }
+
+  test("fitGaussian recovers parameters from a clean trace") {
+    val xs = Array.tabulate(101)(i => i.toDouble)
+    val ys = xs.map(x => Fit.gaussian(7.5, 42.0, 6.0, x))
+    val (a, c, s, sse, _) = Fit.fitGaussian(xs, ys)
+    assert(math.abs(a - 7.5) < 1e-6)
+    assert(math.abs(c - 42.0) < 1e-6)
+    assert(math.abs(s - 6.0) < 1e-6)
+    assert(sse < 1e-10)
+  }
+
+  test("fitGaussian tolerates noise") {
+    val rnd = new scala.util.Random(3)
+    val xs = Array.tabulate(200)(i => i.toDouble)
+    val ys = xs.map(x => Fit.gaussian(10.0, 120.0, 15.0, x) + 0.2 * rnd.nextGaussian())
+    val (a, c, s, _, _) = Fit.fitGaussian(xs, ys)
+    assert(math.abs(a - 10.0) < 0.5)
+    assert(math.abs(c - 120.0) < 1.0)
+    assert(math.abs(s - 15.0) < 1.0)
+  }
+
+  test("fitTraces distributes across a Dataset of traces") {
+    import spark.implicits._
+    val traces = Seq(
+      Fit.Trace("a", Array.tabulate(80)(_.toDouble),
+        Array.tabulate(80)(i => Fit.gaussian(5.0, 30.0, 4.0, i))),
+      Fit.Trace("b", Array.tabulate(80)(_.toDouble),
+        Array.tabulate(80)(i => Fit.gaussian(2.0, 55.0, 7.0, i)))
+    ).toDS().repartition(2)
+    val fits = Fit.fitTraces(traces).collect().map(f => f.key -> f).toMap
+    assert(math.abs(fits("a").center - 30.0) < 1e-6)
+    assert(math.abs(fits("b").center - 55.0) < 1e-6)
+  }
+
+  test("multimodal stub features match direct byte computation") {
+    val df = graft.multimodal.Multimodal.extractFeatures(
+      graft.multimodal.Multimodal.payloads(spark, sfDir))
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val bytes = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      assert(r.getAs[Int]("n_bytes") == bytes.length)
+      assert(r.getAs[Int]("head_byte") == (bytes(0) & 0xff))
+      assert(r.getAs[Long]("byte_sum_mod") == bytes.map(_ & 0xff).map(_.toLong).sum % 997L)
+    }
+  }
+}
