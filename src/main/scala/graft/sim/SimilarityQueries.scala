@@ -40,6 +40,39 @@ object SimilarityQueries {
   private def dotE12Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
 
+  /** (vec_id, bucket, embedding): sign-random-projection bucket per
+    * vector (shared by the ANN queries). */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
+    val scoreAggs = (0 until PLANES).map { p =>
+      val proj = conv(substring(md5(concat(lit(p), lit("_"), col("d"))), 1, 15), 16, 10)
+        .cast("long") % 2001L - 1000L
+      sum(proj * col("xq")).as(s"s$p")
+    }
+    val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+    val buckets = expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
+      .select(col("vec_id"), fold.as("bucket"))
+    e.join(buckets, "vec_id")
+  }
+
+  private val bucketSql: String =
+    s"""SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN (
+       |  WITH expl AS (
+       |    SELECT vec_id, CAST(d - 1 AS INT) AS d, embedding[d] AS x
+       |    FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)),
+       |  planes AS (
+       |    SELECT vec_id, p,
+       |      sum((CAST(concat('0x', substr(md5(concat(p, '_', d)), 1, 15)) AS BIGINT) % 2001 - 1000)
+       |          * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS score
+       |    FROM expl CROSS JOIN (SELECT unnest(range($PLANES)) AS p)
+       |    GROUP BY vec_id, p)
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM planes GROUP BY vec_id) b ON e.vec_id = b.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // L2 norms of every vector
     "emb_norms" -> { (s, dir) =>
@@ -87,6 +120,41 @@ object SimilarityQueries {
         .reduce(_ + _)
       expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
         .select(col("vec_id"), fold.as("bucket"))
+    },
+
+    // ANN top-k: candidate generation by shared LSH bucket (equi-join on
+    // bucket — the scale path), exact cosine re-ranking within the bucket
+    "emb_ann_topk" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("bucket"))
+      val c = b.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("bucket"))
+      val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .withColumn("dot_e12", expr(dotE12))
+        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
+        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
+    // embedding-cosine near-duplicate pairs above a threshold, pruned by
+    // shared LSH bucket before the exact check
+    "emb_neardup_pairs" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
+      val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+      a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
+        .withColumn("dot_e12", expr(dotE12))
+        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
+        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+        .filter(col("cosine") >= 0.40)
+        .select(col("v1"), col("v2"), col("cosine"))
     }
   )
 
@@ -110,6 +178,34 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
          |  FROM scored) t
          |WHERE rank <= 10""".stripMargin,
+
+    "emb_ann_topk" ->
+      s"""WITH bk AS ($bucketSql),
+         |q AS (SELECT vec_id AS qid, embedding AS e1, bucket FROM bk WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS cid, embedding AS e2, bucket FROM bk),
+         |scored AS (
+         |  SELECT qid, cid,
+         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE qid != cid)
+         |SELECT qid, rank, cid, cosine FROM (
+         |  SELECT qid, cid, cosine,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 5""".stripMargin,
+
+    "emb_neardup_pairs" ->
+      s"""WITH bk AS ($bucketSql),
+         |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
+         |c AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
+         |scored AS (
+         |  SELECT v1, v2,
+         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+         |  FROM a JOIN c USING (bucket) WHERE v1 < v2)
+         |SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.40""".stripMargin,
 
     "emb_ann_buckets" ->
       s"""WITH expl AS (
