@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of distinct whole-stage-codegen methods; the 240m default
+  // code cache causes JIT deopt storms across a long query sequence
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -26,6 +26,24 @@ object SimilarityQueries {
   private val DIM = 64
   private val PLANES = 8
 
+  /** proj(p, d) = (phash(p || '_' || d) % 2001 − 1000), precomputed on
+    * the driver: the hash depends only on (plane, dim), so evaluating
+    * md5 per data row (as the oracle SQL does) is pure waste — at scale
+    * that's 8 md5 calls per row of the corpus. Same values as the
+    * oracle's SQL md5 by construction. */
+  private lazy val projConst: Array[Array[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(PLANES, DIM) { (p, d) =>
+      val hex = mdt.digest(s"${p}_$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
+  /** Per-plane projection as an array literal indexed by the dim column. */
+  private def projCol(p: Int, d: org.apache.spark.sql.Column) =
+    element_at(typedLit(projConst(p).toSeq), d + 1)
+
   /** Exact integer-quantized squared-norm scaled by 1e12. */
   private val norm2e12 =
     "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
@@ -47,9 +65,7 @@ object SimilarityQueries {
     val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
     val scoreAggs = (0 until PLANES).map { p =>
-      val proj = conv(substring(md5(concat(lit(p), lit("_"), col("d"))), 1, 15), 16, 10)
-        .cast("long") % 2001L - 1000L
-      sum(proj * col("xq")).as(s"s$p")
+      sum(projCol(p, col("d")) * col("xq")).as(s"s$p")
     }
     val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
@@ -112,9 +128,7 @@ object SimilarityQueries {
       val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
         .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
       val scoreAggs = (0 until PLANES).map { p =>
-        val proj = conv(substring(md5(concat(lit(p), lit("_"), col("d"))), 1, 15), 16, 10)
-          .cast("long") % 2001L - 1000L
-        sum(proj * col("xq")).as(s"s$p")
+        sum(projCol(p, col("d")) * col("xq")).as(s"s$p")
       }
       val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
         .reduce(_ + _)
