@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of distinct whole-stage-codegen methods; the 240m default
   // code cache causes JIT deopt storms across a long query sequence
   "-XX:ReservedCodeCacheSize=512m",
+  // dense-histogram partials are 10-100 MB Array[Long]s; default 4m G1
+  // regions treat them as humongous allocations and thrash GC
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.binning.NdHistogramAgg
+
+/** Session extension registering the engine's custom Catalyst functions
+  * on the SQL surface, so `spark.sql` users get the operators without
+  * touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("""
+  *   SELECT nd_histogram(value, user_id, 100, 0.0, 500.0, 40, 0.0, 200.0)
+  *   FROM events
+  * """)
+  * }}}
+  *
+  * `nd_histogram(col1..colN, nbins1, lo1, hi1, ..., nbinsN, loN, hiN)`:
+  * the dense N-D histogram TypedImperativeAggregate (SURVEY.md §4.3.1);
+  * returns the flattened row-major Array[Long] grid.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.ndHistogramDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(s"nd_histogram: expected integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Float, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"nd_histogram: expected numeric literal, got $other")
+  }
+
+  private def buildNdHistogram(args: Seq[Expression]): Expression = {
+    require(args.length % 4 == 0 && args.nonEmpty,
+      "nd_histogram(col1..colN, nbins1, lo1, hi1, ..., nbinsN, loN, hiN)")
+    val n = args.length / 4
+    val cols = args.take(n)
+    val spec = args.drop(n).grouped(3).toSeq
+    NdHistogramAgg(
+      cols.toIndexedSeq,
+      spec.map(g => litInt(g(0))).toArray,
+      spec.map(g => litDouble(g(1))).toArray,
+      spec.map(g => litDouble(g(2))).toArray
+    ).toAggregateExpression(isDistinct = false)
+  }
+
+  val ndHistogramDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nd_histogram"),
+    new ExpressionInfo(classOf[NdHistogramAgg].getName, "nd_histogram"),
+    buildNdHistogram
+  )
+
+  /** Runtime registration on an existing session (alternative to
+    * `withExtensions` for sessions the caller does not construct). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nd_histogram", buildNdHistogram, "built-in")
+}

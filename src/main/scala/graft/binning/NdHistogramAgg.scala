@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * over the wire instead of one row per event — for a 100×100×200 grid
   * over 1e9 events that is ~16 MB × partitions versus 1e9 shuffle rows.
   *
-  * Scale guidance (SURVEY.md §2.4): right for dense small/medium grids
-  * (≤ ~1e7 cells); for huge sparse grids use the relational
-  * `groupBy(bins).count()` path, whose final aggregation distributes by
-  * key instead of converging on a single reducer.
+  * Scale guidance (SURVEY.md §2.4, measured at 50M rows on 32 cores):
+  * the dense path wins up to ~5e5 cells (2.5 s vs 6-9 s relational at
+  * 480k bins); beyond that the per-partition grid buffers dominate
+  * (allocation + serialization + single-reducer merge) and the
+  * relational `groupBy(bins).count()` path wins (6 s vs 42 s at 2M
+  * bins), since its final aggregation distributes by key instead of
+  * converging on one reducer.
   *
   * Update semantics match [[BinAxis]]: floor bin index, [lo, hi) range
   * guard, out-of-range rows dropped.
@@ -58,13 +61,19 @@ case class NdHistogramAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](totalBins)
 
+  // Codegen-compiled projection of the input columns, built once per
+  // task: per-row interpreted `children(i).eval` costs ~3-4x in the
+  // update hot loop (measured at 50M rows).
+  @transient private lazy val inputProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(children)
+
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val row = inputProj(input)
     var flat = 0
     var i = 0
     while (i < ndim) {
-      val v = children(i).eval(input)
-      if (v == null) return buffer
-      val x = v.asInstanceOf[Double]
+      if (row.isNullAt(i)) return buffer
+      val x = row.getDouble(i)
       if (x < los(i) || x >= his(i)) return buffer // range guard: drop row
       val b = math.floor((x - los(i)) * scales(i)).toInt
       // floating-point edge: (x-lo)*scale can round to exactly nbins at hi-epsilon

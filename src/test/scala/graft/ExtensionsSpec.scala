@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.binning.{BinAxis, Binning}
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("nd_histogram registered on the SQL surface equals the relational path") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev")
+    val dense = spark.sql(
+      "SELECT nd_histogram(value, 50, 0.0, 500.0) AS grid FROM ev")
+      .collect()(0).getSeq[Long](0)
+    val ax = BinAxis("value", 50, 0.0, 500.0)
+    val rel = Binning.histogramNd(Tables.events(spark, sfDir), Seq(col("value") -> ax))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(dense.length == 50)
+    (0 until 50).foreach(i => assert(dense(i) == rel.getOrElse(i, 0L), s"bin $i"))
+  }
+
+  test("nd_histogram rejects malformed argument lists") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev")
+    val e = intercept[Exception] {
+      spark.sql("SELECT nd_histogram(value, 50, 0.0) FROM ev").collect()
+    }
+    assert(e.getMessage.contains("nd_histogram") || e.getCause != null)
+  }
+}
+
+/** Property-based invariants of the histogram core (SURVEY.md §5 test
+  * plan): Σcounts = #in-range rows; invariance under partition count.
+  */
+class BinningPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val dataGen = Gen.listOfN(300, Gen.chooseNum(-50.0, 150.0))
+  private def samples(n: Int): Seq[List[Double]] =
+    (0 until n).map(i => dataGen(Gen.Parameters.default, Seed(42L + i)).get)
+
+  test("sum of counts equals in-range rows for arbitrary data") {
+    for (xs <- samples(10)) {
+      val ax = BinAxis("v", 10, 0.0, 100.0)
+      val total = Binning.histogramNd(xs.toDF("v"), Seq(col("v") -> ax))
+        .agg(sum("cnt")).collect()(0)
+      val got = if (total.isNullAt(0)) 0L else total.getLong(0)
+      assert(got == xs.count(x => x >= 0.0 && x < 100.0))
+    }
+  }
+
+  test("histogram invariant under partitioning for arbitrary data") {
+    for (xs <- samples(5)) {
+      val ax = BinAxis("v", 7, 0.0, 100.0)
+      def run(parts: Int) =
+        Binning.histogramNd(xs.toDF("v").repartition(parts), Seq(col("v") -> ax))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(1) == run(5))
+    }
+  }
+}
