@@ -190,4 +190,44 @@ object Analysis {
   /** Index of the array element nearest to `v` (reference `find_nearest`). */
   def findNearest(v: Double, arr: Array[Double]): Int =
     arr.indices.minBy(i => math.abs(arr(i) - v))
+
+  /** Row-wise Shirley background over an EDC matrix (reference
+    * `shirley2d`, `analysis.py:193-285`: vectorized row-wise variant). */
+  def shirley2d(x: Array[Double], ys: Array[Array[Double]],
+                tol: Double = 1e-5, maxIter: Int = 20): Array[Array[Double]] =
+    ys.map(shirley(x, _, tol, maxIter))
+
+  /** Vertices of a rotationally symmetric polygon (reference
+    * `vertexGenerator`, `analysis.py:1965-2038`): `nSide` points at
+    * `radius` from `center`, starting at `rot0` radians. */
+  def vertexGenerator(center: (Double, Double), radius: Double, nSide: Int,
+                      rot0: Double = 0.0): Seq[(Double, Double)] =
+    (0 until nSide).map { k =>
+      val a = rot0 + 2 * math.Pi * k / nSide
+      (center._1 + radius * math.cos(a), center._2 + radius * math.sin(a))
+    }
+
+  /** n-fold rotational-symmetry intensity average of a 2D grid about a
+    * center (reference `MomentumCorrector.rotational average`,
+    * `analysis.py:2661-2682`): mean of the grid rotated by each
+    * symmetry angle (bilinear sampling). */
+  def symmetryAverage(g: Array[Array[Double]], cr: Double, cc: Double,
+                      nFold: Int): Array[Array[Double]] = {
+    val rows = g.length; val cols = g(0).length
+    Array.tabulate(rows, cols) { (i, j) =>
+      var acc = 0.0
+      var k = 0
+      while (k < nFold) {
+        val a = 2 * math.Pi * k / nFold
+        val (ca, sa) = (math.cos(a), math.sin(a))
+        val dr = i - cr; val dc = j - cc
+        val rr = cr + ca * dr - sa * dc
+        val rc = cc + sa * dr + ca * dc
+        acc += (if (rr >= 0 && rr <= rows - 1 && rc >= 0 && rc <= cols - 1)
+          Analysis2D.bilinear(g, rr, rc) else 0.0)
+        k += 1
+      }
+      acc / nFold
+    }
+  }
 }

@@ -117,6 +117,68 @@ object Fit {
     }
   }
 
+  /** Sequential bootstrap fitting with forward parameter propagation
+    * (reference `bootstrapfit` with `pbar=True`, `analysis.py:3132-3139`):
+    * trace i+1 starts from trace i's fitted parameters. Inherently
+    * sequential, so driver-side by design; use [[fitTraces]] when
+    * propagation is not needed.
+    */
+  def bootstrapFit(traces: Seq[Trace]): Seq[GaussFit] = {
+    var prev: Option[(Double, Double, Double)] = None
+    traces.map { t =>
+      val (a, c, s, sse, it) = prev match {
+        case Some((pa, pc, ps)) => fitGaussianFrom(t.xs, t.ys, pa, pc, ps)
+        case None => fitGaussian(t.xs, t.ys)
+      }
+      prev = Some((a, c, s))
+      GaussFit(t.key, a, c, s, sse, it)
+    }
+  }
+
+  /** [[fitGaussian]] from explicit start values (propagation support). */
+  def fitGaussianFrom(xs: Array[Double], ys: Array[Double],
+                      a0: Double, c0: Double, s0: Double,
+                      maxIter: Int = 100): (Double, Double, Double, Double, Int) = {
+    // re-run the moment-started fit but bias the start toward the
+    // propagated parameters when they explain the data better
+    val moment = fitGaussian(xs, ys, maxIter)
+    def sse(a: Double, c: Double, s: Double): Double =
+      xs.indices.map { i => val r = ys(i) - gaussian(a, c, s, xs(i)); r * r }.sum
+    if (sse(a0, c0, s0) < moment._4) {
+      // polish the propagated start with a few local refinement steps
+      var (a, c, s) = (a0, c0, s0)
+      var best = sse(a, c, s)
+      var step = math.max(s0 * 0.1, 1e-3)
+      var it = 0
+      while (it < maxIter && step > 1e-10) {
+        val cands = Seq((a + step, c, s), (a - step, c, s), (a, c + step, s),
+          (a, c - step, s), (a, c, s + step), (a, c, math.max(s - step, 1e-9)))
+        val (bc, be) = cands.map(p => p -> sse(p._1, p._2, p._3)).minBy(_._2)
+        if (be < best) { a = bc._1; c = bc._2; s = bc._3; best = be }
+        else step /= 2
+        it += 1
+      }
+      if (best < moment._4) (a, c, s, best, it) else moment
+    } else moment
+  }
+
+  /** Per-parameter time-dependence tensor (reference
+    * `build_dynamic_matrix`, `analysis.py:3243-3282`): for each fitted
+    * parameter and each time step, (value, Δ from t0, Δ/I0).
+    * Rows: (param name, step index, value, delta, deltaNorm). */
+  def buildDynamicMatrix(fits: Seq[GaussFit]): Seq[(String, Int, Double, Double, Double)] = {
+    require(fits.nonEmpty)
+    val params: Seq[(String, GaussFit => Double)] =
+      Seq("amp" -> (_.amp), "center" -> (_.center), "sigma" -> (_.sigma))
+    params.flatMap { case (name, get) =>
+      val v0 = get(fits.head)
+      fits.zipWithIndex.map { case (f, i) =>
+        val v = get(f)
+        (name, i, v, v - v0, if (v0 != 0) (v - v0) / v0 else 0.0)
+      }
+    }
+  }
+
   /** Build per-key traces from a binned histogram table: one trace per
     * `keyCol`, (bin, cnt) pairs sorted by bin. */
   def tracesFromHistogram(spark: SparkSession,

@@ -157,6 +157,26 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    "cube_agg" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("sum_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("cnt"), col("sum_cents"))
+    },
+
+    // correlated scalar subquery: orders above their customer's average
+    "scalar_subquery" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val avgByCust = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(cents(col("o_totalprice"))) / count(lit(1))).as("avg_cents"))
+      o.join(avgByCust, col("o_custkey") === col("ck"))
+        .filter(cents(col("o_totalprice")) > col("avg_cents"))
+        .select(col("o_orderkey"), col("o_custkey"))
+    },
+
     "union_all_rows" -> { (s, dir) =>
       // appendRow parity (fprocessing.py:2413-2433): bag union of frames
       val a = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
@@ -275,6 +295,19 @@ object RelationalQueries {
         |  WHEN o_totalprice < 200000 THEN 'medium'
         |  ELSE 'large' END AS bucket, count(*) AS cnt
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS prio,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (
+        |  SELECT CAST(sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) AS BIGINT) / count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin,
 
     "union_all_rows" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'

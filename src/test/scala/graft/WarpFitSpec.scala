@@ -100,3 +100,43 @@ class WarpFitSpec extends AnyFunSuite {
     }
   }
 }
+
+class Fit2Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.fit.Fit
+  import graft.analysis.Analysis
+
+  test("bootstrapFit propagates parameters across a drifting sequence") {
+    val xs = Array.tabulate(100)(_.toDouble)
+    val traces = (0 until 5).map { k =>
+      Fit.Trace(s"t$k", xs, xs.map(x => Fit.gaussian(4.0, 30.0 + k, 5.0, x)))
+    }
+    val fits = Fit.bootstrapFit(traces)
+    fits.zipWithIndex.foreach { case (f, k) =>
+      assert(math.abs(f.center - (30.0 + k)) < 1e-4, s"trace $k")
+    }
+    val dyn = Fit.buildDynamicMatrix(fits)
+    assert(dyn.length == 3 * 5)
+    val centerDeltas = dyn.filter(_._1 == "center").map(_._4)
+    centerDeltas.zipWithIndex.foreach { case (d, k) => assert(math.abs(d - k) < 1e-3) }
+  }
+
+  test("shirley2d applies row-wise; vertexGenerator; symmetryAverage") {
+    val x = Array.tabulate(100)(i => 50.0 - i * 0.5)
+    val y = Array.tabulate(100)(i => 20.0 * math.exp(-math.pow((i - 50) / 6.0, 2)) +
+      (if (i < 50) 5.0 else 1.0))
+    val bgs = Analysis.shirley2d(x, Array(y, y))
+    assert(bgs.length == 2 && bgs(0).toSeq == bgs(1).toSeq)
+
+    val v = Analysis.vertexGenerator((0.0, 0.0), 2.0, 6)
+    assert(v.length == 6)
+    assert(math.abs(v(0)._1 - 2.0) < 1e-12)
+    v.foreach { case (a, b) => assert(math.abs(math.hypot(a, b) - 2.0) < 1e-12) }
+
+    // a radially symmetric field is invariant under symmetry averaging
+    val g = Array.tabulate(41, 41)((i, j) =>
+      math.exp(-((i - 20.0) * (i - 20.0) + (j - 20.0) * (j - 20.0)) / 60.0))
+    val avg = Analysis.symmetryAverage(g, 20.0, 20.0, 4)
+    for (i <- 10 until 30; j <- 10 until 30)
+      assert(math.abs(avg(i)(j) - g(i)(j)) < 1e-6, s"($i,$j)")
+  }
+}
