@@ -31,19 +31,27 @@ object Bench {
     // two passes per query, report the faster: pass 1 pays Janino/JIT
     // compilation of each query's generated code, pass 2 is the
     // steady-state throughput a long-running cluster job sees
+    val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          if (!failures.contains(name)) {
+            failures += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query must not masquerade as a fast one
+      name -> (if (failures.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

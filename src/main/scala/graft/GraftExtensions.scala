@@ -51,7 +51,11 @@ object GraftExtensions {
     require(args.length % 4 == 0 && args.nonEmpty,
       "nd_histogram(col1..colN, nbins1, lo1, hi1, ..., nbinsN, loN, hiN)")
     val n = args.length / 4
-    val cols = args.take(n)
+    // cast each input column to double: NdHistogramAgg reads doubles from
+    // its projection, so an uncast BIGINT column would be reinterpreted
+    // bitwise and silently mis-binned
+    val cols = args.take(n).map(c =>
+      org.apache.spark.sql.catalyst.expressions.Cast(c, org.apache.spark.sql.types.DoubleType))
     val spec = args.drop(n).grouped(3).toSeq
     NdHistogramAgg(
       cols.toIndexedSeq,

@@ -50,16 +50,19 @@ object GridOps {
     cur
   }
 
-  /** Central-difference gradients (∂row, ∂col), one-sided at edges. */
+  /** Central-difference gradients (∂row, ∂col), one-sided at edges;
+    * zero along any axis of length 1. */
   def grad(g: Grid): (Grid, Grid) = {
     val (r, c) = shape(g)
     val gr = Array.tabulate(r, c) { (i, j) =>
-      if (i == 0) g(1)(j) - g(0)(j)
+      if (r == 1) 0.0
+      else if (i == 0) g(1)(j) - g(0)(j)
       else if (i == r - 1) g(r - 1)(j) - g(r - 2)(j)
       else (g(i + 1)(j) - g(i - 1)(j)) / 2.0
     }
     val gc = Array.tabulate(r, c) { (i, j) =>
-      if (j == 0) g(i)(1) - g(i)(0)
+      if (c == 1) 0.0
+      else if (j == 0) g(i)(1) - g(i)(0)
       else if (j == c - 1) g(i)(c - 1) - g(i)(c - 2)
       else (g(i)(j + 1) - g(i)(j - 1)) / 2.0
     }

@@ -22,16 +22,22 @@ case class BinAxis(name: String, nbins: Int, lo: Double, hi: Double) {
   val width: Double = hi - lo
   def step: Double = width / nbins
 
-  /** Bin index expression (LongType) for a value column. */
+  /** Bin index expression (LongType) for a value column. Clamped to
+    * nbins-1: for x just below hi, `(x-lo)*nbins/width` can round up to
+    * exactly nbins even though the range predicate passed — without the
+    * clamp that bin index overflows dense grids. The clamp appears
+    * identically in [[sqlBin]] and the dense path so all three engines
+    * agree bit-for-bit. */
   def bin(c: Column): Column =
-    floor((c - lit(lo)) * lit(nbins.toDouble) / lit(width)).cast(LongType)
+    least(floor((c - lit(lo)) * lit(nbins.toDouble) / lit(width)),
+      lit((nbins - 1).toLong)).cast(LongType)
 
   /** In-range predicate: lo <= x < hi. */
   def pred(c: Column): Column = c >= lit(lo) && c < lit(hi)
 
   /** Same bin arithmetic as ANSI SQL over column expression `col`. */
   def sqlBin(col: String): String =
-    s"CAST(floor(($col - $lo) * ${nbins.toDouble} / $width) AS BIGINT)"
+    s"LEAST(CAST(floor(($col - $lo) * ${nbins.toDouble} / $width) AS BIGINT), ${nbins - 1})"
 
   def sqlPred(col: String): String = s"($col >= $lo AND $col < $hi)"
 

@@ -44,9 +44,7 @@ case class NdHistogramAgg(
 
   private val ndim = nbins.length
   private val totalBins: Int = nbins.product
-  // scale_i = nbins_i / (hi_i - lo_i), same arithmetic as BinAxis.bin
-  private val scales: Array[Double] =
-    Array.tabulate(ndim)(i => nbins(i).toDouble / (his(i) - los(i)))
+  private val widths: Array[Double] = Array.tabulate(ndim)(i => his(i) - los(i))
   // row-major strides
   private val strides: Array[Int] = {
     val s = new Array[Int](ndim)
@@ -75,8 +73,9 @@ case class NdHistogramAgg(
       if (row.isNullAt(i)) return buffer
       val x = row.getDouble(i)
       if (x < los(i) || x >= his(i)) return buffer // range guard: drop row
-      val b = math.floor((x - los(i)) * scales(i)).toInt
-      // floating-point edge: (x-lo)*scale can round to exactly nbins at hi-epsilon
+      // bit-identical to BinAxis.bin: ((x-lo)*nbins)/width, floored,
+      // clamped to nbins-1 for the hi-epsilon rounding edge
+      val b = math.floor((x - los(i)) * nbins(i) / widths(i)).toInt
       val bc = if (b >= nbins(i)) nbins(i) - 1 else b
       flat += bc * strides(i)
       i += 1

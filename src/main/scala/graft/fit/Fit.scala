@@ -32,16 +32,17 @@ object Fit {
     * moments (max, centroid, rms width). Finite-guarded: a step that
     * does not reduce SSE raises the damping instead of diverging.
     */
-  def fitGaussian(xs: Array[Double], ys: Array[Double], maxIter: Int = 100): (Double, Double, Double, Double, Int) = {
+  def fitGaussian(xs: Array[Double], ys: Array[Double], maxIter: Int = 100,
+                  start: Option[(Double, Double, Double)] = None): (Double, Double, Double, Double, Int) = {
     val n = xs.length
     require(n >= 3)
-    // moment-based start
-    var amp = ys.max
-    val ysum = ys.sum
-    var ctr = if (ysum > 0) xs.zip(ys).map { case (x, y) => x * y }.sum / ysum else xs(n / 2)
-    var sig = {
-      val v = if (ysum > 0) xs.zip(ys).map { case (x, y) => y * (x - ctr) * (x - ctr) }.sum / ysum else 1.0
-      math.max(math.sqrt(math.max(v, 1e-12)), 1e-6)
+    // start values: caller-provided (warm start / propagation) or moments
+    var (amp, ctr, sig) = start.getOrElse {
+      val a0 = ys.max
+      val ysum = ys.sum
+      val c0 = if (ysum > 0) xs.zip(ys).map { case (x, y) => x * y }.sum / ysum else xs(n / 2)
+      val v = if (ysum > 0) xs.zip(ys).map { case (x, y) => y * (x - c0) * (x - c0) }.sum / ysum else 1.0
+      (a0, c0, math.max(math.sqrt(math.max(v, 1e-12)), 1e-6))
     }
     def sse(a: Double, c: Double, s: Double): Double = {
       var acc = 0.0
@@ -135,31 +136,21 @@ object Fit {
     }
   }
 
-  /** [[fitGaussian]] from explicit start values (propagation support). */
+  /** [[fitGaussian]] warm-started from propagated parameters: the
+    * Gauss-Newton iteration runs from (a0, c0, s0) directly (the point
+    * of propagation — fewer iterations, stays in the drifting basin);
+    * falls back to the cold moment-started fit only when the warm fit
+    * ends visibly unconverged. */
   def fitGaussianFrom(xs: Array[Double], ys: Array[Double],
                       a0: Double, c0: Double, s0: Double,
                       maxIter: Int = 100): (Double, Double, Double, Double, Int) = {
-    // re-run the moment-started fit but bias the start toward the
-    // propagated parameters when they explain the data better
-    val moment = fitGaussian(xs, ys, maxIter)
-    def sse(a: Double, c: Double, s: Double): Double =
-      xs.indices.map { i => val r = ys(i) - gaussian(a, c, s, xs(i)); r * r }.sum
-    if (sse(a0, c0, s0) < moment._4) {
-      // polish the propagated start with a few local refinement steps
-      var (a, c, s) = (a0, c0, s0)
-      var best = sse(a, c, s)
-      var step = math.max(s0 * 0.1, 1e-3)
-      var it = 0
-      while (it < maxIter && step > 1e-10) {
-        val cands = Seq((a + step, c, s), (a - step, c, s), (a, c + step, s),
-          (a, c - step, s), (a, c, s + step), (a, c, math.max(s - step, 1e-9)))
-        val (bc, be) = cands.map(p => p -> sse(p._1, p._2, p._3)).minBy(_._2)
-        if (be < best) { a = bc._1; c = bc._2; s = bc._3; best = be }
-        else step /= 2
-        it += 1
-      }
-      if (best < moment._4) (a, c, s, best, it) else moment
-    } else moment
+    val warm = fitGaussian(xs, ys, maxIter, Some((a0, c0, math.max(math.abs(s0), 1e-9))))
+    val yScale = ys.map(y => y * y).sum
+    if (warm._4 <= 1e-8 * math.max(yScale, 1e-300)) warm
+    else {
+      val cold = fitGaussian(xs, ys, maxIter)
+      if (cold._4 < warm._4) cold else warm
+    }
   }
 
   /** Per-parameter time-dependence tensor (reference

@@ -55,16 +55,18 @@ object Multimodal {
   def extractFeatures(payloadDf: DataFrame): DataFrame = {
     val spark = payloadDf.sparkSession
     import spark.implicits._
-    val md5col = payloadDf.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
-    val feats = payloadDf.select(col("doc_id"), col("payload"))
+    // single pass: the payload column is the dominant I/O, so the md5 is
+    // computed inside the same partition loop (no second scan, no join)
+    payloadDf.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val (head, checksum) = decodeStub(bytes)
-          (id, bytes.length, head, checksum)
+          val md5hex = digest.digest(bytes).map(b => f"$b%02x").mkString
+          (id, bytes.length, head, checksum, md5hex)
         }
       }
-      .toDF("doc_id", "n_bytes", "head_byte", "byte_sum_mod")
-    feats.join(md5col, "doc_id")
+      .toDF("doc_id", "n_bytes", "head_byte", "byte_sum_mod", "payload_md5")
   }
 }

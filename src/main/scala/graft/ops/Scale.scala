@@ -22,6 +22,11 @@ object Scale {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1)
+    // right/full outer would surface each unmatched right row once per
+    // salt replica — those join types are incorrect under salting
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi joins, not $joinType")
     val saltedLeft = left.withColumn("_salt",
       (pmod(hash(monotonically_increasing_id()), lit(saltFactor))).cast("int"))
     val saltedRight = right.withColumn("_salt",

@@ -116,24 +116,10 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
-    // sign-random-projection LSH buckets (deterministic hashed projections)
+    // sign-random-projection LSH buckets (deterministic hashed projections;
+    // all integer arithmetic so the sign is cross-engine exact)
     "emb_ann_buckets" -> { (s, dir) =>
-      // proj(p, d) = (phash(p || '_' || d) % 2001 - 1000), an integer in
-      // [-1000, 1000]; per-plane score = sum_d proj * round(x * 1e6) — all
-      // integer arithmetic, so the sign is cross-engine exact.
-      // one pass over (vec, dim) rows with PLANES parallel score
-      // aggregates (no ×PLANES row explode — at scale the explode would
-      // shuffle 8× the corpus)
-      val e = Tables.embeddings(s, dir)
-      val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
-      val scoreAggs = (0 until PLANES).map { p =>
-        sum(projCol(p, col("d")) * col("xq")).as(s"s$p")
-      }
-      val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
-        .reduce(_ + _)
-      expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
-        .select(col("vec_id"), fold.as("bucket"))
+      bucketed(s, dir).select(col("vec_id"), col("bucket"))
     },
 
     // ANN top-k: candidate generation by shared LSH bucket (equi-join on

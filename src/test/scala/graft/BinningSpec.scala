@@ -35,6 +35,23 @@ class BinningSpec extends AnyFunSuite {
     assert(got == Map(0L -> 2L, 1L -> 1L, 9L -> 1L)) // -0.001, 100.0, 150.0 dropped
   }
 
+  test("hi-epsilon rounding edge stays in the last bin (clamp parity)") {
+    import spark.implicits._
+    // axis where width is not a power of two: (x-lo)*nbins/width can
+    // round up to exactly nbins for x = hi - ulp
+    val ax2 = BinAxis("v", 7, 0.1, 0.8)
+    val edge = math.nextDown(0.8)
+    val df = Seq(edge, 0.1, 0.45).toDF("v")
+    val got = Binning.histogramNd(df, Seq(col("v") -> ax2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keys.forall(b => b >= 0 && b < 7), s"bin out of range: $got")
+    assert(got.values.sum == 3)
+    // dense path agrees bin-for-bin on the same edge data
+    val dense = NdHistogramAgg.histogramNdDense(df, Seq(col("v") -> ax2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dense == got)
+  }
+
   test("sum of counts == number of in-range rows") {
     val ev = Tables.events(spark, sfDir)
     val h = Binning.histogramNd(ev, Seq(col("value") -> BinAxis("value", 100, 0.0, 500.0)))

@@ -22,6 +22,20 @@ class ExtensionsSpec extends AnyFunSuite {
     (0 until 50).foreach(i => assert(dense(i) == rel.getOrElse(i, 0L), s"bin $i"))
   }
 
+  test("nd_histogram casts non-double columns (bigint user_id) correctly") {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev")
+    val dense = spark.sql(
+      "SELECT nd_histogram(user_id, 40, 0.0, 200.0) AS grid FROM ev")
+      .collect()(0).getSeq[Long](0)
+    val ax = BinAxis("user", 40, 0.0, 200.0)
+    val rel = Binning.histogramNd(Tables.events(spark, sfDir),
+      Seq(col("user_id").cast("double") -> ax))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(dense.sum > 0, "all counts zero — bigint column was bit-reinterpreted")
+    (0 until 40).foreach(i => assert(dense(i) == rel.getOrElse(i, 0L), s"bin $i"))
+  }
+
   test("nd_histogram rejects malformed argument lists") {
     GraftExtensions.register(spark)
     Tables.events(spark, sfDir).createOrReplaceTempView("ev")

@@ -64,6 +64,11 @@ class PipelineSpec extends AnyFunSuite {
     for (i <- 3 until 17; j <- 3 until 17) assert(math.abs(curv(i)(j)) < 1e-9)
     val bn = GridOps.blockNorm(Array(1.0, 2.0, 4.0, 2.0), 2)
     assert(bn.toSeq == Seq(0.5, 0.5, 1.0, 1.0))
+    // degenerate single-row/column grids must not crash
+    val (gr1, gc1) = GridOps.grad(Array(Array(1.0, 2.0, 4.0)))
+    assert(gr1(0).forall(_ == 0.0) && gc1(0)(0) == 1.0)
+    val (gr2, gc2) = GridOps.grad(Array(Array(1.0), Array(3.0)))
+    assert(gc2.forall(_(0) == 0.0) && gr2(0)(0) == 2.0)
   }
 
   test("Sources: natural sort, gather, select, tsv read, split write") {
