@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{ArpesTxt, IgorIbw}
+
+class IoFormatsSpec extends AnyFunSuite {
+
+  test("ibw v5 write/read round-trip preserves data, shape, scaling, name") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ibw")
+    val data = Array.tabulate(12 * 8)(i => math.sin(i * 0.1) * 100)
+    val w = IgorIbw.Wave("testwave", data, Seq(12, 8), Seq(0.5, 2.0), Seq(-3.0, 10.0))
+    val p = tmp.resolve("w.ibw").toString
+    IgorIbw.write(p, w)
+    val r = IgorIbw.read(p)
+    assert(r.name == "testwave")
+    assert(r.shape == Seq(12, 8))
+    assert(r.sfA == Seq(0.5, 2.0) && r.sfB == Seq(-3.0, 10.0))
+    // float32 round-trip precision
+    r.data.zip(data).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    // axis scaling: x_p = sfA*p + sfB
+    assert(r.axis(0)(0) == -3.0 && r.axis(0)(2) == -2.0)
+    assert(r.axis(1)(3) == 16.0)
+  }
+
+  test("ibw reader rejects corrupted checksum") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ibw2")
+    val p = tmp.resolve("bad.ibw").toString
+    IgorIbw.write(p, IgorIbw.Wave("x", Array(1.0, 2.0), Seq(2), Seq(1.0), Seq(0.0)))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    bytes(20) = (bytes(20) ^ 0xff).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](IgorIbw.read(p))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("BinnedGrid exports to ibw and round-trips counts") {
+    import org.apache.spark.sql.functions._
+    import SparkTestSession._
+    val axes = Seq(graft.binning.BinAxis("value", 20, 0.0, 500.0))
+    val grid = graft.binning.BinnedGrid.collect(
+      graft.binning.Binning.histogramNd(Tables.events(spark, sfDir),
+        Seq(col("value") -> axes(0))), axes)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ibw3")
+    val p = tmp.resolve("hist.ibw").toString
+    // histogram sink → ibw (reference saveDict(form='ibw'))
+    IgorIbw.write(p, IgorIbw.Wave("hist", grid.data.map(_.toDouble), grid.shape,
+      Seq(axes(0).step), Seq(axes(0).lo + axes(0).step / 2)))
+    val r = IgorIbw.read(p)
+    assert(r.data.map(_.toLong).toSeq == grid.data.toSeq)
+    assert(math.abs(r.axis(0)(0) - axes(0).midpoints(0)) < 1e-9)
+  }
+
+  test("ARPES txt write/read round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arpes")
+    val d = ArpesTxt.ArpesData(
+      matrix = Array(Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      energies = Array(10.5, 11.5),
+      angles = Array(-5.0, 0.0, 5.0))
+    val p = tmp.resolve("a.txt").toString
+    ArpesTxt.write(p, d)
+    val r = ArpesTxt.read(p)
+    assert(r.energies.toSeq == Seq(10.5, 11.5))
+    assert(r.angles.toSeq == Seq(-5.0, 0.0, 5.0))
+    assert(r.matrix.map(_.toSeq).toSeq == d.matrix.map(_.toSeq).toSeq)
+  }
+}
