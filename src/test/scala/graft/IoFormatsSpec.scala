@@ -64,3 +64,34 @@ class IoFormatsSpec extends AnyFunSuite {
     assert(r.matrix.map(_.toSeq).toSeq == d.matrix.map(_.toSeq).toSeq)
   }
 }
+
+class MatFileSpec extends AnyFunSuite {
+  import graft.io.MatFile
+
+  test("MAT5 write/read round-trip of multiple named arrays") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mat")
+    val p = tmp.resolve("cal.mat").toString
+    val edcs = MatFile.MatArray(Array.tabulate(6)(_.toDouble * 1.5), Seq(3, 2))
+    val biases = MatFile.MatArray(Array(10.0, 20.0), Seq(2, 1))
+    MatFile.write(p, Map("EDCs" -> edcs, "biases" -> biases))
+    val got = MatFile.read(p)
+    assert(got.keySet == Set("EDCs", "biases"))
+    assert(got("EDCs").shape == Seq(3, 2))
+    assert(got("EDCs").data.toSeq == edcs.data.toSeq)
+    assert(got("biases").data.toSeq == Seq(10.0, 20.0))
+    // column-major indexing
+    assert(got("EDCs")(1, 1) == edcs.data(1 + 1 * 3))
+  }
+
+  test("MAT5 on-disk layout matches the published format (header tags, element types)") {
+    // format-level checks: header endian tag, element tag layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mat2")
+    val p = tmp.resolve("x.mat").toString
+    MatFile.write(p, Map("v" -> MatFile.MatArray(Array(7.5), Seq(1, 1))))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(new String(bytes.slice(126, 128)) == "IM")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(128) == 14) // miMATRIX
+    assert(bb.getShort(124) == 0x0100)
+  }
+}
