@@ -137,21 +137,14 @@ object Fit {
   }
 
   /** [[fitGaussian]] warm-started from propagated parameters: the
-    * Gauss-Newton iteration runs from (a0, c0, s0) directly (the point
-    * of propagation — fewer iterations, stays in the drifting basin);
-    * falls back to the cold moment-started fit only when the warm fit
-    * ends visibly unconverged. */
+    * Gauss-Newton iteration runs from (a0, c0, s0) directly, which is
+    * the reference's bootstrapfit semantics — the propagated start keeps
+    * the chain in the drifting peak's basin even when another feature
+    * would give a globally lower SSE, and costs one fit per trace. */
   def fitGaussianFrom(xs: Array[Double], ys: Array[Double],
                       a0: Double, c0: Double, s0: Double,
-                      maxIter: Int = 100): (Double, Double, Double, Double, Int) = {
-    val warm = fitGaussian(xs, ys, maxIter, Some((a0, c0, math.max(math.abs(s0), 1e-9))))
-    val yScale = ys.map(y => y * y).sum
-    if (warm._4 <= 1e-8 * math.max(yScale, 1e-300)) warm
-    else {
-      val cold = fitGaussian(xs, ys, maxIter)
-      if (cold._4 < warm._4) cold else warm
-    }
-  }
+                      maxIter: Int = 100): (Double, Double, Double, Double, Int) =
+    fitGaussian(xs, ys, maxIter, Some((a0, c0, math.max(math.abs(s0), 1e-9))))
 
   /** Per-parameter time-dependence tensor (reference
     * `build_dynamic_matrix`, `analysis.py:3243-3282`): for each fitted

@@ -16,10 +16,13 @@ object ArpesTxt {
                              angles: Array[Double])
 
   def read(path: String, withCoords: Boolean = true): ArpesData = {
+    // split with limit -1: Java's default split drops trailing empty
+    // cells, which would silently shorten rows ending in tabs
     val rows = Files.readAllLines(Paths.get(path)).asScala
       .filter(_.trim.nonEmpty)
-      .map(_.split("\t").map(s => if (s.trim.isEmpty) Double.NaN else s.trim.toDouble))
+      .map(_.split("\t", -1).map(s => if (s.trim.isEmpty) Double.NaN else s.trim.toDouble))
       .toArray
+    require(rows.length >= 2, s"ARPES txt $path has no data rows")
     if (withCoords) {
       val angles = rows(0).drop(1)
       val energies = rows.drop(1).map(_(0))

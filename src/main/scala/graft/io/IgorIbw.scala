@@ -58,6 +58,8 @@ object IgorIbw {
     val data = new Array[Double](npnts)
     var off = DATA_OFFSET
     val w = TYPE_BYTES(typ)
+    require(bytes.length >= DATA_OFFSET + npnts.toLong * w,
+      s"ibw file truncated: need ${DATA_OFFSET + npnts.toLong * w} bytes, have ${bytes.length}")
     i = 0
     while (i < npnts) {
       data(i) = typ match {

@@ -48,6 +48,7 @@ object MatFile {
     while (pos + 8 <= bytes.length) {
       val dtype = bb.getInt(pos)
       val dsize = bb.getInt(pos + 4)
+      require(dsize >= 0, s"corrupt MAT element size $dsize at offset $pos")
       if (dtype == MI_MATRIX) {
         parseMatrix(bb, pos + 8, dsize).foreach { case (n, a) => out(n) = a }
       } // skip compressed (15) and other top-level elements
@@ -90,11 +91,20 @@ object MatFile {
       (0 until s3).foreach(i => nb(i) = bb.get(p3 + i))
       new String(nb, "ISO-8859-1")
     }
-    // real data (miDOUBLE only)
+    // real data: MATLAB stores double-class arrays with the most compact
+    // element type the values fit in (miUINT8 for small ints, etc.)
     val (t4, p4, s4, _) = subElement(bb, n3)
-    require(t4 == MI_DOUBLE, s"only double data supported, got mi type $t4")
-    val n = s4 / 8
-    val data = Array.tabulate(n)(i => bb.getDouble(p4 + 8 * i))
+    val data = t4 match {
+      case MI_DOUBLE => Array.tabulate(s4 / 8)(i => bb.getDouble(p4 + 8 * i))
+      case 7 /*miSINGLE*/ => Array.tabulate(s4 / 4)(i => bb.getFloat(p4 + 4 * i).toDouble)
+      case 1 /*miINT8*/ => Array.tabulate(s4)(i => bb.get(p4 + i).toDouble)
+      case 2 /*miUINT8*/ => Array.tabulate(s4)(i => (bb.get(p4 + i) & 0xff).toDouble)
+      case 3 /*miINT16*/ => Array.tabulate(s4 / 2)(i => bb.getShort(p4 + 2 * i).toDouble)
+      case 4 /*miUINT16*/ => Array.tabulate(s4 / 2)(i => (bb.getShort(p4 + 2 * i) & 0xffff).toDouble)
+      case 5 /*miINT32*/ => Array.tabulate(s4 / 4)(i => bb.getInt(p4 + 4 * i).toDouble)
+      case 6 /*miUINT32*/ => Array.tabulate(s4 / 4)(i => (bb.getInt(p4 + 4 * i) & 0xffffffffL).toDouble)
+      case other => throw new IllegalArgumentException(s"unsupported mi data type $other")
+    }
     Some(name -> MatArray(data, shape))
   }
 

@@ -27,16 +27,24 @@ object Scale {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/left_semi joins, not $joinType")
-    val saltedLeft = left.withColumn("_salt",
-      (pmod(hash(monotonically_increasing_id()), lit(saltFactor))).cast("int"))
-    val saltedRight = right.withColumn("_salt",
+    val saltCol = "_graft_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"inputs must not already contain a $saltCol column")
+    // salt must be a DETERMINISTIC function of row content: a salt from
+    // monotonically_increasing_id (or rand) changes across task retries,
+    // which silently loses/duplicates rows through the shuffle
+    // (the SPARK-23207 failure class)
+    val saltedLeft = left.withColumn(saltCol,
+      pmod(hash(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val saltedRight = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "_salt"), joinType).drop("_salt")
+    saltedLeft.join(saltedRight, Seq(key, saltCol), joinType).drop(saltCol)
   }
 
-  /** Write both sides bucketed by the join key so subsequent joins are
-    * shuffle-free (SortMergeJoin over pre-bucketed scans). Tables are
-    * registered as `name_a`/`name_b` in the session catalog.
+  /** Write `df` bucketed+sorted by the join key and register it as
+    * `table` in the session catalog; joins between two tables bucketed
+    * the same way run as SortMergeJoin over pre-bucketed scans with no
+    * shuffle exchange.
     */
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
     df.write.mode("overwrite")
@@ -45,7 +53,12 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
-  /** True if the physical plan of `df` contains a shuffle exchange. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True if the physical plan of `df` contains a shuffle exchange
+    * (hash, range, or single-partition — broadcast exchanges are not
+    * shuffles and don't count). */
+  def hasShuffle(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition")
+      .exists(plan.contains)
+  }
 }

@@ -58,9 +58,9 @@ object SimilarityQueries {
   private def dotE12Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
 
-  /** (vec_id, bucket, embedding): sign-random-projection bucket per
-    * vector (shared by the ANN queries). */
-  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, bucket): sign-random-projection bucket per vector —
+    * join-free, one aggregation pass. */
+  private def buckets(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
@@ -69,10 +69,14 @@ object SimilarityQueries {
     }
     val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
       .reduce(_ + _)
-    val buckets = expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
+    expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
       .select(col("vec_id"), fold.as("bucket"))
-    e.join(buckets, "vec_id")
   }
+
+  /** (vec_id, bucket, embedding): buckets joined back to the vectors,
+    * for the ANN queries that need the embedding alongside. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).join(buckets(s, dir), "vec_id")
 
   private val bucketSql: String =
     s"""SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN (
@@ -118,9 +122,7 @@ object SimilarityQueries {
 
     // sign-random-projection LSH buckets (deterministic hashed projections;
     // all integer arithmetic so the sign is cross-engine exact)
-    "emb_ann_buckets" -> { (s, dir) =>
-      bucketed(s, dir).select(col("vec_id"), col("bucket"))
-    },
+    "emb_ann_buckets" -> { (s, dir) => buckets(s, dir) },
 
     // ANN top-k: candidate generation by shared LSH bucket (equi-join on
     // bucket — the scale path), exact cosine re-ranking within the bucket
