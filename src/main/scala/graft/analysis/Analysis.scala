@@ -191,6 +191,37 @@ object Analysis {
   def findNearest(v: Double, arr: Array[Double]): Int =
     arr.indices.minBy(i => math.abs(arr(i) - v))
 
+  /** Segment-wise Shirley background (reference `shirley_piecewise`,
+    * `analysis.py:158-190`): independent Shirley on each [from, until)
+    * index segment, concatenated; optional Savitzky-Golay smoothing of
+    * the result to remove seam discontinuities. */
+  def shirleyPiecewise(x: Array[Double], y: Array[Double],
+                       segRanges: Seq[(Int, Int)], tol: Double = 1e-5,
+                       maxIter: Int = 20, smoothWindow: Int = 0): Array[Double] = {
+    val out = new Array[Double](y.length)
+    segRanges.foreach { case (from, until) =>
+      val bg = shirley(x.slice(from, until), y.slice(from, until), tol, maxIter)
+      System.arraycopy(bg, 0, out, from, bg.length)
+    }
+    if (smoothWindow >= 3 && smoothWindow % 2 == 1) savitzkyGolay(out, smoothWindow, 1)
+    else out
+  }
+
+  /** Igor-style binary search (reference `legacy.BinarySearch`,
+    * `legacy.py:16-38`): index i such that arr(i) <= v < arr(i+1) for an
+    * ascending array; -1 below range, n-1 at/above the top. */
+  def binarySearch(arr: Array[Double], v: Double): Int = {
+    if (v < arr(0)) return -1
+    if (v >= arr(arr.length - 1)) return arr.length - 1
+    var lo = 0
+    var hi = arr.length - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) <= v) lo = mid else hi = mid
+    }
+    lo
+  }
+
   /** Row-wise Shirley background over an EDC matrix (reference
     * `shirley2d`, `analysis.py:193-285`: vectorized row-wise variant). */
   def shirley2d(x: Array[Double], ys: Array[Array[Double]],

@@ -113,3 +113,51 @@ class AnalysisSpec extends AnyFunSuite {
     assert(Analysis.findNearest(3.2, Array(1.0, 3.0, 5.0)) == 1)
   }
 }
+
+class EnergyCalibratorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.analysis.{Analysis, EnergyCalibrator}
+
+  test("full calibration workflow recovers a known ToF-energy relationship") {
+    // physical model: E(t) = a2 t^2 + a1 t + E0; each trace k is a peak
+    // whose position t_k satisfies E(t_k) = bias_k
+    val (a2, a1) = (2.0e-4, -0.12)
+    def eOf(t: Double) = a2 * t * t + a1 * t
+    val positions = Array.tabulate(600)(i => 400.0 + i) // ToF axis
+    val biases = Array(-6.0, -7.0, -8.0, -9.0, -10.0)
+    // invert E(t)=b on the axis to place the true peak per bias
+    val truePeaks = biases.map(b => positions.minBy(t => math.abs(eOf(t) - b)))
+    val traces = truePeaks.map { tp =>
+      positions.map(t => 100.0 * math.exp(-(t - tp) * (t - tp) / 200.0) + 5.0)
+    }
+    val refLo = positions.indexWhere(_ >= truePeaks(0) - 30)
+    val refHi = positions.indexWhere(_ >= truePeaks(0) + 30)
+    val cal = EnergyCalibrator.calibrate(positions, traces, biases, (refLo, refHi), order = 2)
+    // peak landmarks found at the true positions
+    cal.peakPositions.zip(truePeaks).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) <= 2.0, s"peak $got vs $exp")
+    }
+    // calibration reproduces the bias DIFFERENCES (the T-matrix solves
+    // relative energies; E0 fixes the absolute scale)
+    val e0 = biases(0) - (cal.energy(cal.peakPositions(0), 0.0))
+    biases.indices.foreach { i =>
+      val got = cal.energy(cal.peakPositions(i), e0)
+      assert(math.abs(got - biases(i)) < 0.05, s"trace $i: $got vs ${biases(i)}")
+    }
+  }
+
+  test("shirleyPiecewise covers segments; binarySearch semantics") {
+    val x = Array.tabulate(200)(i => 100.0 - i * 0.5)
+    val y = Array.tabulate(200)(i => 10.0 * math.exp(-math.pow((i % 100 - 50) / 6.0, 2)) +
+      (if (i % 100 < 50) 3.0 else 1.0))
+    val bg = Analysis.shirleyPiecewise(x, y, Seq((0, 100), (100, 200)))
+    assert(bg.length == 200)
+    assert(bg.slice(0, 100).exists(_ != 0.0) && bg.slice(100, 200).exists(_ != 0.0))
+
+    val arr = Array(1.0, 3.0, 5.0, 7.0)
+    assert(Analysis.binarySearch(arr, 0.5) == -1)
+    assert(Analysis.binarySearch(arr, 1.0) == 0)
+    assert(Analysis.binarySearch(arr, 4.9) == 1)
+    assert(Analysis.binarySearch(arr, 7.0) == 3)
+    assert(Analysis.binarySearch(arr, 99.0) == 3)
+  }
+}
