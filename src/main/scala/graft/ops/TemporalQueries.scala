@@ -58,6 +58,22 @@ object TemporalQueries {
         .select(unix_timestamp(col("w.start")).as("w_start"), col("cnt"), col("sum_cents"))
     },
 
+    // sessionization: per-user session ids from 30-minute inactivity gaps
+    // (the lag-window batch form; the stateful streaming form is
+    // StreamOps.sessionize, tested via flatMapGroupsWithState)
+    "sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    },
+
     // batch-equivalent of the streaming windowed histogram
     "stream_hist_batch" -> { (s, dir) =>
       graft.streaming.StreamOps.batchHistogram(
@@ -83,6 +99,19 @@ object TemporalQueries {
         |SELECT w_start, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM starts GROUP BY w_start""".stripMargin,
+
+    "sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR
+        |      CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT event_id, user_id, ts,
+        |          lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events) t1) t2""".stripMargin,
 
     "stream_hist_batch" -> {
       val ax = BinAxis("value", 20, 0.0, 500.0)

@@ -50,6 +50,45 @@ object StreamOps {
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col(s"bin_${axis.name}"), col("cnt"))
 
+  final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  final case class SessionOut(user_id: Long, event_id: Long, session_id: Long)
+  final case class SessionState(lastTsMicros: Long, sessionId: Long)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState`:
+    * per-user session ids from inactivity gaps — custom state the
+    * built-in window aggregates can't express (SURVEY.md §2.9).
+    * Requires events in event-time order per user within each batch
+    * (guaranteed in a single-batch replay; production use pairs this
+    * with a watermark + sorted micro-batches).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsMicros")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+            // same gap arithmetic as the batch/oracle form:
+            // floor-seconds difference strictly greater than the gap
+            val sec = Math.floorDiv(e.tsMicros, 1000000L)
+            val prevSec = if (st.lastTsMicros == Long.MinValue) Long.MinValue
+              else Math.floorDiv(st.lastTsMicros, 1000000L)
+            val newSession = prevSec == Long.MinValue || sec - prevSec > gapSeconds
+            st = SessionState(e.tsMicros,
+              if (newSession) st.sessionId + 1 else st.sessionId)
+            SessionOut(uid, e.event_id, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** Batch-equivalent of [[streamingHistogram]] for oracle comparison
     * (complete-mode streaming result == batch result on the same data). */
   def batchHistogram(events: DataFrame, axis: BinAxis,

@@ -52,3 +52,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 }
+
+class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+
+  test("stateful streaming sessionization == batch window sessionization") {
+    // batch reference: the sessionize query
+    val batch = ops.TemporalQueries.queries("sessionize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // stateful form over the same data (single-batch replay)
+    val streamed = graft.streaming.StreamOps.sessionize(Tables.events(spark, sfDir))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+}
