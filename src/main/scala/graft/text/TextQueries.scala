@@ -175,6 +175,45 @@ object TextQueries {
         .filter(col("jaccard") >= 0.3)
     },
 
+    // ---- corpus vocabulary: global token frequencies, top-50 ----
+    "txt_vocab_topk" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok"))
+        .limit(50)
+    },
+
+    // ---- TF-IDF scores for (doc, token) pairs over the corpus ----
+    "txt_tfidf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus size (small driver scalar)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(df_, "tok")
+        // ln is 1-ulp across libms → quantize at 1e-6
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        .filter(col("doc_id") < 50)
+    },
+
+    // ---- per-column numeric profile (training-data QC) ----
+    "data_profile" -> { (s, dir) =>
+      val li = graft.Tables.lineitem(s, dir)
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        li.agg(
+          count(lit(1)).as("n"),
+          min(col(c)).as("min_v"),
+          max(col(c)).as("max_v"),
+          sum(round(col(c) * lit(10000)).cast("long")).as("sum_e4"),
+          round(expr(s"percentile($c, 0.5)"), 6).as("median"))
+          .select(lit(c).as("column"), col("n"), col("min_v"), col("max_v"),
+            col("sum_e4"), col("median"))
+      }.reduce(_.unionByName(_))
+    },
+
     // ---- SimHash (32-bit, distinct-token features) ----
     "dedup_simhash" -> { (s, dir) =>
       // one pass, 32 parallel bit-weight aggregates (no ×32 row explode)
@@ -276,6 +315,39 @@ object TextQueries {
          |JOIN sizes n1 ON i.d1 = n1.doc_id
          |JOIN sizes n2 ON i.d2 = n2.doc_id
          |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.3""".stripMargin,
+
+    "txt_vocab_topk" ->
+      """SELECT tok, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+    "txt_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |WHERE tf.doc_id < 50""".stripMargin,
+
+    "data_profile" ->
+      """SELECT 'l_quantity' AS column, count(*) AS n,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+        |  CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_e4,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), min(l_extendedprice), max(l_extendedprice),
+        |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS BIGINT),
+        |  round(quantile_cont(l_extendedprice, 0.5), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*), min(l_discount), max(l_discount),
+        |  CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT),
+        |  round(quantile_cont(l_discount, 0.5), 6)
+        |FROM lineitem""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tok AS (
