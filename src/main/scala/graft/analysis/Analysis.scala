@@ -192,34 +192,51 @@ object Analysis {
     arr.indices.minBy(i => math.abs(arr(i) - v))
 
   /** Segment-wise Shirley background (reference `shirley_piecewise`,
-    * `analysis.py:158-190`): independent Shirley on each [from, until)
-    * index segment, concatenated; optional Savitzky-Golay smoothing of
-    * the result to remove seam discontinuities. */
+    * `analysis.py:158-190`): Shirley per contiguous segment,
+    * concatenated; if the segments don't cover the spectrum, the
+    * remaining tail is filled with the Savitzky-Golay-smoothed raw
+    * signal (the reference's savgol tail). */
   def shirleyPiecewise(x: Array[Double], y: Array[Double],
                        segRanges: Seq[(Int, Int)], tol: Double = 1e-5,
-                       maxIter: Int = 20, smoothWindow: Int = 0): Array[Double] = {
-    val out = new Array[Double](y.length)
-    segRanges.foreach { case (from, until) =>
-      val bg = shirley(x.slice(from, until), y.slice(from, until), tol, maxIter)
-      System.arraycopy(bg, 0, out, from, bg.length)
+                       maxIter: Int = 20, smoothWindow: Int = 5,
+                       smoothOrder: Int = 1): Array[Double] = {
+    val segs = segRanges.map { case (from, until) =>
+      shirley(x.slice(from, until), y.slice(from, until), tol, maxIter)
     }
-    if (smoothWindow >= 3 && smoothWindow % 2 == 1) savitzkyGolay(out, smoothWindow, 1)
-    else out
+    val covered = segRanges.map { case (f, u) => u - f }.sum
+    val tail =
+      if (covered >= y.length) Array.empty[Double]
+      else savitzkyGolay(y.slice(covered, y.length), smoothWindow, smoothOrder)
+    (segs :+ tail).toArray.flatten
   }
 
-  /** Igor-style binary search (reference `legacy.BinarySearch`,
-    * `legacy.py:16-38`): index i such that arr(i) <= v < arr(i+1) for an
-    * ascending array; -1 below range, n-1 at/above the top. */
+  /** Igor-style binary search (reference `legacy.binarysearch`,
+    * `legacy.py:16-26`): `searchsorted(side='left') - 1` semantics with
+    * automatic sort-order detection — for ascending arrays, the largest
+    * i with arr(i) < v (exact matches return i-1, Igor convention);
+    * descending arrays are handled by symmetry. */
   def binarySearch(arr: Array[Double], v: Double): Int = {
-    if (v < arr(0)) return -1
-    if (v >= arr(arr.length - 1)) return arr.length - 1
-    var lo = 0
-    var hi = arr.length - 1
-    while (hi - lo > 1) {
-      val mid = (lo + hi) >>> 1
-      if (arr(mid) <= v) lo = mid else hi = mid
+    require(arr.nonEmpty, "binarySearch on empty array")
+    val ascending = arr.length < 2 || arr(0) <= arr(arr.length - 1)
+    if (ascending) {
+      // leftmost insertion point, minus one
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < v) lo = mid + 1 else hi = mid
+      }
+      lo - 1
+    } else {
+      val rev = arr.reverse
+      var lo = 0
+      var hi = rev.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (rev(mid) < v) lo = mid + 1 else hi = mid
+      }
+      arr.length - lo - 1
     }
-    lo
   }
 
   /** Row-wise Shirley background over an EDC matrix (reference

@@ -29,6 +29,11 @@ object EnergyCalibrator {
                 biases: Array[Double], refRange: (Int, Int), refId: Int = 0,
                 order: Int = 2, smooth: Boolean = false): Calibration = {
     require(traces.length == biases.length && traces.nonEmpty)
+    require(traces.forall(_.length == positions.length),
+      "every trace must share the positions axis length")
+    require(refRange._1 >= 0 && refRange._1 < refRange._2 &&
+      refRange._2 <= positions.length, s"bad refRange $refRange")
+    require(refId >= 0 && refId < traces.length, s"bad refId $refId")
     val norm = Analysis.normSpec(traces, smooth = smooth)
     val ref = norm(refId)
 

@@ -88,13 +88,19 @@ object Binning {
         .groupBy(a.bin(c).as(s"bin_${a.name}"))
         .agg(count(lit(1)).as("cnt"))
     } else {
-      require(axes.map(_._2.nbins.toLong).product < Long.MaxValue / 2, "grid too large for flat key")
+      // overflow-safe cell count; flat keys must stay below 2^53 because
+      // decomposition strides multiply back up through long arithmetic
+      // (and a BigInt bound also catches Long-overflowing products)
+      val cells = axes.map(a => BigInt(a._2.nbins)).product
+      require(cells < (BigInt(1) << 53), s"grid of $cells cells too large for flat key")
       val flat = axes.tail.foldLeft(axes.head._2.bin(axes.head._1)) {
         case (acc, (c, a)) => acc * lit(a.nbins.toLong) + a.bin(c)
       }
       val strides = axes.indices.map(i => axes.drop(i + 1).map(_._2.nbins.toLong).product)
       val binCols = axes.zipWithIndex.map { case ((_, a), i) =>
-        ((col("_flat") / lit(strides(i))).cast("long") % lit(a.nbins.toLong)).as(s"bin_${a.name}")
+        // integral `div`, not `/`: Divide on longs goes through Double and
+        // mis-decomposes keys above 2^53 — div keeps it exact
+        (expr(s"_flat div ${strides(i)}") % lit(a.nbins.toLong)).as(s"bin_${a.name}")
       }
       df.filter(pred)
         .groupBy(flat.as("_flat"))

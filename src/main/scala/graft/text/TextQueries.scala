@@ -187,12 +187,14 @@ object TextQueries {
     // ---- TF-IDF scores for (doc, token) pairs over the corpus ----
     "txt_tfidf" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val n = docs.count() // corpus size (small driver scalar)
+      val n = docs.count() // corpus size: parquet metadata count, no scan
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(df_, "tok")
+      // document frequency as a window over tf — one tokenize pass, one
+      // shuffle, no self-join re-deriving the same lineage
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+      tf.withColumn("df", count(lit(1)).over(w))
         // ln is 1-ulp across libms → quantize at 1e-6
         .select(col("doc_id"), col("tok"),
           round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
@@ -201,17 +203,22 @@ object TextQueries {
 
     // ---- per-column numeric profile (training-data QC) ----
     "data_profile" -> { (s, dir) =>
+      // all fifteen aggregates in ONE scan, reshaped to one row per column
       val li = graft.Tables.lineitem(s, dir)
-      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-        li.agg(
-          count(lit(1)).as("n"),
-          min(col(c)).as("min_v"),
-          max(col(c)).as("max_v"),
-          sum(round(col(c) * lit(10000)).cast("long")).as("sum_e4"),
-          round(expr(s"percentile($c, 0.5)"), 6).as("median"))
-          .select(lit(c).as("column"), col("n"), col("min_v"), col("max_v"),
-            col("sum_e4"), col("median"))
-      }.reduce(_.unionByName(_))
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cs.flatMap { c => Seq(
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        sum(round(col(c) * lit(10000)).cast("long")).as(s"sum_$c"),
+        round(expr(s"percentile($c, 0.5)"), 6).as(s"med_$c"))
+      } :+ count(lit(1)).as("n")
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${cs.length}, " + cs.map { c =>
+        s"'$c', min_$c, max_$c, sum_$c, med_$c"
+      }.mkString(", ") + ") AS (column, min_v, max_v, sum_e4, median)"
+      wide.select(col("n"), expr(stackExpr))
+        .select(col("column"), col("n"), col("min_v"), col("max_v"),
+          col("sum_e4"), col("median"))
     },
 
     // ---- SimHash (32-bit, distinct-token features) ----

@@ -145,19 +145,31 @@ class EnergyCalibratorSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
-  test("shirleyPiecewise covers segments; binarySearch semantics") {
+  test("shirleyPiecewise covers segments + savgol tail; binarySearch reference semantics") {
     val x = Array.tabulate(200)(i => 100.0 - i * 0.5)
     val y = Array.tabulate(200)(i => 10.0 * math.exp(-math.pow((i % 100 - 50) / 6.0, 2)) +
       (if (i % 100 < 50) 3.0 else 1.0))
     val bg = Analysis.shirleyPiecewise(x, y, Seq((0, 100), (100, 200)))
     assert(bg.length == 200)
     assert(bg.slice(0, 100).exists(_ != 0.0) && bg.slice(100, 200).exists(_ != 0.0))
+    // uncovered tail → savgol-smoothed raw signal (reference semantics)
+    val bgTail = Analysis.shirleyPiecewise(x, y, Seq((0, 100)))
+    assert(bgTail.length == 200)
+    val smoothedTail = Analysis.savitzkyGolay(y.slice(100, 200), 5, 1)
+    bgTail.slice(100, 200).zip(smoothedTail).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
 
+    // searchsorted(side='left') - 1 semantics (legacy.py:16-26)
     val arr = Array(1.0, 3.0, 5.0, 7.0)
     assert(Analysis.binarySearch(arr, 0.5) == -1)
-    assert(Analysis.binarySearch(arr, 1.0) == 0)
+    assert(Analysis.binarySearch(arr, 1.0) == -1) // exact match: left - 1
     assert(Analysis.binarySearch(arr, 4.9) == 1)
-    assert(Analysis.binarySearch(arr, 7.0) == 3)
+    assert(Analysis.binarySearch(arr, 7.0) == 2)
     assert(Analysis.binarySearch(arr, 99.0) == 3)
+    // descending arrays handled by symmetry
+    val desc = Array(7.0, 5.0, 3.0, 1.0)
+    assert(Analysis.binarySearch(desc, 4.9) == 1)
+    assert(Analysis.binarySearch(desc, 99.0) == -1)
   }
 }

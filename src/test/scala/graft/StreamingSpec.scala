@@ -66,4 +66,41 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed.size == batch.size)
     assert(streamed == batch)
   }
+
+  test("sessionization state persists across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split the events in event-time halves and drop them as two files:
+    // session ids must continue across the batch boundary (GroupState)
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_sess")
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    // keep raw nanos so the streaming source schema matches readEvents
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val streamIn = graft.streaming.StreamOps.readEvents(spark, dropDir.toString)
+    val q = graft.streaming.StreamOps.sessionize(streamIn)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      dump(raw.filter(expr(s"ts div 1000") <= cut), "batch1.parquet")
+      q.processAllAvailable()
+      val afterFirst = spark.table("sess_out").count()
+      assert(afterFirst > 0)
+      dump(raw.filter(expr(s"ts div 1000") > cut), "batch2.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_id")).toMap
+      val batch = ops.TemporalQueries.queries("sessionize")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch) // ids continued across the batch boundary
+    } finally q.stop()
+  }
 }
