@@ -59,6 +59,24 @@ object EventQueries {
         Seq(col("value") -> axValue))
     },
 
+    // weighted/binned-statistic histogram: per-cell count, exact weight
+    // sum, and mean — the binned-statistic generalization of the counts
+    // histogram (same partial+final aggregation shape)
+    "hist_2d_weighted" -> { (s, dir) =>
+      val axU = axUser; val axV = axValue
+      Tables.events(s, dir)
+        .filter(axU.pred(col("user_id").cast("double")) && axV.pred(col("value")))
+        .groupBy(
+          axU.bin(col("user_id").cast("double")).as("bin_user"),
+          axV.bin(col("value")).as("bin_value"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(round(col("value") * lit(100)).cast("long")).as("w_cents"),
+          // mean from exact integers → identical doubles both engines
+          (sum(round(col("value") * lit(100)).cast("long")).cast("double") /
+            (count(lit(1)) * lit(100.0))).as("mean_value"))
+    },
+
     // rebin by factor 2 (utils.arraybin, utils.py:295-333): counts conserved
     "hist_rebin" -> { (s, dir) =>
       val h = Binning.histogramNd(Tables.events(s, dir), Seq(col("value") -> axValueFine))
@@ -208,6 +226,19 @@ object EventQueries {
       "hist_2d" -> histSql2,
       "hist_3d" -> histSql3,
       "hist_3d_dense" -> histSql3,
+
+      "hist_2d_weighted" -> {
+        val u = axUser; val v = axValue
+        s"""SELECT ${u.sqlBin("CAST(user_id AS DOUBLE)")} AS bin_user,
+           |  ${v.sqlBin("value")} AS bin_value,
+           |  count(*) AS cnt,
+           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS w_cents,
+           |  CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           |    / (count(*) * 100.0) AS mean_value
+           |FROM events
+           |WHERE ${u.sqlPred("CAST(user_id AS DOUBLE)")} AND ${v.sqlPred("value")}
+           |GROUP BY bin_user, bin_value""".stripMargin
+      },
 
       "hist_rebin" ->
         s"""SELECT CAST(floor(bin_value / 2) AS BIGINT) AS bin_value,
