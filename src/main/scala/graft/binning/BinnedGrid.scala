@@ -109,6 +109,13 @@ case class BinnedGrid(data: Array[Long], axes: Seq[BinAxis]) {
 
 object BinnedGrid {
 
+  /** Physical-units registry (reference `default_units`,
+    * `fprocessing.py:195-210`): column → unit string. */
+  val defaultUnits: Map[String, String] = Map(
+    "X" -> "step", "Y" -> "step", "t" -> "step", "ADC" -> "step",
+    "kx" -> "1/A", "ky" -> "1/A", "E" -> "eV", "delay" -> "ps",
+    "value" -> "a.u.", "user" -> "id", "hour" -> "h")
+
   /** Densify a sparse relational histogram (bin_*..., cnt) produced by
     * [[Binning.histogramNd]] into a driver grid. */
   def collect(hist: DataFrame, axes: Seq[BinAxis]): BinnedGrid = {
@@ -124,22 +131,49 @@ object BinnedGrid {
 
   /** Persist as a parquet of sparse cells plus a JSON axes sidecar —
     * the engine's equivalent of the reference's `binned/ + axes/` HDF5
-    * layout (`xarray_to_h5`, `fprocessing.py:3354-3416`). */
-  def save(grid: BinnedGrid, spark: SparkSession, path: String): Unit = {
+    * layout (`xarray_to_h5`, `fprocessing.py:3354-3416`). `metadata`
+    * mirrors the reference's nested attrs tree (units, binning params,
+    * acquisition info) as a flat string map in the same sidecar. */
+  def save(grid: BinnedGrid, spark: SparkSession, path: String,
+           metadata: Map[String, String] = Map.empty): Unit = {
     grid.toDF(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/binned")
+    def q(x: String) = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val axesJson = grid.axes.map { a =>
-      s"""{"name":"${a.name}","nbins":${a.nbins},"lo":${a.lo},"hi":${a.hi}}"""
+      val unit = metadata.getOrElse(s"unit_${a.name}",
+        defaultUnits.getOrElse(a.name, "a.u."))
+      s"""{"name":"${a.name}","nbins":${a.nbins},"lo":${a.lo},"hi":${a.hi},"unit":${q(unit)}}"""
     }.mkString("[", ",", "]")
+    val metaJson = metadata.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/axes.json"), axesJson)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/metadata.json"), metaJson)
   }
 
   def load(spark: SparkSession, path: String): BinnedGrid = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/axes.json"))
-    val axes = """\{"name":"([^"]+)","nbins":(\d+),"lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+    val axes = """\{"name":"([^"]+)","nbins":(\d+),"lo":([-0-9.eE]+),"hi":([-0-9.eE]+)""".r
       .findAllMatchIn(json).map { m =>
         BinAxis(m.group(1), m.group(2).toInt, m.group(3).toDouble, m.group(4).toDouble)
       }.toSeq
     collect(spark.read.parquet(s"$path/binned"), axes)
+  }
+
+  /** Load the metadata sidecar written by [[save]]. */
+  def loadMetadata(path: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(s"$path/metadata.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val json = java.nio.file.Files.readString(p)
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      .findAllMatchIn(json).map { m =>
+        def un(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
+        un(m.group(1)) -> un(m.group(2))
+      }.toMap
   }
 }

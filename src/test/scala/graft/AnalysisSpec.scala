@@ -101,10 +101,16 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof.sum == grid.totalCount)
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_grid").toString
-    BinnedGrid.save(grid, spark, tmp)
+    BinnedGrid.save(grid, spark, tmp,
+      metadata = Map("run" -> "demo \"42\"", "binaxes" -> "user,value"))
     val loaded = BinnedGrid.load(spark, tmp)
     assert(loaded.axes == grid.axes)
     assert(loaded.data.toSeq == grid.data.toSeq)
+    val meta = BinnedGrid.loadMetadata(tmp)
+    assert(meta("run") == "demo \"42\"" && meta("binaxes") == "user,value")
+    // axis sidecar carries units from the registry
+    val axesJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$tmp/axes.json"))
+    assert(axesJson.contains("\"unit\":\"a.u.\"") || axesJson.contains("\"unit\":\"id\""))
   }
 
   test("normSpec scales to unit max; findNearest") {
