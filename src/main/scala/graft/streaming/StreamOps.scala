@@ -50,6 +50,17 @@ object StreamOps {
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col(s"bin_${axis.name}"), col("cnt"))
 
+  /** Streaming exact dedup: drop events whose dedup key was already
+    * seen within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * — state is bounded by the watermark, so this runs forever at
+    * constant memory; the streaming form of the exact-dedup operator).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   final case class SessionOut(user_id: Long, event_id: Long, session_id: Long)
   final case class SessionState(lastTsMicros: Long, sessionId: Long)

@@ -104,3 +104,29 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("streaming dedup drops within-watermark duplicates") {
+    // drop-folder with the events file twice: every event arrives duplicated
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dropDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dropDir.resolve("b.parquet"))
+    val deduped = graft.streaming.StreamOps.streamingDedup(
+      graft.streaming.StreamOps.readEvents(spark, dropDir.toString), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      val distinct = Tables.events(spark, sfDir).count()
+      assert(n == distinct, s"expected $distinct deduped rows, got $n")
+      assert(spark.table("dedup_out").groupBy("event_id").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+}
