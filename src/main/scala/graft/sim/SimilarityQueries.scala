@@ -143,6 +143,36 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
+    // IVF cell assignment: driver-trained deterministic k-means coarse
+    // quantizer, centroids baked in as literals (inverted-file shape;
+    // the alternative scale path to the sign-LSH buckets)
+    "emb_ivf_assign" -> { (s, dir) =>
+      val cents = Ivf.trainCentroids(s, dir, k = 8)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Ivf.cellColumn(cents).as("cell"))
+    },
+
+    // IVF top-k: candidates restricted to the query's cell, exact cosine
+    // re-rank within the cell
+    "emb_ivf_topk" -> { (s, dir) =>
+      val cents = Ivf.trainCentroids(s, dir, k = 8)
+      val assigned = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), Ivf.cellColumn(cents).as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("cell"))
+      val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
+      val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+        .withColumn("dot_e12", expr(dotE12))
+        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
+        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
     "emb_neardup_pairs" -> { (s, dir) =>

@@ -50,3 +50,40 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 }
+
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import graft.sim.Ivf
+
+  test("IVF cell Column assignment matches driver-side k-means assignment") {
+    val cents = Ivf.trainCentroids(spark, sfDir, k = 8)
+    assert(cents.length == 8 && cents.head.length == 64)
+    val fromSql = graft.sim.SimilarityQueries.queries("emb_ivf_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = Tables.embeddings(spark, sfDir).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    vecs.foreach { case (id, v) =>
+      assert(fromSql(id) == Ivf.assign(v, cents), s"vec $id")
+    }
+    // cells are actually used (more than one non-empty cell)
+    assert(fromSql.values.toSet.size > 1)
+  }
+
+  test("IVF top-k returns within-cell neighbors ranked by exact cosine") {
+    val res = graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    val cents = Ivf.trainCentroids(spark, sfDir, k = 8)
+    val assignOf = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> Ivf.assign(r.getSeq[Float](1).map(_.toDouble).toArray, cents)).toMap
+    // every neighbor shares the query's cell, ranks are 1..k per query
+    res.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      rows.foreach(r => assert(assignOf(r.getLong(2)) == assignOf(qid)))
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      // cosine non-increasing with rank
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+}
