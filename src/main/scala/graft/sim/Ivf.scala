@@ -58,41 +58,28 @@ object Ivf {
     best
   }
 
-  /** Integer-quantized squared distance of the embedding column to one
-    * centroid literal: Σ_d round((x_d − c_d)² · 1e12). */
-  private def distE12(c: Array[Double]): String = {
-    val lits = c.mkString("array(", ", ", ")")
-    s"aggregate(zip_with(embedding, $lits, (x, cd) -> CAST(round((CAST(x AS DOUBLE) - cd) * (CAST(x AS DOUBLE) - cd) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-  }
-
-  private def distE12Sql(c: Array[Double]): String = {
-    val lits = c.mkString("[", ", ", "]")
-    s"CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(round((CAST(embedding[i] AS DOUBLE) - ($lits)[i]) * (CAST(embedding[i] AS DOUBLE) - ($lits)[i]) * 1e12) AS BIGINT))) AS BIGINT)"
-  }
-
-  /** Cell-assignment Column: argmin over centroid distances (ties →
-    * lowest cell id, matching [[assign]]). */
-  def cellColumn(centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.indices.map(c => expr(distE12(centroids(c))))
-    // fold: keep (bestDist, bestId); strict < keeps the lowest id on ties
-    centroids.indices.tail.foldLeft((dists(0), lit(0))) {
-      case ((bd, bi), c) =>
-        (when(dists(c) < bd, dists(c)).otherwise(bd),
-          when(dists(c) < bd, lit(c)).otherwise(bi))
-    }._2
-  }
-
-  /** Same argmin as DuckDB SQL. */
-  def cellSql(centroids: Array[Array[Double]]): String = {
-    val dists = centroids.indices.map(c => distE12Sql(centroids(c)))
-    var bd = dists(0)
-    var bi = "0"
-    for (c <- 1 until centroids.length) {
-      val newBd = s"(CASE WHEN ${dists(c)} < $bd THEN ${dists(c)} ELSE $bd END)"
-      bi = s"(CASE WHEN ${dists(c)} < $bd THEN $c ELSE $bi END)"
-      bd = newBd
-    }
-    bi
+  /** Append a `cell` column: argmin over centroid distances (ties →
+    * lowest cell id, matching [[assign]]).
+    *
+    * The entire argmin is ONE nested higher-order expression over a 2-D
+    * centroid literal. Per-centroid intermediate columns (or a when-
+    * fold) get inlined by CollapseProject — especially across self-joins
+    * — duplicating every distance aggregate up to 16×, which blew
+    * codegen to tens of seconds per query; a single self-contained
+    * expression gives the optimizer nothing to copy.
+    */
+  def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cents = centroids.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val dists =
+      s"""transform(sequence(1, ${centroids.length}), c ->
+         |  aggregate(
+         |    zip_with(embedding, element_at($cents, c),
+         |      (x, cd) -> CAST(round((CAST(x AS DOUBLE) - cd) * (CAST(x AS DOUBLE) - cd) * 1e12) AS BIGINT)),
+         |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin
+    // array_position returns the FIRST match → lowest cell id on ties
+    df.withColumn("cell",
+      expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)"))
   }
 
   /** Collect the corpus and train the coarse quantizer (deterministic). */

@@ -148,16 +148,16 @@ object SimilarityQueries {
     // the alternative scale path to the sign-LSH buckets)
     "emb_ivf_assign" -> { (s, dir) =>
       val cents = Ivf.trainCentroids(s, dir, k = 8)
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), Ivf.cellColumn(cents).as("cell"))
+      Ivf.withCell(Tables.embeddings(s, dir), cents)
+        .select(col("vec_id"), col("cell"))
     },
 
     // IVF top-k: candidates restricted to the query's cell, exact cosine
     // re-rank within the cell
     "emb_ivf_topk" -> { (s, dir) =>
       val cents = Ivf.trainCentroids(s, dir, k = 8)
-      val assigned = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), Ivf.cellColumn(cents).as("cell"))
+      val assigned = Ivf.withCell(Tables.embeddings(s, dir), cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("cell"))
       val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
