@@ -1,21 +1,32 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** IVF-style ANN: a coarse k-means quantizer trained on the driver
-  * (vectors sampled/collected once), cell assignment as pure Column
-  * arithmetic with the centroids baked in as literals, and search
-  * restricted to the query's cell — the inverted-file pruning shape.
+/** IVF-style ANN: a coarse k-means quantizer trained on the driver from a
+  * BOUNDED deterministic sample (`vec_id < SAMPLE_N` — never the full
+  * corpus, so driver memory is O(SAMPLE_N·dim) regardless of corpus
+  * size), cell assignment as pure Column arithmetic with the centroids
+  * baked in as literals, and search restricted to the query's nearest
+  * cell(s) — the inverted-file pruning shape, with multi-probe for
+  * recall near cell boundaries.
   *
   * Cross-engine exactness: per-dimension squared differences are
   * quantized to integers before summation (same policy as the cosine
   * queries), and k-means itself is deterministic (fixed init = first k
-  * vectors in vec_id order, fixed iteration count), so the centroids —
-  * and therefore the assignments — are reproducible and the oracle can
-  * evaluate the identical arithmetic from the same literal centroids.
+  * sample vectors in vec_id order, fixed iteration count), so the
+  * centroids — and therefore the assignments — are reproducible and the
+  * DuckDB oracle evaluates the identical arithmetic from the same
+  * literal centroids ([[assignSql]] / [[probesSql]]).
   */
 object Ivf {
+
+  /** Training-sample bound: first SAMPLE_N vectors by vec_id. At corpus
+    * scale this is the standard IVF recipe (train the coarse quantizer
+    * on a small sample, assign everything); 256×64 doubles ≈ 128 KiB on
+    * the driver no matter how big the corpus is.
+    */
+  val SAMPLE_N = 256
 
   /** Deterministic Lloyd's k-means on the driver. */
   def kmeans(vectors: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
@@ -58,6 +69,21 @@ object Ivf {
     best
   }
 
+  /** Quantized per-cell distance array (BIGINT), as a SQL fragment over
+    * column `embedding` — shared by the single-cell argmin and the
+    * multi-probe top-nprobe. Dialect-neutral pieces differ, so each
+    * engine gets its own renderer below.
+    */
+  private def distsSpark(centroids: Array[Array[Double]]): String = {
+    val cents = centroids.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    s"""transform(sequence(1, ${centroids.length}), c ->
+       |  aggregate(
+       |    zip_with(embedding, element_at($cents, c),
+       |      (x, cd) -> CAST(round((CAST(x AS DOUBLE) - cd) * (CAST(x AS DOUBLE) - cd) * 1e12) AS BIGINT)),
+       |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin
+  }
+
   /** Append a `cell` column: argmin over centroid distances (ties →
     * lowest cell id, matching [[assign]]).
     *
@@ -69,25 +95,92 @@ object Ivf {
     * expression gives the optimizer nothing to copy.
     */
   def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val cents = centroids.map(_.mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-    val dists =
-      s"""transform(sequence(1, ${centroids.length}), c ->
-         |  aggregate(
-         |    zip_with(embedding, element_at($cents, c),
-         |      (x, cd) -> CAST(round((CAST(x AS DOUBLE) - cd) * (CAST(x AS DOUBLE) - cd) * 1e12) AS BIGINT)),
-         |    CAST(0 AS BIGINT), (acc, v) -> acc + v))""".stripMargin
+    val dists = distsSpark(centroids)
     // array_position returns the FIRST match → lowest cell id on ties
     df.withColumn("cell",
       expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)"))
   }
 
-  /** Collect the corpus and train the coarse quantizer (deterministic). */
+  /** Append a `probes` column: the `nprobe` nearest cell ids in distance
+    * order (ties → lowest cell id). Sorting (dist, idx) BIGINT pairs
+    * lexicographically gives both orders in one array_sort; the same
+    * pair-sort runs in DuckDB ([[probesSql]]) so the engines agree
+    * exactly.
+    */
+  def withProbes(df: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val dists = distsSpark(centroids)
+    val k = centroids.length
+    val pairs = s"transform(sequence(1, $k), c -> array(element_at(ds, c), CAST(c - 1 AS BIGINT)))"
+    df.withColumn("ds", expr(dists))
+      .withColumn("probes",
+        expr(s"slice(transform(array_sort($pairs), p -> CAST(element_at(p, 2) AS INT)), 1, $nprobe)"))
+      .drop("ds")
+  }
+
+  /** DuckDB literal for the centroid matrix (shortest-round-trip doubles
+    * — both engines parse them back to identical IEEE values). */
+  private def centsDuck(centroids: Array[Array[Double]]): String =
+    centroids.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** DuckDB fragment: quantized distance list `ds` over `embedding`
+    * given a `cents` CTE exposing the matrix as column `cc`. */
+  private def distsDuck(k: Int): String =
+    s"""list_transform(range(1, ${k + 1}), c ->
+       |  list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |    CAST(round((CAST(embedding[i] AS DOUBLE) - cc[c][i]) * (CAST(embedding[i] AS DOUBLE) - cc[c][i]) * 1e12) AS BIGINT))))""".stripMargin
+
+  /** DuckDB CTE prefix `cents` + per-vector assignment select, matching
+    * [[withCell]] exactly: `SELECT vec_id, embedding, cell FROM ...`. */
+  def assignSql(centroids: Array[Array[Double]], table: String = "embeddings"): String =
+    s"""WITH cents AS (SELECT ${centsDuck(centroids)} AS cc),
+       |dists AS (
+       |  SELECT vec_id, embedding, ${distsDuck(centroids.length)} AS ds
+       |  FROM $table CROSS JOIN cents)
+       |SELECT vec_id, embedding,
+       |  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+       |FROM dists""".stripMargin
+
+  /** DuckDB per-vector probe list (nprobe nearest cells), matching
+    * [[withProbes]]: `SELECT vec_id, embedding, probes FROM ...`. */
+  def probesSql(centroids: Array[Array[Double]], nprobe: Int,
+                table: String = "embeddings"): String = {
+    val k = centroids.length
+    s"""WITH cents AS (SELECT ${centsDuck(centroids)} AS cc),
+       |dists AS (
+       |  SELECT vec_id, embedding, ${distsDuck(k)} AS ds
+       |  FROM $table CROSS JOIN cents),
+       |probed AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(
+       |      list_sort(list_transform(range(1, ${k + 1}), c -> [ds[c], CAST(c - 1 AS BIGINT)])),
+       |      p -> CAST(p[2] AS INT))[1:$nprobe] AS probes
+       |  FROM dists)
+       |SELECT vec_id, embedding, probes FROM probed""".stripMargin
+  }
+
+  // Memoized per (dir, k): the IVF queries each need the centroids, and
+  // re-collecting the sample per query would triple the (bounded but
+  // non-free) driver work under Verify/Bench.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+
+  /** Most recently trained centroids — consulted by the oracle-SQL
+    * builder, which has no SparkSession/dir of its own (the driver dumps
+    * oracle SQL after running every query, so by then training has run
+    * on exactly the dataset the oracle will read). */
+  @volatile private var lastTrained: Option[Array[Array[Double]]] = None
+  def cachedCentroids: Option[Array[Array[Double]]] = lastTrained
+
+  /** Train the coarse quantizer on the bounded deterministic sample. */
   def trainCentroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
-    val vecs = graft.Tables.embeddings(spark, dir)
-      .orderBy("vec_id")
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    kmeans(vecs, k)
+    val cents = memo.computeIfAbsent((dir, k), { _ =>
+      val vecs = graft.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < SAMPLE_N)
+        .orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      kmeans(vecs, k)
+    })
+    lastTrained = Some(cents)
+    cents
   }
 }

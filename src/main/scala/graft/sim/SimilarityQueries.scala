@@ -173,6 +173,32 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
+    // IVF multi-probe top-k (nprobe=2): queries search their TWO nearest
+    // cells — the standard recall fix for vectors near cell boundaries.
+    // Corpus side is still single-cell (each vector lives in exactly one
+    // inverted list), so candidates stay duplicate-free and the join is
+    // the same bucket-local equi-join, just fed 2 probe rows per query.
+    "emb_ivf_topk_p2" -> { (s, dir) =>
+      val cents = Ivf.trainCentroids(s, dir, k = 8)
+      val assigned = Ivf.withCell(Tables.embeddings(s, dir), cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val q = Ivf.withProbes(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 10), cents, nprobe = 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+          explode(col("probes")).as("cell"))
+      val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
+      val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+        .withColumn("dot_e12", expr(dotE12))
+        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
+        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
     "emb_neardup_pairs" -> { (s, dir) =>
@@ -190,7 +216,46 @@ object SimilarityQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  /** Static oracles plus the IVF literal-centroid oracles. The IVF SQL
+    * depends on the trained centroids, so `oracles` is a def: Verify
+    * runs every query first (training the quantizer on exactly the
+    * dataset under test) and dumps oracle SQL afterwards, at which point
+    * [[Ivf.cachedCentroids]] holds the matching literals. If the IVF
+    * queries never ran, the entries are simply omitted → the driver
+    * records its weaker rows-only check, same as before.
+    */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+
+  private def ivfOracles: Map[String, String] = Ivf.cachedCentroids match {
+    case None => Map.empty
+    case Some(cents) =>
+      val asg = Ivf.assignSql(cents)
+      val prb = Ivf.probesSql(cents, nprobe = 2)
+      def rerank(qSel: String): String =
+        s"""WITH asg AS ($asg),
+           |q AS ($qSel),
+           |c AS (SELECT vec_id AS cid, embedding AS e2, cell FROM asg),
+           |scored AS (
+           |  SELECT qid, cid,
+           |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+           |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+           |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+           |  FROM q JOIN c USING (cell) WHERE qid != cid)
+           |SELECT qid, rank, cid, cosine FROM (
+           |  SELECT qid, cid, cosine,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5""".stripMargin
+      Map(
+        "emb_ivf_assign" -> s"SELECT vec_id, cell FROM ($asg) t",
+        "emb_ivf_topk" -> rerank(
+          "SELECT vec_id AS qid, embedding AS e1, cell FROM asg WHERE vec_id < 10"),
+        "emb_ivf_topk_p2" -> rerank(
+          s"SELECT vec_id AS qid, embedding AS e1, unnest(probes) AS cell FROM ($prb) p WHERE vec_id < 10")
+      )
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "emb_norms" ->
       s"""SELECT vec_id, $norm2e12Sql AS norm2_e12,
          |  sqrt(CAST($norm2e12Sql AS DOUBLE) / 1e12) AS l2_norm

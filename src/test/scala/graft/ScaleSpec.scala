@@ -71,6 +71,54 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fromSql.values.toSet.size > 1)
   }
 
+  test("IVF training sample is bounded (no full-corpus collect)") {
+    // the quantizer must be trainable from vec_id < SAMPLE_N alone:
+    // identical centroids from the full table and the pre-filtered table
+    val fromFull = Ivf.trainCentroids(spark, sfDir, k = 8)
+    val sample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < Ivf.SAMPLE_N).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val direct = Ivf.kmeans(sample, 8)
+    fromFull.zip(direct).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("IVF multi-probe (nprobe=2) recall@5 >= single-probe recall@5") {
+    val cents = Ivf.trainCentroids(spark, sfDir, k = 8)
+    // brute-force exact cosine top-5 per query, driver-side ground truth
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      qid -> vecs.filter(_._1 != qid).toSeq
+        .map { case (cid, v) => (cid, cos(qv, v)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      truth.map { case (q, t) => byQ.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val r1 = recall(graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect())
+    val r2 = recall(graft.sim.SimilarityQueries.queries("emb_ivf_topk_p2")(spark, sfDir).collect())
+    assert(r2 >= r1, s"probe2 recall $r2 < probe1 recall $r1")
+    assert(r2 > 0.0)
+    // probe-2 candidate cells are a superset of the single assigned cell
+    val probed = Ivf.withProbes(Tables.embeddings(spark, sfDir), cents, nprobe = 2)
+      .select("vec_id", "probes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val p = probed(id)
+      assert(p.length == 2 && p.distinct.length == 2)
+      assert(p.head == Ivf.assign(v, cents), s"first probe must be the assigned cell for vec $id")
+    }
+  }
+
   test("IVF top-k returns within-cell neighbors ranked by exact cosine") {
     val res = graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect()
     assert(res.nonEmpty)
