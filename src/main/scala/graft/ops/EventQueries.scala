@@ -191,22 +191,26 @@ object EventQueries {
           count(lit(1)).as("cnt"))
     },
 
-    // blocknorm moving-block max (analysis.py:1184-1208) as a window frame
+    // blocknorm moving-block max (analysis.py:1184-1208): a globally-
+    // ordered look-ahead frame, evaluated as partitioned windows over
+    // event_id-range chunks with head-row spill (Stitch.blockMax) — no
+    // single-task global WindowExec
     "block_max_norm" -> { (s, dir) =>
-      val w = Window.orderBy(col("event_id")).rowsBetween(0, 9)
-      Tables.events(s, dir)
-        .withColumn("block_max", max(col("value")).over(w))
+      Stitch.blockMax(Tables.events(s, dir), expr("event_id div 1000"),
+        col("event_id"), col("value"), follow = 9, out = "block_max")
         .select(col("event_id"), col("value"), col("block_max"))
     },
 
     // msMarkers-style step interpolation (fprocessing.py:664-697): carry
-    // forward the last observed purchase value over the event sequence
+    // forward the last observed purchase value over the event sequence —
+    // two-pass chunk carry + driver prefix-stitch (Stitch.carryForward),
+    // the same offset trick the reference plays with msMarkers
     "step_interpolate" -> { (s, dir) =>
-      val w = Window.orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("last_purchase",
-          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      Stitch.carryForward(Tables.events(s, dir),
+        expr("unix_timestamp(ts) div 3600"),
+        Seq(col("ts"), col("event_id")),
+        when(col("event_type") === "purchase", col("value")),
+        out = "last_purchase")
         .select(col("event_id"), col("last_purchase"))
     }
   )

@@ -61,4 +61,12 @@ object Scale {
     Seq("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition")
       .exists(plan.contains)
   }
+
+  /** True if the physical plan funnels all rows into one partition —
+    * the single-task global-window/global-sort scale-killer (an
+    * `Exchange SinglePartition` feeding WindowExec/SortExec). Used by
+    * ScaleSpec to assert the partition-and-stitch rewrites stay
+    * partition-parallel. */
+  def hasSinglePartitionExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange SinglePartition")
 }

@@ -73,13 +73,15 @@ object WarpQueries {
         .limit(30)
     },
 
-    // event-range select by sequence position (fprocessing.py:1163-1166)
+    // event-range select by sequence position (fprocessing.py:1163-1166):
+    // global row numbers from per-chunk counts + driver offsets
+    // (Stitch.globalSeq) — chunks outside [101, 200] are pruned before
+    // any window runs, so the scan touches a vanishing fraction at scale
     "event_range" -> { (s, dir) =>
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      Tables.events(s, dir)
-        .withColumn("seq", row_number().over(w))
-        .filter(col("seq") >= 101 && col("seq") <= 200)
-        .select(col("seq"), col("event_id"))
+      Stitch.globalSeq(Tables.events(s, dir),
+        expr("unix_timestamp(ts) div 3600"),
+        Seq(col("ts"), col("event_id")), lo = 101, hi = 200)
+        .select(col("seq").cast("int").as("seq"), col("event_id"))
     }
   )
 

@@ -51,6 +51,56 @@ class ScaleSpec extends AnyFunSuite {
   }
 }
 
+class StitchSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+  import graft.ops.{Scale, Stitch}
+
+  private def events = Tables.events(spark, sfDir)
+
+  test("carryForward == global-window last(ignoreNulls) and stays partitioned") {
+    val stitched = graft.ops.EventQueries.queries("step_interpolate")(spark, sfDir)
+    val w = Window.orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = events.withColumn("last_purchase",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("last_purchase"))
+    assert(stitched.exceptAll(global).isEmpty && global.exceptAll(stitched).isEmpty)
+    assert(!Scale.hasSinglePartitionExchange(stitched), "stitched carryForward must not single-task")
+    assert(Scale.hasSinglePartitionExchange(global), "sanity: the naive form does single-task")
+  }
+
+  test("globalSeq == global row_number on the selected range, stays partitioned") {
+    val stitched = graft.ops.WarpQueries.queries("event_range")(spark, sfDir)
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val global = events.withColumn("seq", row_number().over(w))
+      .filter(col("seq") >= 101 && col("seq") <= 200)
+      .select(col("seq"), col("event_id"))
+    assert(stitched.exceptAll(global).isEmpty && global.exceptAll(stitched).isEmpty)
+    assert(!Scale.hasSinglePartitionExchange(stitched))
+  }
+
+  test("blockMax == global look-ahead frame, stays partitioned, survives sparse chunks") {
+    val stitched = graft.ops.EventQueries.queries("block_max_norm")(spark, sfDir)
+    val w = Window.orderBy(col("event_id")).rowsBetween(0, 9)
+    val global = events.withColumn("block_max", max(col("value")).over(w))
+      .select(col("event_id"), col("value"), col("block_max"))
+    assert(stitched.exceptAll(global).isEmpty && global.exceptAll(stitched).isEmpty)
+    assert(!Scale.hasSinglePartitionExchange(stitched))
+    // sparse/tiny chunks: ids spaced so most chunks hold < follow rows and
+    // several chunk ranges are empty — the head-spill chain must cross them
+    import spark.implicits._
+    val sparse = (0 until 40).map(i => (i.toLong * 37L, (i % 13).toDouble)).toDF("id", "v")
+    val got = Stitch.blockMax(sparse, expr("id div 100"), col("id"), col("v"), 9, "bm")
+      .select("id", "bm")
+    val want = sparse.withColumn("bm",
+        max(col("v")).over(Window.orderBy(col("id")).rowsBetween(0, 9)))
+      .select("id", "bm")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
