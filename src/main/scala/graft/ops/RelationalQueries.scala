@@ -72,9 +72,12 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
 
+    // customers with no high-value order — the > 300000 predicate keeps
+    // the result non-empty (every sf0.01 customer has SOME order, so an
+    // unconditioned anti-join verified nothing)
     "anti_join" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },
@@ -227,7 +230,8 @@ object RelationalQueries {
 
     "anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
 
     "window_topn" ->
       """SELECT o_custkey, o_orderkey, rn FROM (

@@ -41,6 +41,63 @@ object Scale {
     saltedLeft.join(saltedRight, Seq(key, saltCol), joinType).drop(saltCol)
   }
 
+  /** All intra-group pairs (`id_1 < id_2` within equal `keys`) with
+    * skew-aware work distribution — the candidate-pair self-join of LSH
+    * dedup. A degenerate "identical template" bucket (one band signature
+    * shared by n docs) sends n² pair-work through ONE reducer in a plain
+    * equi-self-join; here groups above `hotThreshold` are triangle-
+    * salted: each member gets a deterministic salt s ∈ [0, S), the pair
+    * space is tiled into S(S+1)/2 cells (i ≤ j), a row serves as the
+    * left side of cells (s, j ≥ s) and the right side of cells (i ≤ s,
+    * s), and each unordered pair materializes in exactly one cell — so
+    * the hot group's n² work spreads over ~S²/2 reducers while the
+    * output stays EXACTLY the all-pairs result (same oracle). Cold
+    * groups take the plain join, so the ~S× replication is paid only on
+    * the skewed keys (detected by one cheap count-aggregate, broadcast
+    * back).
+    *
+    * Output columns: keys ++ (id_1, id_2).
+    */
+  def selfPairs(df: DataFrame, keys: Seq[String], id: String,
+                saltFactor: Int = 4, hotThreshold: Long = 1000L): DataFrame = {
+    require(saltFactor > 1)
+    val outCols = (keys.map(k => col(s"a.$k")) :+
+      col(s"a.$id").as(s"${id}_1")) :+ col(s"b.$id").as(s"${id}_2")
+    def keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+
+    val cnt = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+    val hotKeys = broadcast(cnt.filter(col("_n") > hotThreshold)
+      .drop("_n").withColumn("_hot", lit(true)))
+    val flagged = df.join(hotKeys, keys, "left")
+    val cold = flagged.filter(col("_hot").isNull).drop("_hot")
+    val hot = flagged.filter(col("_hot") === true).drop("_hot")
+
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        keyCond && col(s"a.$id") < col(s"b.$id"))
+      .select(outCols: _*)
+
+    // cell (i, j), i <= j, holds the pairs whose two salts are {i, j}:
+    // a row with salt s is the LEFT side of cells (s, j >= s) and the
+    // RIGHT side of cells (i <= s, s), so in any joined pair the left
+    // salt <= right salt by construction. Mixed-salt cells see each
+    // unordered pair exactly once (restore id order via least/greatest);
+    // same-salt cells see it twice, deduped by id <.
+    val S = saltFactor
+    val salted = hot.withColumn("_s", pmod(hash(col(id)), lit(S)).cast("int"))
+    val left = salted.withColumn("_cell",
+      explode(expr(s"transform(sequence(_s, ${S - 1}), j -> _s * $S + j)")))
+    val right = salted.withColumn("_cell",
+      explode(expr(s"transform(sequence(0, _s), i -> i * $S + _s)")))
+    val hotPairs = left.as("a").join(right.as("b"),
+        keyCond && col("a._cell") === col("b._cell") &&
+          (col("a._s") =!= col("b._s") || col(s"a.$id") < col(s"b.$id")))
+      .select((keys.map(k => col(s"a.$k")) :+
+        least(col(s"a.$id"), col(s"b.$id")).as(s"${id}_1")) :+
+        greatest(col(s"a.$id"), col(s"b.$id")).as(s"${id}_2"): _*)
+
+    coldPairs.unionByName(hotPairs)
+  }
+
   /** Write `df` bucketed+sorted by the join key and register it as
     * `table` in the session catalog; joins between two tables bucketed
     * the same way run as SortMergeJoin over pre-bucketed scans with no

@@ -211,7 +211,7 @@ object SimilarityQueries {
         .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
-        .filter(col("cosine") >= 0.40)
+        .filter(col("cosine") >= 0.25)
         .select(col("v1"), col("v2"), col("cosine"))
     }
   )
@@ -302,7 +302,7 @@ object SimilarityQueries {
          |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
          |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
          |  FROM a JOIN c USING (bucket) WHERE v1 < v2)
-         |SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.40""".stripMargin,
+         |SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.25""".stripMargin,
 
     "emb_ann_buckets" ->
       s"""WITH expl AS (

@@ -129,7 +129,13 @@ object TextQueries {
 
     // ---- LSH: band signatures → candidate pairs → exact Jaccard verify ----
     "dedup_lsh_pairs" -> { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel
       val docs = Tables.documents(s, dir)
+      // the shingle and band-signature lineages feed multiple joins below;
+      // persist them once instead of re-deriving the tokenize+explode+agg
+      // chain per join branch (Spark's CacheManager dedupes by canonical
+      // plan, so repeated invocations share one cache entry)
+      val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
       val sig = minhashSig(docs)
       // band signature: concat of the band's r minhash values in seed order
       val bands = sig
@@ -137,12 +143,14 @@ object TextQueries {
         .groupBy("doc_id", "band")
         .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
           x => x.getField("minh").cast("string")), ",").as("sig"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // candidate pairs via the skew-aware self-join: degenerate
+      // "identical template" band buckets are triangle-salted so their
+      // n² pair-work spreads across reducers (Scale.selfPairs) — output
+      // is exactly the all-pairs result, so the oracle is unchanged
+      val cand = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
+        .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
       // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
-      val sh = shingles(docs)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
@@ -158,9 +166,11 @@ object TextQueries {
         .filter(col("jaccard") >= 0.5)
     },
 
-    // ---- brute-force n-gram Jaccard baseline (bounded subset) ----
+    // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
+    // doc window and 0.02 threshold keep the result at O(10-100) rows so
+    // the oracle actually verifies the join+ratio arithmetic) ----
     "dedup_jaccard_brute" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
       val sh = shingles(docs)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("s1").join(sh.as("s2"),
@@ -172,7 +182,7 @@ object TextQueries {
         .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
         .select(col("d1"), col("d2"),
           (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
+        .filter(col("jaccard") >= 0.02)
     },
 
     // ---- corpus vocabulary: global token frequencies, top-50 ----
@@ -310,7 +320,7 @@ object TextQueries {
          |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin,
 
     "dedup_jaccard_brute" ->
-      s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 100),
+      s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 200),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS inter
@@ -321,7 +331,7 @@ object TextQueries {
          |FROM inter i
          |JOIN sizes n1 ON i.d1 = n1.doc_id
          |JOIN sizes n2 ON i.d2 = n2.doc_id
-         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.3""".stripMargin,
+         |WHERE CAST(i.inter AS DOUBLE) / (n1.n + n2.n - i.inter) >= 0.02""".stripMargin,
 
     "txt_vocab_topk" ->
       """SELECT tok, count(*) AS freq

@@ -23,6 +23,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(lo.count() == left.count())
   }
 
+  test("selfPairs: triangle-salted hot buckets equal plain all-pairs") {
+    // one degenerate "identical template" bucket (key 'hot' duplicated
+    // 500x) plus cold keys — the LSH band-skew fixture
+    val rows = (1 to 500).map(i => ("hot", i.toLong)) ++
+      (1 to 40).map(i => (s"cold_${i % 7}", 1000L + i))
+    val df = rows.toDF("sig", "doc_id")
+    val got = Scale.selfPairs(df, Seq("sig"), "doc_id", saltFactor = 4, hotThreshold = 100)
+    val want = df.as("a").join(df.as("b"),
+        $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.sig", $"a.doc_id".as("doc_id_1"), $"b.doc_id".as("doc_id_2"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // hot-bucket pair work is spread over multiple salt cells: the
+    // triangle join's per-cell input is ~n/S, not n
+    val hotPairs = got.filter($"sig" === "hot").count()
+    assert(hotPairs == 500L * 499 / 2)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s2 = spark
     val prevThreshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
