@@ -42,6 +42,19 @@ case class NdHistogramAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // Guard BEFORE any Int product: 65536x65536 axes would silently wrap
+  // nbins.product (to 0 or negative) and surface as an opaque
+  // NegativeArraySizeException deep inside the aggregate. The relational
+  // path has its own BigInt 2^53 guard (Binning.scala); the dense path —
+  // also reachable from arbitrary SQL via nd_histogram — enforces the
+  // documented dense-grid limit here, with the remedy in the message.
+  require(nbins.forall(_ > 0), "nd_histogram: every nbins must be positive")
+  require(nbins.map(BigInt(_)).product <= NdHistogramAgg.DENSE_MAX_CELLS,
+    s"nd_histogram dense path: ${nbins.mkString("x")} = " +
+      s"${nbins.map(BigInt(_)).product} cells exceeds the dense-grid limit " +
+      s"of ${NdHistogramAgg.DENSE_MAX_CELLS} (per-partition buffers would " +
+      "dominate); use the relational path (Binning.histogramNd) for grids this large")
+
   private val ndim = nbins.length
   private val totalBins: Int = nbins.product
   private val widths: Array[Double] = Array.tabulate(ndim)(i => his(i) - los(i))
@@ -115,6 +128,13 @@ case class NdHistogramAgg(
 
 object NdHistogramAgg {
 
+  /** Hard cell-count ceiling for the dense path (~1e7 cells = an 80 MB
+    * Array[Long] buffer per partition). Measured crossover vs the
+    * relational path is ~5e5 cells (SURVEY §2.4 / SCALE.md); beyond this
+    * limit the dense path is strictly worse AND risks Int overflow in
+    * buffer sizing, so it is refused outright. */
+  val DENSE_MAX_CELLS: BigInt = BigInt(10000000)
+
   /** Aggregate `cols` into one dense flattened grid (single row,
     * ArrayType(LongType), row-major over `axes`). */
   def ndHistogram(cols: Seq[Column], axes: Seq[BinAxis]): Column = {
@@ -134,8 +154,12 @@ object NdHistogramAgg {
     val grid = df.agg(ndHistogram(axes.map(_._1), axes.map(_._2)).as("grid"))
     val n = axes.map(_._2.nbins)
     val strides = n.indices.map(i => n.drop(i + 1).product.toLong)
+    // integral `div`, not `/`: Divide on longs routes through Double and
+    // mis-decomposes flat keys above 2^53 (same fix as Binning.scala's
+    // relational decomposition — kept consistent even though dense grids
+    // are Int-bounded today)
     val binCols = axes.zipWithIndex.map { case ((_, ax), i) =>
-      ((col("flat") / lit(strides(i))).cast("long") % lit(n(i).toLong)).as(s"bin_${ax.name}")
+      (expr(s"flat div ${strides(i)}L") % lit(n(i).toLong)).as(s"bin_${ax.name}")
     }
     grid.select(posexplode(col("grid")).as(Seq("flat", "cnt")))
       .filter(col("cnt") > 0)

@@ -81,6 +81,26 @@ class BinningSpec extends AnyFunSuite {
     assert(dense == rel)
   }
 
+  test("dense path refuses oversized grids with a clear message") {
+    import spark.implicits._
+    val df = Seq(1.0).toDF("v")
+    // 65536 x 65536 would wrap Int nbins.product without the guard
+    val huge = Seq(
+      col("v") -> BinAxis("a", 65536, 0.0, 1.0),
+      col("v") -> BinAxis("b", 65536, 0.0, 1.0))
+    val e = intercept[IllegalArgumentException] {
+      NdHistogramAgg.histogramNdDense(df, huge).collect()
+    }
+    assert(e.getMessage.contains("dense-grid limit"))
+    assert(e.getMessage.contains("Binning.histogramNd"))
+    // same guard on the SQL surface (nd_histogram via GraftExtensions)
+    GraftExtensions.register(spark)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT nd_histogram(v, v, 65536, 0.0, 1.0, 65536, 0.0, 1.0) FROM VALUES (1.0) t(v)").collect()
+    }
+    assert(e2.getMessage.contains("dense-grid limit"))
+  }
+
   test("dense path invariant under repartitioning (merge correctness)") {
     val ev = Tables.events(spark, sfDir)
     val axes = Seq(col("value") -> BinAxis("value", 100, 0.0, 500.0))
