@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; 8g left the 68-query bench one GC storm away
+  // from 10x per-query outliers (BENCH_r01's anomalous 11 s rows)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // dozens of distinct whole-stage-codegen methods; the 240m default
   // code cache causes JIT deopt storms across a long query sequence
   "-XX:ReservedCodeCacheSize=512m",

@@ -33,6 +33,11 @@ object Bench {
     // steady-state throughput a long-running cluster job sees
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's garbage: without this, one
+      // allocation-heavy query taxes its successors with collection
+      // pauses inside THEIR timed region (BENCH_r01 recorded two 11 s
+      // outliers on sub-second plans this way)
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

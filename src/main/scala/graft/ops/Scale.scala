@@ -65,9 +65,20 @@ object Scale {
       col(s"a.$id").as(s"${id}_1")) :+ col(s"b.$id").as(s"${id}_2")
     def keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
 
+    // Skew detection first, as its own cheap (map-side-combinable)
+    // aggregate: when NO group exceeds the threshold — the common case —
+    // short-circuit to the plain self-join and pay nothing else.
+    // Measured at sf0.1: always-on salting machinery (flagging join +
+    // empty hot branch + union) taxed the unskewed dedup_lsh_pairs
+    // ~2x (4.3 s vs 2.0 s steady-state); detection costs one agg pass.
     val cnt = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-    val hotKeys = broadcast(cnt.filter(col("_n") > hotThreshold)
-      .drop("_n").withColumn("_hot", lit(true)))
+    val hotCnt = cnt.filter(col("_n") > hotThreshold)
+    if (hotCnt.isEmpty) {
+      return df.as("a").join(df.as("b"), keyCond && col(s"a.$id") < col(s"b.$id"))
+        .select(outCols: _*)
+    }
+
+    val hotKeys = broadcast(hotCnt.drop("_n").withColumn("_hot", lit(true)))
     val flagged = df.join(hotKeys, keys, "left")
     val cold = flagged.filter(col("_hot").isNull).drop("_hot")
     val hot = flagged.filter(col("_hot") === true).drop("_hot")

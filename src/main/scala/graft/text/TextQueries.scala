@@ -129,13 +129,15 @@ object TextQueries {
 
     // ---- LSH: band signatures → candidate pairs → exact Jaccard verify ----
     "dedup_lsh_pairs" -> { (s, dir) =>
-      import org.apache.spark.storage.StorageLevel
       val docs = Tables.documents(s, dir)
-      // the shingle and band-signature lineages feed multiple joins below;
-      // persist them once instead of re-deriving the tokenize+explode+agg
-      // chain per join branch (Spark's CacheManager dedupes by canonical
-      // plan, so repeated invocations share one cache entry)
-      val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+      // the shingle and band-signature lineages feed multiple joins
+      // below and are deliberately NOT persisted: re-deriving the
+      // codegen'd tokenize+explode+agg chain per branch measured 2.0 s
+      // steady-state at sf0.1 vs 5.4 s with MEMORY_AND_DISK persist (the
+      // columnar cache build costs more than the recompute), and at
+      // corpus scale materializing a multi-TB intermediate is strictly
+      // worse than re-scanning the pruned source columns
+      val sh = shingles(docs)
       val sig = minhashSig(docs)
       // band signature: concat of the band's r minhash values in seed order
       val bands = sig
@@ -143,7 +145,6 @@ object TextQueries {
         .groupBy("doc_id", "band")
         .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
           x => x.getField("minh").cast("string")), ",").as("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // candidate pairs via the skew-aware self-join: degenerate
       // "identical template" band buckets are triangle-salted so their
       // n² pair-work spreads across reducers (Scale.selfPairs) — output
