@@ -28,6 +28,26 @@ object Fit {
     amp * (eta * l + (1 - eta) * g)
   }
 
+  /** Error function via the classic Chebyshev-fitted erfc approximation
+    * (Numerical Recipes §6.2 form; |fractional error| < 1.2e-7 —
+    * far below lineshape-fit noise). */
+  def erf(x: Double): Double = {
+    val z = math.abs(x)
+    val t = 1.0 / (1.0 + 0.5 * z)
+    val erfc = t * math.exp(-z * z - 1.26551223 + t * (1.00002368 + t * (0.37409196 +
+      t * (0.09678418 + t * (-0.18628806 + t * (0.27886807 + t * (-1.13520398 +
+        t * (1.48851587 + t * (-0.82215223 + t * 0.17087277)))))))))
+    if (x >= 0) 1.0 - erfc else erfc - 1.0
+  }
+
+  /** Skewed Gaussian lineshape (O'Hagan & Leonard, Biometrika 63, 201
+    * (1976)) per reference `analysis.py:2942-2966`:
+    * (amp/2)·exp(−(x−ctr)²/(2σ²))·(1+erf(α·(x−ctr))). α=0 recovers the
+    * symmetric Gaussian at half amplitude (the model's own convention).
+    */
+  @inline def skewedGaussian(amp: Double, ctr: Double, sig: Double, alph: Double, x: Double): Double =
+    (amp / 2) * math.exp(-(x - ctr) * (x - ctr) / (2 * sig * sig)) * (1 + erf(alph * (x - ctr)))
+
   /** Damped Gauss-Newton gaussian fit of one trace. Start values from
     * moments (max, centroid, rms width). Finite-guarded: a step that
     * does not reduce SSE raises the damping instead of diverging.

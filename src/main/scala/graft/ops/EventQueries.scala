@@ -201,6 +201,16 @@ object EventQueries {
         .select(col("event_id"), col("value"), col("block_max"))
     },
 
+    // nearest-neighbor planar filter (beamtime.py:50-109) over the 2D
+    // histogram grid, distributed: explode-to-window + sum instead of a
+    // dense driver volume (NnFilter.sparse); edges keep original values
+    "grid_nn_filter" -> { (s, dir) =>
+      val h = Binning.histogramNd(Tables.events(s, dir),
+        Seq(col("user_id").cast("double") -> axUser, col("value") -> axValue))
+      graft.analysis.NnFilter.sparse(h, "bin_user", "bin_value", "cnt",
+        ni = axUser.nbins, nj = axValue.nbins, lsh = 1, rsh = 2, ush = 1, dsh = 2)
+    },
+
     // msMarkers-style step interpolation (fprocessing.py:664-697): carry
     // forward the last observed purchase value over the event sequence —
     // two-pass chunk carry + driver prefix-stitch (Stitch.carryForward),
@@ -224,6 +234,7 @@ object EventQueries {
       "CAST(hour(ts) AS DOUBLE)" -> axHour,
       "value" -> axValue))
     val histFine = Binning.histogramNdSql("events", Seq("value" -> axValueFine))
+    val axValueOracleHi = axValue.nbins - 2 // nj - rsh for grid_nn_filter
 
     Map(
       "hist_1d" -> histSql1,
@@ -335,6 +346,27 @@ object EventQueries {
           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_val_cents,
           |  min(value) AS min_val, max(value) AS max_val, count(*) AS cnt
           |FROM events GROUP BY event_type, user_id""".stripMargin,
+
+      "grid_nn_filter" ->
+        s"""WITH h AS ($histSql2),
+           |contrib AS (
+           |  SELECT bin_user + du AS ti, bin_value + dv AS tj, cnt
+           |  FROM h
+           |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS du)
+           |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dv)),
+           |interior AS (
+           |  SELECT ti AS bin_user, tj AS bin_value,
+           |    CAST(sum(cnt) AS DOUBLE) / 9 AS f
+           |  FROM contrib
+           |  WHERE ti >= 1 AND ti < ${axUser.nbins - 2}
+           |    AND tj >= 1 AND tj < ${axValueOracleHi}
+           |  GROUP BY ti, tj),
+           |edges AS (
+           |  SELECT bin_user, bin_value, CAST(cnt AS DOUBLE) AS f FROM h
+           |  WHERE bin_user < 1 OR bin_user >= ${axUser.nbins - 2}
+           |     OR bin_value < 1 OR bin_value >= ${axValueOracleHi})
+           |SELECT bin_user, bin_value, f FROM interior
+           |UNION ALL SELECT bin_user, bin_value, f FROM edges""".stripMargin,
 
       "block_max_norm" ->
         """SELECT event_id, value,
