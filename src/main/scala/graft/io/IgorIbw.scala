@@ -32,8 +32,12 @@ object IgorIbw {
   // Igor numeric type codes (NT_*)
   private val TYPE_BYTES = Map(2 -> 4, 4 -> 8, 8 -> 1, 0x10 -> 2, 0x20 -> 4)
 
-  def read(path: String): Wave = {
-    val bytes = Files.readAllBytes(Paths.get(path))
+  def read(path: String): Wave = fromBytes(Files.readAllBytes(Paths.get(path)))
+
+  /** Parse a v5 wave from raw bytes — shared by the standalone .ibw
+    * reader and the .pxp container walker ([[IgorPxp]]), whose wave
+    * records embed exactly this image. */
+  def fromBytes(bytes: Array[Byte]): Wave = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val version = bb.getShort(0)
     require(version == 5, s"only ibw version 5 supported, got $version")
@@ -78,7 +82,12 @@ object IgorIbw {
   /** Write a float32 v5 wave (column-major data as produced by Igor —
     * the caller provides data already in Igor's storage order, matching
     * what [[read]] returns). */
-  def write(path: String, wave: Wave): Unit = {
+  def write(path: String, wave: Wave): Unit =
+    Files.write(Paths.get(path), toBytes(wave))
+
+  /** Serialize a float32 v5 wave image (the byte content of an .ibw
+    * file, also embeddable as a .pxp wave record). */
+  def toBytes(wave: Wave): Array[Byte] = {
     val npnts = wave.data.length
     val dataSize = npnts * 4
     val out = ByteBuffer.allocate(DATA_OFFSET + dataSize).order(ByteOrder.LITTLE_ENDIAN)
@@ -104,6 +113,6 @@ object IgorIbw {
     i = 0
     while (i < DATA_OFFSET) { sum += out.getShort(i); i += 2 }
     out.putShort(2, (-sum & 0xffff).toShort)
-    Files.write(Paths.get(path), out.array())
+    out.array()
   }
 }

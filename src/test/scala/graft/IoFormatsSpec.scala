@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.io.{ArpesTxt, IgorIbw}
+import graft.io.{ArpesTxt, IgorIbw, IgorPxp}
 
 class IoFormatsSpec extends AnyFunSuite {
 
@@ -20,6 +20,35 @@ class IoFormatsSpec extends AnyFunSuite {
     // axis scaling: x_p = sfA*p + sfB
     assert(r.axis(0)(0) == -3.0 && r.axis(0)(2) == -2.0)
     assert(r.axis(1)(3) == 16.0)
+  }
+
+  test("pxp packed experiment round-trips nested folders with multiple waves") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pxp")
+    val w1 = IgorIbw.Wave("spectrum", Array.tabulate(50)(i => i * 0.5), Seq(50),
+      Seq(0.1), Seq(-2.0))
+    val w2 = IgorIbw.Wave("image", Array.tabulate(6 * 4)(i => 100.0 - i), Seq(6, 4),
+      Seq(1.0, 2.0), Seq(0.0, 5.0))
+    val w3 = IgorIbw.Wave("toplevel", Array(1.0, 2.0, 3.0), Seq(3), Seq(1.0), Seq(0.0))
+    val p = tmp.resolve("exp.pxp").toString
+    IgorPxp.write(p, Seq(
+      IgorPxp.Entry(Seq("root", "run1"), w1),
+      IgorPxp.Entry(Seq("root", "run2"), w2),
+      IgorPxp.Entry(Seq.empty, w3)))
+    val back = IgorPxp.read(p)
+    assert(back.length == 3)
+    assert(back.map(_.folder) == Seq(Seq("root", "run1"), Seq("root", "run2"), Seq.empty))
+    assert(back(0).wave.name == "spectrum" && back(0).wave.shape == Seq(50))
+    assert(back(1).wave.name == "image" && back(1).wave.shape == Seq(6, 4))
+    assert(back(1).wave.sfA == Seq(1.0, 2.0) && back(1).wave.sfB == Seq(0.0, 5.0))
+    assert(back(2).wave.name == "toplevel")
+    back(0).wave.data.zip(w1.data).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    back(1).wave.data.zip(w2.data).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    // unknown record types (history/procedure) are skipped, not fatal
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val hist = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hist.putShort(0, 2).putShort(2, 1).putInt(4, 5)
+    val withHist = hist.array() ++ "hello".getBytes ++ raw
+    assert(IgorPxp.fromBytes(withHist).length == 3)
   }
 
   test("ibw reader rejects corrupted checksum") {
