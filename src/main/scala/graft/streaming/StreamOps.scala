@@ -100,6 +100,61 @@ object StreamOps {
       .toDF()
   }
 
+  // `ts` stays a Timestamp column through to the stateful operator: the
+  // analyzer requires the watermarked event-time column to be present in
+  // the flatMapGroupsWithState input when EventTimeTimeout is used
+  final case class BandIn(doc_id: Long, ts: java.sql.Timestamp, band: Int, sig: String)
+  final case class BandHit(doc_id: Long, band: Int, first_doc: Long)
+
+  /** Streaming MinHash near-dup detection: per-row band signatures
+    * (stateless, [[graft.text.TextQueries.bandSigsExpr]]) feed a
+    * watermark-bounded stateful band-collision lookup — for each (band,
+    * signature) key the state holds only the FIRST doc that registered
+    * it, and `EventTimeTimeout` clears signatures `horizonMs` past their
+    * newest event, so state stays bounded on an infinite stream.
+    *
+    * Output: one row per (doc, band) with the registering doc;
+    * `first_doc != doc_id` on any band marks the doc as a near-dup
+    * candidate of `first_doc` (the streaming analogue of the batch
+    * `dedup_lsh_pairs` candidate generation — exact-Jaccard verification
+    * stays a batch/offline concern, as in production dedup pipelines).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingMinhashDedup(docs: DataFrame, watermark: String = "10 minutes",
+                            horizonMs: Long = 600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")))
+      .select(col("doc_id"), col("ts"), col("band"), col("sig"))
+      .as[BandIn]
+      .groupByKey(b => b.band + "#" + b.sig)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[BandIn], state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+            var first = state.getOption.getOrElse(-1L)
+            val out = sorted.map { b =>
+              if (first < 0) first = b.doc_id
+              BandHit(b.doc_id, b.band, first)
+            }
+            state.update(first)
+            // keep the signature alive horizonMs past its newest event
+            // (never at/below the current watermark — Spark rejects that)
+            val maxMs = sorted.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1000L, maxMs + horizonMs))
+            out.iterator
+          }
+        })
+      .toDF()
+  }
+
   /** Batch-equivalent of [[streamingHistogram]] for oracle comparison
     * (complete-mode streaming result == batch result on the same data). */
   def batchHistogram(events: DataFrame, axis: BinAxis,

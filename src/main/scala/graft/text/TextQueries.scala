@@ -75,6 +75,37 @@ object TextQueries {
        |      FROM ($shinglesSql)) CROSS JOIN (SELECT unnest(range($K)) AS seed)
        |GROUP BY doc_id, seed""".stripMargin
 
+  /** Per-row LSH band-signature array over a text field — the SAME
+    * K/BANDS/hash chain as [[minhashSig]], but computed entirely with
+    * nested higher-order functions so it needs NO explode/groupBy: the
+    * streaming dedup path ([[graft.streaming.StreamOps]]) keeps signature
+    * computation stateless/per-row and leaves only the band-collision
+    * lookup stateful. Docs with fewer than 3 tokens yield an empty array
+    * (no shingles → no bands), matching the batch path.
+    *
+    * The token list and the per-shingle hashes are each bound ONCE as a
+    * lambda variable (`transform(array(x), v -> ...)`): referencing a
+    * computed column K times lets CollapseProject duplicate the md5 work
+    * K-fold (the round-1 codegen blow-up lesson) — a lambda binding
+    * gives the optimizer nothing to copy.
+    */
+  def bandSigsExpr(textField: String): Column = {
+    val r = K / BANDS
+    def minh(seed: String) =
+      s"CAST(array_min(transform(hs, h -> (h * (2 * ($seed) + 1) + 7919 * ($seed)) % $P)) AS STRING)"
+    val bandArr = s"transform(sequence(0, ${BANDS - 1}), b -> concat_ws(','," +
+      (0 until r).map(k => minh(s"b * $r + $k")).mkString(", ") + "))"
+    expr(
+      s"""element_at(transform(array(split($textField, ' ')), toks ->
+         |  CASE WHEN size(toks) >= 3 THEN
+         |    element_at(transform(array(
+         |        transform(array_distinct(transform(sequence(1, size(toks) - 2),
+         |          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))),
+         |          x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % $H30)
+         |      ), hs -> $bandArr), 1)
+         |  ELSE CAST(array() AS ARRAY<STRING>) END), 1)""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>

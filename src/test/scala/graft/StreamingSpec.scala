@@ -105,6 +105,81 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class StreamingMinhashSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("per-row band signatures == batch minhash band derivation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val perRow = docs
+      .select(col("doc_id"), posexplode(text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // batch derivation: minhash rows → per-band ordered concat
+    val sig = text.TextQueries.queries("dedup_minhash_sig")(spark, sfDir)
+    val batch = sig
+      .withColumn("band", (col("seed") / lit(4)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(perRow == batch)
+    assert(perRow.nonEmpty)
+  }
+
+  test("streaming minhash dedup flags near-dups within horizon, expires state beyond it") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    val textX = "the quick brown fox jumps over the lazy dog in the warm summer morning light"
+    val textY = "completely different content about distributed query engines and shuffle planning"
+    val textZ1 = "first filler document that advances the event time watermark far forward now"
+    val textZ2 = "second filler document pushing the watermark so timeouts actually fire here"
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_mh")
+    import spark.implicits._
+    def dump(rows: Seq[(Long, java.sql.Timestamp, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mh_tmp")
+      rows.toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps
+      .streamingMinhashDedup(in, watermark = "10 minutes", horizonMs = 600000L)
+      .writeStream.format("memory").queryName("mh_out").outputMode("append").start()
+    try {
+      // batch 1: A and its near-copy D (same text), unrelated B, and a
+      // short doc that must produce no band rows at all
+      dump(Seq((1L, ts(0), textX), (2L, ts(0), textY), (4L, ts(60), textX),
+        (9L, ts(0), "too short")), "b1.parquet")
+      q.processAllAvailable()
+      val h1 = spark.table("mh_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(h1.keys.count(_._1 == 1L) == 4 && (0 to 3).forall(b => h1((1L, b)) == 1L))
+      assert((0 to 3).forall(b => h1((4L, b)) == 1L), "D must be flagged as dup of A on all bands")
+      assert((0 to 3).forall(b => h1((2L, b)) == 2L))
+      assert(!h1.keys.exists(_._1 == 9L), "short doc has no shingles, no bands")
+      // batches 2+3: fillers advance the watermark past the horizon so
+      // the timeout sweep evicts batch-1 signatures
+      dump(Seq((10L, ts(7200), textZ1)), "b2.parquet")
+      q.processAllAvailable()
+      dump(Seq((11L, ts(7260), textZ2)), "b3.parquet")
+      q.processAllAvailable()
+      // batch 4: another copy of textX — state expired, so it registers
+      // fresh instead of being flagged against doc 1
+      dump(Seq((5L, ts(7320), textX)), "b4.parquet")
+      q.processAllAvailable()
+      val h4 = spark.table("mh_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert((0 to 3).forall(b => h4((5L, b)) == 5L),
+        s"state must have expired; got ${(0 to 3).map(b => h4((5L, b)))}")
+    } finally q.stop()
+  }
+}
+
 class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
