@@ -142,4 +142,39 @@ object Detect {
     }
     found.sortBy(-_._3).map(p => (p._1, p._2)).toArray
   }
+
+  /** Split a point set into its center (the point nearest the centroid)
+    * and the surrounding vertices — the reference's
+    * `pointset_center` step of `keypoint_estimate`
+    * (`bandstructure.py:68-104`; delegated there to the public
+    * symmetrize package). */
+  def pointsetCenter(pts: Array[(Double, Double)]): ((Double, Double), Array[(Double, Double)]) = {
+    require(pts.nonEmpty)
+    val cr = pts.map(_._1).sum / pts.length
+    val cc = pts.map(_._2).sum / pts.length
+    val center = pts.minBy { case (r, c) => (r - cr) * (r - cr) + (c - cc) * (c - cc) }
+    (center, pts.filterNot(_ == center))
+  }
+
+  /** Order vertices by polar angle around the center (clockwise in image
+    * coordinates by default, like the reference's `order_pointset`). */
+  def orderPointset(pts: Array[(Double, Double)], center: (Double, Double),
+                    clockwise: Boolean = true): Array[(Double, Double)] = {
+    val ordered = pts.sortBy { case (r, c) =>
+      math.atan2(r - center._1, c - center._2)
+    }
+    if (clockwise) ordered else ordered.reverse
+  }
+
+  /** High-symmetry-point estimate over an isoenergetic plane — the
+    * reference's `keypoint_estimate`: detect peaks (DAO matched filter),
+    * split off the center, order the rest by angle. Returns
+    * (center, orderedVertices). */
+  def keypointEstimate(img: Grid, fwhm: Double = 3.0, sigma: Double = 5.0,
+                       threshfactor: Double = 8.0,
+                       clockwise: Boolean = true): ((Double, Double), Array[(Double, Double)]) = {
+    val pks = peakDetect2dDao(img, fwhm, sigma, threshfactor)
+    val (center, verts) = pointsetCenter(pks)
+    (center, orderPointset(verts, center, clockwise))
+  }
 }

@@ -94,6 +94,55 @@ class DetectFilterSpec extends AnyFunSuite {
     assert(math.abs(a - b) / a < 0.05) // notches remove little of this smooth image
   }
 
+  test("keypoint estimate: center + angle-ordered high-symmetry points") {
+    // planted hexagon of 6 peaks around a center peak
+    val cx = 32.0; val cy = 32.0; val rad = 18.0
+    val verts = (0 until 6).map { k =>
+      val th = k * math.Pi / 3
+      (cx + rad * math.sin(th), cy + rad * math.cos(th))
+    }
+    val all = verts :+ ((cx, cy))
+    val rnd = new scala.util.Random(11)
+    val img = Array.tabulate(64, 64) { (i, j) =>
+      all.map { case (pr, pc) =>
+        60.0 * math.exp(-((i - pr) * (i - pr) + (j - pc) * (j - pc)) / (2 * 1.8 * 1.8))
+      }.sum + 0.4 * rnd.nextGaussian() + 1.0
+    }
+    val (center, hsp) = graft.analysis.Detect.keypointEstimate(img, fwhm = 3.0,
+      sigma = 5.0, threshfactor = 8.0)
+    assert(math.abs(center._1 - cx) < 1.0 && math.abs(center._2 - cy) < 1.0)
+    assert(hsp.length == 6, s"expected 6 vertices, got ${hsp.length}")
+    // angle-ordered: successive polar angles are monotone (one wrap)
+    val angles = hsp.map(p => math.atan2(p._1 - center._1, p._2 - center._2))
+    assert(angles.zip(angles.tail).count { case (a, b) => b < a } <= 1)
+    // every planted vertex recovered within a pixel
+    verts.foreach { case (pr, pc) =>
+      assert(hsp.exists(p => math.abs(p._1 - pr) < 1.0 && math.abs(p._2 - pc) < 1.0),
+        s"missing vertex ($pr, $pc)")
+    }
+  }
+
+  test("tiff float32 sink round-trips a grid; png 16-bit sink round-trips scaled intensities") {
+    import graft.io.ImageSinks
+    val tmp = java.nio.file.Files.createTempDirectory("graft_img")
+    val img = Array.tabulate(17, 23)((i, j) => math.sin(i * 0.4) * 50 + j * 1.5 - 10)
+    val tp = tmp.resolve("h.tiff").toString
+    ImageSinks.writeTiffGray32f(tp, img)
+    val tback = ImageSinks.readTiffGray32f(tp)
+    assert(tback.length == 17 && tback(0).length == 23)
+    for (i <- 0 until 17; j <- 0 until 23)
+      assert(math.abs(tback(i)(j) - img(i)(j)) < 1e-3) // float32 precision
+    val pp = tmp.resolve("h.png").toString
+    ImageSinks.writePng16Gray(pp, img)
+    val pback = ImageSinks.readPng16Gray(pp)
+    val flat = img.flatten
+    val lo = flat.min; val hi = flat.max
+    for (i <- 0 until 17; j <- 0 until 23) {
+      val want = math.round((img(i)(j) - lo) * 65535.0 / (hi - lo)).toInt
+      assert(pback(i)(j) == want, s"($i,$j): ${pback(i)(j)} vs $want")
+    }
+  }
+
   test("planarFilter matches the direct window-mean loop; edges untouched") {
     val vol = Array.tabulate(3, 8, 9)((a, i, j) => (a + 1) * (i * 9 + j) * 0.5)
     val (lsh, rsh, ush, dsh) = (1, 2, 1, 2)
