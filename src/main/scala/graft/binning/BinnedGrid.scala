@@ -156,6 +156,18 @@ object BinnedGrid {
       java.nio.file.Paths.get(s"$path/metadata.json"), metaJson)
   }
 
+  /** Export a 2D grid as a float32 TIFF or 16-bit PNG image — the
+    * reference's `saveDict(form='tiff'/'png')` branches
+    * (`fprocessing.py:859-980`); codecs are not needed, see
+    * [[graft.io.ImageSinks]]. Higher-rank grids export one image per
+    * leading-axis slice elsewhere (slice first, then export). */
+  def saveImage(grid: BinnedGrid, path: String): Unit = {
+    require(grid.axes.length == 2, s"image export needs a 2D grid, got ${grid.axes.length}D")
+    val img = Array.tabulate(grid.shape(0), grid.shape(1))((i, j) => grid(i, j).toDouble)
+    if (path.endsWith(".png")) graft.io.ImageSinks.writePng16Gray(path, img)
+    else graft.io.ImageSinks.writeTiffGray32f(path, img)
+  }
+
   def load(spark: SparkSession, path: String): BinnedGrid = {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/axes.json"))
     val axes = """\{"name":"([^"]+)","nbins":(\d+),"lo":([-0-9.eE]+),"hi":([-0-9.eE]+)""".r

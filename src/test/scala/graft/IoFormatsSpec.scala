@@ -79,6 +79,27 @@ class IoFormatsSpec extends AnyFunSuite {
     assert(math.abs(r.axis(0)(0) - axes(0).midpoints(0)) < 1e-9)
   }
 
+  test("BinnedGrid exports a 2D histogram to tiff and counts round-trip") {
+    import org.apache.spark.sql.functions._
+    import SparkTestSession._
+    val axes = Seq(graft.binning.BinAxis("user", 10, 0.0, 200.0),
+      graft.binning.BinAxis("value", 20, 0.0, 500.0))
+    val grid = graft.binning.BinnedGrid.collect(
+      graft.binning.Binning.histogramNd(Tables.events(spark, sfDir), Seq(
+        col("user_id").cast("double") -> axes(0), col("value") -> axes(1))), axes)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiff")
+    val p = tmp.resolve("hist.tiff").toString
+    graft.binning.BinnedGrid.saveImage(grid, p)
+    val img = graft.io.ImageSinks.readTiffGray32f(p)
+    assert(img.length == 10 && img(0).length == 20)
+    for (i <- 0 until 10; j <- 0 until 20)
+      assert(img(i)(j).toLong == grid(i, j)) // counts < 2^24 exact in f32
+    // png branch writes a valid scaled image of the same shape
+    val pp = tmp.resolve("hist.png").toString
+    graft.binning.BinnedGrid.saveImage(grid, pp)
+    assert(graft.io.ImageSinks.readPng16Gray(pp).length == 10)
+  }
+
   test("ARPES txt write/read round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_arpes")
     val d = ArpesTxt.ArpesData(
