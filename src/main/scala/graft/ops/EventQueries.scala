@@ -59,6 +59,20 @@ object EventQueries {
         Seq(col("value") -> axValue))
     },
 
+    // hash-jittered variant: same uniform-in-[-amp·step, amp·step) noise
+    // semantics (the reference's anti-moiré jitter, fprocessing.py:
+    // 3538-3609), but the per-event offset derives from a portable hash
+    // of event_id instead of an RNG stream — deterministic AND
+    // cross-engine reproducible, so THE defining jittered-binning
+    // operator gets a full hash-match oracle instead of rows-only
+    "hist_1d_jitter_hash" -> { (s, dir) =>
+      val u = (conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % lit(1048576L)).cast("double") / lit(1048576.0)
+      val jv = col("value") + lit(0.5 * axValue.step) * (lit(2.0) * u - lit(1.0))
+      Binning.histogramNd(Tables.events(s, dir).withColumn("value", jv),
+        Seq(col("value") -> axValue))
+    },
+
     // weighted/binned-statistic histogram: per-cell count, exact weight
     // sum, and mean — the binned-statistic generalization of the counts
     // histogram (same partial+final aggregation shape)
@@ -238,6 +252,12 @@ object EventQueries {
 
     Map(
       "hist_1d" -> histSql1,
+
+      "hist_1d_jitter_hash" -> {
+        val u = "(CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS DOUBLE) / 1048576.0)"
+        val jv = s"(value + ${0.5 * axValue.step} * (2.0 * $u - 1.0))"
+        Binning.histogramNdSql("events", Seq(jv -> axValue))
+      },
       "hist_2d" -> histSql2,
       "hist_3d" -> histSql3,
       "hist_3d_dense" -> histSql3,
