@@ -109,6 +109,48 @@ object Scale {
     coldPairs.unionByName(hotPairs)
   }
 
+  /** Exact q-quantile with linear interpolation (type-7: the formula
+    * both Spark's `percentile` and DuckDB's `quantile_cont` use) at
+    * bounded memory: Spark's exact `percentile` aggregate buffers a
+    * counts-map of every distinct value per partition — fine at test
+    * scale, unbounded at 100 TB. Here: bracket the target rank with one
+    * `approxQuantile` pass, count rows below the bracket, pull ONLY the
+    * bracket rows (≈2·eps·n by construction) and select the exact ranks
+    * locally, widening the bracket in the rare case the sketch missed.
+    */
+  def exactQuantile(df: DataFrame, c: String, q: Double): Double = {
+    val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as(c))
+    val n = vals.count()
+    require(n > 0, s"exactQuantile($c): no rows")
+    val pos = q * (n - 1)
+    val loRank = math.floor(pos).toLong // 0-based
+    val hiRank = math.ceil(pos).toLong
+    var eps = 0.002
+    var attempt = 0
+    while (attempt < 8) {
+      val bounds = vals.stat.approxQuantile(c,
+        Array(math.max(0.0, q - eps), math.min(1.0, q + eps)), eps / 4)
+      val (a, b) = (bounds(0), bounds(1))
+      val below = vals.filter(col(c) < a).count()
+      val band = vals.filter(col(c) >= a && col(c) <= b)
+        .collect().map(_.getDouble(0)).sorted
+      if (below <= loRank && hiRank < below + band.length) {
+        val lo = band((loRank - below).toInt)
+        val hi = band((hiRank - below).toInt)
+        // Spark Percentile's exact interpolation form (NOT lo+(hi-lo)*f,
+        // which differs in the last ulp): integral rank returns the key
+        return if (loRank == hiRank) lo
+          else (hiRank - pos) * lo + (pos - loRank) * hi
+      }
+      eps *= 4 // sketch missed the rank — widen and retry
+      attempt += 1
+    }
+    // degenerate distribution (e.g. one value everywhere): full sort path
+    val all = vals.orderBy(col(c)).collect().map(_.getDouble(0))
+    if (loRank == hiRank) all(loRank.toInt)
+    else (hiRank - pos) * all(loRank.toInt) + (pos - loRank) * all(hiRank.toInt)
+  }
+
   /** Write `df` bucketed+sorted by the join key and register it as
     * `table` in the session catalog; joins between two tables bucketed
     * the same way run as SortMergeJoin over pre-bucketed scans with no

@@ -245,14 +245,18 @@ object TextQueries {
 
     // ---- per-column numeric profile (training-data QC) ----
     "data_profile" -> { (s, dir) =>
-      // all fifteen aggregates in ONE scan, reshaped to one row per column
+      // count/min/max/sum in ONE scan; exact medians via the bounded-
+      // memory bracket-and-select (Scale.exactQuantile) instead of the
+      // percentile aggregate, whose per-partition counts-map of every
+      // distinct value is an unbounded buffer at corpus scale
       val li = graft.Tables.lineitem(s, dir)
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val meds = cs.map(c => c -> graft.ops.Scale.exactQuantile(li, c, 0.5)).toMap
       val aggs = cs.flatMap { c => Seq(
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
         sum(round(col(c) * lit(10000)).cast("long")).as(s"sum_$c"),
-        round(expr(s"percentile($c, 0.5)"), 6).as(s"med_$c"))
+        round(lit(meds(c)), 6).as(s"med_$c"))
       } :+ count(lit(1)).as("n")
       val wide = li.agg(aggs.head, aggs.tail: _*)
       val stackExpr = s"stack(${cs.length}, " + cs.map { c =>

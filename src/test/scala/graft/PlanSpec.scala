@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins: the scale properties the 100 TB design
+  * depends on must be visible in the executed plan, not just assumed —
+  * filter pushdown reaching the parquet scan, column pruning in
+  * ReadSchema, broadcast joins on dimension tables, map-side partial
+  * aggregation before the histogram shuffle.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("range_filter pushes its predicate into the parquet scan and prunes columns") {
+    val p = plan("range_filter")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThan(value,100.0)") || p.contains("GreaterThan(value, 100.0)")),
+      s"range predicate must reach the scan:\n${p.take(1500)}")
+    // projection is (event_id, value): the scan must not read other columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("value"))
+    assert(!readSchema.contains("user_id") && !readSchema.contains("event_type"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q5 joins dimension tables by broadcast, not shuffle") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("histogram aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("hist_1d")
+    assert(p.contains("partial_count") || p.contains("HashAggregate(keys"),
+      s"expected partial aggregation:\n${p.take(1500)}")
+    // the shuffle moves (bin, partial count) pairs, not raw events:
+    // partial agg must appear BELOW the exchange in the plan tree (later
+    // in the printed string)
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.lastIndexOf("partial_count")
+    assert(exchange >= 0 && partial > exchange,
+      "partial aggregation must run before the exchange")
+  }
+
+  test("stitched window queries stay partition-parallel") {
+    Seq("step_interpolate", "block_max_norm", "event_range").foreach { q =>
+      assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")
+    }
+  }
+}

@@ -41,6 +41,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(hotPairs == 500L * 499 / 2)
   }
 
+  test("exactQuantile == percentile aggregate on odd/even counts and skew") {
+    val li = Tables.lineitem(spark, sfDir)
+    for (c <- Seq("l_quantity", "l_extendedprice"); q <- Seq(0.5, 0.25, 0.9)) {
+      val want = li.selectExpr(s"percentile($c, $q)").collect()(0).getDouble(0)
+      val got = Scale.exactQuantile(li, c, q)
+      assert(got == want, s"$c q=$q: $got != $want")
+    }
+    // even count + duplicate-heavy column (interpolation + degenerate band)
+    val small = (1 to 10).map(i => math.min(i, 5).toDouble).toDF("v")
+    assert(Scale.exactQuantile(small, "v", 0.5) ==
+      small.selectExpr("percentile(v, 0.5)").collect()(0).getDouble(0))
+    val const = Seq.fill(7)(3.14).toDF("v")
+    assert(Scale.exactQuantile(const, "v", 0.5) == 3.14)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s2 = spark
     val prevThreshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
