@@ -49,6 +49,35 @@ object Multimodal {
     (if (bytes.nonEmpty) bytes(0) & 0xff else -1, sum % 997L)
   }
 
+  /** Frame sampling over a binary media column — the video-pipeline
+    * "every k-th frame" stage as pure Catalyst byte slicing (no UDF, no
+    * decode): treat the payload as fixed-size `frameBytes` frames, keep
+    * every `everyK`-th, and emit each sampled frame (as hex — the
+    * cross-engine byte-exact representation) plus a strided-byte
+    * downsample sum (the codec-free "resize" analogue: every
+    * `resizeStride`-th byte of the frame, summed). A real pipeline
+    * swaps the hex projection for a codec call; the partitioning,
+    * explode shape, and byte arithmetic are the production dataflow.
+    */
+  def frameSample(payloadDf: DataFrame, frameBytes: Int = 16, everyK: Int = 3,
+                  resizeStride: Int = 4): DataFrame = {
+    val nSamples = frameBytes / resizeStride
+    payloadDf
+      .withColumn("_idx", expr(
+        s"""CASE WHEN octet_length(payload) >= $frameBytes THEN
+           |  filter(sequence(0, CAST(octet_length(payload) div $frameBytes AS INT) - 1),
+           |         i -> i % $everyK = 0)
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .select(col("doc_id"), col("payload"), explode(col("_idx")).as("frame_idx"))
+      .withColumn("frame_hex",
+        expr(s"hex(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))"))
+      .withColumn("strided_sum",
+        expr(s"""CAST(aggregate(transform(sequence(0, ${nSamples - 1}),
+                |  b -> CAST(conv(substring(frame_hex, b * ${resizeStride * 2} + 1, 2), 16, 10) AS BIGINT)),
+                |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
+      .select(col("doc_id"), col("frame_idx"), col("frame_hex"), col("strided_sum"))
+  }
+
   /** Per-partition batched feature extraction (the mapInPandas-shaped
     * stage): iterator-in/iterator-out so each task streams its rows
     * through the decoder without materializing the partition. */
