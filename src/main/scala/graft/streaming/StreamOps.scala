@@ -103,6 +103,46 @@ object StreamOps {
   // `ts` stays a Timestamp column through to the stateful operator: the
   // analyzer requires the watermarked event-time column to be present in
   // the flatMapGroupsWithState input when EventTimeTimeout is used
+  final case class AsofIn(user_id: Long, event_id: Long, tsMicros: Long,
+                          value: Double, event_type: String)
+  final case class AsofOut(event_id: Long, asof_value: Option[Double])
+  final case class AsofState(tsMicros: Long, value: Double)
+
+  /** Streaming as-of join against the same event stream's purchase rows:
+    * per-user state carries the latest purchase (validity-timestamp
+    * config lookup), every row emits the carried value — the stateful
+    * form of [[graft.ops.TemporalQueries.asofJoin]]. At equal
+    * timestamps purchases apply before events (same tie rule as the
+    * batch union's `_side` ordering), and a purchase row sees its own
+    * value. State is one (ts, value) per user — bounded by key
+    * cardinality, not stream length. Requires per-user event-time order
+    * across micro-batches (true for replay/ordered feeds; production
+    * pairs this with a watermark + sorted micro-batches, as with
+    * [[sessionize]]).
+    */
+  def streamingAsofJoin(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsMicros", "value", "event_type")
+      .as[AsofIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[AsofIn], state: GroupState[AsofState]) => {
+          var st = state.getOption
+          val out = rows.toSeq
+            .sortBy(e => (e.tsMicros, if (e.event_type == "purchase") 0 else 1, e.event_id))
+            .map { e =>
+              if (e.event_type == "purchase") st = Some(AsofState(e.tsMicros, e.value))
+              AsofOut(e.event_id, st.map(_.value))
+            }
+          st.foreach(state.update)
+          out.iterator
+        })
+      .toDF()
+  }
+
   final case class BandIn(doc_id: Long, ts: java.sql.Timestamp, band: Int, sig: String)
   final case class BandHit(doc_id: Long, band: Int, first_doc: Long)
 

@@ -105,6 +105,52 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class StreamingAsofSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+
+  private def batchExpected: Map[Long, Option[Double]] =
+    ops.TemporalQueries.queries("asof_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+  test("stateful streaming as-of join == batch as-of join (single-batch replay)") {
+    val got = graft.streaming.StreamOps.streamingAsofJoin(Tables.events(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val want = batchExpected
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("as-of state persists across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_asof")
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_asof_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val q = graft.streaming.StreamOps.streamingAsofJoin(
+        graft.streaming.StreamOps.readEvents(spark, dropDir.toString))
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      dump(raw.filter(expr("ts div 1000") <= cut), "b1.parquet")
+      q.processAllAvailable()
+      dump(raw.filter(expr("ts div 1000") > cut), "b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("asof_out").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      val want = batchExpected
+      assert(got.size == want.size)
+      assert(got == want) // carried purchase values crossed the batch boundary
+    } finally q.stop()
+  }
+}
+
 class StreamingMinhashSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._
