@@ -165,4 +165,31 @@ object NdHistogramAgg {
       .filter(col("cnt") > 0)
       .select(binCols :+ col("cnt"): _*)
   }
+
+  /** Sharded dense path: group by the LEADING axis bin and run the dense
+    * aggregate per slab over the remaining axes — the executor-level
+    * form of the reference's parallel-combine slab trick
+    * (`fprocessing.py:1722-1740` splits the grid the same way). The
+    * plain dense path converges every partition's whole-grid buffer on
+    * ONE final reducer (its loss mode beyond ~5e5 cells); here the final
+    * merge distributes across `nbins₀` keys and each buffer shrinks by
+    * the same factor, so the dense path's tight-update-loop advantage
+    * extends to grids the single-buffer form cannot handle.
+    */
+  def histogramNdDenseSharded(df: DataFrame, axes: Seq[(Column, BinAxis)]): DataFrame = {
+    require(axes.length >= 2, "sharded dense path needs a leading axis to shard on")
+    val (c0, ax0) = axes.head
+    val rest = axes.tail
+    val n = rest.map(_._2.nbins)
+    val strides = n.indices.map(i => n.drop(i + 1).product.toLong)
+    val binCols = rest.zipWithIndex.map { case ((_, ax), i) =>
+      (expr(s"flat div ${strides(i)}L") % lit(n(i).toLong)).as(s"bin_${ax.name}")
+    }
+    df.filter(ax0.pred(c0))
+      .groupBy(ax0.bin(c0).as(s"bin_${ax0.name}"))
+      .agg(ndHistogram(rest.map(_._1), rest.map(_._2)).as("grid"))
+      .select(col(s"bin_${ax0.name}"), posexplode(col("grid")).as(Seq("flat", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col(s"bin_${ax0.name}") +: binCols :+ col("cnt"): _*)
+  }
 }

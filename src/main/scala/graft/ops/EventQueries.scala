@@ -52,6 +52,16 @@ object EventQueries {
         col("value") -> axValue))
     },
 
+    // sharded dense path: per-leading-bin dense sub-grids — distributed
+    // final merge (the reference's slab parallel-combine at executor
+    // level); must agree bin-for-bin with the same oracle
+    "hist_3d_dense_shard" -> { (s, dir) =>
+      graft.binning.NdHistogramAgg.histogramNdDenseSharded(Tables.events(s, dir), Seq(
+        col("user_id").cast("double") -> axUser,
+        hour(col("ts")).cast("double") -> axHour,
+        col("value") -> axValue))
+    },
+
     // jittered variant — nondeterministic by design ⇒ rows-only check
     "hist_1d_jitter" -> { (s, dir) =>
       val jv = Calib.jitterUniform(col("value"), amp = 0.5, step = axValue.step, seed = 42L)
@@ -261,6 +271,7 @@ object EventQueries {
       "hist_2d" -> histSql2,
       "hist_3d" -> histSql3,
       "hist_3d_dense" -> histSql3,
+      "hist_3d_dense_shard" -> histSql3,
 
       "hist_2d_weighted" -> {
         val u = axUser; val v = axValue

@@ -81,6 +81,21 @@ class BinningSpec extends AnyFunSuite {
     assert(dense == rel)
   }
 
+  test("sharded dense path == relational path (distributed final merge)") {
+    val ev = Tables.events(spark, sfDir)
+    val axes = Seq(
+      col("user_id").cast("double") -> BinAxis("user", 40, 0.0, 200.0),
+      col("value") -> BinAxis("value", 100, 0.0, 500.0))
+    val rel = Binning.histogramNd(ev, axes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shard = NdHistogramAgg.histogramNdDenseSharded(ev, axes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shard == rel)
+    // final aggregation is keyed by the leading bin, not SinglePartition
+    assert(!graft.ops.Scale.hasSinglePartitionExchange(
+      NdHistogramAgg.histogramNdDenseSharded(ev, axes)))
+  }
+
   test("dense path refuses oversized grids with a clear message") {
     import spark.implicits._
     val df = Seq(1.0).toDF("v")
