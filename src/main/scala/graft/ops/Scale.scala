@@ -118,37 +118,53 @@ object Scale {
     * bracket rows (≈2·eps·n by construction) and select the exact ranks
     * locally, widening the bracket in the rare case the sketch missed.
     */
-  def exactQuantile(df: DataFrame, c: String, q: Double): Double = {
+  def exactQuantile(df: DataFrame, c: String, q: Double,
+                    maxBandRows: Long = 4000000L): Double = {
     val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as(c))
     val n = vals.count()
     require(n > 0, s"exactQuantile($c): no rows")
     val pos = q * (n - 1)
     val loRank = math.floor(pos).toLong // 0-based
     val hiRank = math.ceil(pos).toLong
+    // Spark Percentile's exact interpolation form (NOT lo+(hi-lo)*f,
+    // which differs in the last ulp): integral rank returns the key
+    def interp(lo: Double, hi: Double): Double =
+      if (loRank == hiRank) lo else (hiRank - pos) * lo + (pos - loRank) * hi
     var eps = 0.002
     var attempt = 0
-    while (attempt < 8) {
+    while (attempt < 10) {
       val bounds = vals.stat.approxQuantile(c,
         Array(math.max(0.0, q - eps), math.min(1.0, q + eps)), eps / 4)
       val (a, b) = (bounds(0), bounds(1))
-      val below = vals.filter(col(c) < a).count()
-      val band = vals.filter(col(c) >= a && col(c) <= b)
-        .collect().map(_.getDouble(0)).sorted
-      if (below <= loRank && hiRank < below + band.length) {
-        val lo = band((loRank - below).toInt)
-        val hi = band((hiRank - below).toInt)
-        // Spark Percentile's exact interpolation form (NOT lo+(hi-lo)*f,
-        // which differs in the last ulp): integral rank returns the key
-        return if (loRank == hiRank) lo
-          else (hiRank - pos) * lo + (pos - loRank) * hi
+      // resolve rank→value at the band EDGES by counts alone, so runs of
+      // duplicated values (however huge) never need collecting; only the
+      // strict interior (a, b) — ~2·eps·n rows minus the edge runs — is
+      // pulled, and it is capped
+      val cnts = vals.agg(
+        sum(when(col(c) < a, 1L).otherwise(0L)),
+        sum(when(col(c) <= a, 1L).otherwise(0L)),
+        sum(when(col(c) < b, 1L).otherwise(0L)),
+        sum(when(col(c) <= b, 1L).otherwise(0L))).collect()(0)
+      val (below, leA, ltB, leB) = (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2), cnts.getLong(3))
+      if (below <= loRank && hiRank < leB) {
+        val interiorCount = ltB - leA
+        if (interiorCount <= maxBandRows) {
+          lazy val interior = vals.filter(col(c) > a && col(c) < b)
+            .collect().map(_.getDouble(0)).sorted
+          def valueAt(r: Long): Double =
+            if (r < leA) a
+            else if (r < ltB) interior((r - leA).toInt)
+            else b
+          return interp(valueAt(loRank), valueAt(hiRank))
+        }
+        eps /= 4 // band covers the ranks but is too wide — tighten
+      } else {
+        eps *= 4 // sketch missed the rank — widen and retry
       }
-      eps *= 4 // sketch missed the rank — widen and retry
       attempt += 1
     }
-    // degenerate distribution (e.g. one value everywhere): full sort path
-    val all = vals.orderBy(col(c)).collect().map(_.getDouble(0))
-    if (loRank == hiRank) all(loRank.toInt)
-    else (hiRank - pos) * all(loRank.toInt) + (pos - loRank) * all(hiRank.toInt)
+    throw new IllegalStateException(
+      s"exactQuantile($c, $q): bracket did not converge within $maxBandRows band rows")
   }
 
   /** Write `df` bucketed+sorted by the join key and register it as

@@ -54,6 +54,15 @@ class ScaleSpec extends AnyFunSuite {
       small.selectExpr("percentile(v, 0.5)").collect()(0).getDouble(0))
     val const = Seq.fill(7)(3.14).toDF("v")
     assert(Scale.exactQuantile(const, "v", 0.5) == 3.14)
+    // heavy duplicate run straddling the median: the run is resolved by
+    // counts, never collected (cap forces the count-based path)
+    val heavy = ((1 to 30000).map(_ => 5.0) ++ (1 to 10000).map(i => i / 100.0)).toDF("v")
+    val wantH = heavy.selectExpr("percentile(v, 0.5)").collect()(0).getDouble(0)
+    assert(Scale.exactQuantile(heavy, "v", 0.5, maxBandRows = 500) == wantH)
+    // rank exactly at a run boundary (interpolates run value with next)
+    val edge = (Seq.fill(5)(1.0) ++ Seq.fill(5)(2.0)).toDF("v")
+    assert(Scale.exactQuantile(edge, "v", 0.45) ==
+      edge.selectExpr("percentile(v, 0.45)").collect()(0).getDouble(0))
   }
 
   test("bucketed tables join without a shuffle exchange") {
