@@ -30,7 +30,8 @@ object Detect {
       val m = median(vals)
       val sd = std(vals)
       val keep = vals.filter(v => math.abs(v - m) <= sigma * sd)
-      changed = keep.length != vals.length
+      // a clip that would empty the sample cannot make progress — stop
+      changed = keep.nonEmpty && keep.length != vals.length
       if (keep.nonEmpty) vals = keep
       it += 1
     }
@@ -149,7 +150,8 @@ object Detect {
     * (`bandstructure.py:68-104`; delegated there to the public
     * symmetrize package). */
   def pointsetCenter(pts: Array[(Double, Double)]): ((Double, Double), Array[(Double, Double)]) = {
-    require(pts.nonEmpty)
+    require(pts.nonEmpty,
+      "pointsetCenter: no peaks detected (lower threshfactor or check the plane)")
     val cr = pts.map(_._1).sum / pts.length
     val cc = pts.map(_._2).sum / pts.length
     val center = pts.minBy { case (r, c) => (r - cr) * (r - cr) + (c - cc) * (c - cc) }

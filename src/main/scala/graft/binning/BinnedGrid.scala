@@ -164,8 +164,13 @@ object BinnedGrid {
   def saveImage(grid: BinnedGrid, path: String): Unit = {
     require(grid.axes.length == 2, s"image export needs a 2D grid, got ${grid.axes.length}D")
     val img = Array.tabulate(grid.shape(0), grid.shape(1))((i, j) => grid(i, j).toDouble)
-    if (path.endsWith(".png")) graft.io.ImageSinks.writePng16Gray(path, img)
-    else graft.io.ImageSinks.writeTiffGray32f(path, img)
+    path.toLowerCase match {
+      case p if p.endsWith(".png") => graft.io.ImageSinks.writePng16Gray(path, img)
+      case p if p.endsWith(".tif") || p.endsWith(".tiff") =>
+        graft.io.ImageSinks.writeTiffGray32f(path, img)
+      case _ => throw new IllegalArgumentException(
+        s"saveImage: unsupported extension in '$path' (use .tiff/.tif or .png)")
+    }
   }
 
   def load(spark: SparkSession, path: String): BinnedGrid = {

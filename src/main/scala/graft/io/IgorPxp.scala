@@ -64,10 +64,10 @@ object IgorPxp {
     */
   def write(path: String, entries: Seq[Entry]): Unit = {
     val buf = new java.io.ByteArrayOutputStream()
-    def record(recordType: Int, payload: Array[Byte]): Unit = {
+    def record(recordType: Int, payload: Array[Byte], version: Int = 0): Unit = {
       val h = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       h.putShort(0, recordType.toShort)
-      h.putShort(2, 1) // record version
+      h.putShort(2, version.toShort)
       h.putInt(4, payload.length)
       buf.write(h.array()); buf.write(payload)
     }
@@ -85,7 +85,8 @@ object IgorPxp {
       (common until e.folder.length).foreach(i =>
         record(REC_FOLDER_START, folderName(e.folder(i))))
       open = e.folder
-      record(REC_WAVE, IgorIbw.toBytes(e.wave))
+      // wave records carry the embedded wave's version in their header
+      record(REC_WAVE, IgorIbw.toBytes(e.wave), version = 5)
     }
     open.foreach(_ => record(REC_FOLDER_END, Array.empty))
     Files.write(Paths.get(path), buf.toByteArray)

@@ -72,13 +72,21 @@ object Scale {
     // empty hot branch + union) taxed the unskewed dedup_lsh_pairs
     // ~2x (4.3 s vs 2.0 s steady-state); detection costs one agg pass.
     val cnt = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-    val hotCnt = cnt.filter(col("_n") > hotThreshold)
-    if (hotCnt.isEmpty) {
+    // ONE materialization of the detection aggregate: hot keys are few by
+    // definition (each holds > hotThreshold rows), so collect them to the
+    // driver and build the broadcast side locally — reusing the hotCnt
+    // DataFrame in the join lineage would re-run the full aggregate
+    val hotRows = cnt.filter(col("_n") > hotThreshold).drop("_n").limit(100000).collect()
+    if (hotRows.isEmpty) {
       return df.as("a").join(df.as("b"), keyCond && col(s"a.$id") < col(s"b.$id"))
         .select(outCols: _*)
     }
-
-    val hotKeys = broadcast(hotCnt.drop("_n").withColumn("_hot", lit(true)))
+    val spark = df.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => df.schema(k)))
+    val hotKeys = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(hotRows.toSeq, 1), keySchema)
+        .withColumn("_hot", lit(true)))
     val flagged = df.join(hotKeys, keys, "left")
     val cold = flagged.filter(col("_hot").isNull).drop("_hot")
     val hot = flagged.filter(col("_hot") === true).drop("_hot")
@@ -119,52 +127,80 @@ object Scale {
     * locally, widening the bracket in the rare case the sketch missed.
     */
   def exactQuantile(df: DataFrame, c: String, q: Double,
-                    maxBandRows: Long = 4000000L): Double = {
-    val vals = df.filter(col(c).isNotNull).select(col(c).cast("double").as(c))
-    val n = vals.count()
-    require(n > 0, s"exactQuantile($c): no rows")
-    val pos = q * (n - 1)
-    val loRank = math.floor(pos).toLong // 0-based
-    val hiRank = math.ceil(pos).toLong
+                    maxBandRows: Long = 4000000L): Double =
+    exactQuantiles(df, Seq(c), q, maxBandRows)(c)
+
+  /** Multi-column form sharing every distributed pass: one count
+    * aggregate for all columns, one multi-column `approxQuantile` sketch
+    * per round, one combined bracket-count aggregate per round — so
+    * profiling k columns costs ~3 scans total, not ~4k. */
+  def exactQuantiles(df: DataFrame, cols: Seq[String], q: Double,
+                     maxBandRows: Long = 4000000L): Map[String, Double] = {
+    val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    // per-column non-null counts in ONE pass (percentile ignores nulls)
+    val nAggs = cols.map(c => count(col(c)).as(s"_n_$c"))
+    val nRow = d.agg(nAggs.head, nAggs.tail: _*).collect()(0)
+    val n = cols.indices.map(i => nRow.getLong(i))
+    cols.indices.foreach(i => require(n(i) > 0, s"exactQuantile(${cols(i)}): no rows"))
+    val pos = n.map(ni => q * (ni - 1))
+    val loRank = pos.map(p => math.floor(p).toLong)
+    val hiRank = pos.map(p => math.ceil(p).toLong)
     // Spark Percentile's exact interpolation form (NOT lo+(hi-lo)*f,
     // which differs in the last ulp): integral rank returns the key
-    def interp(lo: Double, hi: Double): Double =
-      if (loRank == hiRank) lo else (hiRank - pos) * lo + (pos - loRank) * hi
+    def interp(i: Int, lo: Double, hi: Double): Double =
+      if (loRank(i) == hiRank(i)) lo
+      else (hiRank(i) - pos(i)) * lo + (pos(i) - loRank(i)) * hi
+
+    val resolved = scala.collection.mutable.Map.empty[String, Double]
     var eps = 0.002
     var attempt = 0
-    while (attempt < 10) {
-      val bounds = vals.stat.approxQuantile(c,
+    while (resolved.size < cols.length && attempt < 10) {
+      val open = cols.filterNot(resolved.contains)
+      val brackets = d.stat.approxQuantile(open.toArray,
         Array(math.max(0.0, q - eps), math.min(1.0, q + eps)), eps / 4)
-      val (a, b) = (bounds(0), bounds(1))
+      val ab = open.zip(brackets.map(bs => (bs(0), bs(1)))).toMap
       // resolve rank→value at the band EDGES by counts alone, so runs of
       // duplicated values (however huge) never need collecting; only the
       // strict interior (a, b) — ~2·eps·n rows minus the edge runs — is
-      // pulled, and it is capped
-      val cnts = vals.agg(
-        sum(when(col(c) < a, 1L).otherwise(0L)),
-        sum(when(col(c) <= a, 1L).otherwise(0L)),
-        sum(when(col(c) < b, 1L).otherwise(0L)),
-        sum(when(col(c) <= b, 1L).otherwise(0L))).collect()(0)
-      val (below, leA, ltB, leB) = (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2), cnts.getLong(3))
-      if (below <= loRank && hiRank < leB) {
-        val interiorCount = ltB - leA
-        if (interiorCount <= maxBandRows) {
-          lazy val interior = vals.filter(col(c) > a && col(c) < b)
-            .collect().map(_.getDouble(0)).sorted
-          def valueAt(r: Long): Double =
-            if (r < leA) a
-            else if (r < ltB) interior((r - leA).toInt)
-            else b
-          return interp(valueAt(loRank), valueAt(hiRank))
-        }
-        eps /= 4 // band covers the ranks but is too wide — tighten
-      } else {
-        eps *= 4 // sketch missed the rank — widen and retry
+      // pulled, and it is capped. All columns' 4 bracket counts ride one
+      // aggregate pass.
+      val cntAggs = open.flatMap { c =>
+        val (a, b) = ab(c)
+        Seq(sum(when(col(c) < a, 1L).otherwise(0L)),
+          sum(when(col(c) <= a, 1L).otherwise(0L)),
+          sum(when(col(c) < b, 1L).otherwise(0L)),
+          sum(when(col(c) <= b, 1L).otherwise(0L)))
       }
+      val cnts = d.agg(cntAggs.head, cntAggs.tail: _*).collect()(0)
+      var missed = false
+      var tooWide = false
+      open.zipWithIndex.foreach { case (c, k) =>
+        val i = cols.indexOf(c)
+        val (a, b) = ab(c)
+        val below = cnts.getLong(4 * k)
+        val leA = cnts.getLong(4 * k + 1)
+        val ltB = cnts.getLong(4 * k + 2)
+        val leB = cnts.getLong(4 * k + 3)
+        if (below <= loRank(i) && hiRank(i) < leB) {
+          if (ltB - leA <= maxBandRows) {
+            lazy val interior = d.filter(col(c) > a && col(c) < b)
+              .select(col(c)).collect().map(_.getDouble(0)).sorted
+            def valueAt(r: Long): Double =
+              if (r < leA) a
+              else if (r < ltB) interior((r - leA).toInt)
+              else b
+            resolved(c) = interp(i, valueAt(loRank(i)), valueAt(hiRank(i)))
+          } else tooWide = true // covers the ranks but interior too big
+        } else missed = true // sketch bracket missed the rank
+      }
+      // shared eps: fixing misses first (widen) dominates; once nothing
+      // misses, tighten for the too-wide columns
+      if (missed) eps *= 4 else if (tooWide) eps /= 4
       attempt += 1
     }
-    throw new IllegalStateException(
-      s"exactQuantile($c, $q): bracket did not converge within $maxBandRows band rows")
+    require(resolved.size == cols.length,
+      s"exactQuantile: bracket did not converge for ${cols.filterNot(resolved.contains).mkString(", ")}")
+    resolved.toMap
   }
 
   /** Write `df` bucketed+sorted by the join key and register it as

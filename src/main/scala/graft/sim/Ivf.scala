@@ -158,11 +158,6 @@ object Ivf {
        |SELECT vec_id, embedding, probes FROM probed""".stripMargin
   }
 
-  // Memoized per (dir, k): the IVF queries each need the centroids, and
-  // re-collecting the sample per query would triple the (bounded but
-  // non-free) driver work under Verify/Bench.
-  private val memo = new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
-
   /** Most recently trained centroids — consulted by the oracle-SQL
     * builder, which has no SparkSession/dir of its own (the driver dumps
     * oracle SQL after running every query, so by then training has run
@@ -170,16 +165,18 @@ object Ivf {
   @volatile private var lastTrained: Option[Array[Array[Double]]] = None
   def cachedCentroids: Option[Array[Array[Double]]] = lastTrained
 
-  /** Train the coarse quantizer on the bounded deterministic sample. */
+  /** Train the coarse quantizer on the bounded deterministic sample.
+    * Deliberately NOT memoized across calls: the sample collect is tiny
+    * (SAMPLE_N rows) and a path-keyed cache would silently serve stale
+    * centroids after the parquet at `dir` is rewritten in a long-lived
+    * session. */
   def trainCentroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
-    val cents = memo.computeIfAbsent((dir, k), { _ =>
-      val vecs = graft.Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < SAMPLE_N)
-        .orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      kmeans(vecs, k)
-    })
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < SAMPLE_N)
+      .orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cents = kmeans(vecs, k)
     lastTrained = Some(cents)
     cents
   }

@@ -100,9 +100,6 @@ object StreamOps {
       .toDF()
   }
 
-  // `ts` stays a Timestamp column through to the stateful operator: the
-  // analyzer requires the watermarked event-time column to be present in
-  // the flatMapGroupsWithState input when EventTimeTimeout is used
   final case class AsofIn(user_id: Long, event_id: Long, tsMicros: Long,
                           value: Double, event_type: String)
   final case class AsofOut(event_id: Long, asof_value: Option[Double])
@@ -143,6 +140,9 @@ object StreamOps {
       .toDF()
   }
 
+  // `ts` stays a Timestamp column through to the stateful operator: the
+  // analyzer requires the watermarked event-time column to be present in
+  // the flatMapGroupsWithState input when EventTimeTimeout is used
   final case class BandIn(doc_id: Long, ts: java.sql.Timestamp, band: Int, sig: String)
   final case class BandHit(doc_id: Long, band: Int, first_doc: Long)
 

@@ -251,7 +251,7 @@ object TextQueries {
       // distinct value is an unbounded buffer at corpus scale
       val li = graft.Tables.lineitem(s, dir)
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
-      val meds = cs.map(c => c -> graft.ops.Scale.exactQuantile(li, c, 0.5)).toMap
+      val meds = graft.ops.Scale.exactQuantiles(li, cs, 0.5) // shared passes
       val aggs = cs.flatMap { c => Seq(
         min(col(c)).as(s"min_$c"),
         max(col(c)).as(s"max_$c"),
