@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Native codegen'd embedding kernels. The similarity queries quantize
+  * per-element products to integers (`CAST(round(x*y*1e12) AS BIGINT)`,
+  * summed exactly) so results are cross-engine reproducible; expressed
+  * as nested higher-order functions that arithmetic is interpreted —
+  * per-element lambda dispatch and boxing dominate the embedding-query
+  * tail of the bench. These expressions generate the same arithmetic as
+  * a tight scalar loop inside whole-stage codegen.
+  *
+  * Rounding parity: Spark's `round(double)` rounds half AWAY FROM ZERO
+  * (verified: round(-2.5) = -3) and handles the 0.49999999999999994
+  * near-tie exactly like `Math.round`; `p >= 0 ? Math.round(p) :
+  * -Math.round(-p)` reproduces it bit-for-bit, and the HOF's final
+  * `CAST(integral double AS BIGINT)` is the identity on these values.
+  */
+object QuantKernels {
+  /** Shared by interpreted eval paths. */
+  @inline def qround(p: Double): Long =
+    if (p >= 0) Math.round(p) else -Math.round(-p)
+  /** Java source for the same, with `p` spliced in. */
+  def qroundJava(p: String): String =
+    s"(($p) >= 0 ? Math.round($p) : -Math.round(-($p)))"
+}
+
+/** Σᵢ round(xᵢ·yᵢ·1e12) :: long — the quantized inner product; the
+  * quantized squared norm is `qdot(e, e)`. Null on length mismatch
+  * (mirroring zip_with's null padding propagation). */
+case class QuantizedDotE12(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"qdot_e12 expects two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "qdot_e12"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += QuantKernels.qround(
+          a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e12)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e12;
+         |    $acc += ${QuantKernels.qroundJava(p)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantizedDotE12 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** IVF coarse-quantizer cell: argmin over centroids of the quantized
+  * squared euclidean distance Σ_d round((x_d − c_d)²·1e12), ties →
+  * lowest cell id — the codegen form of the nested-HOF argmin in
+  * `sim.Ivf.withCell` (same arithmetic, same tie rule). Centroids ride
+  * along as a reference object, not a literal tree, so the generated
+  * code is one tight double loop. Null if the vector's dimensionality
+  * does not match the centroids'. */
+case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_cell_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_cell_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (a.numElements() != dim) null
+    else {
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          val diff = a.getFloat(d).toDouble - cent(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      bestC
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val p = ctx.freshName("p")
+      val dim = centroids(0).length
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $best = Long.MAX_VALUE;
+         |  int $bestC = 0;
+         |  for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |    long $acc = 0L;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |      final double $p = $diff * $diff * 1e12;
+         |      $acc += ${QuantKernels.qroundJava(p)};
+         |    }
+         |    if ($acc < $best) { $best = $acc; $bestC = $c; }
+         |  }
+         |  ${ev.value} = $bestC;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCellE12 =
+    copy(child = newChild)
+}

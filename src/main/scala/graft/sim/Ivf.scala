@@ -94,7 +94,17 @@ object Ivf {
     * codegen to tens of seconds per query; a single self-contained
     * expression gives the optimizer nothing to copy.
     */
-  def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    // codegen'd argmin (graft.functions.IvfCellE12): same quantized
+    // arithmetic and first-lowest tie rule as the nested-HOF form
+    // (equality pinned in EmbeddingKernelSpec), evaluated as one tight
+    // loop instead of interpreted lambdas
+    df.withColumn("cell", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IvfCellE12(
+        org.apache.spark.sql.GraftBridge.expression(df("embedding")), centroids)))
+
+  /** The nested-HOF argmin form, retained for parity testing. */
+  def withCellHof(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val dists = distsSpark(centroids)
     // array_position returns the FIRST match → lowest cell id on ties
     df.withColumn("cell",

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -58,6 +58,15 @@ object SimilarityQueries {
   private def dotE12Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT))) AS BIGINT)"
 
+  /** Codegen'd quantized inner product (graft.functions.QuantizedDotE12)
+    * — bit-identical arithmetic to the `dotE12`/`norm2e12` HOF strings
+    * (equality pinned in EmbeddingKernelSpec), minus the per-element
+    * lambda interpretation that dominated the embedding-query tail. */
+  private def qdot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.QuantizedDotE12(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** (vec_id, bucket): sign-random-projection bucket per vector —
     * join-free, one aggregation pass. */
   private def buckets(s: SparkSession, dir: String): DataFrame = {
@@ -98,8 +107,8 @@ object SimilarityQueries {
     "emb_norms" -> { (s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"),
-        expr(norm2e12).as("norm2_e12"),
-        sqrt(expr(norm2e12).cast("double") / lit(1e12)).as("l2_norm"))
+        qdot(col("embedding"), col("embedding")).as("norm2_e12"),
+        sqrt(qdot(col("embedding"), col("embedding")).cast("double") / lit(1e12)).as("l2_norm"))
     },
 
     // brute-force cosine top-10 for query vectors vec_id < 5
@@ -109,9 +118,9 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("e1"))
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
       val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
-        .withColumn("dot_e12", expr(dotE12))
-        .withColumn("n1_e12", expr("aggregate(transform(e1, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-        .withColumn("n2_e12", expr("aggregate(transform(e2, x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -132,9 +141,9 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("bucket"))
       val c = b.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("bucket"))
       val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-        .withColumn("dot_e12", expr(dotE12))
-        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
-        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -162,9 +171,9 @@ object SimilarityQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("cell"))
       val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
       val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-        .withColumn("dot_e12", expr(dotE12))
-        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
-        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -188,9 +197,9 @@ object SimilarityQueries {
           explode(col("probes")).as("cell"))
       val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
       val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-        .withColumn("dot_e12", expr(dotE12))
-        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
-        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
@@ -206,9 +215,9 @@ object SimilarityQueries {
       val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
       val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
       a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
-        .withColumn("dot_e12", expr(dotE12))
-        .withColumn("n1_e12", expr(norm2e12.replace("embedding", "e1")))
-        .withColumn("n2_e12", expr(norm2e12.replace("embedding", "e2")))
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
         .withColumn("cosine", col("dot_e12").cast("double") /
           (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
         .filter(col("cosine") >= 0.25)
