@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.ndHistogramDescriptor)
+    ext.injectFunction(GraftExtensions.qdotDescriptor)
   }
 }
 
@@ -71,9 +72,25 @@ object GraftExtensions {
     buildNdHistogram
   )
 
+  private def buildQdot(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "qdot_e12(array<float>, array<float>)")
+    graft.functions.QuantizedDotE12(args(0), args(1))
+  }
+
+  /** `qdot_e12(a, b)`: codegen'd quantized inner product (the similarity
+    * engine's exact-integer dot; squared norm = qdot_e12(a, a)). */
+  val qdotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("qdot_e12"),
+    new ExpressionInfo(classOf[graft.functions.QuantizedDotE12].getName, "qdot_e12"),
+    buildQdot
+  )
+
   /** Runtime registration on an existing session (alternative to
     * `withExtensions` for sessions the caller does not construct). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nd_histogram", buildNdHistogram, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qdot_e12", buildQdot, "built-in")
+  }
 }

@@ -36,6 +36,23 @@ class ExtensionsSpec extends AnyFunSuite {
     (0 until 40).foreach(i => assert(dense(i) == rel.getOrElse(i, 0L), s"bin $i"))
   }
 
+  test("qdot_e12 registered on the SQL surface equals the Scala kernel") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT qdot_e12(CAST(array(1.5, -2.0) AS ARRAY<FLOAT>),
+        |                CAST(array(0.5, 3.25) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .collect()(0).getLong(0)
+    // 1.5*0.5*1e12 = 7.5e11; -2.0*3.25*1e12 = -6.5e12 -> sum -5.75e12
+    assert(got == 750000000000L - 6500000000000L)
+    // on the embeddings table: norm via SQL == norm via the query surface
+    val sqlNorms = spark.sql(
+      s"SELECT vec_id, qdot_e12(embedding, embedding) AS n FROM parquet.`$sfDir/embeddings.parquet`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apiNorms = graft.sim.SimilarityQueries.queries("emb_norms")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sqlNorms == apiNorms)
+  }
+
   test("nd_histogram rejects malformed argument lists") {
     GraftExtensions.register(spark)
     Tables.events(spark, sfDir).createOrReplaceTempView("ev")
