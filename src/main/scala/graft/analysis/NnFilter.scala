@@ -48,30 +48,38 @@ object NnFilter {
   /** Distributed sparse-grid form over (iCol, jCol, vCol) rows of an
     * (ni × nj) grid. Interior cells → window mean (missing cells count
     * as zero); edge cells → original value (as DOUBLE `f`).
+    *
+    * `planeCols` carries optional leading plane-key columns through the
+    * aggregation untouched — the full 3D/ND `planarfilter` semantics
+    * (spatial averaging within each plane, planes independent), with
+    * the shuffle keyed by (plane, cell) so every plane filters in
+    * parallel.
     */
   def sparse(grid: DataFrame, iCol: String, jCol: String, vCol: String,
              ni: Int, nj: Int, lsh: Int = 0, rsh: Int = 1,
-             ush: Int = 0, dsh: Int = 1): DataFrame = {
+             ush: Int = 0, dsh: Int = 1,
+             planeCols: Seq[String] = Seq.empty): DataFrame = {
     require(lsh >= 0 && rsh >= 1 && ush >= 0 && dsh >= 1)
     val w = (ush + dsh) * (lsh + rsh)
+    val planes = planeCols.map(col)
     // source (r, c) contributes to targets i ∈ [r−dsh+1, r+ush],
     // j ∈ [c−rsh+1, c+lsh] (the inverse of the window relation)
-    val contrib = grid.select(
-        explode(sequence(col(iCol) - lit(dsh - 1), col(iCol) + lit(ush))).as("_ti"),
-        col(jCol), col(vCol))
-      .select(col("_ti"),
-        explode(sequence(col(jCol) - lit(rsh - 1), col(jCol) + lit(lsh))).as("_tj"),
-        col(vCol))
+    val contrib = grid.select(planes :+
+        explode(sequence(col(iCol) - lit(dsh - 1), col(iCol) + lit(ush))).as("_ti") :+
+        col(jCol) :+ col(vCol): _*)
+      .select(planes :+ col("_ti") :+
+        explode(sequence(col(jCol) - lit(rsh - 1), col(jCol) + lit(lsh))).as("_tj") :+
+        col(vCol): _*)
     val interior = contrib
       .filter(col("_ti") >= ush && col("_ti") < ni - dsh &&
         col("_tj") >= lsh && col("_tj") < nj - rsh)
-      .groupBy(col("_ti"), col("_tj"))
+      .groupBy(planes :+ col("_ti") :+ col("_tj"): _*)
       .agg((sum(col(vCol)).cast("double") / lit(w)).as("f"))
-      .select(col("_ti").as(iCol), col("_tj").as(jCol), col("f"))
+      .select(planes :+ col("_ti").as(iCol) :+ col("_tj").as(jCol) :+ col("f"): _*)
     val edges = grid
       .filter(col(iCol) < ush || col(iCol) >= ni - dsh ||
         col(jCol) < lsh || col(jCol) >= nj - rsh)
-      .select(col(iCol), col(jCol), col(vCol).cast("double").as("f"))
+      .select(planes :+ col(iCol) :+ col(jCol) :+ col(vCol).cast("double").as("f"): _*)
     interior.unionByName(edges)
   }
 }

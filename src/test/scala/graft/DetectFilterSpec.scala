@@ -159,6 +159,26 @@ class DetectFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("3D sparse nn filter (per-plane keys) == per-plane dense driver filter") {
+    import SparkTestSession._
+    import spark.implicits._
+    val cells = for {
+      a <- 0 until 3; i <- 0 until 8; j <- 0 until 9
+      if (a * 72 + i * 9 + j) % 4 != 0 // sparse holes
+    } yield (a.toLong, i.toLong, j.toLong, ((a * 5 + i * 7 + j * 3) % 11 + 1).toLong)
+    val df = cells.toDF("plane", "bi", "bj", "v")
+    val got = NnFilter.sparse(df, "bi", "bj", "v", ni = 8, nj = 9,
+        lsh = 1, rsh = 2, ush = 1, dsh = 2, planeCols = Seq("plane"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val dense = Array.ofDim[Double](3, 8, 9)
+    cells.foreach { case (a, i, j, v) => dense(a.toInt)(i.toInt)(j.toInt) = v.toDouble }
+    val want = NnFilter.planarFilter(dense, 1, 2, 1, 2)
+    for (a <- 0 until 3; i <- 0 until 8; j <- 0 until 9) {
+      val g = got.getOrElse((a.toLong, i.toLong, j.toLong), 0.0)
+      assert(math.abs(g - want(a)(i)(j)) < 1e-12, s"($a,$i,$j): $g vs ${want(a)(i)(j)}")
+    }
+  }
+
   test("distributed sparse nn filter == dense driver filter on the same grid") {
     import SparkTestSession._
     import spark.implicits._
