@@ -148,6 +148,14 @@ object FftFilter {
     * a base peak at (x0, y0) replicated by the rotation set
     * {0, 2α, 2(α+β), −2β} with α = atan(r/c), β = atan(c/r), plus the
     * four midpoints, masked with σx = 10/(2·ln2), σy = 10·(c/r)/(2·ln2).
+    *
+    * Intentional orientation deviation for NON-SQUARE grids: the
+    * reference transforms `img.T` and returns the (cols, rows)-shaped
+    * result of that transposed plane; this implementation keeps the
+    * input orientation — output is (rows, cols) with σx acting on the
+    * row-frequency axis. On square grids the two conventions coincide
+    * up to the (symmetric) peak set. The (rows, cols) convention is
+    * pinned by a non-square fixture in DetectFilterSpec.
     */
   def fftfilter2d(img: Grid, x0: Double = -80.0, y0: Double = -108.0): Grid = {
     val r = img.length; val c = img(0).length

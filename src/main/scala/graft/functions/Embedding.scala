@@ -58,6 +58,10 @@ case class QuantizedDotE12(left: Expression, right: Expression)
       var acc = 0L
       var i = 0
       while (i < n) {
+        // a null element nulls the whole sum, matching the zip_with /
+        // aggregate HOF chain this kernel claims bit-parity with
+        // (zip_with emits a null product, aggregate's `acc + null` → null)
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         acc += QuantKernels.qround(
           a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e12)
         i += 1
@@ -79,10 +83,11 @@ case class QuantizedDotE12(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 1e12;
          |    $acc += ${QuantKernels.qroundJava(p)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -114,6 +119,9 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
     val a = input.asInstanceOf[ArrayData]
     val dim = centroids(0).length
     if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    // a null element nulls every cell distance in the HOF form, so the
+    // argmin itself is null (array_position(ds, null) → null)
     else {
       var best = Long.MaxValue
       var bestC = 0
@@ -145,22 +153,31 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
       val diff = ctx.freshName("diff")
       val p = ctx.freshName("p")
       val dim = centroids(0).length
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long $best = Long.MAX_VALUE;
-         |  int $bestC = 0;
-         |  for (int $c = 0; $c < ${centroids.length}; $c++) {
-         |    long $acc = 0L;
-         |    for (int $d = 0; $d < $dim; $d++) {
-         |      final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
-         |      final double $p = $diff * $diff * 1e12;
-         |      $acc += ${QuantKernels.qroundJava(p)};
-         |    }
-         |    if ($acc < $best) { $best = $acc; $bestC = $c; }
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
          |  }
-         |  ${ev.value} = $bestC;
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $best = Long.MAX_VALUE;
+         |    int $bestC = 0;
+         |    for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |        final double $p = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(p)};
+         |      }
+         |      if ($acc < $best) { $best = $acc; $bestC = $c; }
+         |    }
+         |    ${ev.value} = $bestC;
+         |  }
          |}
        """.stripMargin
     })

@@ -59,8 +59,9 @@ object Scale {
     * Output columns: keys ++ (id_1, id_2).
     */
   def selfPairs(df: DataFrame, keys: Seq[String], id: String,
-                saltFactor: Int = 4, hotThreshold: Long = 1000L): DataFrame = {
-    require(saltFactor > 1)
+                saltFactor: Int = 4, hotThreshold: Long = 1000L,
+                hotKeyCap: Int = 100000): DataFrame = {
+    require(saltFactor > 1 && hotKeyCap > 0)
     val outCols = (keys.map(k => col(s"a.$k")) :+
       col(s"a.$id").as(s"${id}_1")) :+ col(s"b.$id").as(s"${id}_2")
     def keyCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
@@ -75,8 +76,23 @@ object Scale {
     // ONE materialization of the detection aggregate: hot keys are few by
     // definition (each holds > hotThreshold rows), so collect them to the
     // driver and build the broadcast side locally — reusing the hotCnt
-    // DataFrame in the join lineage would re-run the full aggregate
-    val hotRows = cnt.filter(col("_n") > hotThreshold).drop("_n").limit(100000).collect()
+    // DataFrame in the join lineage would re-run the full aggregate.
+    // Heaviest groups first, so if the cap truncates, it truncates the
+    // groups that need salting least; the overflow still gets correct
+    // output through the plain join, but say so loudly rather than let
+    // the skew protection silently stop applying.
+    val hotCollected = cnt.filter(col("_n") > hotThreshold)
+      .orderBy(col("_n").desc)
+      .limit(hotKeyCap + 1)
+      .select(keys.map(col): _*)
+      .collect()
+    if (hotCollected.length > hotKeyCap) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"selfPairs: more than $hotKeyCap groups exceed hotThreshold=$hotThreshold; " +
+          s"only the $hotKeyCap heaviest are salted — the rest take the unsalted join " +
+          "(output stays correct, skew protection degrades)")
+    }
+    val hotRows = hotCollected.take(hotKeyCap)
     if (hotRows.isEmpty) {
       return df.as("a").join(df.as("b"), keyCond && col(s"a.$id") < col(s"b.$id"))
         .select(outCols: _*)

@@ -29,21 +29,25 @@ object WarpQueries {
   private val tpsDst = Array((103.0, 42.0), (398.0, 38.0), (99.0, 163.0), (405.0, 158.0), (252.0, 101.0))
 
   val queries: Map[String, Q] = Map(
-    // inverse-deformation-field lookup via broadcast 2×512×512 array.
+    // inverse-deformation-field lookup via a flat 2·512·512 float array.
     // This is the reference's tps_matrix momentum correction: newX =
-    // dfield[0][int(x)][int(y)] — a genuine broadcast-lookup UDF (the
-    // one operator where a UDF beats expressible Column math).
+    // dfield[0][int(x)][int(y)] — run as ONE native codegen'd expression
+    // (graft.functions.DfieldLookup) that reads both corrected
+    // coordinates per row, replacing the former pair of boxed Scala UDFs.
     "dfield_lookup" -> { (s, dir) =>
       val field = Warp.deformationField(GRID, warpFn)
-      val bc = s.sparkContext.broadcast(field)
-      val lookX = udf((x: Double, y: Double) => bc.value(0)(x.toInt)(y.toInt))
-      val lookY = udf((x: Double, y: Double) => bc.value(1)(x.toInt)(y.toInt))
+      val flat = new Array[Float](2 * GRID * GRID)
+      for (c <- 0 until 2; x <- 0 until GRID)
+        System.arraycopy(field(c)(x), 0, flat, c * GRID * GRID + x * GRID, GRID)
+      def look(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.GraftBridge.column(graft.functions.DfieldLookup(
+          org.apache.spark.sql.GraftBridge.expression(x),
+          org.apache.spark.sql.GraftBridge.expression(y), flat, GRID))
       Tables.events(s, dir)
         .filter(col("value") >= 0 && col("value") < GRID &&
           col("user_id") >= 0 && col("user_id") < GRID)
-        .select(col("event_id"),
-          lookX(col("value"), col("user_id").cast("double")).cast("double").as("xm"),
-          lookY(col("value"), col("user_id").cast("double")).cast("double").as("ym"))
+        .withColumn("w", look(col("value"), col("user_id").cast("double")))
+        .select(col("event_id"), col("w.xm").as("xm"), col("w.ym").as("ym"))
     },
 
     // columnar TPS evaluation: w·U(r²) folded into pure Column math —

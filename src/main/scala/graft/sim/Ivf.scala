@@ -168,18 +168,38 @@ object Ivf {
        |SELECT vec_id, embedding, probes FROM probed""".stripMargin
   }
 
-  /** Most recently trained centroids — consulted by the oracle-SQL
+  /** Trained centroids keyed by (dir, k) — consulted by the oracle-SQL
     * builder, which has no SparkSession/dir of its own (the driver dumps
     * oracle SQL after running every query, so by then training has run
-    * on exactly the dataset the oracle will read). */
-  @volatile private var lastTrained: Option[Array[Array[Double]]] = None
-  def cachedCentroids: Option[Array[Array[Double]]] = lastTrained
+    * on exactly the dataset the oracle will read). Keyed, not a single
+    * slot: a second dataset or a different k in the same session must
+    * not silently swap the literals under an already-run query's oracle.
+    */
+  private val trained =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Double]]]
+  @volatile private var lastKey: Option[(String, Int)] = None
+
+  /** Centroids for the exact (dir, k) a query trained with. */
+  def cachedCentroidsFor(dir: String, k: Int): Option[Array[Array[Double]]] =
+    trained.get((dir, k))
+
+  /** The one trained configuration of this session. Verify trains all
+    * IVF queries on a single (dir, k); if a session has trained several,
+    * picking any one silently mismatches the others' oracles — fail loud
+    * instead. */
+  def cachedCentroids: Option[Array[Array[Double]]] = lastKey.map { lk =>
+    require(trained.size == 1,
+      s"IVF oracle ambiguity: centroids trained for ${trained.keys.mkString(", ")} " +
+        "in this session; oracle SQL can only be emitted for a single (dir, k)")
+    trained(lk)
+  }
 
   /** Train the coarse quantizer on the bounded deterministic sample.
-    * Deliberately NOT memoized across calls: the sample collect is tiny
-    * (SAMPLE_N rows) and a path-keyed cache would silently serve stale
-    * centroids after the parquet at `dir` is rewritten in a long-lived
-    * session. */
+    * Training itself is NOT memoized across calls: the sample collect is
+    * tiny (SAMPLE_N rows) and serving a memoized result would silently
+    * go stale if the parquet at `dir` is rewritten in a long-lived
+    * session. The cache above only records what was last trained per
+    * (dir, k), for the oracle builder. */
   def trainCentroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
     val vecs = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") < SAMPLE_N)
@@ -187,7 +207,8 @@ object Ivf {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val cents = kmeans(vecs, k)
-    lastTrained = Some(cents)
+    trained((dir, k)) = cents
+    lastKey = Some((dir, k))
     cents
   }
 }

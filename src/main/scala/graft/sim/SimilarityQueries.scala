@@ -140,7 +140,9 @@ object SimilarityQueries {
       val q = b.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("bucket"))
       val c = b.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("bucket"))
-      val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      // query side is tiny — broadcast it so the corpus streams through a
+      // BroadcastHashJoin instead of shuffling on `bucket`
+      val scored = broadcast(q).join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
         .withColumn("dot_e12", qdot(col("e1"), col("e2")))
         .withColumn("n1_e12", qdot(col("e1"), col("e1")))
         .withColumn("n2_e12", qdot(col("e2"), col("e2")))
@@ -170,7 +172,8 @@ object SimilarityQueries {
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("cell"))
       val c = assigned.select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
-      val scored = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      // broadcast the small query side (consistent with emb_ivf_topk_p2)
+      val scored = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
         .withColumn("dot_e12", qdot(col("e1"), col("e2")))
         .withColumn("n1_e12", qdot(col("e1"), col("e1")))
         .withColumn("n2_e12", qdot(col("e2"), col("e2")))

@@ -94,6 +94,28 @@ class DetectFilterSpec extends AnyFunSuite {
     assert(math.abs(a - b) / a < 0.05) // notches remove little of this smooth image
   }
 
+  test("non-square grids keep input orientation (rows, cols) — pinned convention") {
+    // The reference returns the transposed (cols, rows) plane for
+    // non-square input; this implementation intentionally keeps (rows,
+    // cols) with sx on the row-frequency axis (see fftfilter2d doc).
+    val r = 32; val c = 64
+    def smooth(i: Int, j: Int) = 30.0 + 0.1 * i + 0.05 * j
+    val amp = 8.0
+    val img = Array.tabulate(r, c) { (i, j) =>
+      smooth(i, j) + amp * math.cos(2 * math.Pi * (5.0 * i / r + 9.0 * j / c))
+    }
+    val out = FftFilter.notchFilter2d(img, Seq((5.0, 9.0), (-5.0, -9.0)), 1.5, 1.5)
+    // shape preserved, not transposed
+    assert(out.length == r && out(0).length == c)
+    var worst = 0.0
+    for (i <- 0 until r; j <- 0 until c)
+      worst = math.max(worst, math.abs(out(i)(j) - smooth(i, j)))
+    assert(worst < amp / 10.0, s"non-square residual $worst not < ${amp / 10.0}")
+    // fixed-geometry entry point also keeps the input shape
+    val out2 = FftFilter.fftfilter2d(img)
+    assert(out2.length == r && out2(0).length == c)
+  }
+
   test("keypoint estimate: center + angle-ordered high-symmetry points") {
     // planted hexagon of 6 peaks around a center peak
     val cx = 32.0; val cy = 32.0; val rad = 18.0

@@ -48,6 +48,31 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("null elements null the whole result (zip_with propagation parity)") {
+    // array<float> with containsNull=true reaches the kernels through the
+    // public SQL surface (qdot_e12 is session-registered) — a null slot
+    // must null the sum, exactly as the HOF chain does, not read 0.0
+    val df = spark.sql(
+      """SELECT array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT), CAST(3.0 AS FLOAT)) AS e1,
+        |       array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT), CAST(6.0 AS FLOAT)) AS e2""".stripMargin)
+    val r = df.select(qdot(col("e1"), col("e2")).as("a"), expr(hofDot).as("b"),
+        qdot(col("e2"), col("e1")).as("c")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // same through the registered SQL function
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("nullelem")
+    val viaSql = spark.sql("SELECT qdot_e12(e1, e2) FROM nullelem").collect()(0)
+    assert(viaSql.isNullAt(0))
+    // IvfCellE12: a null element nulls every HOF cell distance, so the
+    // argmin is null — kernel must agree
+    val cents = Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    val viaKernel = graft.sim.Ivf.withCell(df.select(col("e1").as("embedding")), cents)
+      .select("cell").collect()(0)
+    val viaHof = graft.sim.Ivf.withCellHof(df.select(col("e1").as("embedding")), cents)
+      .select("cell").collect()(0)
+    assert(viaKernel.isNullAt(0) && viaHof.isNullAt(0))
+  }
+
   test("IvfCellE12 == nested-HOF argmin on the embeddings table") {
     val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
     val e = Tables.embeddings(spark, sfDir)

@@ -44,6 +44,23 @@ class PlanSpec extends AnyFunSuite {
       "partial aggregation must run before the exchange")
   }
 
+  test("dfield_lookup runs as a native expression, not a ScalaUDF") {
+    val p = plan("dfield_lookup")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"dfield_lookup must not fall back to a UDF:\n${p.take(1500)}")
+    assert(p.contains("dfield_lookup"), s"native expression missing:\n${p.take(1500)}")
+    // and it stays inside whole-stage codegen (no fallback Project)
+    assert(p.linesIterator.exists(l => l.contains("dfield_lookup") && l.contains("*(")),
+      p.take(1500))
+  }
+
+  test("ANN top-k queries broadcast the small query side") {
+    Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast-join the query side, not shuffle the corpus")
+    }
+  }
+
   test("stitched window queries stay partition-parallel") {
     Seq("step_interpolate", "block_max_norm", "event_range").foreach { q =>
       assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")

@@ -41,6 +41,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(hotPairs == 500L * 499 / 2)
   }
 
+  test("selfPairs: hot-key cap overflow stays correct (heaviest salted first)") {
+    // three hot groups, cap of 1: only the heaviest gets salted, the
+    // overflow takes the plain join — output must still equal all-pairs
+    val rows = (1 to 300).map(i => ("hot_a", i.toLong)) ++
+      (1 to 200).map(i => ("hot_b", 1000L + i)) ++
+      (1 to 150).map(i => ("hot_c", 2000L + i)) ++
+      (1 to 20).map(i => (s"cold_$i", 3000L + i))
+    val df = rows.toDF("sig", "doc_id")
+    val got = Scale.selfPairs(df, Seq("sig"), "doc_id",
+      saltFactor = 3, hotThreshold = 100, hotKeyCap = 1)
+    val want = df.as("a").join(df.as("b"),
+        $"a.sig" === $"b.sig" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.sig", $"a.doc_id".as("doc_id_1"), $"b.doc_id".as("doc_id_2"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("exactQuantile == percentile aggregate on odd/even counts and skew") {
     val li = Tables.lineitem(spark, sfDir)
     for (c <- Seq("l_quantity", "l_extendedprice"); q <- Seq(0.5, 0.25, 0.9)) {
