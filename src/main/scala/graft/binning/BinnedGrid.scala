@@ -81,6 +81,33 @@ case class BinnedGrid(data: Array[Long], axes: Seq[BinAxis]) {
     BinnedGrid(out, newAxes)
   }
 
+  /** Roll `cutAxis` to the front and return one (N−1)-D grid per index
+    * along it — the reference's 4D→3D sliced-export cut (`saveDict`,
+    * `fprocessing.py:931-955`: `np.rollaxis(data, cutaxis)`, slice i
+    * saved as `V{i}`). Slice i's cell (c₀…ĉ…c₋₁) equals this grid's
+    * cell with `i` re-inserted at `cutAxis`; remaining axes keep their
+    * relative order.
+    */
+  def sliceAlong(cutAxis: Int): Seq[BinnedGrid] = {
+    require(axes.length >= 2 && cutAxis >= 0 && cutAxis < axes.length,
+      s"sliceAlong($cutAxis) on a ${axes.length}D grid")
+    val restAxes = axes.patch(cutAxis, Nil, 1)
+    val restLen = restAxes.map(_.nbins).product
+    val n = shape(cutAxis)
+    val out = Array.fill(n)(new Array[Long](restLen))
+    val dst = new Array[Int](n)
+    // one row-major pass: with one coordinate fixed, lexicographic order
+    // over the full tuple restricts to lexicographic order over the rest
+    var flat = 0
+    while (flat < data.length) {
+      val ci = ((flat / strides(cutAxis)) % n).toInt
+      out(ci)(dst(ci)) = data(flat)
+      dst(ci) += 1
+      flat += 1
+    }
+    out.toSeq.map(BinnedGrid(_, restAxes))
+  }
+
   /** 1D profile along `axis`, summing all other axes (EDC/MDC extraction
     * shape). */
   def profile(axis: Int): Array[Long] = {
@@ -154,6 +181,66 @@ object BinnedGrid {
       java.nio.file.Paths.get(s"$path/axes.json"), axesJson)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/metadata.json"), metaJson)
+  }
+
+  /** Persist a ≥2-D grid as separated per-slice datasets `V0..Vn` along
+    * `cutAxis` — the reference's 4D export layout (`saveDict` h5 branch,
+    * `fprocessing.py:931-955`: 4D data is rolled on `cutaxis` (default
+    * 3, the delay axis) and written as 3D datasets `binned/V{i}`, with
+    * every original axis vector under `axes/`). Here: one sparse parquet
+    * per slice at `path/binned/<sliceName><i>`, the FULL original axes
+    * in `axes.json`, and the cut parameters in `sliced.json`.
+    */
+  def saveSliced(grid: BinnedGrid, spark: SparkSession, path: String,
+                 cutAxis: Int = 3, sliceName: String = "V",
+                 metadata: Map[String, String] = Map.empty): Unit = {
+    val slices = grid.sliceAlong(cutAxis)
+    slices.zipWithIndex.foreach { case (g, i) =>
+      g.toDF(spark).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/binned/$sliceName$i")
+    }
+    val axesJson = grid.axes.map { a =>
+      val unit = metadata.getOrElse(s"unit_${a.name}",
+        defaultUnits.getOrElse(a.name, "a.u."))
+      s"""{"name":"${a.name}","nbins":${a.nbins},"lo":${a.lo},"hi":${a.hi},"unit":"$unit"}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/axes.json"), axesJson)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/sliced.json"),
+      s"""{"cutAxis":$cutAxis,"sliceName":"$sliceName","n":${slices.length}}""")
+  }
+
+  /** Load a [[saveSliced]] layout back into the full N-D grid (slices
+    * re-stacked at the recorded cut axis). */
+  def loadSliced(spark: SparkSession, path: String): BinnedGrid = {
+    val axesJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/axes.json"))
+    val axes = """\{"name":"([^"]+)","nbins":(\d+),"lo":([-0-9.eE]+),"hi":([-0-9.eE]+)""".r
+      .findAllMatchIn(axesJson).map { m =>
+        BinAxis(m.group(1), m.group(2).toInt, m.group(3).toDouble, m.group(4).toDouble)
+      }.toSeq
+    val sliced = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/sliced.json"))
+    val cutAxis = """"cutAxis":(\d+)""".r.findFirstMatchIn(sliced).get.group(1).toInt
+    val sliceName = """"sliceName":"([^"]+)"""".r.findFirstMatchIn(sliced).get.group(1)
+    val n = """"n":(\d+)""".r.findFirstMatchIn(sliced).get.group(1).toInt
+    require(n == axes(cutAxis).nbins, s"slice count $n != axis ${axes(cutAxis).name}")
+    val restAxes = axes.patch(cutAxis, Nil, 1)
+    val slices = (0 until n).map { i =>
+      collect(spark.read.parquet(s"$path/binned/$sliceName$i"), restAxes)
+    }
+    // inverse of sliceAlong's single row-major pass
+    val shape = axes.map(_.nbins)
+    val strides = shape.indices.map(i => shape.drop(i + 1).product.toLong)
+    val data = new Array[Long](shape.product)
+    val src = new Array[Int](n)
+    var flat = 0
+    while (flat < data.length) {
+      val ci = ((flat / strides(cutAxis)) % n).toInt
+      data(flat) = slices(ci).data(src(ci))
+      src(ci) += 1
+      flat += 1
+    }
+    BinnedGrid(data, axes)
   }
 
   /** Export a 2D grid as a float32 TIFF or 16-bit PNG image — the

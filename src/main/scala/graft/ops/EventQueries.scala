@@ -24,6 +24,19 @@ object EventQueries {
   private val axUser = BinAxis("user", 40, 0.0, 200.0)
   private val axHour = BinAxis("hour", 24, 0.0, 24.0)
   private val axValueFine = BinAxis("value", 200, 0.0, 500.0)
+  private val axMinute = BinAxis("minute", 12, 0.0, 60.0)
+
+  /** The reference's headline 4-axis grid shape (kx, ky, E, delay —
+    * dedicated 4D kernels at `fprocessing.py:3594-3609`), stood in by
+    * user × hour × value × minute. Exposed for the 4D grid-export specs. */
+  val axes4d: Seq[BinAxis] = Seq(axUser, axHour, axValue, axMinute)
+
+  /** Column expressions feeding [[axes4d]], in order. */
+  def cols4d(df: DataFrame): Seq[org.apache.spark.sql.Column] = Seq(
+    df("user_id").cast("double"),
+    hour(df("ts")).cast("double"),
+    df("value"),
+    minute(df("ts")).cast("double"))
 
   val queries: Map[String, Q] = Map(
     // ---- the defining operator: N-D histogram (fprocessing.py:2448-2486) ----
@@ -60,6 +73,15 @@ object EventQueries {
         col("user_id").cast("double") -> axUser,
         hour(col("ts")).cast("double") -> axHour,
         col("value") -> axValue))
+    },
+
+    // 4D binning — the reference's actual headline case (kx, ky, E,
+    // delay scans; dedicated 4D kernels fprocessing.py:3594-3609). Same
+    // flat-key relational aggregation; the key spans 4 axes (1.152M
+    // cells), still far under the 2^53 flat-key bound.
+    "hist_4d" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Binning.histogramNd(ev, cols4d(ev).zip(axes4d))
     },
 
     // jittered variant — nondeterministic by design ⇒ rows-only check
@@ -272,6 +294,11 @@ object EventQueries {
       "hist_3d" -> histSql3,
       "hist_3d_dense" -> histSql3,
       "hist_3d_dense_shard" -> histSql3,
+      "hist_4d" -> Binning.histogramNdSql("events", Seq(
+        "CAST(user_id AS DOUBLE)" -> axUser,
+        "CAST(hour(ts) AS DOUBLE)" -> axHour,
+        "value" -> axValue,
+        "CAST(minute(ts) AS DOUBLE)" -> axMinute)),
 
       "hist_2d_weighted" -> {
         val u = axUser; val v = axValue

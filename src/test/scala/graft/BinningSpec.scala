@@ -96,6 +96,53 @@ class BinningSpec extends AnyFunSuite {
       NdHistogramAgg.histogramNdDenseSharded(ev, axes)))
   }
 
+  test("4D: relational == dense == sharded dense on the headline 4-axis grid") {
+    // the reference's actual headline case (kx, ky, E, delay scans;
+    // dedicated 4D kernels fprocessing.py:3594-3609), stood in by the
+    // user x hour x value x minute axes of hist_4d
+    val ev = Tables.events(spark, sfDir)
+    val axes = graft.ops.EventQueries.cols4d(ev).zip(graft.ops.EventQueries.axes4d)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    val rel = toMap(Binning.histogramNd(ev, axes))
+    val dense = toMap(NdHistogramAgg.histogramNdDense(ev, axes))
+    val shard = toMap(NdHistogramAgg.histogramNdDenseSharded(ev, axes))
+    assert(rel.nonEmpty && rel.values.sum > 0)
+    assert(dense == rel, "dense 4D path diverges from relational")
+    assert(shard == rel, "sharded dense 4D path diverges from relational")
+    // and the query surface runs the same grid
+    val viaQuery = toMap(SparkEntry.queries("hist_4d")(spark, sfDir))
+    assert(viaQuery == rel)
+  }
+
+  test("4D grid: V0..Vn sliced export matches rollaxis semantics, round-trips") {
+    import graft.binning.BinnedGrid
+    val ev = Tables.events(spark, sfDir)
+    val axes = graft.ops.EventQueries.cols4d(ev).zip(graft.ops.EventQueries.axes4d)
+    val grid = BinnedGrid.collect(Binning.histogramNd(ev, axes),
+      graft.ops.EventQueries.axes4d)
+    assert(grid.totalCount > 0)
+    // slice along the trailing (delay-analogue) axis, the reference's
+    // default cutaxis=3 (saveDict, fprocessing.py:931-955)
+    val slices = grid.sliceAlong(3)
+    assert(slices.length == grid.shape(3))
+    // rollaxis semantics: slice i's cell (a,b,c) == grid(a,b,c,i);
+    // probe every non-empty cell through a random-ish stride
+    for (i <- slices.indices; a <- 0 until grid.shape(0) by 7;
+         b <- 0 until grid.shape(1) by 5; c <- 0 until grid.shape(2) by 11) {
+      assert(slices(i)(a, b, c) == grid(a, b, c, i), s"($a,$b,$c,$i)")
+    }
+    // counts conserved across the cut
+    assert(slices.map(_.totalCount).sum == grid.totalCount)
+    // full save/load round-trip of the V0..Vn layout
+    val dir = java.nio.file.Files.createTempDirectory("sliced4d").toString
+    BinnedGrid.saveSliced(grid, spark, dir, cutAxis = 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/binned/V0")))
+    val back = BinnedGrid.loadSliced(spark, dir)
+    assert(back.axes == grid.axes)
+    assert(back.data.sameElements(grid.data))
+  }
+
   test("dense path refuses oversized grids with a clear message") {
     import spark.implicits._
     val df = Seq(1.0).toDF("v")
