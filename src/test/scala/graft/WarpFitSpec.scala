@@ -85,6 +85,73 @@ class WarpFitSpec extends AnyFunSuite {
     assert(math.abs(fits("b").center - 55.0) < 1e-6)
   }
 
+  test("Faddeeva wofz matches published values to 1e-6 (and well beyond)") {
+    import graft.fit.Faddeeva.wofz
+    // w(0) = 1 exactly
+    val (r0, i0) = wofz(0.0, 0.0)
+    assert(math.abs(r0 - 1.0) < 1e-12 && math.abs(i0) < 1e-12)
+    // pure imaginary: w(iy) = erfcx(y) = e^(y²)·erfc(y), real — built
+    // from the same published erf values pinned in DetectFilterSpec
+    val erfcx05 = (1.0 - 0.5204998778130465) * math.exp(0.25)
+    val erfcx1 = (1.0 - 0.8427007929497149) * math.exp(1.0)
+    val erfcx2 = (1.0 - 0.9953222650189527) * math.exp(4.0)
+    for ((y, want) <- Seq(0.5 -> erfcx05, 1.0 -> erfcx1, 2.0 -> erfcx2)) {
+      val (re, im) = wofz(0.0, y)
+      assert(math.abs(re - want) < 1e-6 * want, s"w(${y}i): $re vs $want")
+      assert(math.abs(im) < 1e-10)
+    }
+    // real axis: Re w(x) = e^(−x²) exactly
+    for (x <- Seq(0.7, 1.3, 2.4)) {
+      val (re, _) = wofz(x, 0.0)
+      val want = math.exp(-x * x)
+      assert(math.abs(re - want) < 1e-6 * want, s"Re w($x): $re vs $want")
+    }
+    // libcerf's published complex fixture: w(1+1i)
+    val (re11, im11) = wofz(1.0, 1.0)
+    assert(math.abs(re11 - 0.3047442052569126) < 1e-6)
+    assert(math.abs(im11 - 0.2082189382028316) < 1e-6)
+    // symmetry w(−x+iy) = conj(w(x+iy))
+    val (ra, ia) = wofz(1.7, 0.4); val (rb, ib) = wofz(-1.7, 0.4)
+    assert(math.abs(ra - rb) < 1e-12 && math.abs(ia + ib) < 1e-12)
+  }
+
+  test("true Voigt: gaussian limit at γ=0, lorentzian limit at σ→0") {
+    // γ=0: exactly the area-normalized gaussian
+    for (x <- Seq(-2.0, 0.0, 0.9, 3.1)) {
+      val got = Fit.voigt(2.5, 0.4, 1.2, 0.0, x)
+      val want = 2.5 * math.exp(-(x - 0.4) * (x - 0.4) / (2 * 1.2 * 1.2)) /
+        (1.2 * math.sqrt(2 * math.Pi))
+      assert(math.abs(got - want) < 1e-9 * math.max(want, 1e-6), s"x=$x")
+    }
+    // σ→0: approaches the lorentzian γ/(π((x−ctr)²+γ²))
+    for (x <- Seq(0.0, 0.5, 2.0)) {
+      val got = Fit.voigt(1.0, 0.0, 1e-4, 0.8, x)
+      val want = 0.8 / (math.Pi * (x * x + 0.64))
+      assert(math.abs(got - want) < 1e-4 * want, s"x=$x: $got vs $want")
+    }
+  }
+
+  test("fitVoigt recovers parameters from a clean trace; fitTracesVoigt distributes") {
+    import SparkTestSession._
+    val xs = (-60 to 60).map(_ * 0.1).toArray
+    val ys = xs.map(x => Fit.voigt(5.0, 0.7, 0.9, 0.5, x))
+    val (a, c, s, g, sse, _) = Fit.fitVoigt(xs, ys)
+    assert(math.abs(a - 5.0) < 0.05, s"amp $a")
+    assert(math.abs(c - 0.7) < 0.01, s"ctr $c")
+    assert(math.abs(s - 0.9) < 0.02, s"sigma $s")
+    assert(math.abs(g - 0.5) < 0.02, s"gamma $g")
+    assert(sse < 1e-6)
+    // distributed form returns the same fit per trace
+    import spark.implicits._
+    val traces = Seq(
+      Fit.Trace("t0", xs, ys),
+      Fit.Trace("t1", xs, xs.map(x => Fit.voigt(3.0, -1.1, 0.6, 0.9, x)))).toDS()
+    val fits = Fit.fitTracesVoigt(traces).collect().map(f => f.key -> f).toMap
+    assert(math.abs(fits("t0").center - 0.7) < 0.01)
+    assert(math.abs(fits("t1").center - (-1.1)) < 0.01)
+    assert(math.abs(fits("t1").gamma - 0.9) < 0.05)
+  }
+
   test("multimodal stub features match direct byte computation") {
     val df = graft.multimodal.Multimodal.extractFeatures(
       graft.multimodal.Multimodal.payloads(spark, sfDir))
