@@ -211,6 +211,42 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
+    // IVF-PQ top-k: the at-scale layout — corpus vectors compressed to
+    // m=8 per-subspace codes over coarse-cell residuals, candidates
+    // ranked by codegen'd ADC distance against the codes alone, raw
+    // vectors touched only for the exact re-rank of the top-SHORTLIST.
+    // At 100 TB the corpus side carries 8 bytes + cell id per vector
+    // instead of 256 bytes of floats; training stays driver-bounded.
+    "emb_ivfpq_topk" -> { (s, dir) =>
+      val cents = Ivf.trainCentroids(s, dir, k = 8)
+      val cbs = Pq.trainCodebooks(s, dir, cents)
+      val assigned = Ivf.withCell(Tables.embeddings(s, dir), cents)
+      val withRes = Pq.withResidual(assigned, cents)
+      val corpus = withRes
+        .withColumn("codes", Pq.encodeCol(col("res"), cbs))
+        .select(col("vec_id").as("cid"), col("embedding").as("e2"),
+          col("cell"), col("codes"))
+      val q = withRes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+          col("cell"), col("res").as("qr"))
+      val adc = broadcast(q).join(corpus, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+      val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+        .filter(col("arank") <= Pq.SHORTLIST)
+      val scored = shortlist
+        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
+        .withColumn("cosine", col("dot_e12").cast("double") /
+          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
     "emb_neardup_pairs" -> { (s, dir) =>
@@ -258,13 +294,18 @@ object SimilarityQueries {
            |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
            |  FROM scored) t
            |WHERE rank <= 5""".stripMargin
+      val pq = Pq.cachedCodebooks match {
+        case Some(cbs) => Map(
+          "emb_ivfpq_topk" -> Pq.topkSql(cents, cbs, nQueries = 10, topK = 5))
+        case None => Map.empty[String, String]
+      }
       Map(
         "emb_ivf_assign" -> s"SELECT vec_id, cell FROM ($asg) t",
         "emb_ivf_topk" -> rerank(
           "SELECT vec_id AS qid, embedding AS e1, cell FROM asg WHERE vec_id < 10"),
         "emb_ivf_topk_p2" -> rerank(
           s"SELECT vec_id AS qid, embedding AS e1, unnest(probes) AS cell FROM ($prb) p WHERE vec_id < 10")
-      )
+      ) ++ pq
   }
 
   private val staticOracles: Map[String, String] = Map(

@@ -244,3 +244,95 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import graft.sim.{Ivf, Pq}
+
+  private def qround(p: Double): Long = graft.functions.QuantKernels.qround(p)
+
+  test("distributed PQ codes match driver-side encoding (codegen kernel parity)") {
+    val cents = Ivf.trainCentroids(spark, sfDir, k = 8)
+    val cbs = Pq.trainCodebooks(spark, sfDir, cents)
+    assert(cbs.length == Pq.M && cbs(0).length == Pq.KCODES)
+    val dsub = cbs(0)(0).length
+    val got = Pq.withResidual(Ivf.withCell(Tables.embeddings(spark, sfDir), cents), cents)
+      .withColumn("codes", Pq.encodeCol(col("res"), cbs))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    vecs.foreach { case (id, v) =>
+      val c = cents(Ivf.assign(v, cents))
+      // residual exactly as the Column expression computes it
+      val res = Array.tabulate(v.length)(d => v(d).toFloat.toDouble - c(d))
+      val want = Array.tabulate(Pq.M) { sub =>
+        (0 until Pq.KCODES).map { j =>
+          (0 until dsub).map { d =>
+            val diff = res(sub * dsub + d) - cbs(sub)(j)(d)
+            qround(diff * diff * 1e12)
+          }.sum -> j
+        }.minBy(identity)._2
+      }
+      assert(got(id).sameElements(want), s"vec $id: ${got(id).toSeq} vs ${want.toSeq}")
+      got(id).foreach(code => assert(code >= 0 && code < Pq.KCODES))
+    }
+  }
+
+  test("ADC kernel matches driver-side asymmetric distance") {
+    val cents = Ivf.trainCentroids(spark, sfDir, k = 8)
+    val cbs = Pq.trainCodebooks(spark, sfDir, cents)
+    val dsub = cbs(0)(0).length
+    val base = Pq.withResidual(Ivf.withCell(Tables.embeddings(spark, sfDir), cents), cents)
+      .withColumn("codes", Pq.encodeCol(col("res"), cbs))
+    val q = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("res").as("qr"), col("cell"))
+    val c = base.select(col("vec_id").as("cid"), col("codes"), col("cell"))
+    val got = broadcast(q).join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
+      .select("qid", "cid", "adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // recompute a sample of pairs on the driver
+    val resOf = base.select("vec_id", "res").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codesOf = base.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    got.take(200).foreach { case ((qid, cid), adc) =>
+      val qr = resOf(qid); val codes = codesOf(cid)
+      val want = (0 until Pq.M).map { sub =>
+        (0 until dsub).map { d =>
+          val diff = qr(sub * dsub + d) - cbs(sub)(codes(sub))(d)
+          qround(diff * diff * 1e12)
+        }.sum
+      }.sum
+      assert(adc == want, s"($qid,$cid)")
+    }
+  }
+
+  test("IVF-PQ recall@5 >= plain IVF recall@5 (shortlist + exact re-rank)") {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth: Map[Long, Set[Long]] = (0L until 10L).map { qid =>
+      val qv = vecs(qid)
+      qid -> vecs.filter(_._1 != qid).toSeq
+        .map { case (cid, v) => (cid, cos(qv, v)) }
+        .sortBy { case (cid, cv) => (-cv, cid) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+      truth.map { case (k, t) => byQ.getOrElse(k, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+        .sum / truth.size
+    }
+    val rIvf = recall(graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect())
+    val rPq = recall(graft.sim.SimilarityQueries.queries("emb_ivfpq_topk")(spark, sfDir).collect())
+    assert(rPq >= rIvf, s"IVF-PQ recall $rPq < IVF recall $rIvf")
+    assert(rPq > 0.0)
+  }
+}
