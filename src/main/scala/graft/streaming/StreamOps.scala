@@ -195,6 +195,115 @@ object StreamOps {
       .toDF()
   }
 
+  final case class LshIn(doc_id: Long, ts: java.sql.Timestamp, band: Int,
+                         sig: String, sh: Seq[Long])
+  final case class LshDocs(ids: Seq[Long], shs: Seq[Seq[Long]])
+  final case class LshCand(d1: Long, d2: Long, ts: java.sql.Timestamp,
+                           sh1: Seq[Long], sh2: Seq[Long])
+
+  /** Streaming LSH candidate-PAIR emission with exact-Jaccard verify —
+    * the full streaming form of the batch `dedup_lsh_pairs` chain,
+    * built from Spark 4 chained stateful operators:
+    *
+    *  1. stateless per-row band signatures + the doc's distinct
+    *     shingle-hash set ([[graft.text.TextQueries.bandSigsExpr]] /
+    *     `shingleHashesExpr`);
+    *  2. stateful band-collision state per (band, signature) key holding
+    *     the docs (id + shingle hashes) that registered it; each arriving
+    *     doc emits one candidate pair per stored doc, normalized to
+    *     `d1 < d2`. `EventTimeTimeout` expires signatures `horizonMs`
+    *     past their newest event, and a per-signature doc cap bounds the
+    *     degenerate "identical template" bucket (beyond the cap the
+    *     overflow is dropped LOUDLY via log — the streaming analogue of
+    *     `Scale.selfPairs` salting, which cannot apply inside one key's
+    *     state);
+    *  3. a CHAINED second stateful operator — watermark-scoped pair
+    *     dedup (`dropDuplicatesWithinWatermark`) — collapses the same
+    *     pair surfacing from multiple bands, exactly like the batch
+    *     `.distinct()`;
+    *  4. stateless exact-Jaccard verify from the carried shingle sets
+    *     (`array_intersect` on 60-bit hashes), `jaccard >= threshold`.
+    *
+    * Output: (d1, d2, inter, uni, jaccard) — the batch query's schema;
+    * StreamingLshSpec pins single-batch-replay parity with
+    * `dedup_lsh_pairs` and state expiry.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingLshPairs(docs: DataFrame, watermark: String = "10 minutes",
+                        horizonMs: Long = 600000L, maxDocsPerSig: Int = 128,
+                        threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The analyzer's global-watermark heuristic rejects ANY
+    // flatMapGroupsWithState feeding a second stateful operator, because
+    // a custom state function COULD emit arbitrarily old event times.
+    // This one cannot: every emitted pair carries the ARRIVING row's
+    // event time, which is >= the batch's input watermark by definition,
+    // and the downstream dedup runs with the same watermark delay — so
+    // no emitted row is ever late downstream. Disable the heuristic
+    // (the documented escape hatch for exactly this proven-safe shape).
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // Two watermark nodes exist (input + re-assert on the emitted pairs).
+    // Under the default `min` policy the pair-side node goes STALE in
+    // batches that emit no pairs, freezing the global watermark and
+    // blocking the band-state EventTimeTimeout sweep forever. `max` is
+    // correct here because both nodes carry the same delay and every
+    // emitted ts >= the input watermark of its emission batch — the
+    // pair-side node can only lag, never lead, so taking the max just
+    // restores the input watermark.
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    val cands = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")),
+        graft.text.TextQueries.shingleHashesExpr("text").as("sh"))
+      .as[LshIn]
+      .groupByKey(b => b.band + "#" + b.sig)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[LshIn], state: GroupState[LshDocs]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(b => (b.ts.getTime, b.doc_id))
+            var st = state.getOption.getOrElse(LshDocs(Nil, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[LshCand]
+            sorted.foreach { b =>
+              if (!st.ids.contains(b.doc_id)) {
+                st.ids.zip(st.shs).foreach { case (id, sh) =>
+                  if (id < b.doc_id) out += LshCand(id, b.doc_id, b.ts, sh, b.sh)
+                  else out += LshCand(b.doc_id, id, b.ts, b.sh, sh)
+                }
+                if (st.ids.length < maxDocsPerSig)
+                  st = LshDocs(st.ids :+ b.doc_id, st.shs :+ b.sh)
+                else
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"streamingLshPairs: signature bucket $key exceeds cap " +
+                      s"$maxDocsPerSig; doc ${b.doc_id} pairs against the stored " +
+                      "docs but is not registered (degenerate template bucket)")
+              }
+            }
+            state.update(st)
+            val maxMs = sorted.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1000L, maxMs + horizonMs))
+            out.iterator
+          }
+        })
+      .toDF()
+    cands
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("d1", "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("inter"),
+        (size(col("sh1")) + size(col("sh2"))
+          - size(array_intersect(col("sh1"), col("sh2")))).cast("long").as("uni"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2"))
+            - size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Batch-equivalent of [[streamingHistogram]] for oracle comparison
     * (complete-mode streaming result == batch result on the same data). */
   def batchHistogram(events: DataFrame, axis: BinAxis,

@@ -106,6 +106,20 @@ object TextQueries {
          |  ELSE CAST(array() AS ARRAY<STRING>) END), 1)""".stripMargin)
   }
 
+  /** Per-row distinct shingle-hash set (full 60-bit portable hash, NOT
+    * the 2^30-folded minhash input) — carried by the streaming LSH path
+    * so candidate pairs can be exact-Jaccard-verified from state without
+    * re-reading documents: |A∩B|/|A∪B| over 60-bit hashes equals the
+    * shingle-string Jaccard up to a ~2⁻⁶⁰ collision probability. Empty
+    * array below 3 tokens, same as [[bandSigsExpr]]. */
+  def shingleHashesExpr(textField: String): Column = expr(
+    s"""element_at(transform(array(split($textField, ' ')), toks ->
+       |  CASE WHEN size(toks) >= 3 THEN
+       |    array_distinct(transform(array_distinct(transform(sequence(1, size(toks) - 2),
+       |      i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))),
+       |      x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)))
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>

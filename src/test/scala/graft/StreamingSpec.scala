@@ -251,3 +251,83 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  test("streaming LSH pairs == batch dedup_lsh_pairs on single-batch replay") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_lsh_replay")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingLshPairs(in)
+      .writeStream.format("memory").queryName("lsh_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lsh_replay").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val want = SparkEntry.queries("dedup_lsh_pairs")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(want.nonEmpty, "fixture must produce pairs")
+      assert(got.keySet == want.keySet,
+        s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      // exact inter/uni/jaccard parity (60-bit shingle hashes vs strings)
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
+
+  test("streaming LSH pair state expires beyond the horizon") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    val near1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"
+    val fill1 = "totally unrelated filler text to push the watermark forward in stream time"
+    val fill2 = "another unrelated filler advancing event time so timeouts fire properly now"
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_lsh_exp")
+    def dump(rows: Seq[(Long, java.sql.Timestamp, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_tmp")
+      rows.toDF("doc_id", "ts", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps
+      .streamingLshPairs(in, watermark = "10 minutes", horizonMs = 600000L)
+      .writeStream.format("memory").queryName("lsh_exp").outputMode("append").start()
+    try {
+      // near-identical docs in one horizon -> verified pair
+      dump(Seq((1L, ts(0), near1), (2L, ts(60), near2)), "b1.parquet")
+      q.processAllAvailable()
+      val h1 = spark.table("lsh_exp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(h1.contains((1L, 2L)), s"expected (1,2) pair, got $h1")
+      // advance watermark far past the horizon (two batches so the
+      // timeout sweep runs after the watermark has moved)
+      dump(Seq((10L, ts(7200), fill1)), "b2.parquet")
+      q.processAllAvailable()
+      dump(Seq((11L, ts(7260), fill2)), "b3.parquet")
+      q.processAllAvailable()
+      // a fresh copy of near1: its band signatures re-register instead of
+      // pairing against the expired doc 1
+      dump(Seq((5L, ts(7320), near1)), "b4.parquet")
+      q.processAllAvailable()
+      val h4 = spark.table("lsh_exp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!h4.contains((1L, 5L)) && !h4.contains((2L, 5L)),
+        s"state must have expired, got $h4")
+      // and a second fresh copy pairs against doc 5 (state is live again)
+      dump(Seq((6L, ts(7380), near1)), "b5.parquet")
+      q.processAllAvailable()
+      val h5 = spark.table("lsh_exp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(h5.contains((5L, 6L)), s"fresh state must pair, got $h5")
+    } finally q.stop()
+  }
+}
