@@ -49,6 +49,28 @@ object TemporalQueries {
         .select(col("event_id"), col("asof_value"))
     },
 
+    // config-by-validity-timestamp selection against the aperture
+    // calibration schedule (the reference's aperture_dict datetime-key
+    // lookup, fprocessing.py:50-79, dims in config.InstrumentConfig).
+    // The dim is a handful of rows, so the 100 TB shape is a driver-
+    // literal lookup — idx = #validities <= ts resolved per row inside
+    // whole-stage codegen, NO join and NO shuffle (the keyed union+
+    // window asofJoin would funnel every event through the dim's few
+    // keys; ConfigAsofSpec pins equality between the two mechanisms).
+    "config_asof" -> { (s, dir) =>
+      val sched = graft.config.InstrumentConfig.calibrationSchedule
+      val epochs = typedLit(sched.map(_._1))
+      val fas = typedLit(sched.map(_._2))
+      val cas = typedLit(sched.map(_._3))
+      val u = unix_timestamp(col("ts"))
+      Tables.events(s, dir)
+        .withColumn("idx", size(filter(epochs, e => e <= u)))
+        .select(col("event_id"),
+          when(col("idx") > 0, element_at(epochs, col("idx"))).as("config_epoch"),
+          when(col("idx") > 0, element_at(fas, col("idx"))).as("fa_size"),
+          when(col("idx") > 0, element_at(cas, col("idx"))).as("ca_size"))
+    },
+
     // sliding window: 2-minute windows sliding by 1 minute
     "sliding_window" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -88,6 +110,20 @@ object TemporalQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
         |                WHERE event_type = 'purchase') r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin,
+
+    "config_asof" -> {
+      val rows = graft.config.InstrumentConfig.calibrationSchedule
+        .map { case (e, fa, ca) =>
+          s"(CAST($e AS BIGINT), CAST($fa AS DOUBLE), CAST($ca AS DOUBLE))"
+        }.mkString(", ")
+      // Spark unix_timestamp floors to the second; validities are whole
+      // seconds, so floor(epoch(ts)) >= e <=> ts >= to_timestamp(e)
+      s"""WITH sched(config_epoch, fa_size, ca_size) AS (VALUES $rows)
+         |SELECT e.event_id, s.config_epoch, s.fa_size, s.ca_size
+         |FROM events e
+         |ASOF LEFT JOIN sched s
+         |  ON CAST(floor(epoch(e.ts)) AS BIGINT) >= s.config_epoch""".stripMargin
+    },
 
     // Spark sliding windows: an event at t belongs to windows starting at
     // floor_minute(t) and floor_minute(t) - 60s (width 2 min, slide 1 min)
