@@ -58,8 +58,14 @@ object TextQueries {
     * via `stack`) instead of a K-fold row explosion — at 100 TB the
     * explode variant would shuffle K× the shingle volume for no reason.
     */
-  private def minhashSig(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs).withColumn("h30", phash(col("shingle")) % lit(H30))
+  private def minhashSig(docs: DataFrame): DataFrame =
+    minhashSigFromShingles(
+      shingles(docs).select(col("doc_id"), phash(col("shingle")).as("h")))
+
+  /** Signatures from the compact hashed-shingle frame (doc_id, h):
+    * the 30-bit minhash input is just `h % 2^30`. */
+  private def minhashSigFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h30", col("h") % lit(H30))
     val aggs = (0 until K).map { s =>
       min((col("h30") * lit(2L * s + 1) + lit(7919L * s)) % lit(P)).as(s"m$s")
     }
@@ -120,6 +126,62 @@ object TextQueries {
        |      x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)))
        |  ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)""".stripMargin)
 
+  /** Full LSH dedup chain over any (doc_id, text) frame — the body of
+    * the `dedup_lsh_pairs` query, public so `BenchLarge` can drive it at
+    * synthetic-corpus scale. The shingle and band-signature lineages
+    * feed multiple joins and are deliberately NOT persisted: re-deriving
+    * the codegen'd tokenize+explode+agg chain per branch measured 2.0 s
+    * steady-state at sf0.1 vs 5.4 s with MEMORY_AND_DISK persist (the
+    * columnar cache build costs more than the recompute), and at corpus
+    * scale materializing a multi-TB intermediate is strictly worse than
+    * re-scanning the pruned source columns. */
+  def lshPairs(docs: DataFrame, threshold: Double = 0.5,
+               persistLineage: Boolean = false): DataFrame = {
+    // Everything downstream of the tokenize+explode works on the 60-bit
+    // portable shingle hash, not the shingle string: minhash folds it to
+    // 30 bits anyway, and |A∩B|/|A∪B| over 60-bit hashes equals the
+    // string Jaccard up to a ~2⁻⁶⁰ collision probability (the same
+    // argument the streaming path documents) — while every shuffle row
+    // shrinks from (doc_id, ~40-byte string) to (doc_id, long).
+    // Measured at 2M docs / 36M shingles on 32 cores: 191 s → 44 s.
+    val sh0 = shingles(docs).select(col("doc_id"), phash(col("shingle")).as("h"))
+    // `persistLineage` caches that compact frame, which the branches
+    // below re-derive (signatures, sizes, both sides of the verify
+    // join): at sf0.1 recompute wins (2.0 s vs 5.4 s — cache build
+    // exceeded the recompute); at corpus scale the md5+explode chain
+    // dominates and the tradeoff flips — callers choose per scale.
+    val sh = if (persistLineage)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    val sig = minhashSigFromShingles(sh)
+    // band signature: concat of the band's r minhash values in seed order
+    val bands = sig
+      .withColumn("band", (col("seed") / lit(K / BANDS)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("sig"))
+    // candidate pairs via the skew-aware self-join: degenerate
+    // "identical template" band buckets are triangle-salted so their
+    // n² pair-work spreads across reducers (Scale.selfPairs) — output
+    // is exactly the all-pairs result, so the oracle is unchanged
+    val cand = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
+    // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1.n") + col("n2.n") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>
@@ -173,44 +235,7 @@ object TextQueries {
     "dedup_minhash_sig" -> { (s, dir) => minhashSig(Tables.documents(s, dir)) },
 
     // ---- LSH: band signatures → candidate pairs → exact Jaccard verify ----
-    "dedup_lsh_pairs" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      // the shingle and band-signature lineages feed multiple joins
-      // below and are deliberately NOT persisted: re-deriving the
-      // codegen'd tokenize+explode+agg chain per branch measured 2.0 s
-      // steady-state at sf0.1 vs 5.4 s with MEMORY_AND_DISK persist (the
-      // columnar cache build costs more than the recompute), and at
-      // corpus scale materializing a multi-TB intermediate is strictly
-      // worse than re-scanning the pruned source columns
-      val sh = shingles(docs)
-      val sig = minhashSig(docs)
-      // band signature: concat of the band's r minhash values in seed order
-      val bands = sig
-        .withColumn("band", (col("seed") / lit(K / BANDS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-          x => x.getField("minh").cast("string")), ",").as("sig"))
-      // candidate pairs via the skew-aware self-join: degenerate
-      // "identical template" band buckets are triangle-salted so their
-      // n² pair-work spreads across reducers (Scale.selfPairs) — output
-      // is exactly the all-pairs result, so the oracle is unchanged
-      val cand = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
-        .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
-      // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      cand.join(inter, Seq("d1", "d2"), "left")
-        .na.fill(0L, Seq("inter"))
-        .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
-        .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
-        .select(col("d1"), col("d2"), col("inter"),
-          (col("n1.n") + col("n2.n") - col("inter")).as("uni"),
-          (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    },
+    "dedup_lsh_pairs" -> { (s, dir) => lshPairs(Tables.documents(s, dir)) },
 
     // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
     // doc window and 0.02 threshold keep the result at O(10-100) rows so
