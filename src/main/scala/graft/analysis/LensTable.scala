@@ -132,4 +132,116 @@ object LensTable {
       val dA = math.abs(ang) - aInner
       math.signum(ang) * (zInner(ek, aInner, da) + dA * zInnerDiff(ek, aInner, da))
     }
+
+  // --- distributed form: the interpolated coefficient tables baked into
+  // Column expressions (the same driver-literals-into-codegen pattern as
+  // `cal_tof2ev`/`tps_apply`). Only IEEE *, +, abs, sign and comparisons,
+  // with the Column and SQL builders emitting the IDENTICAL operation
+  // tree, so Spark and the DuckDB oracle agree bit-for-bit.
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, when, abs => cabs, signum}
+
+  /** numpy `polyval` as a Column: same fold order as [[polyval]]. */
+  def polyvalCol(coeffs: Array[Double], x: Column): Column =
+    coeffs.foldLeft(lit(0.0): Column)((acc, c) => acc * x + lit(c))
+
+  /** Render a double as a DuckDB DOUBLE literal. Plain decimal literals
+    * are DECIMAL-typed there, and DECIMAL→DOUBLE conversion divides by a
+    * power of ten in double arithmetic — NOT correctly rounded (observed
+    * 1-ULP drift on 17-digit constants). Exponent notation is lexed as
+    * DOUBLE and goes through strtod, which is exact. */
+  private def dlit(c: Double): String = {
+    val s = c.toString
+    if (s.contains('e') || s.contains('E') || s == "Infinity" || s == "-Infinity") s
+    else s + "e0"
+  }
+
+  private def polyvalSql(coeffs: Array[Double], x: String): String =
+    coeffs.foldLeft("0.0e0")((acc, c) => s"(($acc) * ($x) + ${dlit(c)})")
+
+  private def pow(ang: Column, n: Int): Column =
+    Seq.fill(n)(ang).reduce(_ * _)
+
+  // outer parens matter: without them SQL left-associates the enclosing
+  // `c * poly * a * a * a` chain, while the Column tree multiplies the
+  // pow subtree as one operand — a 1-ULP divergence at the hash gate
+  private def powSql(ang: String, n: Int): String =
+    "(" + Seq.fill(n)(s"($ang)").mkString(" * ") + ")"
+
+  /** [[zInner]] as a Column over per-row (ek, ang). */
+  def zInnerCol(ek: Column, ang: Column, da: Array[Array[Double]]): Column =
+    polyvalCol(da(0), ek) * ang +
+      lit(1e-2) * polyvalCol(da(1), ek) * pow(ang, 3) +
+      lit(1e-4) * polyvalCol(da(2), ek) * pow(ang, 5) +
+      lit(1e-6) * polyvalCol(da(3), ek) * pow(ang, 7)
+
+  private def zInnerSql(ek: String, ang: String, da: Array[Array[Double]]): String =
+    s"${polyvalSql(da(0), ek)} * ($ang) + " +
+      s"1.0e-2 * ${polyvalSql(da(1), ek)} * ${powSql(ang, 3)} + " +
+      s"1.0e-4 * ${polyvalSql(da(2), ek)} * ${powSql(ang, 5)} + " +
+      s"1.0e-6 * ${polyvalSql(da(3), ek)} * ${powSql(ang, 7)}"
+
+  /** [[zInnerDiff]] as a Column. */
+  def zInnerDiffCol(ek: Column, ang: Column, da: Array[Array[Double]]): Column =
+    polyvalCol(da(0), ek) +
+      lit(3e-2) * polyvalCol(da(1), ek) * pow(ang, 2) +
+      lit(5e-4) * polyvalCol(da(2), ek) * pow(ang, 4) +
+      lit(7e-6) * polyvalCol(da(3), ek) * pow(ang, 6)
+
+  private def zInnerDiffSql(ek: String, ang: String, da: Array[Array[Double]]): String =
+    s"${polyvalSql(da(0), ek)} + " +
+      s"3.0e-2 * ${polyvalSql(da(1), ek)} * ${powSql(ang, 2)} + " +
+      s"5.0e-4 * ${polyvalSql(da(2), ek)} * ${powSql(ang, 4)} + " +
+      s"7.0e-6 * ${polyvalSql(da(3), ek)} * ${powSql(ang, 6)}"
+
+  /** [[mcpPositionMm]] as a Column: the edge terms bake `ang = aInner`
+    * (a literal) into the polynomial, so the Taylor branch costs two
+    * constant polynomials in ek plus one multiply per row. */
+  def mcpPositionCol(ek: Column, ang: Column, aInner: Double,
+                     da: Array[Array[Double]]): Column = {
+    val edge = zInnerCol(ek, lit(aInner), da)
+    val diff = zInnerDiffCol(ek, lit(aInner), da)
+    when(cabs(ang) <= lit(aInner), zInnerCol(ek, ang, da))
+      .otherwise(signum(ang) * (edge + (cabs(ang) - lit(aInner)) * diff))
+  }
+
+  /** The DuckDB-dialect twin of [[mcpPositionCol]] — identical tree. */
+  def mcpPositionSql(ek: String, ang: String, aInner: Double,
+                     da: Array[Array[Double]]): String = {
+    val aIn = dlit(aInner)
+    val edge = zInnerSql(ek, aIn, da)
+    val diff = zInnerDiffSql(ek, aIn, da)
+    s"""CASE WHEN abs($ang) <= $aIn THEN ${zInnerSql(ek, ang, da)}
+       | ELSE CAST(sign($ang) AS DOUBLE) * (($edge) + (abs($ang) - $aIn) * ($diff)) END""".stripMargin
+  }
+
+  /** A SPECS-style WideAngleMode calibration fixture (three retardation
+    * ratios) for the `lens_mcp_position` query and its tests — synthetic
+    * values in the magnitude range the real calibration files use. */
+  val FIXTURE: String =
+    """# synthetic SPECS calibration
+      |[WideAngleMode defaults for Ep]
+      |detector
+      |aRange = -15.0 15.0
+      |eShift = -0.1 0.0 0.1
+      |[WideAngleMode@1.5]
+      |aInner = 10.0
+      |Da1 = 0.42 1.80 0.95
+      |Da3 = 0.08 0.35 0.21
+      |Da5 = 0.012 0.038 0.019
+      |Da7 = 0.0011 0.0042 0.0023
+      |[WideAngleMode@3.0]
+      |aInner = 12.0
+      |Da1 = 1.35 3.90 2.85
+      |Da3 = 0.27 0.77 0.58
+      |Da5 = 0.031 0.083 0.057
+      |Da7 = 0.0032 0.0081 0.0064
+      |[WideAngleMode@9.0]
+      |aInner = 13.5
+      |Da1 = 2.10 5.20 4.05
+      |Da3 = 0.44 1.05 0.83
+      |Da5 = 0.052 0.114 0.088
+      |Da7 = 0.0055 0.0122 0.0097
+      |""".stripMargin
 }

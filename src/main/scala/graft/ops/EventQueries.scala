@@ -193,6 +193,22 @@ object EventQueries {
       Tables.events(s, dir).select(col("event_id"), xp.as("xm"), yp.as("ym"))
     },
 
+    // Igor-era lens-table calibration (legacy.py:49-233): parse the
+    // SPECS WideAngleMode tables, interpolate the Da coefficient rows at
+    // a working retardation ratio on the DRIVER, then evaluate the MCP
+    // isoline position per row with the interpolated coefficients baked
+    // into the Column tree — config machinery stays driver-side, the
+    // per-event math is pure codegen'd arithmetic (no join, no shuffle).
+    "lens_mcp_position" -> { (s, dir) =>
+      import graft.analysis.LensTable
+      val calib = LensTable.parseWideAngleMode(LensTable.FIXTURE)
+      val (aInner, da) = LensTable.atRetardationRatio(calib, 2.25)
+      val ek = col("value") / lit(25.0)
+      val ang = (col("user_id") % lit(61)).cast("double") - lit(30.0)
+      Tables.events(s, dir).select(col("event_id"),
+        LensTable.mcpPositionCol(ek, ang, aInner, da).as("mcp_mm"))
+    },
+
     // appendMarker (fprocessing.py:2435-2445) + count per marker level
     "marker_multithresh" -> { (s, dir) =>
       val levels = Seq((0.0, 50.0, 1.0), (50.0, 150.0, 2.0), (150.0, 400.0, 3.0))
@@ -375,6 +391,15 @@ object EventQueries {
           Array(1.0e-5, -2.0e-5, 1.0))
         val (xp, yp) = Calib.perspectiveTransformSql("value", "CAST(user_id AS DOUBLE)", m)
         s"SELECT event_id, $xp AS xm, $yp AS ym FROM events"
+      },
+
+      "lens_mcp_position" -> {
+        import graft.analysis.LensTable
+        val calib = LensTable.parseWideAngleMode(LensTable.FIXTURE)
+        val (aInner, da) = LensTable.atRetardationRatio(calib, 2.25)
+        val mcp = LensTable.mcpPositionSql("value / 25.0",
+          "CAST(user_id % 61 AS DOUBLE) - 30.0", aInner, da)
+        s"SELECT event_id, ($mcp) AS mcp_mm FROM events"
       },
 
       "marker_multithresh" -> {

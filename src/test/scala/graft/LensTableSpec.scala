@@ -74,6 +74,24 @@ class LensTableSpec extends AnyFunSuite {
     assert(LensTable.mcpPositionMm(ek, -4.0, aInner, da) == -beyond)
   }
 
+  test("mcpPositionCol matches the scalar mcpPositionMm row for row") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions.col
+    val c = LensTable.parseWideAngleMode(LensTable.FIXTURE)
+    val (aInner, da) = LensTable.atRetardationRatio(c, 2.25)
+    val rows = for (ek <- Seq(0.5, 5.0, 19.7); ang <- Seq(-28.0, -9.5, 0.0, 3.2, 11.9, 27.0))
+      yield (ek, ang)
+    val df = spark.createDataFrame(rows).toDF("ek", "ang")
+    val got = df.select(col("ek"), col("ang"),
+      LensTable.mcpPositionCol(col("ek"), col("ang"), aInner, da).as("mcp"))
+      .collect()
+    got.foreach { r =>
+      val want = LensTable.mcpPositionMm(r.getDouble(0), r.getDouble(1), aInner, da)
+      assert(r.getDouble(2) == want,
+        s"ek=${r.getDouble(0)} ang=${r.getDouble(1)}: col ${r.getDouble(2)} != scalar $want")
+    }
+  }
+
   test("atRetardationRatio interpolates every coefficient table") {
     val c = LensTable.parseWideAngleMode(calibText)
     // midpoint of rr [1.5, 3.0] -> plain average of the two rows
