@@ -62,17 +62,22 @@ object TextQueries {
     minhashSigFromShingles(
       shingles(docs).select(col("doc_id"), phash(col("shingle")).as("h")))
 
-  /** Signatures from the compact hashed-shingle frame (doc_id, h):
-    * the 30-bit minhash input is just `h % 2^30`. */
-  private def minhashSigFromShingles(sh: DataFrame): DataFrame = {
+  /** Wide signature frame (doc_id, m0..m15) from the compact
+    * hashed-shingle frame (doc_id, h): the 30-bit minhash input is just
+    * `h % 2^30`, and all K permutation minima come out of ONE
+    * aggregation pass. */
+  private def minhashWide(sh: DataFrame): DataFrame = {
     val hashed = sh.withColumn("h30", col("h") % lit(H30))
     val aggs = (0 until K).map { s =>
       min((col("h30") * lit(2L * s + 1) + lit(7919L * s)) % lit(P)).as(s"m$s")
     }
-    val wide = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSigFromShingles(sh: DataFrame): DataFrame = {
     val stackExpr = s"stack($K, " +
       (0 until K).map(s => s"$s, m$s").mkString(", ") + ") AS (seed, minh)"
-    wide.select(col("doc_id"), expr(stackExpr))
+    minhashWide(sh).select(col("doc_id"), expr(stackExpr))
   }
 
   private val minhashSigSql: String =
@@ -136,15 +141,25 @@ object TextQueries {
     * scale materializing a multi-TB intermediate is strictly worse than
     * re-scanning the pruned source columns. */
   def lshPairs(docs: DataFrame, threshold: Double = 0.5,
-               persistLineage: Boolean = false): DataFrame = {
+               persistLineage: Boolean = false,
+               portableHash: Boolean = true): DataFrame = {
     // Everything downstream of the tokenize+explode works on the 60-bit
     // portable shingle hash, not the shingle string: minhash folds it to
     // 30 bits anyway, and |A∩B|/|A∪B| over 60-bit hashes equals the
     // string Jaccard up to a ~2⁻⁶⁰ collision probability (the same
     // argument the streaming path documents) — while every shuffle row
     // shrinks from (doc_id, ~40-byte string) to (doc_id, long).
-    // Measured at 2M docs / 36M shingles on 32 cores: 191 s → 44 s.
-    val sh0 = shingles(docs).select(col("doc_id"), phash(col("shingle")).as("h"))
+    //
+    // `portableHash` picks the hash itself: md5-hex→conv (bit-portable
+    // to the DuckDB oracle — the correctness-gate default) vs native
+    // xxhash64 (codegen'd, no hex-string round-trip). The md5 kernel is
+    // the single hottest instruction stream of the whole chain — at
+    // corpus scale run with portableHash=false unless an external
+    // system must reproduce the signatures.
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh0 = shingles(docs).select(col("doc_id"), hashed.as("h"))
     // `persistLineage` caches that compact frame, which the branches
     // below re-derive (signatures, sizes, both sides of the verify
     // join): at sf0.1 recompute wins (2.0 s vs 5.4 s — cache build
@@ -153,19 +168,36 @@ object TextQueries {
     val sh = if (persistLineage)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val sig = minhashSigFromShingles(sh)
-    // band signature: concat of the band's r minhash values in seed order
-    val bands = sig
-      .withColumn("band", (col("seed") / lit(K / BANDS)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-        x => x.getField("minh").cast("string")), ",").as("sig"))
+    // band signature: concat of the band's r minhash values in seed
+    // order — built STRAIGHT from the wide (doc_id, m0..m15) frame as a
+    // codegen'd string concat + a 4-way explode (2M → 8M rows), NOT by
+    // stack-exploding to K×docs rows and re-grouping with collect_list:
+    // the second shuffle+sort aggregation was the chain's most
+    // expensive subtree, and its three consumers (selfPairs' eager
+    // skew-detection aggregate plus both references to `cand` below)
+    // each paid it again. Same sig strings, same oracle.
+    val r = K / BANDS
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*).as("sig"))
+    }
+    val bands0 = minhashWide(sh)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // under persistLineage, cache bands and cand so each consumer pays
+    // the minhash aggregation once (caches stay session-owned, as `sh`)
+    val bands = if (persistLineage)
+      bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bands0
     // candidate pairs via the skew-aware self-join: degenerate
     // "identical template" band buckets are triangle-salted so their
     // n² pair-work spreads across reducers (Scale.selfPairs) — output
     // is exactly the all-pairs result, so the oracle is unchanged
-    val cand = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
+    val cand0 = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
+    val cand = if (persistLineage)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
     // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -236,6 +268,16 @@ object TextQueries {
 
     // ---- LSH: band signatures → candidate pairs → exact Jaccard verify ----
     "dedup_lsh_pairs" -> { (s, dir) => lshPairs(Tables.documents(s, dir)) },
+
+    // ---- pair graph → dedup CLUSTERS: connected components over the
+    // LSH pairs (large-star/small-star, ops.Components), labeling each
+    // doc with the min doc_id of its near-dup cluster — the canonical
+    // "which copy survives" resolution step ----
+    "dedup_components" -> { (s, dir) =>
+      val pairs = lshPairs(Tables.documents(s, dir)).select(col("d1"), col("d2"))
+      graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+        .select(col("node").as("doc_id"), col("component"))
+    },
 
     // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
     // doc window and 0.02 threshold keep the result at O(10-100) rows so
@@ -322,6 +364,35 @@ object TextQueries {
     }
   )
 
+  /** The dedup_lsh_pairs oracle, shared with dedup_components (which
+    * computes the transitive closure over its pair output). */
+  private val lshPairsOracle: String =
+    s"""WITH mh AS ($minhashSigSql),
+       |bands AS (
+       |  SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
+       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh s1 ON c.d1 = s1.doc_id
+       |  JOIN sh s2 ON c.d2 = s2.doc_id AND s1.shingle = s2.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT c.d1, c.d2, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       |  CAST(n1.n + n2.n - coalesce(i.inter, 0) AS BIGINT) AS uni,
+       |  CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) AS jaccard
+       |FROM cand c
+       |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |JOIN sizes n1 ON c.d1 = n1.doc_id
+       |JOIN sizes n2 ON c.d2 = n2.doc_id
+       |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
       """SELECT doc_id,
@@ -367,32 +438,22 @@ object TextQueries {
     "dedup_minhash_sig" ->
       s"SELECT doc_id, CAST(seed AS INT) AS seed, CAST(minh AS BIGINT) AS minh FROM ($minhashSigSql)",
 
-    "dedup_lsh_pairs" ->
-      s"""WITH mh AS ($minhashSigSql),
-         |bands AS (
-         |  SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
-         |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
-         |  FROM mh GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sh AS ($shinglesSql),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh s1 ON c.d1 = s1.doc_id
-         |  JOIN sh s2 ON c.d2 = s2.doc_id AND s1.shingle = s2.shingle
-         |  GROUP BY c.d1, c.d2)
-         |SELECT c.d1, c.d2, CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
-         |  CAST(n1.n + n2.n - coalesce(i.inter, 0) AS BIGINT) AS uni,
-         |  CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
-         |JOIN sizes n1 ON c.d1 = n1.doc_id
-         |JOIN sizes n2 ON c.d2 = n2.doc_id
-         |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin,
+    "dedup_lsh_pairs" -> lshPairsOracle,
+
+    "dedup_components" ->
+      // transitive closure of the LSH pair graph via recursive CTE
+      // (fine at oracle scale; the Spark side is the O(log n)
+      // large-star/small-star loop in ops.Components)
+      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($lshPairsOracle) lsh),
+         |nodes AS (SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+         |FROM reach GROUP BY a""".stripMargin,
 
     "dedup_jaccard_brute" ->
       s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 200),
