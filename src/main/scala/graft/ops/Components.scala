@@ -93,4 +93,24 @@ object Components {
       .union(edges.select(col("u").as("node"), col("u").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
   }
+
+  /** Total labeling over a node universe: [[connectedComponents]] plus a
+    * self-labeled row for every node of `nodes` that never appears in a
+    * surviving edge (isolated / self-paired only) — the "union
+    * singletons" step a dedup pipeline needs for full corpus coverage.
+    *
+    * Scale: one left join of the universe against the (much smaller)
+    * pair-participant labels on the node key; nodes outside the
+    * universe that DO appear in pairs keep their labels (union
+    * semantics, not an inner restriction).
+    */
+  def connectedComponentsTotal(pairs: DataFrame, src: String, dst: String,
+                               nodes: DataFrame, nodeCol: String,
+                               maxIter: Int = 50): DataFrame = {
+    val cc = connectedComponents(pairs, src, dst, maxIter)
+    val universe = nodes.select(col(nodeCol).as("node")).distinct()
+    universe.join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      .union(cc.join(universe, Seq("node"), "left_anti"))
+  }
 }

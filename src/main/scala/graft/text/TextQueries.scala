@@ -237,7 +237,10 @@ object TextQueries {
       val de = hits(Seq("der", "die", "das", "und", "ist"))
       val fr = hits(Seq("le", "la", "les", "et", "est"))
       val es = hits(Seq("el", "los", "las", "y", "es"))
-      val zh = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+      // CJK char count WITHOUT materializing a throwaway match array:
+      // chars removed by deleting the range == chars in the range
+      val zh = length(col("text")) -
+        length(regexp_replace(col("text"), "[\\u4e00-\\u9fff]", ""))
       Tables.documents(s, dir).select(
         col("doc_id"),
         when(zh > 0, "zh")
@@ -277,6 +280,23 @@ object TextQueries {
       val pairs = lshPairs(Tables.documents(s, dir)).select(col("d1"), col("d2"))
       graft.ops.Components.connectedComponents(pairs, "d1", "d2")
         .select(col("node").as("doc_id"), col("component"))
+    },
+
+    // ---- clusters → the deduplicated CORPUS itself: survivor = cluster-
+    // min doc_id, everything else dropped, docs never emitted as a pair
+    // (singletons) kept — the materialization step every training-data
+    // pipeline runs right after cluster resolution. The drop-set is the
+    // SMALL side (only near-dup non-survivors), so the anti-join
+    // broadcasts at corpus scale and singletons survive with no
+    // universe-sized join at all ----
+    "dedup_keep" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = lshPairs(docs).select(col("d1"), col("d2"))
+      val dropped = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
     },
 
     // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
@@ -393,6 +413,21 @@ object TextQueries {
        |JOIN sizes n2 ON c.d2 = n2.doc_id
        |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin
 
+  /** Transitive closure of the LSH pair graph via recursive CTE (fine at
+    * oracle scale; the Spark side is the O(log n) large-star/small-star
+    * loop in ops.Components). Shared by dedup_components and dedup_keep. */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($lshPairsOracle) lsh),
+       |nodes AS (SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT n AS a, n AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+       |FROM reach GROUP BY a""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "txt_stats" ->
       """SELECT doc_id,
@@ -440,20 +475,16 @@ object TextQueries {
 
     "dedup_lsh_pairs" -> lshPairsOracle,
 
-    "dedup_components" ->
-      // transitive closure of the LSH pair graph via recursive CTE
-      // (fine at oracle scale; the Spark side is the O(log n)
-      // large-star/small-star loop in ops.Components)
-      s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($lshPairsOracle) lsh),
-         |nodes AS (SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT n AS a, n AS b FROM nodes
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
-         |FROM reach GROUP BY a""".stripMargin,
+    "dedup_components" -> componentsOracle,
+
+    "dedup_keep" ->
+      // survivors = docs whose cluster label (if any) is themselves;
+      // docs never paired have no label row and survive
+      s"""WITH comp AS ($componentsOracle)
+         |SELECT d.doc_id, md5(d.text) AS content_hash
+         |FROM documents d
+         |LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin,
 
     "dedup_jaccard_brute" ->
       s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 200),
