@@ -158,11 +158,19 @@ object BinnedGrid {
 
   /** Persist as a parquet of sparse cells plus a JSON axes sidecar —
     * the engine's equivalent of the reference's `binned/ + axes/` HDF5
-    * layout (`xarray_to_h5`, `fprocessing.py:3354-3416`). `metadata`
-    * mirrors the reference's nested attrs tree (units, binning params,
-    * acquisition info) as a flat string map in the same sidecar. */
+    * layout (`xarray_to_h5`, `fprocessing.py:3354-3416`).
+    *
+    * `meta` carries the reference's NESTED metadata tree (the
+    * `gather_metadata` dict written group-by-group by the recursive
+    * `xarray_to_h5` writer, `fprocessing.py:3392-3415`) — assemble it
+    * with [[MetaTree.gather]] and read it back with [[loadMeta]]. When
+    * `meta` is absent the legacy flat `metadata` map is written instead
+    * (still readable by [[loadMetadata]] and [[loadMeta]]); either way
+    * `metadata`'s `unit_<axis>` entries override the axis units in
+    * `axes.json`. */
   def save(grid: BinnedGrid, spark: SparkSession, path: String,
-           metadata: Map[String, String] = Map.empty): Unit = {
+           metadata: Map[String, String] = Map.empty,
+           meta: Option[MetaNode.MObj] = None): Unit = {
     grid.toDF(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/binned")
     def q(x: String) = "\"" + x.flatMap {
       case '"' => "\\\""
@@ -175,8 +183,11 @@ object BinnedGrid {
         defaultUnits.getOrElse(a.name, "a.u."))
       s"""{"name":"${a.name}","nbins":${a.nbins},"lo":${a.lo},"hi":${a.hi},"unit":${q(unit)}}"""
     }.mkString("[", ",", "]")
-    val metaJson = metadata.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
+    val metaJson = meta match {
+      case Some(tree) => MetaTree.render(tree)
+      case None => metadata.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/axes.json"), axesJson)
     java.nio.file.Files.writeString(
@@ -267,6 +278,20 @@ object BinnedGrid {
         BinAxis(m.group(1), m.group(2).toInt, m.group(3).toDouble, m.group(4).toDouble)
       }.toSeq
     collect(spark.read.parquet(s"$path/binned"), axes)
+  }
+
+  /** Load the metadata sidecar written by [[save]] as the full nested
+    * tree — the round-trip of the recursive `xarray_to_h5` metadata
+    * layout. Parses both the nested-tree and legacy flat-map forms
+    * (a flat map is just a one-level tree of string leaves). */
+  def loadMeta(path: String): Option[MetaNode.MObj] = {
+    val p = java.nio.file.Paths.get(s"$path/metadata.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else MetaTree.parse(java.nio.file.Files.readString(p)) match {
+      case o: MetaNode.MObj => Some(o)
+      case other => throw new IllegalArgumentException(
+        s"metadata.json root must be an object, got $other")
+    }
   }
 
   /** Load the metadata sidecar written by [[save]]. */
