@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: run only the named queries (local iteration;
-    // the driver always passes exactly two args → full run)
+    // the driver always passes exactly two args → full run). Unknown
+    // names fail LOUDLY before any work: a misspelled name would
+    // otherwise filter everything out and produce an empty green run.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // stop the session at exit only if this main created it (a shared
+    // test-suite session must survive a Verify.main call)
+    val preexisting = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,9 +48,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs dump only the selected oracles: an unfiltered
+    // oracle_sql.json next to a partial parquet set would make every
+    // unselected query look like a missing result downstream
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }

@@ -97,7 +97,16 @@ object Components {
   /** Total labeling over a node universe: [[connectedComponents]] plus a
     * self-labeled row for every node of `nodes` that never appears in a
     * surviving edge (isolated / self-paired only) — the "union
-    * singletons" step a dedup pipeline needs for full corpus coverage.
+    * singletons" step for callers that need an EXPLICIT label per node
+    * (cluster statistics, per-doc provenance columns).
+    *
+    * NOT the dedup materialization path: producing the deduplicated
+    * corpus itself never needs universe-wide labels — survivors are
+    * "everything minus the small drop-set", so
+    * [[graft.text.TextQueries.dedupKeep]]'s broadcast anti-join (the
+    * canonical path, singletons never join at all) does the same
+    * coverage with no universe-sized join. TextQueriesSpec pins the two
+    * paths to the same survivor set so they cannot drift.
     *
     * Scale: one left join of the universe against the (much smaller)
     * pair-participant labels on the node key; nodes outside the

@@ -214,6 +214,61 @@ object TextQueries {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Deduplicated-corpus materialization: LSH pairs → connected
+    * components → one survivor per near-dup cluster, singletons kept —
+    * the step every training-data pipeline runs right after cluster
+    * resolution.
+    *
+    * This anti-join shape is the CANONICAL singleton-coverage path for
+    * dedup: the drop-set (near-dup non-survivors only) is the SMALL
+    * side, broadcast-hinted below, so docs never emitted as a pair —
+    * the overwhelming majority of a real corpus — are never joined at
+    * all. [[graft.ops.Components.connectedComponentsTotal]] is the
+    * API-level alternative when a caller needs an explicit label for
+    * EVERY doc (it left-joins the full universe); for materialization
+    * it would add a corpus-sized join for labels this path never
+    * consumes. TextQueriesSpec pins the two paths to the same survivor
+    * set.
+    *
+    * `keepBy` picks the survivor within each cluster (the reference
+    * policy of real pipelines is "keep the best doc", not "keep the
+    * first"): `None` keeps the minimum doc_id — the default, and the
+    * fast path, since the component label IS the min doc_id so no
+    * metric evaluation is needed. `Some(metric)` keeps the doc with
+    * the smallest (`ascending=true`) or largest metric value, ties
+    * broken toward the smaller doc_id. The metric is evaluated only on
+    * LABELED docs (the small near-dup set), fetched with one broadcast
+    * join against the corpus — survivor selection never shuffles the
+    * corpus.
+    */
+  def dedupKeep(docs: DataFrame, threshold: Double = 0.5,
+                keepBy: Option[Column] = None,
+                ascending: Boolean = true): DataFrame = {
+    val pairs = lshPairs(docs, threshold).select(col("d1"), col("d2"))
+    val labels = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+    val dropped = keepBy match {
+      case None =>
+        labels.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+      case Some(metric) =>
+        val labeled = docs
+          .join(broadcast(labels.withColumnRenamed("node", "doc_id")), "doc_id")
+          .select(col("doc_id"), col("component"), metric.as("keep_metric"))
+        val pick =
+          if (ascending) min_by(col("doc_id"), struct(col("keep_metric"), col("doc_id")))
+          else max_by(col("doc_id"), struct(col("keep_metric"), -col("doc_id")))
+        val survivors = labeled.groupBy("component").agg(pick.as("doc_id"))
+          .select(col("doc_id"))
+        labels.select(col("node").as("doc_id"))
+          .join(survivors, Seq("doc_id"), "left_anti")
+    }
+    // the broadcast hint pins the intended plan: after the iterative CC
+    // computation Spark's size estimate for the drop-set is opaque, and
+    // a shuffle-anti here would re-shuffle the whole corpus (PlanSpec)
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>
@@ -282,22 +337,10 @@ object TextQueries {
         .select(col("node").as("doc_id"), col("component"))
     },
 
-    // ---- clusters → the deduplicated CORPUS itself: survivor = cluster-
-    // min doc_id, everything else dropped, docs never emitted as a pair
-    // (singletons) kept — the materialization step every training-data
-    // pipeline runs right after cluster resolution. The drop-set is the
-    // SMALL side (only near-dup non-survivors), so the anti-join
-    // broadcasts at corpus scale and singletons survive with no
-    // universe-sized join at all ----
-    "dedup_keep" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val pairs = lshPairs(docs).select(col("d1"), col("d2"))
-      val dropped = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
-        .filter(col("node") =!= col("component"))
-        .select(col("node").as("doc_id"))
-      docs.join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), md5(col("text")).as("content_hash"))
-    },
+    // ---- clusters → the deduplicated CORPUS itself ([[dedupKeep]]):
+    // survivor = cluster-min doc_id (default policy), everything else
+    // dropped, docs never emitted as a pair (singletons) kept ----
+    "dedup_keep" -> { (s, dir) => dedupKeep(Tables.documents(s, dir)) },
 
     // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
     // doc window and 0.02 threshold keep the result at O(10-100) rows so

@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_keep anti-joins the corpus against a BROADCAST drop-set") {
+    // the drop-set (near-dup non-survivors) is tiny but comes out of the
+    // iterative CC loop, so Spark's size estimate is opaque — the hint
+    // in TextQueries.dedupKeep pins the broadcast; a shuffle-anti here
+    // would re-shuffle the whole corpus at scale
+    val p = plan("dedup_keep")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"drop-set anti-join must broadcast:\n${p.take(2000)}")
+  }
+
   test("stitched window queries stay partition-parallel") {
     Seq("step_interpolate", "block_max_norm", "event_range").foreach { q =>
       assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")
