@@ -230,30 +230,76 @@ object StreamOps {
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
+  /** The two session confs the chained-stateful LSH shape requires AT
+    * QUERY START, with their required values:
+    *
+    *  - `statefulOperator.checkCorrectness.enabled=false`: the
+    *    analyzer's global-watermark heuristic rejects ANY
+    *    flatMapGroupsWithState feeding a second stateful operator,
+    *    because a custom state function COULD emit arbitrarily old
+    *    event times. This one cannot: every emitted pair carries the
+    *    ARRIVING row's event time, which is >= the batch's input
+    *    watermark by definition, and the downstream dedup runs with
+    *    the same watermark delay — so no emitted row is ever late
+    *    downstream. Disabling the heuristic is the documented escape
+    *    hatch for exactly this proven-safe shape.
+    *  - `multipleWatermarkPolicy=max`: two watermark nodes exist
+    *    (input + re-assert on the emitted pairs). Under the default
+    *    `min` policy the pair-side node goes STALE in batches that
+    *    emit no pairs, freezing the global watermark and blocking the
+    *    band-state EventTimeTimeout sweep forever. `max` is correct
+    *    here because both nodes carry the same delay and every emitted
+    *    ts >= the input watermark of its emission batch — the
+    *    pair-side node can only lag, never lead, so taking the max
+    *    just restores the input watermark.
+    */
+  val lshStreamConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false",
+    "spark.sql.streaming.multipleWatermarkPolicy" -> "max")
+
+  /** Run `body` — which must `.start()` the [[streamingLshPairs]]
+    * query and return it — with [[lshStreamConfs]] in effect, restoring
+    * the caller's prior conf values before returning, so a sibling
+    * streaming query started later in the same session sees the session
+    * defaults again (previously the two values leaked session-wide).
+    *
+    * The restore must wait for the query's INITIALIZATION, not just
+    * `start()`: the global-watermark correctness check and the
+    * offset-log conf snapshot both run on the query's execution thread,
+    * which `start()` only launches — restoring immediately races that
+    * thread and can kill the query with the very AnalysisException the
+    * conf disables. The wrapper therefore blocks on
+    * `processAllAvailable()` (initialization is complete once the first
+    * no-data batch has been resolved) before putting the session values
+    * back; from then on the running query keeps its captured copies.
+    * StreamingLshSpec pins the scoping.
+    */
+  def withLshStreamConfs(spark: SparkSession)(
+      body: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prior = lshStreamConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    lshStreamConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = body
+      q.processAllAvailable()
+      q
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** See [[lshStreamConfs]] for the two session confs this query needs
+    * at start time — wrap the `.start()` call in
+    * [[withLshStreamConfs]] (starting without them fails loudly in
+    * analysis with the chained-stateful-operator error).
+    */
   def streamingLshPairs(docs: DataFrame, watermark: String = "10 minutes",
                         horizonMs: Long = 600000L, maxDocsPerSig: Int = 128,
                         threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    // The analyzer's global-watermark heuristic rejects ANY
-    // flatMapGroupsWithState feeding a second stateful operator, because
-    // a custom state function COULD emit arbitrarily old event times.
-    // This one cannot: every emitted pair carries the ARRIVING row's
-    // event time, which is >= the batch's input watermark by definition,
-    // and the downstream dedup runs with the same watermark delay — so
-    // no emitted row is ever late downstream. Disable the heuristic
-    // (the documented escape hatch for exactly this proven-safe shape).
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-    // Two watermark nodes exist (input + re-assert on the emitted pairs).
-    // Under the default `min` policy the pair-side node goes STALE in
-    // batches that emit no pairs, freezing the global watermark and
-    // blocking the band-state EventTimeTimeout sweep forever. `max` is
-    // correct here because both nodes carry the same delay and every
-    // emitted ts >= the input watermark of its emission batch — the
-    // pair-side node can only lag, never lead, so taking the max just
-    // restores the input watermark.
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
     val cands = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"),

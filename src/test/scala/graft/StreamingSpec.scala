@@ -269,8 +269,10 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select(col("doc_id"), lit(t0).as("ts"), col("text"))
       .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
     val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
-    val q = graft.streaming.StreamOps.streamingLshPairs(in)
-      .writeStream.format("memory").queryName("lsh_replay").outputMode("append").start()
+    val q = graft.streaming.StreamOps.withLshStreamConfs(spark) {
+      graft.streaming.StreamOps.streamingLshPairs(in)
+        .writeStream.format("memory").queryName("lsh_replay").outputMode("append").start()
+    }
     try {
       q.processAllAvailable()
       val got = spark.table("lsh_replay").collect()
@@ -301,9 +303,11 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       java.nio.file.Files.move(part, dropDir.resolve(name))
     }
     val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
-    val q = graft.streaming.StreamOps
-      .streamingLshPairs(in, watermark = "10 minutes", horizonMs = 600000L)
-      .writeStream.format("memory").queryName("lsh_exp").outputMode("append").start()
+    val q = graft.streaming.StreamOps.withLshStreamConfs(spark) {
+      graft.streaming.StreamOps
+        .streamingLshPairs(in, watermark = "10 minutes", horizonMs = 600000L)
+        .writeStream.format("memory").queryName("lsh_exp").outputMode("append").start()
+    }
     try {
       // near-identical docs in one horizon -> verified pair
       dump(Seq((1L, ts(0), near1), (2L, ts(60), near2)), "b1.parquet")
@@ -329,5 +333,46 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       val h5 = spark.table("lsh_exp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(h5.contains((5L, 6L)), s"fresh state must pair, got $h5")
     } finally q.stop()
+  }
+
+  test("LSH stream confs are scoped to the query: siblings see session defaults again") {
+    import spark.implicits._
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val wm = "spark.sql.streaming.multipleWatermarkPolicy"
+    // known pre-state: defaults (getOption on a defaulted conf yields
+    // the default, so "restored" means these exact values re-read)
+    spark.conf.unset(ck)
+    spark.conf.set(wm, "min")
+    val priorCk = spark.conf.get(ck) // "true" (default)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_lsh_scope")
+    Seq((1L, t0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.withLshStreamConfs(spark) {
+      // inside the scope the required values are in force…
+      assert(spark.conf.get(ck) == "false" && spark.conf.get(wm) == "max")
+      graft.streaming.StreamOps.streamingLshPairs(in)
+        .writeStream.format("memory").queryName("lsh_scope").outputMode("append").start()
+    }
+    try {
+      // …and once the wrapper returns the caller's values are back,
+      // while the running query keeps its captured copies
+      assert(spark.conf.get(ck) == priorCk, "prior (default) value must be restored")
+      assert(spark.conf.get(wm) == "min", "prior value must be restored verbatim")
+      q.processAllAvailable() // the LSH query still runs under its captured confs
+      // a sibling stateful query started NOW builds under the defaults
+      // (pre-fix it silently inherited checkCorrectness=false and max)
+      val sibling = graft.streaming.StreamOps.streamingMinhashDedup(
+        spark.readStream.schema(docSchema).parquet(dropDir.toString))
+        .writeStream.format("memory").queryName("lsh_scope_sibling")
+        .outputMode("append").start()
+      try sibling.processAllAvailable() finally sibling.stop()
+      assert(spark.conf.get(ck) == priorCk && spark.conf.get(wm) == "min")
+    } finally {
+      q.stop()
+      spark.conf.unset(wm)
+    }
   }
 }
