@@ -13,7 +13,11 @@ import org.apache.spark.sql.expressions.Window
   *   - `hist_3d_rel`   relational N-D histogram, 240k-bin 3D grid
   *   - `hist_3d_shard` sharded dense path on the same grid
   *   - `lsh_pairs`     full MinHash/LSH dedup chain (skew-salted,
-  *                     native-hash configuration)
+  *                     native xxhash64 shingle hashing)
+  *   - `lsh_pairs_md5` the same chain with the md5-derived portable
+  *                     hash (DuckDB-oracle parity configuration) — both
+  *                     are committed so the cost of cross-engine
+  *                     portability stays measured, not guessed
   *   - `cc_clusters`   pair graph → dedup clusters (large-star/
   *                     small-star connected components)
   *   - `ivf_topk`      IVF ANN: bounded training, codegen cell assign,
@@ -27,8 +31,76 @@ import org.apache.spark.sql.expressions.Window
   *
   * Row counts are env-tunable (SPARK_GRAFT_LARGE_ROWS/DOCS/VECS) so the
   * same harness can smoke-run small in CI.
+  *
+  * Regression gate (VERDICT r5 #2): after printing the JSON line, the
+  * run compares itself against the committed `BENCH_LARGE.json`
+  * (override path via SPARK_GRAFT_LARGE_BASELINE, "" disables) and
+  * exits nonzero if any query shared with the baseline ran slower than
+  * `tolerance ×` its committed time (SPARK_GRAFT_LARGE_TOL, default
+  * 1.5 — single-run timings at this scale are ±30% noisy, so the gate
+  * flags real slowdowns without tripping on variance). The gate only
+  * fires when rows/docs/vecs match the baseline's recorded sizes — a
+  * small smoke run against the full-size baseline is a skip, not a
+  * free pass.
+  *
+  * Host-speed normalization: this runs in a VM whose effective speed
+  * varies with invisible host contention (guest /proc/stat shows ~0
+  * steal while identical back-to-back runs differ 2-3×; a 0.2 s
+  * register-bound burst meanwhile runs at full speed, so the throttle
+  * is burst-tolerant and a pure-CPU microkernel under-measures it).
+  * Absolute times compared across rounds would therefore gate the
+  * host's weather, not the code. The run times a fixed-size replica of
+  * the dominant workload shape — a 50M-event 3D relational histogram
+  * (same scan + partial-agg + shuffle path), min of 3 passes after a
+  * discarded warm pass, ALWAYS at 50M regardless of the env-tuned run
+  * size so the value is comparable across runs — and commits it as
+  * `calib`; when both baseline and fresh run carry it, each query
+  * budget scales by `freshCalib / baseCalib` — a code regression still
+  * fails (query slowed, calibration didn't), a uniformly slow host
+  * passes.
   */
 object BenchLarge {
+
+  /** Committed BENCH_LARGE.json, parsed: input sizes, per-query secs,
+    * and the host-speed calibration time (absent in pre-gate files). */
+  final case class LargeBaseline(rows: Long, docs: Long, vecs: Long,
+                                 queries: Map[String, Double],
+                                 calib: Option[Double] = None)
+
+  private def asNum(k: String, n: graft.binning.MetaNode): Double = n match {
+    case graft.binning.MetaNode.MNum(v) => v
+    case graft.binning.MetaNode.MInt(v) => v.toDouble
+    case other => throw new IllegalArgumentException(s"'$k' is not numeric: $other")
+  }
+
+  def parseBaseline(json: String): LargeBaseline = {
+    import graft.binning.{MetaNode, MetaTree}
+    val root = MetaTree.parse(json).asInstanceOf[MetaNode.MObj]
+    val qs = root.obj("queries").fields.map { case (k, v) => k -> asNum(k, v) }.toMap
+    LargeBaseline(root.int("rows"), root.int("docs"), root.int("vecs"), qs,
+      root.get("calib").map(asNum("calib", _)))
+  }
+
+  /** Queries that regressed past `tol ×` their baseline time, plus any
+    * baseline query the fresh run no longer measures (silent coverage
+    * loss fails the gate too). Queries only in the fresh run — newly
+    * added measurements — pass freely until their baseline is
+    * committed. When both calibration times are present, every budget
+    * scales by `freshCalib / baseCalib` so the gate compares work per
+    * unit of machine speed, not wall-clock across different hosts. */
+  def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
+                  tol: Double, baseCalib: Option[Double] = None,
+                  freshCalib: Option[Double] = None): Seq[String] = {
+    val scale = (for (b <- baseCalib; f <- freshCalib if b > 0 && f > 0) yield f / b)
+      .getOrElse(1.0)
+    val slow = for {
+      (name, base) <- baseline.toSeq.sortBy(_._1)
+      got <- fresh.get(name) if got > base * tol * scale
+    } yield f"$name: $got%.2f s > $tol%.2f x baseline $base%.2f s (host-speed scale $scale%.2f)"
+    val missing = (baseline.keySet -- fresh.keySet).toSeq.sorted
+      .map(n => s"$n: measured by baseline but missing from this run")
+    slow ++ missing
+  }
 
   private def events(spark: SparkSession, rows: Long): DataFrame =
     spark.range(rows).select(
@@ -76,33 +148,54 @@ object BenchLarge {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def timed(name: String)(f: => Long): Unit = {
-      System.gc()
-      val t0 = System.nanoTime()
-      val out = f
-      results(name) = (System.nanoTime() - t0) / 1e9
-      checks(name) = out
+
+    // Every query is measured as the MIN OF TWO consecutive passes.
+    // Pass 1 doubles as the warm-up (JIT + whole-stage-codegen
+    // compilation: a cold LSH chain once measured ~9x its steady state,
+    // 140 s vs 15 s at 2M docs — and Range codegen inlines the row
+    // count into the generated source, so only a full-size pass
+    // compiles the classes the steady-state run uses); pass 2 runs with
+    // hot code, and min() also absorbs the one-off host-contention
+    // spikes that made identical back-to-back runs differ 2-3x on this
+    // box. `clearBetween` matters for the chains that persist lineage:
+    // Spark's CacheManager matches by canonicalized plan, so without a
+    // clearCache pass 2 would silently read pass 1's cached frames and
+    // measure cache reads, not the chain.
+    def timed(name: String, clearBetween: Boolean = false)(f: => Long): Unit = {
+      def pass(): (Double, Long) = {
+        System.gc()
+        val t0 = System.nanoTime()
+        val out = f
+        ((System.nanoTime() - t0) / 1e9, out)
+      }
+      val (d1, o1) = pass()
+      if (clearBetween) spark.catalog.clearCache()
+      val (d2, o2) = pass()
+      require(o1 == o2, s"$name output changed between passes: $o1 vs $o2")
+      // per-pass diagnostic: a big pass1/pass2 gap is cold compile or a
+      // host-contention spike; both slow means the query itself slowed
+      System.err.println(f"[bench] $name pass1=$d1%.2f s pass2=$d2%.2f s")
+      results(name) = math.min(d1, d2)
+      checks(name) = o2
     }
 
     val template = sys.env.getOrElse("SPARK_GRAFT_LARGE_TEMPLATE", "1100").toLong
     val persist = sys.env.getOrElse("SPARK_GRAFT_LARGE_PERSIST", "true").toBoolean
 
-    // warm-up every measured chain first (JIT + whole-stage-codegen
-    // compilation): the cold first run of the LSH chain measured ~9x
-    // its steady state (140 s vs 15 s at 2M docs) — committing that
-    // would make the numbers compiler benchmarks, not operator
-    // benchmarks. The LSH warm pass must run at FULL size: Range codegen
-    // inlines the row count into the generated source, so a small-slice
-    // warm-up compiles different classes than the measured run. The
-    // explicit clearCache matters too — Spark's CacheManager matches by
-    // canonicalized plan, so without it the timed run would silently
-    // read the warm pass's persisted lineage instead of building its
-    // own (measuring cache reads, not the chain).
-    Binning.histogramNd(events(spark, 1000000L), axes3).write
-      .format("noop").mode("overwrite").save()
-    graft.text.TextQueries.lshPairs(docs(spark, nDocs, template),
-      persistLineage = persist, portableHash = false).count()
-    spark.catalog.clearCache()
+    // host-speed calibration: a FIXED 50M-event replica of the 3D
+    // relational histogram (never env-scaled — cross-run comparability
+    // is the whole point), min of 3 after one discarded warm pass. A
+    // sustained shuffle+agg job, not a register-bound burst: the host's
+    // throttling is burst-tolerant, so only a workload-shaped kernel
+    // measures the speed the real queries will see.
+    def calibPass(): Double = {
+      val t0 = System.nanoTime()
+      Binning.histogramNd(events(spark, 50000000L), axes3)
+        .agg(sum("cnt")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibPass()
+    val calibSec = (1 to 3).map(_ => calibPass()).min
 
     timed("hist_3d_rel") {
       val h = Binning.histogramNd(events(spark, rows), axes3)
@@ -113,7 +206,7 @@ object BenchLarge {
       h.agg(sum("cnt")).collect()(0).getLong(0)
     }
     var pairs: DataFrame = null
-    timed("lsh_pairs") {
+    timed("lsh_pairs", clearBetween = true) {
       // portableHash=false: native xxhash64 shingle hashing — the
       // production-scale configuration (the md5 portable hash exists for
       // DuckDB-oracle parity and is benchmarked by the sf-scale Bench)
@@ -127,6 +220,18 @@ object BenchLarge {
     // absorbing 1100 nodes
     timed("cc_clusters") {
       graft.ops.Components.connectedComponents(pairs, "d1", "d2").count()
+    }
+    // drop the native chain's session-owned lineage caches + the pair
+    // graph before timing the md5 twin: leaving them resident turns the
+    // second chain into a storage-eviction benchmark, not a hash one
+    pairs.unpersist(blocking = true)
+    spark.catalog.clearCache()
+    timed("lsh_pairs_md5", clearBetween = true) {
+      // the portable-hash twin: md5-hex → 60-bit int shingle hashing,
+      // the configuration every sf-scale oracle query runs; committing
+      // both keys keeps the portability tax visible round over round
+      graft.text.TextQueries.lshPairs(docs(spark, nDocs, template),
+        persistLineage = persist, portableHash = true).count()
     }
     timed("ivf_topk") {
       val emb = embeddings(spark, nVecs)
@@ -157,7 +262,31 @@ object BenchLarge {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val evPerSec = (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
-    println(s"""{"metric":"bench_large","value":${f"$total%.2f"},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"queries":$qs,"outputs":$cs}""")
+    println(s"""{"metric":"bench_large","value":${f"$total%.2f"},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f"$calibSec%.2f"},"queries":$qs,"outputs":$cs}""")
     spark.stop()
+
+    // ---- regression gate against the committed baseline -------------
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
+    val tol = sys.env.getOrElse("SPARK_GRAFT_LARGE_TOL", "1.5").toDouble
+    if (baselinePath.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))) {
+      val base = parseBaseline(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      if (base.rows != rows || base.docs != nDocs || base.vecs != nVecs) {
+        System.err.println(s"gate skipped: run sizes ($rows rows, $nDocs docs, $nVecs vecs) " +
+          s"differ from baseline (${base.rows}, ${base.docs}, ${base.vecs})")
+      } else {
+        val regs = regressions(base.queries, results.toMap, tol,
+          baseCalib = base.calib, freshCalib = Some(calibSec))
+        if (regs.nonEmpty) {
+          regs.foreach(r => System.err.println(s"REGRESSION $r"))
+          sys.exit(1)
+        }
+        val scaleNote = base.calib.map(b => f" (host-speed scale ${calibSec / b}%.2f)").getOrElse("")
+        System.err.println(f"gate ok: ${results.size} queries within $tol%.2f x of $baselinePath$scaleNote")
+      }
+    } else if (baselinePath.nonEmpty) {
+      System.err.println(s"gate skipped: no baseline at $baselinePath")
+    }
   }
 }

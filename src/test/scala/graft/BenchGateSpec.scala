@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BenchLarge regression gate (VERDICT r5 #2): the committed
+  * BENCH_LARGE.json parses into sizes + per-query seconds, and the
+  * comparison flags a seeded slowdown past tolerance, flags a query
+  * that silently dropped out of the run, and ignores newly added
+  * measurements that have no baseline yet. Pure-function pins — the
+  * 100M-row main exercises the same code path end to end.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private val sampleJson =
+    """{"metric":"bench_large","value":49.28,"unit":"sec","rows":100000000,""" +
+      """"docs":2000000,"vecs":2000000,"events_per_sec":36327157,""" +
+      """"queries":{"hist_3d_rel":3.39,"hist_3d_shard":2.12,"lsh_pairs":35.65,""" +
+      """"cc_clusters":3.57,"ivf_topk":4.54},""" +
+      """"outputs":{"hist_3d_rel":100000000,"lsh_pairs":624439}}"""
+
+  test("parseBaseline reads sizes and per-query seconds from the committed format") {
+    val b = BenchLarge.parseBaseline(sampleJson)
+    assert(b.rows === 100000000L)
+    assert(b.docs === 2000000L)
+    assert(b.vecs === 2000000L)
+    assert(b.queries.size === 5)
+    assert(b.queries("lsh_pairs") === 35.65)
+    assert(b.queries("hist_3d_shard") === 2.12)
+  }
+
+  test("a seeded slowdown past tolerance fails the gate, naming the query") {
+    val base = Map("hist_3d_rel" -> 3.0, "lsh_pairs" -> 30.0)
+    val fresh = Map("hist_3d_rel" -> 3.2, "lsh_pairs" -> 60.0) // 2x seeded
+    val regs = BenchLarge.regressions(base, fresh, tol = 1.5)
+    assert(regs.size === 1)
+    assert(regs.head.startsWith("lsh_pairs:"))
+  }
+
+  test("runs within tolerance pass") {
+    val base = Map("a" -> 2.0, "b" -> 4.0)
+    val fresh = Map("a" -> 2.9, "b" -> 3.1) // 1.45x and faster
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5).isEmpty)
+  }
+
+  test("a query measured by the baseline but missing from the run fails the gate") {
+    val base = Map("a" -> 2.0, "b" -> 4.0)
+    val regs = BenchLarge.regressions(base, Map("a" -> 2.0), tol = 1.5)
+    assert(regs.size === 1)
+    assert(regs.head.startsWith("b:"))
+  }
+
+  test("a newly added measurement with no baseline yet passes freely") {
+    val base = Map("a" -> 2.0)
+    val fresh = Map("a" -> 2.0, "brand_new" -> 100.0)
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5).isEmpty)
+  }
+
+  test("exactly at tolerance is not a regression (strict inequality)") {
+    val base = Map("a" -> 2.0)
+    assert(BenchLarge.regressions(base, Map("a" -> 3.0), tol = 1.5).isEmpty)
+  }
+
+  test("a uniformly slower host passes once calibration scales the budget") {
+    // whole machine 2.5x slower: every query 2.5x, calibration 2.5x
+    val base = Map("a" -> 2.0, "b" -> 30.0)
+    val fresh = Map("a" -> 5.0, "b" -> 75.0)
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(2.5)).isEmpty)
+  }
+
+  test("a code regression still fails when calibration says the host is unchanged") {
+    val base = Map("a" -> 2.0, "b" -> 30.0)
+    val fresh = Map("a" -> 2.0, "b" -> 75.0) // only b slowed — that's code
+    val regs = BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(1.0))
+    assert(regs.size === 1)
+    assert(regs.head.startsWith("b:"))
+  }
+
+  test("a query that outgrew even the host-scaled budget fails") {
+    // host 2x slower but the query is 4x slower: 4 > 1.5 * 2
+    val base = Map("b" -> 30.0)
+    val regs = BenchLarge.regressions(base, Map("b" -> 120.0), tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(2.0))
+    assert(regs.size === 1)
+  }
+
+  test("absent calibration on either side falls back to absolute comparison") {
+    val base = Map("a" -> 2.0)
+    val fresh = Map("a" -> 5.0)
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = None, freshCalib = Some(2.5)).size === 1)
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = None).size === 1)
+  }
+
+  test("parseBaseline reads the optional calib field") {
+    val withCalib = sampleJson.replace(""""queries"""", """"calib":1.23,"queries"""")
+    assert(BenchLarge.parseBaseline(withCalib).calib === Some(1.23))
+    assert(BenchLarge.parseBaseline(sampleJson).calib === None)
+  }
+}
