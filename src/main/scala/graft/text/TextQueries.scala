@@ -269,7 +269,90 @@ object TextQueries {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Gopher/C4-style document quality metrics + keep flag (published
+    * web-corpus filtering heuristics: word-count bounds, mean word
+    * length, vocabulary diversity, stopword presence — Rae et al. 2021
+    * "Scaling Language Models" §A1.1, Raffel et al. 2020 C4 filters).
+    * Strictly per-row array arithmetic: no shuffle, no UDF, scales as a
+    * map-only pass at any corpus size. Thresholds are constructor-level
+    * policy; defaults split the synthetic corpus non-degenerately.
+    */
+  def qualityStats(docs: DataFrame,
+                   minWords: Int = 20,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
+                   minFracDistinct: Double = 0.35,
+                   minStopDistinct: Int = 1): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks)
+    // exact arithmetic: total chars minus the n-1 separators, as txt_stats
+    val meanLen = (length(col("text")) - (nW - 1)).cast("double") / nW
+    val fracDistinct = size(array_distinct(toks)).cast("double") / nW
+    val stopDistinct = size(filter(array(STOP.map(lit): _*),
+      sw => array_contains(toks, sw)))
+    docs.select(
+      col("doc_id"),
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      fracDistinct.as("frac_distinct"),
+      stopDistinct.as("stop_distinct"),
+      (nW >= minWords && meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        fracDistinct >= minFracDistinct &&
+        stopDistinct >= minStopDistinct).as("keep"))
+  }
+
+  /** Per-document top word-n-gram + repetition fractions (the Gopher
+    * repetition signals: fraction of duplicate n-gram instances, and
+    * fraction of characters covered by the single most frequent
+    * n-gram). Ties on count break to the lexicographically smallest
+    * gram so the result is deterministic cross-engine.
+    *
+    * Scale: the explode fans out ×(words−n+1) per document, then both
+    * shuffles key on doc_id (+gram) — per-key cardinality is bounded by
+    * document length, so there is no global hot key; the window runs
+    * per-document, never a single-partition sort.
+    */
+  def topNgram(docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
+    val gramExpr =
+      s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+    // ONE shuffle, before the fan-out: repartitioning the compact
+    // (doc_id, text) rows by doc_id satisfies both downstream
+    // distributions — HashPartitioning(doc_id) is a subset of the
+    // groupBy(doc_id, gram) clustering AND the window's doc_id
+    // partitioning — so the exploded gram rows (~2x the text bytes)
+    // never cross the network at all (plan-pinned in PlanSpec)
+    val grams = docs
+      .select(col("doc_id"), length(col("text")).as("lc"),
+        split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lc"), explode(expr(gramExpr)).as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("lc")).as("lc"))
+    val byDoc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("cnt").desc, col("gram"))))
+      .withColumn("n_grams", sum(col("cnt")).over(byDoc))
+      .withColumn("n_distinct_grams", count(lit(1)).over(byDoc))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("gram").as("top_gram"),
+        col("cnt").as("top_cnt"),
+        col("n_grams"),
+        col("n_distinct_grams"),
+        ((col("n_grams") - col("n_distinct_grams")).cast("double") / col("n_grams"))
+          .as("dup_gram_frac"),
+        ((col("cnt") * length(col("gram"))).cast("double") / col("lc"))
+          .as("top_char_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // ---- Gopher/C4-style quality filter + n-gram repetition ----
+    "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
+    "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
+
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -472,6 +555,34 @@ object TextQueries {
        |FROM reach GROUP BY a""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "txt_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_words,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_word_len,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS frac_distinct,
+        |  CAST(len(list_filter(['the','a','of','and'], s -> list_contains(toks, s))) AS INT) AS stop_distinct
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, frac_distinct, stop_distinct,
+        |  (n_words >= 20 AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+        |    AND frac_distinct >= 0.35 AND stop_distinct >= 1) AS keep
+        |FROM m""".stripMargin,
+
+    "txt_top_ngram" ->
+      """WITH t AS (SELECT doc_id, length(text) AS lc, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, lc,
+        |  unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS gram FROM t),
+        |c AS (SELECT doc_id, lc, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |w AS (SELECT doc_id, lc, gram, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn,
+        |  CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams,
+        |  count(*) OVER (PARTITION BY doc_id) AS n_distinct_grams
+        |FROM c)
+        |SELECT doc_id, gram AS top_gram, cnt AS top_cnt, n_grams, n_distinct_grams,
+        |  CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams AS dup_gram_frac,
+        |  CAST(cnt * length(gram) AS DOUBLE) / lc AS top_char_frac
+        |FROM w WHERE rn = 1""".stripMargin,
+
     "txt_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

@@ -54,6 +54,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("txt_quality is a map-only pass: no exchange anywhere in the plan") {
+    val p = plan("txt_quality")
+    assert(!p.contains("Exchange"),
+      s"per-row quality metrics must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("txt_top_ngram shuffles once, before the gram fan-out") {
+    val p = plan("txt_top_ngram")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1,
+      s"expected exactly one exchange (compact docs by doc_id), got $n:\n${p.take(2000)}")
+    // the single exchange must sit below the explode in the plan tree
+    // (later in the printed string): grams never cross the network
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val generate = p.indexOf("Generate explode")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
+  }
+
   test("ANN top-k queries broadcast the small query side") {
     Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),

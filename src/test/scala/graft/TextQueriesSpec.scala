@@ -59,6 +59,74 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(total.count() == docs.count(), "total labeling must cover the universe")
     assert(viaAnti == viaTotal)
   }
+
+  // ---- Gopher/C4-style quality filter + n-gram repetition ----
+
+  test("qualityStats: hand-computed metrics and keep flag") {
+    import spark.implicits._
+    // 24 words: 4 distinct stopwords + "x y" x 10; vocab {the,a,of,and,x,y}
+    val text = "the a of and " + Seq.fill(10)("x y").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextQueries.qualityStats(df).collect()(0)
+    assert(r.getAs[Int]("n_words") === 24)
+    val expMean = (text.length - 23).toDouble / 24
+    assert(r.getAs[Double]("mean_word_len") === expMean)
+    assert(r.getAs[Double]("frac_distinct") === 6.0 / 24)
+    assert(r.getAs[Int]("stop_distinct") === 4)
+    // frac_distinct 0.25 < 0.35 → dropped despite passing everything else
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("qualityStats: a diverse doc with stopwords is kept") {
+    import spark.implicits._
+    val text = (1 to 19).map(i => s"word$i").mkString("the ", " ", "")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextQueries.qualityStats(df).collect()(0)
+    assert(r.getAs[Int]("n_words") === 20)
+    assert(r.getAs[Int]("stop_distinct") === 1)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("topNgram: counts, repetition fractions, and deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"), // bigrams: "a b" x2, "b a", "b c" → top "a b"
+      (2L, "x y y x")    // all bigrams unique → tie broken to smallest gram
+    ).toDF("doc_id", "text")
+    val rows = TextQueries.topNgram(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[String]("top_gram") === "a b")
+    assert(r1.getAs[Long]("top_cnt") === 2L)
+    assert(r1.getAs[Long]("n_grams") === 4L)
+    assert(r1.getAs[Long]("n_distinct_grams") === 3L)
+    assert(r1.getAs[Double]("dup_gram_frac") === 1.0 / 4)
+    assert(r1.getAs[Double]("top_char_frac") === (2 * 3).toDouble / 9)
+    val r2 = rows(2L)
+    assert(r2.getAs[String]("top_gram") === "x y",
+      "count ties must break to the lexicographically smallest gram")
+    assert(r2.getAs[Double]("dup_gram_frac") === 0.0)
+  }
+
+  test("topNgram: trigrams via the generalized builder; single-word docs drop out") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = TextQueries.topNgram(df, n = 3).collect()
+    assert(rows.length === 1, "a doc shorter than n has no n-grams")
+    val r = rows(0)
+    // trigrams: "a b a" x2, "b a b" → top "a b a"
+    assert(r.getAs[String]("top_gram") === "a b a")
+    assert(r.getAs[Long]("top_cnt") === 2L)
+    assert(r.getAs[Long]("n_grams") === 3L)
+  }
+
+  test("txt_quality splits the corpus non-degenerately") {
+    val out = TextQueries.queries("txt_quality")(spark, sfDir)
+    val kept = out.filter(col("keep")).count()
+    val total = out.count()
+    assert(kept > 0 && kept < total,
+      s"keep flag is degenerate: $kept of $total")
+  }
 }
 
 /** Harness-integrity pins for the driver-contract dump main. */
