@@ -45,12 +45,17 @@ object TextQueries {
         expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")
       )).as("shingle"))
 
-  private val shinglesSql: String =
-    """SELECT doc_id, unnest(list_distinct(
-      |    list_transform(range(1, len(toks) - 1),
-      |      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
-      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |WHERE len(toks) >= 3""".stripMargin
+  /** DuckDB-oracle twin of [[shingles]], over any source relation (a
+    * table name or a parenthesized subquery) so the incremental-dedup
+    * oracle can shingle the batch and corpus splits separately. */
+  private def shinglesSqlFor(src: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
+       |WHERE len(toks) >= 3""".stripMargin
+
+  private val shinglesSql: String = shinglesSqlFor("documents")
 
   /** (doc_id, seed, minh): the MinHash signature, k rows per doc.
     *
@@ -80,11 +85,19 @@ object TextQueries {
     minhashWide(sh).select(col("doc_id"), expr(stackExpr))
   }
 
-  private val minhashSigSql: String =
+  private def minhashSigSqlFor(src: String): String =
     s"""SELECT doc_id, seed, min((h30 * (seed * 2 + 1) + seed * 7919) % $P) AS minh
        |FROM (SELECT doc_id, ${phashSql("shingle")} % $H30 AS h30
-       |      FROM ($shinglesSql)) CROSS JOIN (SELECT unnest(range($K)) AS seed)
+       |      FROM (${shinglesSqlFor(src)})) CROSS JOIN (SELECT unnest(range($K)) AS seed)
        |GROUP BY doc_id, seed""".stripMargin
+
+  private val minhashSigSql: String = minhashSigSqlFor("documents")
+
+  /** Band-signature oracle twin of [[bandSignatures]]. */
+  private def bandsSqlFor(src: String): String =
+    s"""SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
+       |  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |FROM (${minhashSigSqlFor(src)}) GROUP BY doc_id, band""".stripMargin
 
   /** Per-row LSH band-signature array over a text field — the SAME
     * K/BANDS/hash chain as [[minhashSig]], but computed entirely with
@@ -269,6 +282,82 @@ object TextQueries {
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
   }
 
+  /** Per-document LSH band signatures (doc_id, band, sig) — the
+    * candidate-generation index of [[lshPairs]], public so an existing
+    * corpus can compute it ONCE, persist it as a table, and have every
+    * incoming batch join against it ([[lshPairsAgainst]]) without the
+    * corpus ever being re-shingled or re-shuffled. */
+  def bandSignatures(docs: DataFrame, portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    val r = K / BANDS
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*).as("sig"))
+    }
+    minhashWide(sh)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Incremental dedup: match a NEW batch against an EXISTING corpus —
+    * the asymmetric variant of [[lshPairs]] that production pipelines
+    * run per ingest. Returns one row per batch document that near-
+    * duplicates some corpus document: (batch_id, dup_of, jaccard) with
+    * dup_of = the best corpus match (highest verified Jaccard, ties to
+    * the smallest corpus id — deterministic cross-engine).
+    *
+    * Scale shape (the reason this is not just lshPairs on the union):
+    * the batch side is small relative to the corpus, so every join
+    * keeps the corpus streaming and broadcasts batch-derived frames —
+    * batch bands against corpus bands (candidate generation), then the
+    * candidate corpus-id set against the corpus (so only CANDIDATE
+    * corpus docs are ever re-shingled for verification), then batch
+    * shingles against those. The corpus is scanned, never shuffled;
+    * with `corpusBands` pre-materialized via [[bandSignatures]] the
+    * scan-side work per batch is the candidate verification alone.
+    * Unlike the self-join in [[lshPairs]] there is no triangle to salt;
+    * a degenerate band bucket hot on BOTH sides is handled by AQE skew
+    * splitting of the streamed side (the broadcast side replicates to
+    * every task by construction).
+    */
+  def lshPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                      threshold: Double = 0.5,
+                      corpusBands: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cBands = corpusBands.getOrElse(bandSignatures(corpus))
+    val cand = cBands.as("cb")
+      .join(broadcast(bandSignatures(batch)).as("nb"), Seq("band", "sig"))
+      .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
+      .distinct()
+    // verify on candidate docs only: the corpus prunes to candidate ids
+    // (broadcast semi join) before any shingling happens
+    val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val shC = shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), phash(col("shingle")).as("h"))
+    val shB = shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h"))
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shC.as("sc"), col("corpus_id") === col("sc.doc_id"))
+      .join(broadcast(shB).as("sb"),
+        col("batch_id") === col("sb.doc_id") && col("sc.h") === col("sb.h"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    val scored = cand.join(inter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(broadcast(sizesB).as("n1"), col("batch_id") === col("n1.doc_id"))
+      .join(broadcast(sizesC).as("n2"), col("corpus_id") === col("n2.doc_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
   /** Gopher/C4-style document quality metrics + keep flag (published
     * web-corpus filtering heuristics: word-count bounds, mean word
     * length, vocabulary diversity, stopword presence — Rae et al. 2021
@@ -352,6 +441,13 @@ object TextQueries {
     // ---- Gopher/C4-style quality filter + n-gram repetition ----
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
+
+    // ---- incremental dedup: new batch (odd ids) vs corpus (even ids) ----
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      lshPairsAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
 
     // ---- token counting + quality scoring ----
     "txt_stats" -> { (s, dir) =>
@@ -554,7 +650,44 @@ object TextQueries {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
 
+  /** dedup_incremental oracle: the same band join + candidate-only
+    * verification + best-match ranking, over the parity split. */
+  private val incrementalOracle: String = {
+    val batchSrc = "(SELECT * FROM documents WHERE doc_id % 2 = 1)"
+    val corpusSrc = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    s"""WITH bb AS (${bandsSqlFor(batchSrc)}),
+       |cb AS (${bandsSqlFor(corpusSrc)}),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bb b JOIN cb c ON b.band = c.band AND b.sig = c.sig),
+       |shb AS (${shinglesSqlFor(batchSrc)}),
+       |shc AS (${shinglesSqlFor(corpusSrc)}),
+       |nb AS (SELECT doc_id, count(*) AS n FROM shb GROUP BY doc_id),
+       |nc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT cd.batch_id, cd.corpus_id, count(*) AS inter
+       |  FROM cand cd
+       |  JOIN shb s1 ON cd.batch_id = s1.doc_id
+       |  JOIN shc s2 ON cd.corpus_id = s2.doc_id AND s1.shingle = s2.shingle
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cd.batch_id, cd.corpus_id,
+       |    CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) AS jaccard
+       |  FROM cand cd
+       |  LEFT JOIN inter i ON cd.batch_id = i.batch_id AND cd.corpus_id = i.corpus_id
+       |  JOIN nb n1 ON cd.batch_id = n1.doc_id
+       |  JOIN nc n2 ON cd.corpus_id = n2.doc_id
+       |  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5),
+       |ranked AS (
+       |  SELECT batch_id, corpus_id, jaccard,
+       |    row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id) AS rn
+       |  FROM scored)
+       |SELECT batch_id, corpus_id AS dup_of, jaccard FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalOracle,
+
     "txt_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,

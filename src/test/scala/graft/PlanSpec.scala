@@ -73,6 +73,14 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
   }
 
+  test("dedup_incremental broadcasts the batch side; the corpus never cross-joins") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch-derived frames must broadcast against the streamed corpus:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join")
+  }
+
   test("ANN top-k queries broadcast the small query side") {
     Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),

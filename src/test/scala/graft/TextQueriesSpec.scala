@@ -120,6 +120,39 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_grams") === 3L)
   }
 
+  // ---- incremental dedup: batch vs existing corpus ----
+
+  test("lshPairsAgainst finds the batch dup and ranks the best corpus match first") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (0L, base),                                          // exact target
+      (2L, ((1 to 11).map(i => s"w$i") :+ "zz").mkString(" ")), // near-dup
+      (4L, (1 to 12).map(i => s"q$i").mkString(" ")))      // unrelated
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                                          // dup of 0 (and near 2)
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")))      // novel
+      .toDF("doc_id", "text")
+    val got = TextQueries.lshPairsAgainst(batch, corpus).collect()
+    assert(got.length === 1, "one row per duplicated batch doc, novel docs absent")
+    assert(got(0).getAs[Long]("batch_id") === 1L)
+    assert(got(0).getAs[Long]("dup_of") === 0L, "exact match must outrank the near-dup")
+    assert(got(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("lshPairsAgainst with pre-materialized corpus bands is identical") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val fresh = TextQueries.lshPairsAgainst(batch, corpus).collect().toSet
+    val preBands = TextQueries.bandSignatures(corpus)
+    val viaIndex = TextQueries.lshPairsAgainst(batch, corpus,
+      corpusBands = Some(preBands)).collect().toSet
+    assert(fresh.nonEmpty, "fixture must produce incremental matches")
+    assert(viaIndex == fresh)
+  }
+
   test("txt_quality splits the corpus non-degenerately") {
     val out = TextQueries.queries("txt_quality")(spark, sfDir)
     val kept = out.filter(col("keep")).count()
