@@ -350,6 +350,49 @@ object StreamOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Stream-static incremental dedup gate: match a document STREAM
+    * against a static, pre-materialized corpus index
+    * ([[graft.text.TextQueries.corpusIndex]]). Stateless per-row band
+    * signatures + shingle-hash set, a stream-static equi-join on
+    * (band, sig), and per-row exact Jaccard from the two hash arrays
+    * (`array_intersect` — verification never touches corpus text). The
+    * ONLY stateful operator is the watermark-scoped pair dedup: a doc
+    * colliding with the same corpus doc on several bands must emit
+    * once, and that state is bounded by the watermark horizon
+    * regardless of corpus size.
+    *
+    * Output (append mode): (batch_id, ts, dup_of, jaccard) — every
+    * corpus doc the stream doc near-duplicates at `threshold`, the
+    * streaming analogue of
+    * [[graft.text.TextQueries.lshMatchesAgainst]] (parity-tested).
+    *
+    * Scale: the static side re-plans per micro-batch — an index that
+    * fits executor memory broadcast-joins, otherwise each micro-batch
+    * shuffles only its own (small) exploded band rows against the
+    * index's partitioning; bucketing the persisted index by (band,
+    * sig) makes the per-batch join entirely shuffle-free.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingLshAgainst(docs: DataFrame, corpusIndex: DataFrame,
+                          threshold: Double = 0.5,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val enriched = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        graft.text.TextQueries.shingleHashesExpr("text").as("bh"),
+        posexplode(graft.text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")))
+    val idx = corpusIndex.select(col("doc_id").as("dup_of"),
+      col("band"), col("sig"), col("hashes").as("ch"))
+    val inter = size(array_intersect(col("bh"), col("ch")))
+    val uni = size(col("bh")) + size(col("ch")) - inter
+    enriched.join(idx, Seq("band", "sig"))
+      .withColumn("jaccard", inter.cast("double") / uni)
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("ts"), col("dup_of"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+  }
+
   /** Batch-equivalent of [[streamingHistogram]] for oracle comparison
     * (complete-mode streaming result == batch result on the same data). */
   def batchHistogram(events: DataFrame, axis: BinAxis,

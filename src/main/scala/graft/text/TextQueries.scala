@@ -327,6 +327,20 @@ object TextQueries {
                       threshold: Double = 0.5,
                       corpusBands: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = lshMatchesAgainst(batch, corpus, threshold, corpusBands)
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
+  /** ALL verified batch-vs-corpus matches above `threshold` (the
+    * pre-ranking body of [[lshPairsAgainst]]): (batch_id, corpus_id,
+    * jaccard). Public so the streaming gate
+    * ([[graft.streaming.StreamOps]]) has a batch-parity reference. */
+  def lshMatchesAgainst(batch: DataFrame, corpus: DataFrame,
+                        threshold: Double = 0.5,
+                        corpusBands: Option[DataFrame] = None): DataFrame = {
     val cBands = corpusBands.getOrElse(bandSignatures(corpus))
     val cand = cBands.as("cb")
       .join(broadcast(bandSignatures(batch)).as("nb"), Seq("band", "sig"))
@@ -345,18 +359,27 @@ object TextQueries {
       .join(broadcast(shB).as("sb"),
         col("batch_id") === col("sb.doc_id") && col("sc.h") === col("sb.h"))
       .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    val scored = cand.join(inter, Seq("batch_id", "corpus_id"), "left")
+    cand.join(inter, Seq("batch_id", "corpus_id"), "left")
       .na.fill(0L, Seq("inter"))
       .join(broadcast(sizesB).as("n1"), col("batch_id") === col("n1.doc_id"))
       .join(broadcast(sizesC).as("n2"), col("corpus_id") === col("n2.doc_id"))
       .select(col("batch_id"), col("corpus_id"),
         (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    val best = Window.partitionBy("batch_id")
-      .orderBy(col("jaccard").desc, col("corpus_id"))
-    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
+
+  /** Materialized corpus-side index for the STREAM-STATIC incremental
+    * dedup gate: one row per (band, sig) entry carrying the owning
+    * doc's id and its distinct 60-bit shingle-hash set, so an incoming
+    * document can be candidate-matched (band equi-join) AND exact-
+    * Jaccard-verified (hash-array intersection) without touching the
+    * corpus text again. Compute once per corpus version, persist as a
+    * table, hand to [[graft.streaming.StreamOps.streamingLshAgainst]].
+    */
+  def corpusIndex(corpus: DataFrame): DataFrame =
+    bandSignatures(corpus).join(
+      corpus.select(col("doc_id"), shingleHashesExpr("text").as("hashes")),
+      "doc_id")
 
   /** Gopher/C4-style document quality metrics + keep flag (published
     * web-corpus filtering heuristics: word-count bounds, mean word

@@ -375,4 +375,35 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.conf.unset(wm)
     }
   }
+
+  test("stream-static incremental dedup == batch lshMatchesAgainst on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.corpusIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_incr_replay")
+    batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingLshAgainst(in, idx)
+      .writeStream.format("memory").queryName("incr_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("incr_replay").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"))
+          -> r.getAs[Double]("jaccard")).toMap
+      val want = graft.text.TextQueries.lshMatchesAgainst(batchDocs, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(want.nonEmpty, "fixture must produce incremental matches")
+      assert(got.keySet == want.keySet,
+        s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      // exact jaccard parity: hash-array intersection == shingle-join count
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
+      // multi-band collisions must emit once per (batch, corpus) pair
+      val raw = spark.table("incr_replay").count()
+      assert(raw == got.size, s"duplicate emissions: $raw rows for ${got.size} pairs")
+    } finally q.stop()
+  }
 }
