@@ -233,6 +233,18 @@ object BenchLarge {
       graft.text.TextQueries.lshPairs(docs(spark, nDocs, template),
         persistLineage = persist, portableHash = true).count()
     }
+    // incremental dedup: a 20k-doc batch (1% corpus sample, ids
+    // remapped, so every batch doc has an exact corpus dup) against the
+    // full 2M-doc corpus — includes ~1% template-bucket members so the
+    // hot-band asymmetric join path is exercised. The corpus-bands
+    // computation dominates; in production it is a pre-materialized
+    // index (TextQueries.corpusIndex) and only verification remains.
+    timed("incr_dedup", clearBetween = true) {
+      val corpus = docs(spark, nDocs, template)
+      val batch = corpus.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      graft.text.TextQueries.lshPairsAgainst(batch, corpus).count()
+    }
     timed("ivf_topk") {
       val emb = embeddings(spark, nVecs)
       // bounded deterministic training, as in Ivf.trainCentroids

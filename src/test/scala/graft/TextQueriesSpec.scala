@@ -120,6 +120,29 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_grams") === 3L)
   }
 
+  test("random docs match a driver-side brute-force top-ngram oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val rdocs = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def expect(text: String): (String, Long, Long, Long) = {
+      val grams = text.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+      val (topGram, topCnt) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+      (topGram, topCnt, grams.size.toLong, counts.size.toLong)
+    }
+    val got = TextQueries.topNgram(rdocs.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("top_gram"), r.getAs[Long]("top_cnt"),
+          r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"))).toMap
+    rdocs.foreach { case (id, text) =>
+      assert(got(id) == expect(text), s"doc $id: '$text'")
+    }
+  }
+
   // ---- incremental dedup: batch vs existing corpus ----
 
   test("lshPairsAgainst finds the batch dup and ranks the best corpus match first") {
