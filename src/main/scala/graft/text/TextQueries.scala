@@ -36,24 +36,38 @@ object TextQueries {
 
   private val STOP = Seq("the", "a", "of", "and")
 
-  /** documents → (doc_id, shingle) distinct word-3-gram shingles. */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** documents → (doc_id, shingle) distinct word-n-gram shingles. */
+  private def ngramShingles(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
     docs
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))")
       )).as("shingle"))
+  }
 
-  /** DuckDB-oracle twin of [[shingles]], over any source relation (a
-    * table name or a parenthesized subquery) so the incremental-dedup
-    * oracle can shingle the batch and corpus splits separately. */
-  private def shinglesSqlFor(src: String): String =
+  /** documents → (doc_id, shingle) distinct word-3-gram shingles (the
+    * MinHash/LSH chain's unit). */
+  private def shingles(docs: DataFrame): DataFrame = ngramShingles(docs, 3)
+
+  /** DuckDB-oracle twin of [[ngramShingles]], over any source relation
+    * (a table name or a parenthesized subquery) so the incremental-dedup
+    * and decontamination oracles can shingle arbitrary splits. */
+  private def ngramShinglesSqlFor(src: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
+      .mkString(", ' ', ")
     s"""SELECT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, len(toks) - 1),
-       |      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))) AS shingle
+       |    list_transform(range(1, len(toks) - ${n - 2}),
+       |      i -> concat($parts)))) AS shingle
        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
-       |WHERE len(toks) >= 3""".stripMargin
+       |WHERE len(toks) >= $n""".stripMargin
+  }
+
+  private def shinglesSqlFor(src: String): String = ngramShinglesSqlFor(src, 3)
 
   private val shinglesSql: String = shinglesSqlFor("documents")
 
@@ -381,6 +395,47 @@ object TextQueries {
       corpus.select(col("doc_id"), shingleHashesExpr("text").as("hashes")),
       "doc_id")
 
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one word-n-gram with the benchmark/eval set — the
+    * published train-test-overlap control (GPT-3 §C / C4: 8-13-gram
+    * matching; default n=5 here scales to the synthetic corpus's short
+    * docs). Returns the clean corpus as (doc_id, content_hash).
+    *
+    * Scale shape: the benchmark is tiny next to the corpus, so its
+    * distinct shingle set broadcasts against one streaming pass over
+    * the exploded corpus shingles (left_semi), and the resulting
+    * contaminated-id set (small by construction — contamination is the
+    * exception) broadcasts into the final anti-join. The corpus is
+    * scanned twice, shuffled never.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+    val contaminated = ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+  }
+
+  /** Deterministic training-mix allocation: per language keep the top
+    * `floor(budget × weight)` documents by `score` (ties to the
+    * smaller doc_id), the reproducible form of domain/language
+    * re-balancing in training-data pipelines. One shuffle (window by
+    * lang); languages without a weight contribute nothing.
+    */
+  def corpusMix(docs: DataFrame, weights: Map[String, Double],
+                budget: Long, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kCol = weights.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(math.floor(budget * w).toLong)).otherwise(acc)
+    }
+    val rank = row_number()
+      .over(Window.partitionBy("lang").orderBy(score.desc, col("doc_id")))
+    docs.withColumn("mix_rank", rank)
+      .filter(col("mix_rank") <= kCol)
+      .select(col("doc_id"), col("lang"), col("mix_rank"))
+  }
+
   /** Gopher/C4-style document quality metrics + keep flag (published
     * web-corpus filtering heuristics: word-count bounds, mean word
     * length, vocabulary diversity, stopword presence — Rae et al. 2021
@@ -470,6 +525,20 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       lshPairsAgainst(docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
+    },
+
+    // ---- benchmark decontamination: eval set = docs 0-9 ----
+    "txt_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      decontaminate(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10))
+    },
+
+    // ---- deterministic per-language training-mix allocation ----
+    "corpus_mix" -> { (s, dir) =>
+      corpusMix(Tables.documents(s, dir),
+        Map("en" -> 0.5, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.1),
+        budget = 200L, score = col("n_chars"))
     },
 
     // ---- token counting + quality scoring ----
@@ -710,6 +779,25 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
+
+    "txt_decontaminate" -> {
+      val benchSrc = "(SELECT * FROM documents WHERE doc_id < 10)"
+      val corpusSrc = "(SELECT * FROM documents WHERE doc_id >= 10)"
+      s"""WITH bsh AS (SELECT DISTINCT shingle FROM (${ngramShinglesSqlFor(benchSrc, 5)})),
+         |csh AS (${ngramShinglesSqlFor(corpusSrc, 5)}),
+         |bad AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (shingle))
+         |SELECT d.doc_id, md5(d.text) AS content_hash
+         |FROM documents d
+         |WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+    },
+
+    "corpus_mix" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS mix_rank
+        |FROM documents)
+        |SELECT doc_id, lang, mix_rank FROM r
+        |WHERE mix_rank <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 30
+        |  WHEN 'fr' THEN 30 WHEN 'es' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END""".stripMargin,
 
     "txt_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),

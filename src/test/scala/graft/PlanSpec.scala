@@ -81,6 +81,22 @@ class PlanSpec extends AnyFunSuite {
       "candidate generation must stay an equi-join")
   }
 
+  test("txt_decontaminate broadcasts both small sides; the corpus is never shuffled") {
+    val p = plan("txt_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark shingles must broadcast into the semi join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"),
+      s"contaminated ids must anti-join the corpus:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join is acceptable here")
+  }
+
+  test("corpus_mix runs on a single per-language shuffle") {
+    val p = plan("corpus_mix")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one window exchange, got $n:\n${p.take(1500)}")
+  }
+
   test("ANN top-k queries broadcast the small query side") {
     Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),

@@ -176,6 +176,43 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(viaIndex == fresh)
   }
 
+  // ---- benchmark decontamination + training-mix allocation ----
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "x a b c d e y z w v"),   // contains benchmark 5-gram "a b c d e"
+      (11L, "p q r s t u v w x y"),   // clean
+      (12L, "a b c x d e f g h i")    // shares words but no 5-gram
+    ).toDF("doc_id", "text")
+    val got = TextQueries.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L, 12L))
+  }
+
+  test("corpusMix keeps floor(budget x weight) per language, best score first") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i =>
+      (i, if (i <= 6) "en" else "de", s"t$i", i * 10)) // score = 10..100
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextQueries.corpusMix(df,
+      Map("en" -> 0.3, "de" -> 0.2), budget = 10L, score = col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // en: k=3 → top scores are docs 6,5,4; de: k=2 → docs 10,9
+    assert(got === Set((6L, "en", 1), (5L, "en", 2), (4L, "en", 3),
+      (10L, "de", 1), (9L, "de", 2)))
+  }
+
+  test("corpusMix ties on score break to the smaller doc_id") {
+    import spark.implicits._
+    val df = Seq((3L, "en", "t", 50), (1L, "en", "t", 50), (2L, "en", "t", 50))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextQueries.corpusMix(df, Map("en" -> 0.2), budget = 10L,
+      score = col("n_chars")).collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got === Set((1L, 1), (2L, 2)))
+  }
+
   test("txt_quality splits the corpus non-degenerately") {
     val out = TextQueries.queries("txt_quality")(spark, sfDir)
     val kept = out.filter(col("keep")).count()
