@@ -67,6 +67,14 @@ object SimilarityQueries {
       org.apache.spark.sql.GraftBridge.expression(a),
       org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Quantized cosine similarity between two embedding columns — the
+    * exact scoring kernel every similarity query here uses, public so
+    * the streaming ANN gate ([[graft.streaming.StreamOps]]) scores with
+    * bit-identical arithmetic. */
+  def cosineE12(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
+
   /** (vec_id, bucket): sign-random-projection bucket per vector —
     * join-free, one aggregation pass. */
   private def buckets(s: SparkSession, dir: String): DataFrame = {

@@ -393,6 +393,42 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static embedding near-dup gate: incoming vectors matched
+    * against a static IVF-assigned corpus ([[graft.sim.Ivf.withCell]]).
+    * Stateless end to end: cell assignment is a codegen'd expression
+    * over driver-literal centroids, the stream-static equi-join on
+    * `cell` prunes candidates to one coarse cluster, and scoring is the
+    * per-row quantized cosine ([[graft.sim.SimilarityQueries.cosineE12]],
+    * bit-identical to the batch ANN queries). No watermark state at
+    * all — the cell join emits each (stream, corpus) pair exactly once.
+    *
+    * Output (append mode): (qid, ts, dup_of, cosine) for every corpus
+    * vector in the stream vector's cell with cosine >= `threshold`.
+    * Same recall caveat as single-probe IVF: a near-dup in a
+    * neighboring cell is missed; raise recall by assigning the STREAM
+    * side with [[graft.sim.Ivf.withProbes]]-style multi-cell expansion.
+    *
+    * Scale: the corpus side re-plans per micro-batch (broadcast when it
+    * fits, else only the micro-batch's rows shuffle); state is zero, so
+    * the gate runs forever at constant memory.
+    *
+    * Input schema: (vec_id LONG, ts TIMESTAMP, embedding ARRAY<FLOAT>).
+    */
+  def streamingAnnAgainst(vecs: DataFrame, corpusAssigned: DataFrame,
+                          centroids: Array[Array[Double]],
+                          threshold: Double = 0.25): DataFrame = {
+    val stream = graft.sim.Ivf.withCell(vecs, centroids)
+      .select(col("vec_id").as("qid"), col("ts"),
+        col("embedding").as("e1"), col("cell"))
+    val corpus = corpusAssigned.select(col("vec_id").as("dup_of"),
+      col("embedding").as("e2"), col("cell"))
+    stream.join(corpus, Seq("cell"))
+      .withColumn("cosine",
+        graft.sim.SimilarityQueries.cosineE12(col("e1"), col("e2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("qid"), col("ts"), col("dup_of"), col("cosine"))
+  }
+
   /** Batch-equivalent of [[streamingHistogram]] for oracle comparison
     * (complete-mode streaming result == batch result on the same data). */
   def batchHistogram(events: DataFrame, axis: BinAxis,

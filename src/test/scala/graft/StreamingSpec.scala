@@ -406,4 +406,38 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(raw == got.size, s"duplicate emissions: $raw rows for ${got.size} pairs")
     } finally q.stop()
   }
+
+  test("stream-static ANN gate == identical batch plan on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, 8)
+    val corpus = graft.sim.Ivf.withCell(all.filter(col("vec_id") % 2 === 0), cents)
+    val batchVecs = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), lit(t0).as("ts"), col("embedding"))
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_ann_replay")
+    batchVecs.coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+    val in = spark.readStream.schema(embSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingAnnAgainst(in, corpus, cents, threshold = 0.1)
+      .writeStream.format("memory").queryName("ann_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ann_replay").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("dup_of"))
+          -> r.getAs[Double]("cosine")).toMap
+      // the gate is stateless, so the SAME function over the batch frame
+      // is the exact expected result — replay pins streaming execution
+      val want = graft.streaming.StreamOps
+        .streamingAnnAgainst(batchVecs, corpus, cents, threshold = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      assert(want.nonEmpty, "fixture must produce same-cell matches")
+      assert(got.keySet == want.keySet,
+        s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
 }
