@@ -162,6 +162,26 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
+    // incremental ANN: new vectors (odd ids) matched against an
+    // existing IVF-assigned corpus (even ids) — the embedding twin of
+    // dedup_incremental. The small batch side broadcasts into the cell
+    // join so the corpus streams; best match per query vector (highest
+    // cosine, ties to the smallest corpus id)
+    "emb_incremental" -> { (s, dir) =>
+      val cents = Ivf.trainCentroids(s, dir, k = 8)
+      val asg = Ivf.withCell(Tables.embeddings(s, dir), cents)
+      val corpus = asg.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("dup_of"), col("embedding").as("e2"), col("cell"))
+      val batch = asg.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("e1"), col("cell"))
+      val scored = corpus.join(broadcast(batch), Seq("cell"))
+        .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+        .filter(col("cosine") >= 0.1)
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("dup_of"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("dup_of"), col("cosine"))
+    },
+
     // IVF cell assignment: driver-trained deterministic k-means coarse
     // quantizer, centroids baked in as literals (inverted-file shape;
     // the alternative scale path to the sign-LSH buckets)
@@ -308,6 +328,22 @@ object SimilarityQueries {
         case None => Map.empty[String, String]
       }
       Map(
+        "emb_incremental" ->
+          s"""WITH asg AS ($asg),
+             |b AS (SELECT vec_id AS qid, embedding AS e1, cell FROM asg WHERE vec_id % 2 = 1),
+             |c AS (SELECT vec_id AS dup_of, embedding AS e2, cell FROM asg WHERE vec_id % 2 = 0),
+             |scored AS (
+             |  SELECT qid, dup_of,
+             |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+             |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+             |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+             |  FROM b JOIN c USING (cell)),
+             |ranked AS (
+             |  SELECT qid, dup_of, cosine,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, dup_of) AS rn
+             |  FROM scored WHERE cosine >= 0.1)
+             |SELECT qid, dup_of, cosine FROM ranked WHERE rn = 1""".stripMargin,
+
         "emb_ivf_assign" -> s"SELECT vec_id, cell FROM ($asg) t",
         "emb_ivf_topk" -> rerank(
           "SELECT vec_id AS qid, embedding AS e1, cell FROM asg WHERE vec_id < 10"),

@@ -98,7 +98,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ANN top-k queries broadcast the small query side") {
-    Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk").foreach { q =>
+    Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk",
+        "emb_incremental").foreach { q =>
       assert(plan(q).contains("BroadcastHashJoin") || plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q must broadcast-join the query side, not shuffle the corpus")
     }
