@@ -436,6 +436,32 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("mix_rank"))
   }
 
+  /** The full training-corpus cleaning pipeline as ONE composed plan —
+    * the query a user of this engine actually ships:
+    *
+    *  1. benchmark decontamination ([[decontaminate]] semantics): drop
+    *     docs sharing a word-n-gram with the eval set (broadcast
+    *     semi + anti, corpus never shuffled);
+    *  2. quality filtering ([[qualityKeep]]): per-row Gopher/C4 flag,
+    *     zero shuffle — placed BEFORE dedup so the expensive LSH chain
+    *     only sees docs worth keeping;
+    *  3. near-dup dedup + survivor materialization ([[dedupKeep]]):
+    *     LSH chain over the pre-filtered corpus, cluster-min survivor,
+    *     broadcast anti-join.
+    *
+    * Returns the clean corpus as (doc_id, content_hash).
+    */
+  def corpusClean(corpus: DataFrame, benchmark: DataFrame,
+                  n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+    val contaminated = ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val decontaminated = corpus
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    dedupKeep(decontaminated.filter(qualityKeep()), threshold)
+  }
+
   /** Gopher/C4-style document quality metrics + keep flag (published
     * web-corpus filtering heuristics: word-count bounds, mean word
     * length, vocabulary diversity, stopword presence — Rae et al. 2021
@@ -462,9 +488,25 @@ object TextQueries {
       meanLen.as("mean_word_len"),
       fracDistinct.as("frac_distinct"),
       stopDistinct.as("stop_distinct"),
-      (nW >= minWords && meanLen >= minMeanLen && meanLen <= maxMeanLen &&
-        fracDistinct >= minFracDistinct &&
-        stopDistinct >= minStopDistinct).as("keep"))
+      qualityKeep(minWords, minMeanLen, maxMeanLen, minFracDistinct,
+        minStopDistinct).as("keep"))
+  }
+
+  /** The [[qualityStats]] keep flag as a standalone boolean Column over
+    * a `text` field — per-row, so a pipeline can filter WITHOUT a join
+    * back to the metrics frame. */
+  def qualityKeep(minWords: Int = 20,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
+                  minFracDistinct: Double = 0.35,
+                  minStopDistinct: Int = 1): Column = {
+    val toks = split(col("text"), " ")
+    val nW = size(toks)
+    val meanLen = (length(col("text")) - (nW - 1)).cast("double") / nW
+    val fracDistinct = size(array_distinct(toks)).cast("double") / nW
+    val stopDistinct = size(filter(array(STOP.map(lit): _*),
+      sw => array_contains(toks, sw)))
+    nW >= minWords && meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      fracDistinct >= minFracDistinct && stopDistinct >= minStopDistinct
   }
 
   /** Per-document top word-n-gram + repetition fractions (the Gopher
@@ -531,6 +573,13 @@ object TextQueries {
     "txt_decontaminate" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       decontaminate(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10))
+    },
+
+    // ---- full cleaning pipeline: decontaminate + quality + dedup ----
+    "corpus_clean" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      corpusClean(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10))
     },
 
@@ -699,9 +748,11 @@ object TextQueries {
   )
 
   /** The dedup_lsh_pairs oracle, shared with dedup_components (which
-    * computes the transitive closure over its pair output). */
-  private val lshPairsOracle: String =
-    s"""WITH mh AS ($minhashSigSql),
+    * computes the transitive closure over its pair output), over any
+    * source relation so composed pipelines (corpus_clean) can dedup a
+    * filtered split. */
+  private def lshPairsOracleFor(src: String): String =
+    s"""WITH mh AS (${minhashSigSqlFor(src)}),
        |bands AS (
        |  SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
        |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
@@ -710,7 +761,7 @@ object TextQueries {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |sh AS ($shinglesSql),
+       |sh AS (${shinglesSqlFor(src)}),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.d1, c.d2, count(*) AS inter
@@ -727,11 +778,13 @@ object TextQueries {
        |JOIN sizes n2 ON c.d2 = n2.doc_id
        |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin
 
+  private val lshPairsOracle: String = lshPairsOracleFor("documents")
+
   /** Transitive closure of the LSH pair graph via recursive CTE (fine at
     * oracle scale; the Spark side is the O(log n) large-star/small-star
     * loop in ops.Components). Shared by dedup_components and dedup_keep. */
-  private val componentsOracle: String =
-    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($lshPairsOracle) lsh),
+  private def componentsOracleFor(src: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM (${lshPairsOracleFor(src)}) lsh),
        |nodes AS (SELECT d1 AS n FROM pairs UNION SELECT d2 FROM pairs),
        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
        |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
@@ -741,6 +794,42 @@ object TextQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
        |FROM reach GROUP BY a""".stripMargin
+
+  private val componentsOracle: String = componentsOracleFor("documents")
+
+  /** The dedup_keep oracle over any source: survivors = docs whose
+    * cluster label (if any) is themselves; docs never paired have no
+    * label row and survive. */
+  private def dedupKeepSqlFor(src: String): String =
+    s"""WITH comp AS (${componentsOracleFor(src)})
+       |SELECT d.doc_id, md5(d.text) AS content_hash
+       |FROM $src d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin
+
+  /** corpus_clean: decontamination + quality predicate folded into ONE
+    * source relation, then the dedup_keep chain over it. The quality
+    * predicate mirrors [[qualityKeep]] defaults term for term. */
+  private val corpusCleanOracle: String = {
+    val benchSrc = "(SELECT * FROM documents WHERE doc_id < 10)"
+    def toks(ref: String) = s"string_split($ref, ' ')"
+    val quality =
+      s"""len(${toks("d.text")}) >= 20
+         | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) >= 3.0
+         | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) <= 8.0
+         | AND CAST(len(list_distinct(${toks("d.text")})) AS DOUBLE) / len(${toks("d.text")}) >= 0.35
+         | AND len(list_filter(['the','a','of','and'], s -> list_contains(${toks("d.text")}, s))) >= 1""".stripMargin
+    val src =
+      s"""(SELECT d.* FROM documents d
+         | WHERE d.doc_id >= 10
+         |  AND d.doc_id NOT IN (
+         |   SELECT DISTINCT c.doc_id
+         |   FROM (${ngramShinglesSqlFor("(SELECT * FROM documents WHERE doc_id >= 10)", 5)}) c
+         |   JOIN (SELECT DISTINCT shingle FROM (${ngramShinglesSqlFor(benchSrc, 5)})) b
+         |     USING (shingle))
+         |  AND $quality)""".stripMargin
+    dedupKeepSqlFor(src)
+  }
 
   /** dedup_incremental oracle: the same band join + candidate-only
     * verification + best-match ranking, over the parity split. */
@@ -875,14 +964,9 @@ object TextQueries {
 
     "dedup_components" -> componentsOracle,
 
-    "dedup_keep" ->
-      // survivors = docs whose cluster label (if any) is themselves;
-      // docs never paired have no label row and survive
-      s"""WITH comp AS ($componentsOracle)
-         |SELECT d.doc_id, md5(d.text) AS content_hash
-         |FROM documents d
-         |LEFT JOIN comp c ON d.doc_id = c.doc_id
-         |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin,
+    "dedup_keep" -> dedupKeepSqlFor("documents"),
+
+    "corpus_clean" -> corpusCleanOracle,
 
     "dedup_jaccard_brute" ->
       s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 200),

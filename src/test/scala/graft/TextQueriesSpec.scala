@@ -213,6 +213,21 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got === Set((1L, 1), (2L, 2)))
   }
 
+  test("corpus_clean == manual stage composition (decontaminate, quality, dedup)") {
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val got = keepSet(TextQueries.corpusClean(corpus, bench))
+    // stage-by-stage driver-side composition through the public API
+    val afterDecon = TextQueries.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val passQuality = TextQueries.qualityStats(corpus).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stage2 = corpus.filter(col("doc_id").isin((afterDecon & passQuality).toSeq: _*))
+    val want = keepSet(TextQueries.dedupKeep(stage2))
+    assert(want.nonEmpty && want.size < corpus.count())
+    assert(got == want)
+  }
+
   test("txt_quality splits the corpus non-degenerately") {
     val out = TextQueries.queries("txt_quality")(spark, sfDir)
     val kept = out.filter(col("keep")).count()
