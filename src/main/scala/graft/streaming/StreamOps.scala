@@ -393,6 +393,37 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stateless streaming ingest gate — the per-row stages of
+    * corpus_clean for a document stream: the Gopher/C4 quality
+    * predicate ([[graft.text.TextQueries.qualityKeep]]) plus benchmark
+    * decontamination, with the eval set's distinct n-gram shingles
+    * collapsed into ONE static row that broadcast-cross-joins the
+    * stream (eval sets are tiny by definition), so contamination is a
+    * per-row `array_intersect` check. Zero state, constant memory.
+    *
+    * Emits the surviving docs unchanged. The remaining corpus_clean
+    * stage — near-dup rejection against the existing corpus — is the
+    * dup-verdict stream of [[streamingLshAgainst]]; production gates
+    * compose the two (pass the gate, subtract the verdicts) because
+    * doc-level all-bands-clear quantification is a join aggregate, not
+    * a per-row predicate.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingIngestGate(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 5): DataFrame = {
+    import graft.text.TextQueries
+    val benchRow = benchmark
+      .select(explode(TextQueries.ngramShinglesExpr("text", n)).as("shingle"))
+      .distinct()
+      .agg(collect_set(col("shingle")).as("bench_shingles"))
+    docs.filter(TextQueries.qualityKeep())
+      .crossJoin(broadcast(benchRow))
+      .filter(size(array_intersect(
+        TextQueries.ngramShinglesExpr("text", n), col("bench_shingles"))) === 0)
+      .drop("bench_shingles")
+  }
+
   /** Stream-static embedding near-dup gate: incoming vectors matched
     * against a static IVF-assigned corpus ([[graft.sim.Ivf.withCell]]).
     * Stateless end to end: cell assignment is a codegen'd expression

@@ -53,6 +53,21 @@ object TextQueries {
     * MinHash/LSH chain's unit). */
   private def shingles(docs: DataFrame): DataFrame = ngramShingles(docs, 3)
 
+  /** Per-row distinct word-n-gram array over a text field — the
+    * explode-free form of [[ngramShingles]] for streaming/stateless
+    * consumers; empty array below n tokens. */
+  def ngramShinglesExpr(textField: String, n: Int): Column = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
+    expr(
+      s"""element_at(transform(array(split($textField, ' ')), toks ->
+         |  CASE WHEN size(toks) >= $n THEN
+         |    array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
+         |      i -> concat_ws(' ', $parts)))
+         |  ELSE CAST(array() AS ARRAY<STRING>) END), 1)""".stripMargin)
+  }
+
   /** DuckDB-oracle twin of [[ngramShingles]], over any source relation
     * (a table name or a parenthesized subquery) so the incremental-dedup
     * and decontamination oracles can shingle arbitrary splits. */

@@ -407,6 +407,32 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless ingest gate == decontamination + quality stages on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_gate_replay")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingIngestGate(in, bench)
+      .writeStream.format("memory").queryName("gate_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gate_replay").collect().map(_.getAs[Long]("doc_id")).toSet
+      // expected: decontamination survivors ∩ quality passers, via the
+      // independent batch APIs
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = decon & quality
+      assert(want.nonEmpty && want.size < corpus.count())
+      assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("stream-static ANN gate == identical batch plan on replay") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.embeddings(spark, sfDir)
