@@ -20,6 +20,8 @@ import org.apache.spark.sql.expressions.Window
   *                     portability stays measured, not guessed
   *   - `cc_clusters`   pair graph → dedup clusters (large-star/
   *                     small-star connected components)
+  *   - `incr_dedup`    20k-doc batch vs the full corpus through the
+  *                     asymmetric LSH join (lshPairsAgainst)
   *   - `ivf_topk`      IVF ANN: bounded training, codegen cell assign,
   *                     broadcast probe, cell-local re-rank
   *
