@@ -65,4 +65,27 @@ object Sources {
     * analogue): repartition + write, one file per partition. */
   def splitWrite(df: DataFrame, path: String, nSplits: Int): Unit =
     df.repartition(nSplits).write.mode("overwrite").parquet(path)
+
+  /** Scale-aware materialization: range-partition on `sortCols`, sort
+    * within partitions on the same keys, and cap rows per output file —
+    * the layout a 100 TB corpus write actually needs. Range partitioning
+    * (not hash) makes every file cover a contiguous key interval, so a
+    * downstream reader filtering on the leading sort key prunes whole
+    * files via parquet min/max; the in-file sort tightens row-group
+    * statistics the same way; `maxRecordsPerFile` keeps any single task
+    * from emitting an unsplittable monster file regardless of skew.
+    * `nPartitions` sizes the parallelism explicitly (files-per-write ≈
+    * nPartitions × ceil(rows_in_partition / maxRecordsPerFile)).
+    */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  nPartitions: Int, maxRecordsPerFile: Long): Unit = {
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    val keys = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

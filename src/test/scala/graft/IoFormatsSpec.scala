@@ -113,6 +113,31 @@ class IoFormatsSpec extends AnyFunSuite {
     assert(r.angles.toSeq == Seq(-5.0, 0.0, 5.0))
     assert(r.matrix.map(_.toSeq).toSeq == d.matrix.map(_.toSeq).toSeq)
   }
+
+  test("writeSorted: bounded files, in-file sort order, lossless content") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    graft.io.Sources.writeSorted(docs, out, Seq("lang", "doc_id"),
+      nPartitions = 4, maxRecordsPerFile = 50L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 4, s"expected >= 4 files, got ${files.length}")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f)
+        .select(col("lang"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.length <= 50, s"$f holds ${rows.length} rows > maxRecordsPerFile")
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"$f is not sorted by (lang, doc_id)")
+    }
+    // lossless: the union of all files is exactly the input
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val want = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want))
+  }
 }
 
 class MatFileSpec extends AnyFunSuite {
