@@ -53,6 +53,26 @@ object TextQueries {
     * MinHash/LSH chain's unit). */
   private def shingles(docs: DataFrame): DataFrame = ngramShingles(docs, 3)
 
+  /** BPE-ish pre-tokenizer alternation (GPT-2 shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs,
+    * whitespace) with the lookahead dropped so the SAME pattern runs
+    * identically under Java regex (Spark) and RE2 (DuckDB) — RE2 has
+    * no lookahead, and both engines resolve alternation leftmost-first.
+    */
+  val BpeishPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Whitespace token count of a text field. */
+  def wsTokenCount(textField: String): Column =
+    size(split(col(textField), " "))
+
+  /** BPE-ish token count: matches of [[BpeishPattern]] — on plain-word
+    * corpora it coincides with [[wsTokenCount]]; punctuation,
+    * contractions, and digit runs split further, approximating subword
+    * tokenizer budgets for data-sizing decisions. */
+  def bpeishTokenCount(textField: String): Column =
+    size(regexp_extract_all(col(textField), lit(BpeishPattern), lit(0)))
+
   /** Per-row distinct word-n-gram array over a text field — the
     * explode-free form of [[ngramShingles]] for streaming/stateless
     * consumers; empty array below n tokens. */

@@ -143,6 +143,32 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE-ish token count splits contractions, digits, and punctuation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "don't stop-gap 99 bowls"), // don|'t|( stop|-|gap)|( 99)|( bowls) = 7
+      (2L, "plain words only"),        // coincides with whitespace count = 3
+      (3L, "a1b2")                     // a|1|b|2 = 4
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextQueries.wsTokenCount("text").as("ws"),
+      TextQueries.bpeishTokenCount("text").as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) === (4, 7))
+    assert(got(2L) === (3, 3))
+    assert(got(3L) === (1, 4))
+  }
+
+  test("BPE-ish pattern is cross-engine safe on the corpus (no lookahead, leftmost-first)") {
+    // on the plain-word synthetic corpus the two counts coincide —
+    // pinned so a pattern edit that breaks RE2 parity shows up here
+    val diff = docs.select(
+      TextQueries.wsTokenCount("text").as("ws"),
+      TextQueries.bpeishTokenCount("text").as("bpe"))
+      .filter(col("ws") =!= col("bpe")).count()
+    assert(diff === 0L)
+  }
+
   // ---- incremental dedup: batch vs existing corpus ----
 
   test("lshPairsAgainst finds the batch dup and ranks the best corpus match first") {
