@@ -487,14 +487,27 @@ object TextQueries {
     * Returns the clean corpus as (doc_id, content_hash).
     */
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
-                  n: Int = 5, threshold: Double = 0.5): DataFrame = {
+                  n: Int = 5, threshold: Double = 0.5,
+                  persistIntermediate: Boolean = true): DataFrame = {
     val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
     val contaminated = ngramShingles(corpus, n)
       .join(broadcast(benchSh), Seq("shingle"), "left_semi")
       .select(col("doc_id")).distinct()
-    val decontaminated = corpus
+    val clean0 = corpus
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    dedupKeep(decontaminated.filter(qualityKeep()), threshold)
+      .filter(qualityKeep())
+    // the dedup chain consumes its input ~5 times (three shingle
+    // derivations, sizes, the final anti-join); without materialization
+    // each consumer re-executes the decontamination subtree INCLUDING
+    // the full-corpus n-gram explode — measured 7.4 s vs 4.2 s for
+    // dedup_keep on the LARGER raw corpus at sf0.1. Caching the
+    // cleaned text (cache stays session-owned, as lshPairs documents)
+    // is the in-query form of what a production pipeline does anyway:
+    // materialize the filtered corpus, then dedup the materialization.
+    val clean = if (persistIntermediate)
+      clean0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else clean0
+    dedupKeep(clean, threshold)
   }
 
   /** Gopher/C4-style document quality metrics + keep flag (published
