@@ -63,6 +63,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object BenchLarge {
 
+  /** Locale-proof 2-decimal formatting: the f-interpolator uses the JVM
+    * default locale, and a comma-decimal locale would emit JSON the
+    * gate's own parser cannot read back. */
+  private def f2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   /** Committed BENCH_LARGE.json, parsed: input sizes, per-query secs,
     * and the host-speed calibration time (absent in pre-gate files). */
   final case class LargeBaseline(rows: Long, docs: Long, vecs: Long,
@@ -98,7 +104,7 @@ object BenchLarge {
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
       got <- fresh.get(name) if got > base * tol * scale
-    } yield f"$name: $got%.2f s > $tol%.2f x baseline $base%.2f s (host-speed scale $scale%.2f)"
+    } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s (host-speed scale ${f2(scale)})"
     val missing = (baseline.keySet -- fresh.keySet).toSeq.sorted
       .map(n => s"$n: measured by baseline but missing from this run")
     slow ++ missing
@@ -176,7 +182,7 @@ object BenchLarge {
       require(o1 == o2, s"$name output changed between passes: $o1 vs $o2")
       // per-pass diagnostic: a big pass1/pass2 gap is cold compile or a
       // host-contention spike; both slow means the query itself slowed
-      System.err.println(f"[bench] $name pass1=$d1%.2f s pass2=$d2%.2f s")
+      System.err.println(s"[bench] $name pass1=${f2(d1)} s pass2=${f2(d2)} s")
       results(name) = math.min(d1, d2)
       checks(name) = o2
     }
@@ -270,13 +276,13 @@ object BenchLarge {
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val cs = checks.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val evPerSec = (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
-    println(s"""{"metric":"bench_large","value":${f"$total%.2f"},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f"$calibSec%.2f"},"queries":$qs,"outputs":$cs}""")
+    println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"queries":$qs,"outputs":$cs}""")
     spark.stop()
 
     // ---- regression gate against the committed baseline -------------
@@ -296,8 +302,8 @@ object BenchLarge {
           regs.foreach(r => System.err.println(s"REGRESSION $r"))
           sys.exit(1)
         }
-        val scaleNote = base.calib.map(b => f" (host-speed scale ${calibSec / b}%.2f)").getOrElse("")
-        System.err.println(f"gate ok: ${results.size} queries within $tol%.2f x of $baselinePath$scaleNote")
+        val scaleNote = base.calib.map(b => s" (host-speed scale ${f2(calibSec / b)})").getOrElse("")
+        System.err.println(s"gate ok: ${results.size} queries within ${f2(tol)} x of $baselinePath$scaleNote")
       }
     } else if (baselinePath.nonEmpty) {
       System.err.println(s"gate skipped: no baseline at $baselinePath")

@@ -27,12 +27,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -56,5 +58,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (!preexisting) spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed: ${failed.mkString(", ")}")
+      // filtered (local-debugging) runs fail loudly — a silent rc=0 with
+      // a missing parquet is the exact shape the unknown-name require
+      // exists to prevent. FULL runs stay resilient on purpose: one
+      // broken query must not zero the round's correctness for the
+      // other ~85 (the driver's comparison marks the missing result as
+      // a per-query err either way).
+      if (only.nonEmpty)
+        throw new RuntimeException(s"selected queries failed: ${failed.mkString(", ")}")
+    }
   }
 }

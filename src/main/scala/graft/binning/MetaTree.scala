@@ -36,7 +36,11 @@ object MetaNode {
     def num(key: String): Double = apply(key) match {
       case MNum(v) => v
       case MInt(v) => v.toDouble
+      // render() writes non-finite doubles as their toString in quotes;
+      // recover all three, not just NaN
       case MStr("NaN") => Double.NaN
+      case MStr("Infinity") => Double.PositiveInfinity
+      case MStr("-Infinity") => Double.NegativeInfinity
       case other => throw new IllegalArgumentException(s"'$key' is not numeric: $other")
     }
   }

@@ -162,11 +162,14 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
-    // incremental ANN: new vectors (odd ids) matched against an
-    // existing IVF-assigned corpus (even ids) — the embedding twin of
-    // dedup_incremental. The small batch side broadcasts into the cell
-    // join so the corpus streams; best match per query vector (highest
-    // cosine, ties to the smallest corpus id)
+    // incremental ANN: new vectors matched against an existing
+    // IVF-assigned corpus — the embedding twin of dedup_incremental,
+    // best match per query vector (highest cosine, ties to the
+    // smallest corpus id). The broadcast hint on the batch side
+    // encodes the PRODUCTION assumption batch ≪ corpus (an ingest
+    // batch against a standing index); the 50/50 id-parity split here
+    // is only the fixture's stand-in for that shape, small enough to
+    // broadcast at oracle scale
     "emb_incremental" -> { (s, dir) =>
       val cents = Ivf.trainCentroids(s, dir, k = 8)
       val asg = Ivf.withCell(Tables.embeddings(s, dir), cents)

@@ -201,35 +201,6 @@ object StreamOps {
   final case class LshCand(d1: Long, d2: Long, ts: java.sql.Timestamp,
                            sh1: Seq[Long], sh2: Seq[Long])
 
-  /** Streaming LSH candidate-PAIR emission with exact-Jaccard verify —
-    * the full streaming form of the batch `dedup_lsh_pairs` chain,
-    * built from Spark 4 chained stateful operators:
-    *
-    *  1. stateless per-row band signatures + the doc's distinct
-    *     shingle-hash set ([[graft.text.TextQueries.bandSigsExpr]] /
-    *     `shingleHashesExpr`);
-    *  2. stateful band-collision state per (band, signature) key holding
-    *     the docs (id + shingle hashes) that registered it; each arriving
-    *     doc emits one candidate pair per stored doc, normalized to
-    *     `d1 < d2`. `EventTimeTimeout` expires signatures `horizonMs`
-    *     past their newest event, and a per-signature doc cap bounds the
-    *     degenerate "identical template" bucket (beyond the cap the
-    *     overflow is dropped LOUDLY via log — the streaming analogue of
-    *     `Scale.selfPairs` salting, which cannot apply inside one key's
-    *     state);
-    *  3. a CHAINED second stateful operator — watermark-scoped pair
-    *     dedup (`dropDuplicatesWithinWatermark`) — collapses the same
-    *     pair surfacing from multiple bands, exactly like the batch
-    *     `.distinct()`;
-    *  4. stateless exact-Jaccard verify from the carried shingle sets
-    *     (`array_intersect` on 60-bit hashes), `jaccard >= threshold`.
-    *
-    * Output: (d1, d2, inter, uni, jaccard) — the batch query's schema;
-    * StreamingLshSpec pins single-batch-replay parity with
-    * `dedup_lsh_pairs` and state expiry.
-    *
-    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
-    */
   /** The two session confs the chained-stateful LSH shape requires AT
     * QUERY START, with their required values:
     *
@@ -289,10 +260,39 @@ object StreamOps {
     }
   }
 
-  /** See [[lshStreamConfs]] for the two session confs this query needs
-    * at start time — wrap the `.start()` call in
-    * [[withLshStreamConfs]] (starting without them fails loudly in
-    * analysis with the chained-stateful-operator error).
+  /** Streaming LSH candidate-PAIR emission with exact-Jaccard verify —
+    * the full streaming form of the batch `dedup_lsh_pairs` chain,
+    * built from Spark 4 chained stateful operators:
+    *
+    *  1. stateless per-row band signatures + the doc's distinct
+    *     shingle-hash set ([[graft.text.TextQueries.bandSigsExpr]] /
+    *     `shingleHashesExpr`);
+    *  2. stateful band-collision state per (band, signature) key holding
+    *     the docs (id + shingle hashes) that registered it; each arriving
+    *     doc emits one candidate pair per stored doc, normalized to
+    *     `d1 < d2`. `EventTimeTimeout` expires signatures `horizonMs`
+    *     past their newest event, and a per-signature doc cap bounds the
+    *     degenerate "identical template" bucket (beyond the cap the
+    *     overflow is dropped LOUDLY via log — the streaming analogue of
+    *     `Scale.selfPairs` salting, which cannot apply inside one key's
+    *     state);
+    *  3. a CHAINED second stateful operator — watermark-scoped pair
+    *     dedup (`dropDuplicatesWithinWatermark`) — collapses the same
+    *     pair surfacing from multiple bands, exactly like the batch
+    *     `.distinct()`;
+    *  4. stateless exact-Jaccard verify from the carried shingle sets
+    *     (`array_intersect` on 60-bit hashes), `jaccard >= threshold`.
+    *
+    * Output: (d1, d2, inter, uni, jaccard) — the batch query's schema;
+    * StreamingLshSpec pins single-batch-replay parity with
+    * `dedup_lsh_pairs` and state expiry.
+    *
+    * See [[lshStreamConfs]] for the two session confs this query needs
+    * at start time — wrap the `.start()` call in [[withLshStreamConfs]]
+    * (starting without them fails loudly in analysis with the
+    * chained-stateful-operator error).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingLshPairs(docs: DataFrame, watermark: String = "10 minutes",
                         horizonMs: Long = 600000L, maxDocsPerSig: Int = 128,

@@ -238,14 +238,7 @@ object TextQueries {
     // expensive subtree, and its three consumers (selfPairs' eager
     // skew-detection aggregate plus both references to `cand` below)
     // each paid it again. Same sig strings, same oracle.
-    val r = K / BANDS
-    val bandCols = (0 until BANDS).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*).as("sig"))
-    }
-    val bands0 = minhashWide(sh)
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands0 = bandFrame(minhashWide(sh))
     // under persistLineage, cache bands and cand so each consumer pays
     // the minhash aggregation once (caches stay session-owned, as `sh`)
     val bands = if (persistLineage)
@@ -336,19 +329,27 @@ object TextQueries {
     * corpus can compute it ONCE, persist it as a table, and have every
     * incoming batch join against it ([[lshPairsAgainst]]) without the
     * corpus ever being re-shingled or re-shuffled. */
-  def bandSignatures(docs: DataFrame, portableHash: Boolean = true): DataFrame = {
-    val hashed =
-      if (portableHash) phash(col("shingle"))
-      else pmod(xxhash64(col("shingle")), lit(1L << 60))
-    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+  /** (doc_id, band, sig) frame from a wide minhash frame — the single
+    * definition of the band layout (K/BANDS split, comma-joined sig),
+    * shared by [[lshPairs]] and [[bandSignatures]] so the self-join and
+    * the incremental index can never drift onto different signatures. */
+  private def bandFrame(wide: DataFrame): DataFrame = {
     val r = K / BANDS
     val bandCols = (0 until BANDS).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*).as("sig"))
     }
-    minhashWide(sh)
+    wide
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def bandSignatures(docs: DataFrame, portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    bandFrame(minhashWide(sh))
   }
 
   /** Incremental dedup: match a NEW batch against an EXISTING corpus —
@@ -374,9 +375,11 @@ object TextQueries {
     */
   def lshPairsAgainst(batch: DataFrame, corpus: DataFrame,
                       threshold: Double = 0.5,
-                      corpusBands: Option[DataFrame] = None): DataFrame = {
+                      corpusBands: Option[DataFrame] = None,
+                      portableHash: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = lshMatchesAgainst(batch, corpus, threshold, corpusBands)
+    val scored = lshMatchesAgainst(batch, corpus, threshold, corpusBands,
+      portableHash)
     val best = Window.partitionBy("batch_id")
       .orderBy(col("jaccard").desc, col("corpus_id"))
     scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
@@ -386,13 +389,22 @@ object TextQueries {
   /** ALL verified batch-vs-corpus matches above `threshold` (the
     * pre-ranking body of [[lshPairsAgainst]]): (batch_id, corpus_id,
     * jaccard). Public so the streaming gate
-    * ([[graft.streaming.StreamOps]]) has a batch-parity reference. */
+    * ([[graft.streaming.StreamOps]]) has a batch-parity reference.
+    *
+    * `portableHash` selects the shingle hash for BATCH band signatures
+    * and must match the hash the corpus bands were built with — a
+    * pre-materialized `corpusBands` index built via
+    * `bandSignatures(corpus, portableHash = false)` joined against
+    * md5-hashed batch bands would silently produce zero candidates, so
+    * pass the same flag here that built the index. Verification is
+    * unaffected (it re-hashes both texts with one consistent hash). */
   def lshMatchesAgainst(batch: DataFrame, corpus: DataFrame,
                         threshold: Double = 0.5,
-                        corpusBands: Option[DataFrame] = None): DataFrame = {
-    val cBands = corpusBands.getOrElse(bandSignatures(corpus))
+                        corpusBands: Option[DataFrame] = None,
+                        portableHash: Boolean = true): DataFrame = {
+    val cBands = corpusBands.getOrElse(bandSignatures(corpus, portableHash))
     val cand = cBands.as("cb")
-      .join(broadcast(bandSignatures(batch)).as("nb"), Seq("band", "sig"))
+      .join(broadcast(bandSignatures(batch, portableHash)).as("nb"), Seq("band", "sig"))
       .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
       .distinct()
     // verify on candidate docs only: the corpus prunes to candidate ids
@@ -424,11 +436,25 @@ object TextQueries {
     * Jaccard-verified (hash-array intersection) without touching the
     * corpus text again. Compute once per corpus version, persist as a
     * table, hand to [[graft.streaming.StreamOps.streamingLshAgainst]].
+    * Always the PORTABLE (md5) hash: the streaming side's per-row
+    * expressions ([[bandSigsExpr]] / [[shingleHashesExpr]]) are
+    * md5-based, so a native-hash index would never collide with them.
     */
   def corpusIndex(corpus: DataFrame): DataFrame =
     bandSignatures(corpus).join(
       corpus.select(col("doc_id"), shingleHashesExpr("text").as("hashes")),
       "doc_id")
+
+  /** Doc ids of `corpus` sharing at least one word-n-gram with
+    * `benchmark` — the contamination set, shared by [[decontaminate]]
+    * and [[corpusClean]] so the two can never diverge. */
+  private def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                              n: Int): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+    ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
 
   /** Benchmark decontamination: drop every corpus document that shares
     * at least one word-n-gram with the benchmark/eval set — the
@@ -443,14 +469,10 @@ object TextQueries {
     * exception) broadcasts into the final anti-join. The corpus is
     * scanned twice, shuffled never.
     */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
-    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
-    val contaminated = ngramShingles(corpus, n)
-      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
-      .select(col("doc_id")).distinct()
-    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame =
+    corpus
+      .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
-  }
 
   /** Deterministic training-mix allocation: per language keep the top
     * `floor(budget × weight)` documents by `score` (ties to the
@@ -489,12 +511,8 @@ object TextQueries {
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
                   n: Int = 5, threshold: Double = 0.5,
                   persistIntermediate: Boolean = true): DataFrame = {
-    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
-    val contaminated = ngramShingles(corpus, n)
-      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
-      .select(col("doc_id")).distinct()
     val clean0 = corpus
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
       .filter(qualityKeep())
     // the dedup chain consumes its input ~5 times (three shingle
     // derivations, sizes, the final anti-join); without materialization

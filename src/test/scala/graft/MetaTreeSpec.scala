@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
 class MetaTreeSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("non-finite doubles round-trip through render/parse/num") {
+    val tree = MObj.of(
+      "nan" -> MNum(Double.NaN),
+      "pinf" -> MNum(Double.PositiveInfinity),
+      "ninf" -> MNum(Double.NegativeInfinity))
+    val back = MetaTree.parse(MetaTree.render(tree)).asInstanceOf[MObj]
+    assert(back.num("nan").isNaN)
+    assert(back.num("pinf") == Double.PositiveInfinity)
+    assert(back.num("ninf") == Double.NegativeInfinity)
+  }
+
   private def ts(s: String): Long =
     java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC)
 

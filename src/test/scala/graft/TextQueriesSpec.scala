@@ -278,6 +278,16 @@ class VerifySpec extends AnyFunSuite {
       "a failed run must not leave a partial oracle dump")
   }
 
+  test("filtered Verify.main fails loudly when a selected query errors at execution") {
+    spark
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_err").toString
+    // a nonexistent data dir makes the query itself throw (name is valid)
+    val e = intercept[RuntimeException] {
+      Verify.main(Array("/nonexistent_sf_dir", out, "q1_agg"))
+    }
+    assert(e.getMessage.contains("q1_agg"))
+  }
+
   test("filtered Verify.main dumps only the selected queries and oracles") {
     spark
     val out = java.nio.file.Files.createTempDirectory("graft_verify_sel").toString
