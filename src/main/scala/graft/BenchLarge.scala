@@ -95,12 +95,17 @@ object BenchLarge {
     * added measurements — pass freely until their baseline is
     * committed. When both calibration times are present, every budget
     * scales by `freshCalib / baseCalib` so the gate compares work per
-    * unit of machine speed, not wall-clock across different hosts. */
+    * unit of machine speed, not wall-clock across different hosts. The
+    * scale only ever RELAXES budgets (clamped to >= 1.0): queries carry
+    * fixed driver-side overheads (job launch, checkpoint rounds) that
+    * don't speed up with the calibration kernel, so shrinking budgets
+    * on a faster host would manufacture false regressions out of the
+    * unscalable part — a uniformly faster host just passes. */
   def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
                   tol: Double, baseCalib: Option[Double] = None,
                   freshCalib: Option[Double] = None): Seq[String] = {
     val scale = (for (b <- baseCalib; f <- freshCalib if b > 0 && f > 0) yield f / b)
-      .getOrElse(1.0)
+      .getOrElse(1.0).max(1.0)
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
       got <- fresh.get(name) if got > base * tol * scale

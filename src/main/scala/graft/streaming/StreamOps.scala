@@ -370,7 +370,10 @@ object StreamOps {
     * fits executor memory broadcast-joins, otherwise each micro-batch
     * shuffles only its own (small) exploded band rows against the
     * index's partitioning; bucketing the persisted index by (band,
-    * sig) makes the per-batch join entirely shuffle-free.
+    * sig) (`bucketBy(n, "band", "sig")` at write time) keeps the
+    * corpus side of every per-batch join Exchange-free — only the
+    * micro-batch's rows re-cluster to the bucket layout.
+    * StreamingLshSpec pins that executed plan across micro-batches.
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
@@ -413,10 +416,18 @@ object StreamOps {
   def streamingIngestGate(docs: DataFrame, benchmark: DataFrame,
                           n: Int = 5): DataFrame = {
     import graft.text.TextQueries
+    // persist the one-row shingle set: the static side of a stream join
+    // is re-planned every micro-batch, and without the cache each batch
+    // would re-run the benchmark's n-gram explode + distinct + agg just
+    // to rebuild the same row — with it, the per-batch cost is only the
+    // broadcast. One row, so the cache is trivially bounded; it stays
+    // session-owned (cleared by clearCache/session end), as lshPairs'
+    // lineage caches document.
     val benchRow = benchmark
       .select(explode(TextQueries.ngramShinglesExpr("text", n)).as("shingle"))
       .distinct()
       .agg(collect_set(col("shingle")).as("bench_shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.filter(TextQueries.qualityKeep())
       .crossJoin(broadcast(benchRow))
       .filter(size(array_intersect(

@@ -507,6 +507,13 @@ object TextQueries {
     *     broadcast anti-join.
     *
     * Returns the clean corpus as (doc_id, content_hash).
+    *
+    * Cache contract (same as `persistLineage` in [[lshPairs]]): with
+    * `persistIntermediate=true` the cleaned text frame is persisted
+    * MEMORY_AND_DISK and stays SESSION-OWNED — repeated calls in one
+    * session accumulate caches that only `spark.catalog.clearCache()`
+    * (or session end) reclaims. Callers looping over corpus versions
+    * should clearCache between runs or pass `persistIntermediate=false`.
     */
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
                   n: Int = 5, threshold: Double = 0.5,
@@ -528,6 +535,31 @@ object TextQueries {
     dedupKeep(clean, threshold)
   }
 
+  /** The quality-metric SQL bodies over a lambda-bound token array
+    * `toks` (plus the raw `text` column), in output order — the ONE
+    * definition [[qualityStats]] and [[qualityKeep]] both render from,
+    * so an edit to a formula (and its DuckDB oracle mirror) can never
+    * drift between the stats frame and the filter predicate. */
+  private val qualityMetricSqls: Seq[(String, String)] = Seq(
+    "n_words" -> "size(toks)",
+    // exact arithmetic: total chars minus the n-1 separators, as txt_stats
+    "mean_word_len" ->
+      "CAST(length(text) - (size(toks) - 1) AS DOUBLE) / size(toks)",
+    "frac_distinct" ->
+      "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)",
+    "stop_distinct" ->
+      s"size(filter(array(${STOP.map(s => s"'$s'").mkString(", ")}), sw -> array_contains(toks, sw)))")
+
+  private def keepSql(minWords: Int, minMeanLen: Double, maxMeanLen: Double,
+                      minFracDistinct: Double, minStopDistinct: Int): String = {
+    val m = qualityMetricSqls.toMap
+    s"""${m("n_words")} >= $minWords
+       | AND ${m("mean_word_len")} >= $minMeanLen
+       | AND ${m("mean_word_len")} <= $maxMeanLen
+       | AND ${m("frac_distinct")} >= $minFracDistinct
+       | AND ${m("stop_distinct")} >= $minStopDistinct""".stripMargin
+  }
+
   /** Gopher/C4-style document quality metrics + keep flag (published
     * web-corpus filtering heuristics: word-count bounds, mean word
     * length, vocabulary diversity, stopword presence — Rae et al. 2021
@@ -535,44 +567,71 @@ object TextQueries {
     * Strictly per-row array arithmetic: no shuffle, no UDF, scales as a
     * map-only pass at any corpus size. Thresholds are constructor-level
     * policy; defaults split the synthetic corpus non-degenerately.
-    */
+    *
+    * The token array is tokenized ONCE per row: all metrics and the
+    * keep flag evaluate inside one `inline(transform(array(split(...`
+    * generator, so the split is bound as a lambda variable the
+    * optimizer cannot duplicate (the [[bandSigsExpr]] idiom; PlanSpec
+    * pins one split per row). */
   def qualityStats(docs: DataFrame,
                    minWords: Int = 20,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
                    minFracDistinct: Double = 0.35,
                    minStopDistinct: Int = 1): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nW = size(toks)
-    // exact arithmetic: total chars minus the n-1 separators, as txt_stats
-    val meanLen = (length(col("text")) - (nW - 1)).cast("double") / nW
-    val fracDistinct = size(array_distinct(toks)).cast("double") / nW
-    val stopDistinct = size(filter(array(STOP.map(lit): _*),
-      sw => array_contains(toks, sw)))
-    docs.select(
-      col("doc_id"),
-      nW.as("n_words"),
-      meanLen.as("mean_word_len"),
-      fracDistinct.as("frac_distinct"),
-      stopDistinct.as("stop_distinct"),
-      qualityKeep(minWords, minMeanLen, maxMeanLen, minFracDistinct,
-        minStopDistinct).as("keep"))
+    val fields = (qualityMetricSqls.map { case (n, sql) => s"'$n', $sql" } :+
+      s"'keep', ${keepSql(minWords, minMeanLen, maxMeanLen, minFracDistinct, minStopDistinct)}")
+      .mkString(", ")
+    docs.select(col("doc_id"), expr(
+      s"""inline(transform(array(split(text, ' ')), toks ->
+         |  named_struct($fields)))""".stripMargin))
   }
 
   /** The [[qualityStats]] keep flag as a standalone boolean Column over
     * a `text` field — per-row, so a pipeline can filter WITHOUT a join
-    * back to the metrics frame. */
+    * back to the metrics frame. The five threshold terms all reference
+    * the SAME lambda-bound token array: binding `split` once per row
+    * (rather than once per term) is cosmetic at sf0.1 and real money at
+    * 100 TB, where relying on codegen subexpression elimination to
+    * rescue five independent splits is fragile (see [[bandSigsExpr]]).
+    */
   def qualityKeep(minWords: Int = 20,
                   minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
                   minFracDistinct: Double = 0.35,
-                  minStopDistinct: Int = 1): Column = {
-    val toks = split(col("text"), " ")
-    val nW = size(toks)
-    val meanLen = (length(col("text")) - (nW - 1)).cast("double") / nW
-    val fracDistinct = size(array_distinct(toks)).cast("double") / nW
-    val stopDistinct = size(filter(array(STOP.map(lit): _*),
-      sw => array_contains(toks, sw)))
-    nW >= minWords && meanLen >= minMeanLen && meanLen <= maxMeanLen &&
-      fracDistinct >= minFracDistinct && stopDistinct >= minStopDistinct
+                  minStopDistinct: Int = 1): Column = expr(
+    s"""element_at(transform(array(split(text, ' ')), toks ->
+       |  ${keepSql(minWords, minMeanLen, maxMeanLen, minFracDistinct, minStopDistinct)}), 1)""".stripMargin)
+
+  /** The Gopher duplicate-n-gram-fraction trio in ONE per-row pass
+    * (Rae et al. 2021 §A1.1 applies the repetition filters for several
+    * n simultaneously): for each n in `ns`, the fraction of n-gram
+    * INSTANCES that are repeats of an earlier instance in the same
+    * document — `(total - distinct) / total`, the same signal as
+    * [[topNgram]]'s `dup_gram_frac` — emitted as one `dup_frac_n`
+    * column per order. Documents shorter than n words have no n-grams
+    * and score 0.0.
+    *
+    * Unlike [[topNgram]] (which needs per-gram COUNTS for the top-gram
+    * mode and therefore a per-document shuffle), the duplicate fraction
+    * only needs per-document totals, so all orders evaluate as per-row
+    * array arithmetic inside one generator — zero shuffles, one
+    * tokenize per row (PlanSpec pins both). */
+  def repetitionSignals(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram orders must be >= 2, got $ns")
+    val fields = ns.map { n =>
+      val parts = (0 until n)
+        .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+        .mkString(", ")
+      // the gram array is itself lambda-bound (g) so size/array_distinct
+      // share one materialization, as the toks binding above
+      s"""'dup_frac_$n', CASE WHEN size(toks) >= $n THEN
+         |    element_at(transform(array(transform(sequence(1, size(toks) - ${n - 1}),
+         |        i -> concat_ws(' ', $parts))),
+         |      g -> CAST(size(g) - size(array_distinct(g)) AS DOUBLE) / size(g)), 1)
+         |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    }.mkString(", ")
+    docs.select(col("doc_id"), expr(
+      s"""inline(transform(array(split(text, ' ')), toks ->
+         |  named_struct($fields)))""".stripMargin))
   }
 
   /** Per-document top word-n-gram + repetition fractions (the Gopher
@@ -627,6 +686,17 @@ object TextQueries {
     // ---- Gopher/C4-style quality filter + n-gram repetition ----
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
+    "txt_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
+
+    // ---- BPE-ish token counting (whitespace twin + subword-ish regex);
+    // the oracle runs the SAME pattern under DuckDB's RE2, pinning the
+    // cross-engine-portable claim on BpeishPattern for real ----
+    "txt_bpeish" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        wsTokenCount("text").as("ws_tokens"),
+        bpeishTokenCount("text").as("bpeish_tokens"))
+    },
 
     // ---- incremental dedup: new batch (odd ids) vs corpus (even ids) ----
     "dedup_incremental" -> { (s, dir) =>
@@ -727,6 +797,14 @@ object TextQueries {
     // survivor = cluster-min doc_id (default policy), everything else
     // dropped, docs never emitted as a pair (singletons) kept ----
     "dedup_keep" -> { (s, dir) => dedupKeep(Tables.documents(s, dir)) },
+
+    // ---- the non-default survivor policy, cross-engine: keep the
+    // LONGEST doc of each near-dup cluster (ties to the smaller
+    // doc_id) — the "keep the best copy" policy real pipelines run ----
+    "dedup_keep_best" -> { (s, dir) =>
+      dedupKeep(Tables.documents(s, dir),
+        keepBy = Some(length(col("text"))), ascending = false)
+    },
 
     // ---- brute-force n-gram Jaccard baseline (bounded subset; the 200-
     // doc window and 0.02 threshold keep the result at O(10-100) rows so
@@ -872,6 +950,25 @@ object TextQueries {
        |FROM $src d
        |LEFT JOIN comp c ON d.doc_id = c.doc_id
        |WHERE c.component IS NULL OR c.component = d.doc_id""".stripMargin
+
+  /** The dedup_keep_best oracle: survivor = the longest doc of each
+    * cluster, ties to the smaller doc_id (row_number is the DuckDB twin
+    * of the Spark side's max_by over (metric, -doc_id)); docs never
+    * paired have no label row and survive. */
+  private def dedupKeepBestSqlFor(src: String): String =
+    s"""WITH comp AS (${componentsOracleFor(src)}),
+       |labeled AS (
+       |  SELECT d.doc_id, c.component, length(d.text) AS m
+       |  FROM $src d JOIN comp c ON d.doc_id = c.doc_id),
+       |surv AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (PARTITION BY component ORDER BY m DESC, doc_id) AS rn
+       |    FROM labeled) WHERE rn = 1)
+       |SELECT d.doc_id, md5(d.text) AS content_hash
+       |FROM $src d
+       |LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.component IS NULL OR d.doc_id IN (SELECT doc_id FROM surv)""".stripMargin
 
   /** corpus_clean: decontamination + quality predicate folded into ONE
     * source relation, then the dedup_keep chain over it. The quality
@@ -1031,6 +1128,31 @@ object TextQueries {
     "dedup_components" -> componentsOracle,
 
     "dedup_keep" -> dedupKeepSqlFor("documents"),
+
+    "dedup_keep_best" -> dedupKeepBestSqlFor("documents"),
+
+    "txt_repetition" -> {
+      val gram = (n: Int) => (0 until n)
+        .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(", ' ', ")
+      val cols = Seq(2, 3, 4).map { n =>
+        s"""CASE WHEN len(toks) >= $n THEN
+           |    CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / len(g$n)
+           |  ELSE 0.0 END AS dup_frac_$n""".stripMargin
+      }.mkString(",\n")
+      val grams = Seq(2, 3, 4).map { n =>
+        s"list_transform(range(1, len(toks) - ${n - 2}), i -> concat(${gram(n)})) AS g$n"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |$cols
+         |FROM (SELECT doc_id, toks, $grams
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+    },
+
+    "txt_bpeish" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${BpeishPattern.replace("'", "''")}')) AS INT) AS bpeish_tokens
+         |FROM documents""".stripMargin,
 
     "corpus_clean" -> corpusCleanOracle,
 

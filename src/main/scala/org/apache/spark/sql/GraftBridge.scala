@@ -16,4 +16,13 @@ object GraftBridge {
 
   def aggColumn(f: AggregateFunction): Column =
     classic.ExpressionUtils.column(f.toAggregateExpression(isDistinct = false))
+
+  /** Executed physical plan of a streaming query's most recent
+    * micro-batch (`StreamExecution.lastExecution` is `private[sql]`) —
+    * lets tests pin per-batch plan shapes (e.g. that a bucketed static
+    * join side never grows an Exchange). */
+  def lastBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
 }

@@ -85,6 +85,15 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regs.size === 1)
   }
 
+  test("a faster host never SHRINKS budgets (scale clamped to >= 1)") {
+    // host 2x faster but the query carries fixed driver-side overheads
+    // and only dropped 10%: unclamped scaling would demand
+    // 2.0 * 1.5 * 0.5 = 1.5 s and flag 1.8 s as a false regression
+    val base = Map("a" -> 2.0)
+    assert(BenchLarge.regressions(base, Map("a" -> 1.8), tol = 1.5,
+      baseCalib = Some(2.0), freshCalib = Some(1.0)).isEmpty)
+  }
+
   test("absent calibration on either side falls back to absolute comparison") {
     val base = Map("a" -> 2.0)
     val fresh = Map("a" -> 5.0)

@@ -60,6 +60,32 @@ class PlanSpec extends AnyFunSuite {
       s"per-row quality metrics must not shuffle:\n${p.take(1500)}")
   }
 
+  test("txt_quality tokenizes ONCE per row: a single split in the whole plan") {
+    // all five metrics + the keep flag evaluate over one lambda-bound
+    // token array; CollapseProject has nothing to duplicate
+    val p = plan("txt_quality")
+    val n = "split\\(text".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one split(text, got $n:\n${p.take(2000)}")
+  }
+
+  test("txt_repetition: all three n-gram orders per-row, no exchange, one split") {
+    val p = plan("txt_repetition")
+    assert(!p.contains("Exchange"),
+      s"repetition fractions must not shuffle:\n${p.take(1500)}")
+    val n = "split\\(text".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one split(text, got $n:\n${p.take(2000)}")
+  }
+
+  test("corpus_clean's quality filter binds the token array once") {
+    // the shingle stages legitimately re-split per derivation (separate
+    // plan nodes), but no single node — in particular the qualityKeep
+    // Filter — may evaluate split(text) more than once per row
+    val p = plan("corpus_clean")
+    val worst = p.linesIterator.map(l => "split\\(text".r.findAllIn(l).size).max
+    assert(worst <= 1,
+      s"a plan node evaluates split(text) $worst times per row:\n${p.take(2000)}")
+  }
+
   test("txt_top_ngram shuffles once, before the gram fan-out") {
     val p = plan("txt_top_ngram")
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
@@ -114,6 +140,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"drop-set anti-join must broadcast:\n${p.take(2000)}")
+    // the keepBy policy adds survivor selection on the labeled set only:
+    // labels broadcast against the corpus, drop-set still broadcast-anti
+    val pb = plan("dedup_keep_best")
+    assert(pb.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"keepBy drop-set anti-join must broadcast:\n${pb.take(2000)}")
+    assert(!pb.contains("CartesianProduct"),
+      "survivor selection must never cross-join the corpus")
   }
 
   test("stitched window queries stay partition-parallel") {

@@ -466,4 +466,90 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
     } finally q.stop()
   }
+
+  /** Stage `df` as one more file into a streaming drop-folder (file
+    * sources monitor directories; each new file is the next batch). */
+  private def stageFile(df: org.apache.spark.sql.DataFrame,
+                        dropDir: java.nio.file.Path, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst.get
+    java.nio.file.Files.copy(part, dropDir.resolve(name))
+  }
+
+  test("bucketed corpus index keeps the per-micro-batch join shuffle-free on the static side") {
+    // StreamOps.streamingLshAgainst's scaladoc claims bucketing the
+    // persisted index by (band, sig) makes the per-batch join entirely
+    // shuffle-free on the corpus side — prove it: persist the index
+    // bucketed, drive TWO micro-batches, and pin the second batch's
+    // executed plan (broadcast disabled so the join can't hide the
+    // distribution requirement).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), lit(t0).as("ts"), col("text"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_bucket_idx")
+    spark.sql("DROP TABLE IF EXISTS corpus_idx_bucketed")
+    graft.text.TextQueries.corpusIndex(corpus).write
+      .bucketBy(4, "band", "sig").sortBy("band", "sig")
+      .option("path", idxDir.resolve("idx").toString)
+      .saveAsTable("corpus_idx_bucketed")
+    val idx = spark.table("corpus_idx_bucketed")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_bucket_replay")
+    stageFile(batchDocs.filter(col("doc_id") < 500), dropDir, "b0.parquet")
+    // scope the no-broadcast conf like withLshStreamConfs: restore only
+    // after the first batch resolves (the query keeps its captured copy)
+    val bt = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(bt)
+    spark.conf.set(bt, "-1")
+    val q = graft.streaming.StreamOps.streamingLshAgainst(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString), idx)
+      .writeStream.format("memory").queryName("bucket_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.conf.set(bt, prior)
+      stageFile(batchDocs.filter(col("doc_id") >= 500), dropDir, "b1.parquet")
+      q.processAllAvailable()
+      val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.size == 1, s"expected one shuffle-family join:\n$plan")
+      val Seq(left, right) = joins.head.children
+      // the static side is the one reading the index's `hashes` column
+      val (static, stream) =
+        if (left.toString.contains("hashes")) (left, right) else (right, left)
+      assert(static.toString.contains("hashes"), s"no index side found:\n$plan")
+      assert(static.toString.contains("SelectedBucketsCount"),
+        s"static side must be a BUCKETED scan:\n$static")
+      assert(static.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"static side must never shuffle:\n$static")
+      // only the micro-batch's own (small) exploded band rows move: the
+      // stream side re-clusters to the index's bucket layout
+      assert(stream.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        s"expected the stream side to shuffle to the bucket layout:\n$stream")
+      // and the answer over both batches is the batch API's, exactly
+      val got = spark.table("bucket_replay").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"))
+          -> r.getAs[Double]("jaccard")).toMap
+      val want = graft.text.TextQueries
+        .lshMatchesAgainst(batchDocs, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(want.nonEmpty, "fixture must produce incremental matches")
+      assert(got == want,
+        s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.set(bt, prior)
+      spark.sql("DROP TABLE IF EXISTS corpus_idx_bucketed")
+    }
+  }
 }

@@ -87,6 +87,38 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("repetitionSignals: the Gopher trio in one pass, hand-computed") {
+    import spark.implicits._
+    val df = Seq(
+      // bigrams (a b),(b a),(a b),(b a),(a b): 5 total, 2 distinct → 3/5
+      // trigrams (a b a),(b a b),(a b a),(b a b): 4 total, 2 distinct → 1/2
+      // 4-grams (a b a b),(b a b a),(a b a b): 3 total, 2 distinct → 1/3
+      (1L, "a b a b a b"),
+      (2L, "x y"), // only bigrams exist; one instance → 0.0; n=3,4 → 0.0
+      (3L, "w")    // too short for every order → all 0.0
+    ).toDF("doc_id", "text")
+    val rows = TextQueries.repetitionSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Double]("dup_frac_2") === 3.0 / 5)
+    assert(rows(1L).getAs[Double]("dup_frac_3") === 2.0 / 4)
+    assert(rows(1L).getAs[Double]("dup_frac_4") === 1.0 / 3)
+    assert(rows(2L).getAs[Double]("dup_frac_2") === 0.0)
+    assert(rows(2L).getAs[Double]("dup_frac_3") === 0.0)
+    assert(rows(3L).getAs[Double]("dup_frac_2") === 0.0)
+  }
+
+  test("repetitionSignals dup_frac_2 == topNgram dup_gram_frac on the corpus") {
+    // the per-row one-pass form must agree with the shuffle-based
+    // per-gram-count form on the signal they share
+    val rep = TextQueries.repetitionSignals(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac_2")).toMap
+    val top = TextQueries.topNgram(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_gram_frac")).toMap
+    assert(top.nonEmpty)
+    top.foreach { case (id, f) =>
+      assert(rep(id) == f, s"doc $id: per-row ${rep(id)} vs counted $f") }
+  }
+
   test("topNgram: counts, repetition fractions, and deterministic tie-break") {
     import spark.implicits._
     val df = Seq(
