@@ -22,6 +22,10 @@ import org.apache.spark.sql.expressions.Window
   *                     small-star connected components)
   *   - `incr_dedup`    20k-doc batch vs the full corpus through the
   *                     asymmetric LSH join (lshPairsAgainst)
+  *   - `corpus_clean`  the composed cleaning pipeline (benchmark
+  *                     decontamination + Gopher/C4 quality filter +
+  *                     LSH dedup, cleaned intermediate persisted) over
+  *                     a quality-gate-exercising 2M-doc corpus
   *   - `ivf_topk`      IVF ANN: bounded training, codegen cell assign,
   *                     broadcast probe, cell-local re-rank
   *
@@ -134,6 +138,27 @@ object BenchLarge {
       concat_ws(" ", toks: _*).as("text"))
   }
 
+  /** Corpus variant for the composed cleaning pipeline: the same
+    * dup/template structure as [[docs]], but built so the default
+    * Gopher/C4 quality gate is actually exercised — 14 hash tokens
+    * interleaved with the four stopwords give 28 words, mean word
+    * length ~5.6, vocabulary fraction ~0.64 (all inside the default
+    * thresholds), while every ~10th base drops to 14 words and FAILS
+    * the word-count bound, so the quality stage really filters. Dup
+    * docs copy their base's text (so LSH sees the same pair structure),
+    * and the sub-`template` ids still share one text (the degenerate
+    * band bucket that forces the salted self-join inside dedup). */
+  private def cleanDocs(spark: SparkSession, n: Long, template: Long): DataFrame = {
+    val base = s"CASE WHEN id < $template THEN 0 WHEN id % 100 = 1 THEN id - 1 ELSE id END"
+    val stops = Seq("the", "a", "of", "and")
+    val toks = (0 until 14).flatMap(k => Seq(
+      lit(stops(k % 4)),
+      concat(lit(s"tok${k}_"), pmod(hash(expr(base), lit(k)), lit(5000)))))
+    spark.range(n).select(col("id").as("doc_id"),
+      when(expr(s"($base) % 10 = 3"), concat_ws(" ", toks.take(14): _*))
+        .otherwise(concat_ws(" ", toks: _*)).as("text"))
+  }
+
   private def embeddings(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 64), d -> CAST(CAST(pmod(hash(id, d), 2000) AS DOUBLE) / 1000.0 - 1.0 AS FLOAT))")
@@ -174,22 +199,36 @@ object BenchLarge {
     // Spark's CacheManager matches by canonicalized plan, so without a
     // clearCache pass 2 would silently read pass 1's cached frames and
     // measure cache reads, not the chain.
-    def timed(name: String, clearBetween: Boolean = false)(f: => Long): Unit = {
+    // `clearAfter` drops the query's session-owned lineage caches once
+    // its last pass is measured: a chain that persists corpus-sized
+    // frames (md5 twin, incr_dedup, corpus_clean) must not tax the NEXT
+    // query's storage memory with resident caches — the first full-size
+    // corpus_clean run left its 2M-doc cache behind and ivf_topk
+    // "regressed" 18x purely from the eviction pressure. lsh_pairs
+    // deliberately does NOT clear after: cc_clusters times CC over its
+    // cached pair graph by design (explicitly unpersisted right after).
+    def timed(name: String, clearBetween: Boolean = false, passes: Int = 2,
+              clearAfter: Boolean = false)(f: => Long): Unit = {
       def pass(): (Double, Long) = {
         System.gc()
         val t0 = System.nanoTime()
         val out = f
         ((System.nanoTime() - t0) / 1e9, out)
       }
-      val (d1, o1) = pass()
-      if (clearBetween) spark.catalog.clearCache()
-      val (d2, o2) = pass()
-      require(o1 == o2, s"$name output changed between passes: $o1 vs $o2")
-      // per-pass diagnostic: a big pass1/pass2 gap is cold compile or a
-      // host-contention spike; both slow means the query itself slowed
-      System.err.println(s"[bench] $name pass1=${f2(d1)} s pass2=${f2(d2)} s")
-      results(name) = math.min(d1, d2)
-      checks(name) = o2
+      val runs = (1 to passes).map { i =>
+        val r = pass()
+        if (clearBetween && i < passes) spark.catalog.clearCache()
+        r
+      }
+      if (clearAfter) spark.catalog.clearCache()
+      require(runs.map(_._2).distinct.size == 1,
+        s"$name output changed between passes: ${runs.map(_._2).mkString(", ")}")
+      // per-pass diagnostic: a big pass1/passN gap is cold compile or a
+      // host-contention spike; all slow means the query itself slowed
+      System.err.println(s"[bench] $name " +
+        runs.zipWithIndex.map { case ((d, _), i) => s"pass${i + 1}=${f2(d)} s" }.mkString(" "))
+      results(name) = runs.map(_._1).min
+      checks(name) = runs.head._2
     }
 
     val template = sys.env.getOrElse("SPARK_GRAFT_LARGE_TEMPLATE", "1100").toLong
@@ -219,7 +258,12 @@ object BenchLarge {
       h.agg(sum("cnt")).collect()(0).getLong(0)
     }
     var pairs: DataFrame = null
-    timed("lsh_pairs", clearBetween = true) {
+    // min-of-3 for the two hash variants: the r6 committed numbers put
+    // the md5 chain AHEAD of native xxhash64 (28.3 s vs 32.8 s), which
+    // contradicted the "md5 is the hottest instruction stream" guidance
+    // — one extra pass per variant settles which way the guidance goes
+    // on numbers, not single-run host weather
+    timed("lsh_pairs", clearBetween = true, passes = 3) {
       // portableHash=false: native xxhash64 shingle hashing — the
       // production-scale configuration (the md5 portable hash exists for
       // DuckDB-oracle parity and is benchmarked by the sf-scale Bench)
@@ -239,7 +283,7 @@ object BenchLarge {
     // second chain into a storage-eviction benchmark, not a hash one
     pairs.unpersist(blocking = true)
     spark.catalog.clearCache()
-    timed("lsh_pairs_md5", clearBetween = true) {
+    timed("lsh_pairs_md5", clearBetween = true, passes = 3, clearAfter = true) {
       // the portable-hash twin: md5-hex → 60-bit int shingle hashing,
       // the configuration every sf-scale oracle query runs; committing
       // both keys keeps the portability tax visible round over round
@@ -252,7 +296,7 @@ object BenchLarge {
     // hot-band asymmetric join path is exercised. The corpus-bands
     // computation dominates; in production it is a pre-materialized
     // index (TextQueries.corpusIndex) and only verification remains.
-    timed("incr_dedup", clearBetween = true) {
+    timed("incr_dedup", clearBetween = true, clearAfter = true) {
       val corpus = docs(spark, nDocs, template)
       val batch = corpus.filter(col("doc_id") % 100 === 7)
         .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
@@ -279,6 +323,27 @@ object BenchLarge {
             sqrt(qdot(col("e2"), col("e2")).cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
+    }
+    // the composed cleaning pipeline — decontaminate + quality filter +
+    // LSH dedup as ONE plan with the cleaned intermediate persisted —
+    // at the full corpus size: the flagship user query gets a committed
+    // corpus-scale number and a regression budget like its parts. The
+    // benchmark/eval set is ~2k corpus docs (ids ending in 777, clear of
+    // the template clique), so decontamination drops those plus the rare
+    // hash-collision shingle twins; ~10% of docs fail the word-count
+    // bound; dedup then resolves the planted pairs + the template clique.
+    // Runs LAST (appended, not inserted): it is the most memory-hungry
+    // query in the suite, and even with its caches cleared the heap
+    // pressure it leaves behind measurably slowed the query that
+    // followed it — appending preserves every older query's measurement
+    // conditions round over round.
+    timed("corpus_clean", clearBetween = true, clearAfter = true) {
+      val corpus = cleanDocs(spark, nDocs, template)
+      val bench = corpus
+        .filter(col("doc_id") % 1000 === 777 && col("doc_id") >= template)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      graft.text.TextQueries.corpusClean(corpus, bench,
+        persistLineage = persist).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }

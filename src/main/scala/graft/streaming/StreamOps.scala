@@ -445,10 +445,15 @@ object StreamOps {
     * all — the cell join emits each (stream, corpus) pair exactly once.
     *
     * Output (append mode): (qid, ts, dup_of, cosine) for every corpus
-    * vector in the stream vector's cell with cosine >= `threshold`.
-    * Same recall caveat as single-probe IVF: a near-dup in a
-    * neighboring cell is missed; raise recall by assigning the STREAM
-    * side with [[graft.sim.Ivf.withProbes]]-style multi-cell expansion.
+    * vector in the stream vector's probed cell(s) with cosine >=
+    * `threshold`. With `nprobe = 1` (default) this has the standard
+    * single-probe IVF recall caveat — a near-dup in a neighboring cell
+    * is missed; `nprobe > 1` expands the STREAM side to its nprobe
+    * nearest cells ([[graft.sim.Ivf.withProbes]]), multiplying only
+    * the small per-batch row count, never the corpus. Each corpus
+    * vector lives in exactly one cell, so a (stream, corpus) pair
+    * still emits at most once — the gate stays zero-state at any
+    * nprobe.
     *
     * Scale: the corpus side re-plans per micro-batch (broadcast when it
     * fits, else only the micro-batch's rows shuffle); state is zero, so
@@ -458,10 +463,18 @@ object StreamOps {
     */
   def streamingAnnAgainst(vecs: DataFrame, corpusAssigned: DataFrame,
                           centroids: Array[Array[Double]],
-                          threshold: Double = 0.25): DataFrame = {
-    val stream = graft.sim.Ivf.withCell(vecs, centroids)
-      .select(col("vec_id").as("qid"), col("ts"),
-        col("embedding").as("e1"), col("cell"))
+                          threshold: Double = 0.25,
+                          nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val stream =
+      if (nprobe == 1)
+        graft.sim.Ivf.withCell(vecs, centroids)
+          .select(col("vec_id").as("qid"), col("ts"),
+            col("embedding").as("e1"), col("cell"))
+      else
+        graft.sim.Ivf.withProbes(vecs, centroids, nprobe)
+          .select(col("vec_id").as("qid"), col("ts"),
+            col("embedding").as("e1"), explode(col("probes")).as("cell"))
     val corpus = corpusAssigned.select(col("vec_id").as("dup_of"),
       col("embedding").as("e2"), col("cell"))
     stream.join(corpus, Seq("cell"))

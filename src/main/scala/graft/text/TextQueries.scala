@@ -214,10 +214,14 @@ object TextQueries {
     //
     // `portableHash` picks the hash itself: md5-hex→conv (bit-portable
     // to the DuckDB oracle — the correctness-gate default) vs native
-    // xxhash64 (codegen'd, no hex-string round-trip). The md5 kernel is
-    // the single hottest instruction stream of the whole chain — at
-    // corpus scale run with portableHash=false unless an external
-    // system must reproduce the signatures.
+    // xxhash64 (codegen'd, no hex-string round-trip). Measured verdict
+    // (BENCH_LARGE.json, 2M docs, min-of-3 calibrated passes): the two
+    // chains are within ~10% of each other and the SIGN of the gap has
+    // flipped between committed rounds (md5 14% ahead in one, xxhash
+    // 10% ahead in the next) — the chain is shuffle/explode-bound, not
+    // hash-bound, so the portability tax is inside run-to-run noise.
+    // Choose by requirement, not speed: portableHash=true whenever an
+    // external system must reproduce the signatures, false otherwise.
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
@@ -295,11 +299,21 @@ object TextQueries {
     * LABELED docs (the small near-dup set), fetched with one broadcast
     * join against the corpus — survivor selection never shuffles the
     * corpus.
+    *
+    * `persistLineage` forwards to [[lshPairs]] (same session-owned
+    * cache contract): the pair chain consumes its shingle/band lineage
+    * ~5 times, so at corpus scale — especially when `docs` is itself an
+    * already-persisted intermediate — caching the compact hashed frames
+    * beats re-deriving the tokenize+explode+agg chain per consumer
+    * (measured ~5x on the composed pipeline at bench scale; see
+    * BENCH_LARGE.json `corpus_clean`).
     */
   def dedupKeep(docs: DataFrame, threshold: Double = 0.5,
                 keepBy: Option[Column] = None,
-                ascending: Boolean = true): DataFrame = {
-    val pairs = lshPairs(docs, threshold).select(col("d1"), col("d2"))
+                ascending: Boolean = true,
+                persistLineage: Boolean = false): DataFrame = {
+    val pairs = lshPairs(docs, threshold, persistLineage = persistLineage)
+      .select(col("d1"), col("d2"))
     val labels = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
     val dropped = keepBy match {
       case None =>
@@ -517,7 +531,8 @@ object TextQueries {
     */
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
                   n: Int = 5, threshold: Double = 0.5,
-                  persistIntermediate: Boolean = true): DataFrame = {
+                  persistIntermediate: Boolean = true,
+                  persistLineage: Boolean = false): DataFrame = {
     val clean0 = corpus
       .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
       .filter(qualityKeep())
@@ -532,7 +547,7 @@ object TextQueries {
     val clean = if (persistIntermediate)
       clean0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else clean0
-    dedupKeep(clean, threshold)
+    dedupKeep(clean, threshold, persistLineage = persistLineage)
   }
 
   /** The quality-metric SQL bodies over a lambda-bound token array

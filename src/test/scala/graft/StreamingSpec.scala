@@ -467,6 +467,48 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-probe streaming ANN gate widens recall, emits each pair once") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, 8)
+    val corpus = graft.sim.Ivf.withCell(all.filter(col("vec_id") % 2 === 0), cents)
+    val batchVecs = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), lit(t0).as("ts"), col("embedding"))
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_ann_p2_replay")
+    batchVecs.coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+    val in = spark.readStream.schema(embSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps
+      .streamingAnnAgainst(in, corpus, cents, threshold = 0.1, nprobe = 2)
+      .writeStream.format("memory").queryName("ann_p2_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ann_p2_replay").collect()
+      val got = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("dup_of"))
+        -> r.getAs[Double]("cosine")).toMap
+      // a corpus vector lives in one cell, so multi-probe must never
+      // emit the same pair twice
+      assert(rows.length == got.size, s"duplicate emissions: ${rows.length} vs ${got.size}")
+      // stateless ⇒ the same function over the batch frame is exact
+      val want = graft.streaming.StreamOps
+        .streamingAnnAgainst(batchVecs, corpus, cents, threshold = 0.1, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      assert(got.keySet == want.keySet,
+        s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
+      // probing the second-nearest cell can only ADD matches
+      val p1 = graft.streaming.StreamOps
+        .streamingAnnAgainst(batchVecs, corpus, cents, threshold = 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(p1.subsetOf(got.keySet), "nprobe=2 must contain every nprobe=1 match")
+      assert(got.keySet != p1, "fixture must gain at least one neighbor-cell match")
+    } finally q.stop()
+  }
+
   /** Stage `df` as one more file into a streaming drop-folder (file
     * sources monitor directories; each new file is the next batch). */
   private def stageFile(df: org.apache.spark.sql.DataFrame,
