@@ -91,6 +91,33 @@ object Stitch {
       .drop("_chunk", "_off")
   }
 
+  /** Global INCLUSIVE running sum of `value` (cast to long) over the
+    * total order `ord` — `sum(value) OVER (ORDER BY ord ROWS UNBOUNDED
+    * PRECEDING)` without the single-partition window: pass 1 computes
+    * the within-chunk cumsum under a partitioned window, a per-chunk
+    * aggregate collects the tiny (chunk, total) table, the driver
+    * prefix-sums it into each chunk's incoming offset, and a broadcast
+    * join adds the two. Driver state is O(#chunks), bounded by the
+    * caller's chunk granularity. */
+  def globalCumsum(df: DataFrame, chunk: Column, ord: Seq[Column],
+                   value: Column, out: String): DataFrame = {
+    val d = df.withColumn("_chunk", chunk.cast("long"))
+      .withColumn("_v", value.cast("long"))
+    val w = Window.partitionBy(col("_chunk")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = d.withColumn("_within", sum(col("_v")).over(w))
+    val totals = d.groupBy("_chunk").agg(sum(col("_v")).as("_t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var run = 0L
+    val offsets = totals.map { case (c, t) => val o = run; run += t; (c, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDF = broadcast(offsets.toSeq.toDF("_chunk", "_off"))
+    within.join(offDF, Seq("_chunk"), "left")
+      .withColumn(out, col("_within") + col("_off"))
+      .drop("_chunk", "_v", "_within", "_off")
+  }
+
   /** `max(value) OVER (ORDER BY ord ROWS BETWEEN CURRENT ROW AND
     * `follow` FOLLOWING)` without a global window. Rows near a chunk's
     * end need up to `follow` rows from later chunks, so each chunk

@@ -488,6 +488,46 @@ object TextQueries {
       .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
 
+  /** GPT-style sequence packing (concat-and-chunk): lay every document
+    * out head-to-tail in doc_id order and cut the token stream into
+    * fixed-`budget` training sequences — the data-prep step between a
+    * cleaned corpus and a pretraining loader. Emits one row per
+    * (document × chunk it overlaps): (chunk_id, doc_id, off_start,
+    * off_len) where [off_start, off_start+off_len) is the token
+    * sub-range of THIS doc that lands in THIS chunk — exactly the slice
+    * list a packing loader materializes. Every chunk holds exactly
+    * `budget` tokens except the last; a doc longer than `budget` spans
+    * several chunks.
+    *
+    * Scale shape: the global running token count is the classic
+    * single-partition-window trap; it runs partition-and-stitch instead
+    * ([[graft.ops.Stitch.globalCumsum]] — within-chunk window + driver
+    * prefix-sum of one tiny total per `chunkWidth` ids, broadcast
+    * back), so the pass parallelizes at any corpus size and the chunk
+    * fan-out explode is bounded by ceil(n_tokens/budget) per doc.
+    * PlanSpec pins no-single-partition-exchange.
+    */
+  def packChunks(docs: DataFrame, budget: Long,
+                 chunkWidth: Long = 100000L): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val withN = docs.select(col("doc_id"),
+      wsTokenCount("text").cast("long").as("n_tokens"))
+    val cum = graft.ops.Stitch.globalCumsum(withN,
+      expr(s"doc_id div $chunkWidth"), Seq(col("doc_id")),
+      col("n_tokens"), "cum")
+    cum
+      .withColumn("start", col("cum") - col("n_tokens"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(start div $budget, (cum - 1) div $budget)")))
+      .select(
+        col("chunk_id"),
+        col("doc_id"),
+        (greatest(col("start"), col("chunk_id") * lit(budget)) - col("start"))
+          .as("off_start"),
+        (least(col("cum"), (col("chunk_id") + 1) * lit(budget))
+          - greatest(col("start"), col("chunk_id") * lit(budget))).as("off_len"))
+  }
+
   /** Deterministic training-mix allocation: per language keep the top
     * `floor(budget × weight)` documents by `score` (ties to the
     * smaller doc_id), the reproducible form of domain/language
@@ -732,6 +772,12 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       corpusClean(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10))
+    },
+
+    // ---- GPT-style sequence packing: concat in doc_id order, cut
+    // into fixed 512-token training chunks, emit per-doc slices ----
+    "txt_pack" -> { (s, dir) =>
+      packChunks(Tables.documents(s, dir), budget = 512L)
     },
 
     // ---- deterministic per-language training-mix allocation ----
@@ -1162,6 +1208,19 @@ object TextQueries {
          |FROM (SELECT doc_id, toks, $grams
          |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
     },
+
+    "txt_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+        |s AS (SELECT doc_id, n, cum, cum - n AS start FROM c),
+        |x AS (SELECT doc_id, n, cum, start,
+        |  unnest(range(start // 512, (cum - 1) // 512 + 1)) AS chunk_id FROM s)
+        |SELECT chunk_id, doc_id,
+        |  greatest(start, chunk_id * 512) - start AS off_start,
+        |  least(cum, (chunk_id + 1) * 512) - greatest(start, chunk_id * 512) AS off_len
+        |FROM x""".stripMargin,
 
     "txt_bpeish" ->
       s"""SELECT doc_id,

@@ -151,7 +151,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("stitched window queries stay partition-parallel") {
-    Seq("step_interpolate", "block_max_norm", "event_range").foreach { q =>
+    Seq("step_interpolate", "block_max_norm", "event_range", "txt_pack").foreach { q =>
       assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")
     }
   }

@@ -119,6 +119,61 @@ class TextQueriesSpec extends AnyFunSuite {
       assert(rep(id) == f, s"doc $id: per-row ${rep(id)} vs counted $f") }
   }
 
+  test("packChunks: hand-computed slices, straddles, and long-doc spans") {
+    import spark.implicits._
+    // token counts 3, 4, 9 laid head-to-tail, budget 5:
+    //   doc 1 spans [0,3)            → chunk 0 slice [0,3)
+    //   doc 2 spans [3,7)            → chunk 0 slice [0,2), chunk 1 slice [2,4)
+    //   doc 3 spans [7,16) (> budget)→ chunk 1 [0,3), chunk 2 [3,8), chunk 3 [8,9)
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "d e f g"),
+      (3L, "h i j k l m n o p")).toDF("doc_id", "text")
+    val got = TextQueries.packChunks(df, budget = 5L, chunkWidth = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("doc_id"))
+        -> (r.getAs[Long]("off_start"), r.getAs[Long]("off_len"))).toMap
+    assert(got == Map(
+      (0L, 1L) -> (0L, 3L),
+      (0L, 2L) -> (0L, 2L), (1L, 2L) -> (2L, 2L),
+      (1L, 3L) -> (0L, 3L), (2L, 3L) -> (3L, 5L), (3L, 3L) -> (8L, 1L)))
+  }
+
+  test("packChunks invariants on the corpus: full chunks, tiling doc slices") {
+    val budget = 512L
+    val packed = TextQueries.packChunks(docs, budget).collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("off_start"), r.getAs[Long]("off_len")))
+    // every chunk except the last holds exactly `budget` tokens
+    val byChunk = packed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (c, tot) =>
+      if (c != lastChunk) assert(tot == budget, s"chunk $c holds $tot tokens")
+      else assert(tot >= 1 && tot <= budget)
+    }
+    // per doc, the slices tile [0, n_tokens) without gap or overlap
+    val lens = docs.select(col("doc_id"),
+      TextQueries.wsTokenCount("text").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.groupBy(_._2).foreach { case (d, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 == b._3, s"doc $d gap at ${b._3}")
+        case _ =>
+      }
+      assert(sorted.map(_._4).sum == lens(d), s"doc $d slices != n_tokens")
+    }
+    // chunk ids are assigned in doc order: a later doc never lands in
+    // an earlier chunk than any earlier doc's last chunk
+    val lastPerDoc = packed.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val firstPerDoc = packed.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    lastPerDoc.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(firstPerDoc(b) >= lastPerDoc(a))
+      case _ =>
+    }
+  }
+
   test("topNgram: counts, repetition fractions, and deterministic tie-break") {
     import spark.implicits._
     val df = Seq(
