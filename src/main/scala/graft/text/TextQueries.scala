@@ -572,10 +572,13 @@ object TextQueries {
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
                   n: Int = 5, threshold: Double = 0.5,
                   persistIntermediate: Boolean = true,
-                  persistLineage: Boolean = false): DataFrame = {
+                  persistLineage: Boolean = false,
+                  extraFilter: Option[Column] = None): DataFrame = {
+    // `extraFilter` composes additional per-row keeps into the quality
+    // stage (e.g. repetitionKeep()) without touching the pipeline shape
     val clean0 = corpus
       .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
-      .filter(qualityKeep())
+      .filter(extraFilter.foldLeft(qualityKeep())(_ && _))
     // the dedup chain consumes its input ~5 times (three shingle
     // derivations, sizes, the final anti-join); without materialization
     // each consumer re-executes the decontamination subtree INCLUDING
@@ -670,23 +673,46 @@ object TextQueries {
     * only needs per-document totals, so all orders evaluate as per-row
     * array arithmetic inside one generator — zero shuffles, one
     * tokenize per row (PlanSpec pins both). */
+  /** Duplicate-instance fraction of word-n-grams over a lambda-bound
+    * token array `toks` — the single SQL body [[repetitionSignals]] and
+    * [[repetitionKeep]] both render from. The gram array is itself
+    * lambda-bound (g) so size/array_distinct share one
+    * materialization, as the toks binding. */
+  private def dupFracSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
+    s"""CASE WHEN size(toks) >= $n THEN
+       |    element_at(transform(array(transform(sequence(1, size(toks) - ${n - 1}),
+       |        i -> concat_ws(' ', $parts))),
+       |      g -> CAST(size(g) - size(array_distinct(g)) AS DOUBLE) / size(g)), 1)
+       |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+  }
+
   def repetitionSignals(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"n-gram orders must be >= 2, got $ns")
-    val fields = ns.map { n =>
-      val parts = (0 until n)
-        .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
-        .mkString(", ")
-      // the gram array is itself lambda-bound (g) so size/array_distinct
-      // share one materialization, as the toks binding above
-      s"""'dup_frac_$n', CASE WHEN size(toks) >= $n THEN
-         |    element_at(transform(array(transform(sequence(1, size(toks) - ${n - 1}),
-         |        i -> concat_ws(' ', $parts))),
-         |      g -> CAST(size(g) - size(array_distinct(g)) AS DOUBLE) / size(g)), 1)
-         |  ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
-    }.mkString(", ")
+    val fields = ns.map(n => s"'dup_frac_$n', ${dupFracSql(n)}").mkString(", ")
     docs.select(col("doc_id"), expr(
       s"""inline(transform(array(split(text, ' ')), toks ->
          |  named_struct($fields)))""".stripMargin))
+  }
+
+  /** Gopher repetition thresholds as defaults: a doc is dropped when
+    * its duplicate-n-gram fraction exceeds the per-order bound (the
+    * instance-fraction variant of Rae et al. 2021 §A1.1's duplicate
+    * n-gram filters, applied for several n simultaneously). Per-row,
+    * one tokenize (same lambda binding as [[qualityKeep]]); compose
+    * into the cleaning pipeline via `corpusClean(extraFilter =
+    * Some(repetitionKeep()))`. */
+  def repetitionKeep(maxDupFrac: Map[Int, Double] =
+      Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)): Column = {
+    require(maxDupFrac.nonEmpty && maxDupFrac.keys.forall(_ >= 2),
+      s"n-gram orders must be >= 2, got ${maxDupFrac.keys}")
+    val terms = maxDupFrac.toSeq.sortBy(_._1)
+      .map { case (n, t) => s"(${dupFracSql(n)}) <= $t" }.mkString("\n AND ")
+    expr(
+      s"""element_at(transform(array(split(text, ' ')), toks ->
+         |  $terms), 1)""".stripMargin)
   }
 
   /** Per-document top word-n-gram + repetition fractions (the Gopher
@@ -742,6 +768,9 @@ object TextQueries {
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
     "txt_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
+    "txt_repetition_keep" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), repetitionKeep().as("keep"))
+    },
 
     // ---- BPE-ish token counting (whitespace twin + subword-ish regex);
     // the oracle runs the SAME pattern under DuckDB's RE2, pinning the
@@ -1031,6 +1060,24 @@ object TextQueries {
        |LEFT JOIN comp c ON d.doc_id = c.doc_id
        |WHERE c.component IS NULL OR d.doc_id IN (SELECT doc_id FROM surv)""".stripMargin
 
+  /** txt_repetition oracle, shared by the keep-flag twin. */
+  private val repetitionOracleSql: String = {
+    val gram = (n: Int) => (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(", ' ', ")
+    val cols = Seq(2, 3, 4).map { n =>
+      s"""CASE WHEN len(toks) >= $n THEN
+         |    CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / len(g$n)
+         |  ELSE 0.0 END AS dup_frac_$n""".stripMargin
+    }.mkString(",\n")
+    val grams = Seq(2, 3, 4).map { n =>
+      s"list_transform(range(1, len(toks) - ${n - 2}), i -> concat(${gram(n)})) AS g$n"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |$cols
+       |FROM (SELECT doc_id, toks, $grams
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
+  }
+
   /** corpus_clean: decontamination + quality predicate folded into ONE
     * source relation, then the dedup_keep chain over it. The quality
     * predicate mirrors [[qualityKeep]] defaults term for term. */
@@ -1192,22 +1239,12 @@ object TextQueries {
 
     "dedup_keep_best" -> dedupKeepBestSqlFor("documents"),
 
-    "txt_repetition" -> {
-      val gram = (n: Int) => (0 until n)
-        .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(", ' ', ")
-      val cols = Seq(2, 3, 4).map { n =>
-        s"""CASE WHEN len(toks) >= $n THEN
-           |    CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / len(g$n)
-           |  ELSE 0.0 END AS dup_frac_$n""".stripMargin
-      }.mkString(",\n")
-      val grams = Seq(2, 3, 4).map { n =>
-        s"list_transform(range(1, len(toks) - ${n - 2}), i -> concat(${gram(n)})) AS g$n"
-      }.mkString(",\n  ")
+    "txt_repetition" -> repetitionOracleSql,
+
+    "txt_repetition_keep" ->
       s"""SELECT doc_id,
-         |$cols
-         |FROM (SELECT doc_id, toks, $grams
-         |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin
-    },
+         |  (dup_frac_2 <= 0.2 AND dup_frac_3 <= 0.18 AND dup_frac_4 <= 0.16) AS keep
+         |FROM ($repetitionOracleSql)""".stripMargin,
 
     "txt_pack" ->
       """WITH t AS (SELECT doc_id,

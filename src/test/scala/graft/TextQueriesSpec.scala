@@ -341,6 +341,38 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("repetitionKeep == thresholds applied to repetitionSignals") {
+    val sig = TextQueries.repetitionSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_frac_2"), r.getAs[Double]("dup_frac_3"),
+          r.getAs[Double]("dup_frac_4"))).toMap
+    val keep = docs.select(col("doc_id"), TextQueries.repetitionKeep().as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep.size == sig.size)
+    keep.foreach { case (id, k) =>
+      val (d2, d3, d4) = sig(id)
+      assert(k == (d2 <= 0.20 && d3 <= 0.18 && d4 <= 0.16), s"doc $id")
+    }
+  }
+
+  test("corpusClean extraFilter composes repetitionKeep into the quality stage") {
+    val bench = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val got = keepSet(TextQueries.corpusClean(corpus, bench,
+      extraFilter = Some(TextQueries.repetitionKeep())))
+    val afterDecon = TextQueries.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val passQuality = TextQueries.qualityStats(corpus).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val passRep = corpus.filter(TextQueries.repetitionKeep())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val stage2 = corpus.filter(
+      col("doc_id").isin((afterDecon & passQuality & passRep).toSeq: _*))
+    val want = keepSet(TextQueries.dedupKeep(stage2))
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("txt_quality splits the corpus non-degenerately") {
     val out = TextQueries.queries("txt_quality")(spark, sfDir)
     val kept = out.filter(col("keep")).count()
