@@ -22,6 +22,9 @@ import org.apache.spark.sql.expressions.Window
   *                     small-star connected components)
   *   - `incr_dedup`    20k-doc batch vs the full corpus through the
   *                     asymmetric LSH join (lshPairsAgainst)
+  *   - `txt_pack`      GPT-style sequence packing over the 2M-doc
+  *                     corpus (stitched global token cumsum — no
+  *                     single-partition window)
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -323,6 +326,15 @@ object BenchLarge {
             sqrt(qdot(col("e2"), col("e2")).cast("double"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count()
+    }
+    // sequence packing over the full corpus: the stitched global token
+    // cumsum (Stitch.globalCumsum) at 2M docs — driver-side stitch
+    // state is one total per 100k-id chunk (20 tuples), so the pass
+    // stays partition-parallel at any corpus size; the count pins the
+    // deterministic chunk fan-out
+    timed("txt_pack") {
+      graft.text.TextQueries.packChunks(docs(spark, nDocs, template),
+        budget = 2048L).count()
     }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
