@@ -69,11 +69,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("txt_repetition: all three n-gram orders per-row, no exchange, one split") {
-    val p = plan("txt_repetition")
-    assert(!p.contains("Exchange"),
-      s"repetition fractions must not shuffle:\n${p.take(1500)}")
-    val n = "split\\(text".r.findAllIn(p).size
-    assert(n == 1, s"expected exactly one split(text, got $n:\n${p.take(2000)}")
+    Seq("txt_repetition", "txt_repetition_keep").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must not shuffle:\n${p.take(1500)}")
+      val n = "split\\(text".r.findAllIn(p).size
+      assert(n == 1, s"$q: expected exactly one split(text, got $n:\n${p.take(2000)}")
+    }
   }
 
   test("corpus_clean's quality filter binds the token array once") {
