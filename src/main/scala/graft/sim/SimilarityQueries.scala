@@ -280,20 +280,47 @@ object SimilarityQueries {
 
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
-    "emb_neardup_pairs" -> { (s, dir) =>
-      val b = bucketed(s, dir)
-      val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
-      val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
-      a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
-        .withColumn("dot_e12", qdot(col("e1"), col("e2")))
-        .withColumn("n1_e12", qdot(col("e1"), col("e1")))
-        .withColumn("n2_e12", qdot(col("e2"), col("e2")))
-        .withColumn("cosine", col("dot_e12").cast("double") /
-          (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
-        .filter(col("cosine") >= 0.25)
-        .select(col("v1"), col("v2"), col("cosine"))
+    "emb_neardup_pairs" -> { (s, dir) => neardupPairs(s, dir) },
+
+    // ---- SemDeDup: semantic near-dup REMOVAL over the embedding space ----
+    "emb_semdedup" -> { (s, dir) =>
+      val pairs = neardupPairs(s, dir).select(col("v1"), col("v2"))
+      val comp = graft.ops.Components.connectedComponents(pairs, "v1", "v2")
+      val drop = comp.filter(col("node") =!= col("component"))
+        .select(col("node").as("vec_id"))
+      Tables.embeddings(s, dir)
+        .join(broadcast(drop), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
     }
   )
+
+  /** Bucket-local near-duplicate pairs at exact cosine >= `threshold` —
+    * candidate generation is the sign-LSH bucket equi-join (never
+    * all-pairs), scoring is the exact quantized kernel. Shared by the
+    * emb_neardup_pairs query and [[https://arxiv.org/abs/2303.09540
+    * SemDeDup]]-style removal (`emb_semdedup`): bucket (the paper uses
+    * k-means clusters; sign-LSH cells are this engine's equivalent
+    * partition of the space), score pairs within buckets, resolve
+    * duplicate GROUPS by connected components (O(log n) shuffle
+    * rounds, ops.Components), keep the min-id representative, and
+    * materialize survivors as corpus minus the BROADCAST drop-set —
+    * the same anti-join shape as text dedupKeep: singletons never
+    * participate in any join, so the corpus-sized side is scanned,
+    * never shuffled. */
+  private def neardupPairs(s: SparkSession, dir: String,
+                           threshold: Double = 0.25): DataFrame = {
+    val b = bucketed(s, dir)
+    val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
+    val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("dot_e12", qdot(col("e1"), col("e2")))
+      .withColumn("n1_e12", qdot(col("e1"), col("e1")))
+      .withColumn("n2_e12", qdot(col("e2"), col("e2")))
+      .withColumn("cosine", col("dot_e12").cast("double") /
+        (sqrt(col("n1_e12").cast("double")) * sqrt(col("n2_e12").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("v1"), col("v2"), col("cosine"))
+  }
 
   /** Static oracles plus the IVF literal-centroid oracles. The IVF SQL
     * depends on the trained centroids, so `oracles` is a def: Verify
@@ -355,6 +382,20 @@ object SimilarityQueries {
       ) ++ pq
   }
 
+  /** The bucket-local near-dup pair oracle, shared by emb_neardup_pairs
+    * and emb_semdedup (which closes the pair graph transitively). */
+  private lazy val neardupPairsSql: String =
+    s"""WITH bk AS ($bucketSql),
+       |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
+       |c AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
+       |scored AS (
+       |  SELECT v1, v2,
+       |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+       |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+       |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+       |  FROM a JOIN c USING (bucket) WHERE v1 < v2)
+       |SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.25""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
     "emb_norms" ->
       s"""SELECT vec_id, $norm2e12Sql AS norm2_e12,
@@ -392,17 +433,21 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rank <= 5""".stripMargin,
 
-    "emb_neardup_pairs" ->
-      s"""WITH bk AS ($bucketSql),
-         |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
-         |c AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
-         |scored AS (
-         |  SELECT v1, v2,
-         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
-         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
-         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
-         |  FROM a JOIN c USING (bucket) WHERE v1 < v2)
-         |SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.25""".stripMargin,
+    "emb_neardup_pairs" -> neardupPairsSql,
+
+    "emb_semdedup" ->
+      s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM ($neardupPairsSql) np),
+         |nodes AS (SELECT v1 AS n FROM pairs UNION SELECT v2 FROM pairs),
+         |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+         |          UNION SELECT v2 AS a, v1 AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT n AS a, n AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+         |SELECT e.vec_id FROM embeddings e
+         |LEFT JOIN comp c ON e.vec_id = c.vec_id
+         |WHERE c.component IS NULL OR c.component = e.vec_id""".stripMargin,
 
     "emb_ann_buckets" ->
       s"""WITH expl AS (

@@ -763,10 +763,154 @@ object TextQueries {
           .as("top_char_frac"))
   }
 
+  /** Per-document unigram language-model score: mean negative log
+    * probability of the document's tokens under the corpus's own
+    * unigram distribution — the bag-of-words form of CCNet's LM
+    * quality filter (Wenzek et al. 2020 §4.3: score documents by LM
+    * negative log-likelihood, bucket the corpus by it). Documents made
+    * of globally rare tokens score high ("surprising"), boilerplate
+    * scores low. Emits (doc_id, n_tokens, nll).
+    *
+    * Scale shape (100 TB):
+    *  - the vocabulary count is one map-side-combined aggregate: what
+    *    crosses the network is per-partition (token, partial-count)
+    *    rows — vocab-sized, not corpus-sized;
+    *  - the count table joins back BROADCAST, never as a token-keyed
+    *    shuffle of the corpus: token keys are maximally skewed
+    *    (stopwords), so a sort-merge join here would drag a large
+    *    fraction of the corpus through a handful of reducers. At web
+    *    scale the vocabulary must be bounded before broadcasting —
+    *    pass `topV` to keep the V most frequent tokens and score the
+    *    tail as out-of-vocabulary (`oovCount` pseudo-count), exactly
+    *    what a fixed-vocab LM filter does anyway;
+    *  - the per-document re-aggregation reuses the pre-explode
+    *    `repartition(doc_id)` clustering (the [[topNgram]] idiom), so
+    *    the exploded token rows — the ~1× text-byte fan-out — never
+    *    cross the network (PlanSpec-pinned);
+    *  - `ln` is 1-ulp across libms → the score is quantized at 1e-6
+    *    for cross-engine comparison (the [[topNgram]]/tfidf idiom).
+    */
+  def unigramScore(docs: DataFrame, topV: Option[Int] = None,
+                   oovCount: Double = 0.5): DataFrame = {
+    // counting pass: raw scan, no repartition — the partial agg combines
+    // map-side and only vocab-sized partials shuffle
+    val full = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // normalizer over the FULL corpus even when the broadcast side is
+    // topV-truncated (OOV mass must still be "rare", not renormalized).
+    // Derived as a per-row token-count sum — identical value to
+    // sum(cnt) over the vocab, but a plain scan + scalar aggregate
+    // instead of re-executing the explode + vocabulary shuffle (the
+    // count subtree is NOT exchange-reusable across the broadcast and
+    // normalizer branches: canonicalization differs, so deriving tot
+    // from `full` would scan and shuffle the corpus a third time).
+    val tot = docs
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
+    val counts = topV.fold(full)(v =>
+      full.orderBy(col("cnt").desc, col("tok")).limit(v))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(counts), Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(coalesce(col("cnt").cast("double"), lit(oovCount)) / col("tot"))), 6)
+          .as("nll"))
+  }
+
+  /** Scrub word-n-gram spans that occur in more than `maxDf` distinct
+    * documents — the token-level analogue of shared-line removal
+    * (CCNet, Wenzek et al. 2020 §4.1) / exact substring deduplication
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): cross-document boilerplate is removed from every
+    * document instead of dropping whole documents. Emits (doc_id,
+    * n_tokens, n_removed, clean_hash) where clean_hash is the md5 of
+    * the scrubbed text.
+    *
+    * Scale shape (100 TB):
+    *  - pass 1 (doc-frequency) is the [[ngramShingles]] explode into a
+    *    map-side-combined count — the frequent set (`df > maxDf`) is
+    *    tiny by Zipf's law and BROADCASTS; the corpus is never
+    *    shuffled on a gram key;
+    *  - pass 2 explodes positional grams over a doc_id-clustered scan,
+    *    joins the BROADCAST frequent set, and collects matched start
+    *    positions per document — the positional fan-out never crosses
+    *    the network (the repartition sits below the explode), and only
+    *    MATCHED rows reach the aggregate;
+    *  - pass 3 (rebuild) joins the per-doc hit lists back on doc_id and
+    *    filters the token array per-row. Both doc_id shuffles move
+    *    compact (doc_id, text) rows — they are separate exchanges (the
+    *    optimizer's isnotnull on the build side defeats exchange
+    *    reuse), so the corpus is scanned three times and shuffled
+    *    twice, compactly; at test scale the rebuild join
+    *    auto-broadcasts, at corpus scale it degrades gracefully to a
+    *    co-partitioned sort-merge join on doc_id (both sides already
+    *    clustered);
+    *  - the rebuild itself is per-row array arithmetic: expand starts
+    *    to covered token indices, filter the token array, re-concat.
+    */
+  def scrubFrequentNgrams(docs: DataFrame, n: Int = 3, maxDf: Long = 5): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val freq = ngramShingles(docs, n)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle").as("gram"))
+    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
+    val gramExpr =
+      s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+    val pre = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val hits = pre
+      .select(col("doc_id"), posexplode(expr(gramExpr)))
+      .join(broadcast(freq), col("col") === col("gram"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("starts"))
+    pre.join(hits, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${n - 1}))))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("covered")).as("n_removed"),
+        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
+          .as("clean_hash"))
+  }
+
+  /** Deterministic hash-based stratified sampling: keep a document iff
+    * the salted portable hash of its doc_id falls under its stratum's
+    * rate. No RNG state — the decision is reproducible across engines,
+    * runs, partitionings, and re-ingests (the property that makes a
+    * sample auditable and joinable against later pipeline stages), the
+    * standard way to downsample a web corpus per source/domain.
+    * Rates are rounded to parts-per-million ON THE DRIVER so both
+    * engines compare the hash against the same integer literal.
+    * Per-row, zero shuffle, zero UDF (PlanSpec pins no exchange). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "source", salt: String = "smp",
+                       defaultRate: Double = 0.0): DataFrame = {
+    val denom = 1000000L
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(math.round(defaultRate * denom))) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(math.round(v * denom))).otherwise(acc)
+    }
+    docs
+      .filter(phash(concat(lit(salt), lit("_"), col("doc_id").cast("string"))) % denom < rate)
+      .select(col("doc_id"), col(strataCol))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Gopher/C4-style quality filter + n-gram repetition ----
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
+    "txt_unigram_lm" -> { (s, dir) => unigramScore(Tables.documents(s, dir)) },
+    "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
+    "corpus_sample" -> { (s, dir) =>
+      stratifiedSample(Tables.documents(s, dir),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
+        defaultRate = 0.05)
+    },
     "txt_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
     "txt_repetition_keep" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), repetitionKeep().as("keep"))
@@ -1013,6 +1157,31 @@ object TextQueries {
        |WHERE CAST(coalesce(i.inter, 0) AS DOUBLE) / (n1.n + n2.n - coalesce(i.inter, 0)) >= 0.5""".stripMargin
 
   private val lshPairsOracle: String = lshPairsOracleFor("documents")
+
+  /** txt_scrub_ngrams oracle: DuckDB twin of [[scrubFrequentNgrams]]
+    * (1-based list indices; `range(i, i + n)` is DuckDB's half-open
+    * form of Spark's inclusive `sequence(p, p + n - 1)`). */
+  private def scrubNgramsOracle(n: Int, maxDf: Int): String = {
+    val gram1 = (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]").mkString(", ' ', ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - ${n - 2}), i -> concat($gram1)))) AS gram
+       |  FROM t WHERE len(toks) >= $n),
+       |freq AS (SELECT gram FROM (
+       |    SELECT gram, count(*) AS df FROM g GROUP BY gram) WHERE df > $maxDf),
+       |pos AS (SELECT doc_id, i, concat($gram1) AS gram
+       |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - ${n - 1}, 0) + 1)) AS i)),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(i, i + $n) AS span FROM pos JOIN freq USING (gram))
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS INT) AS n_tokens,
+       |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+       |  md5(array_to_string(list_filter(t.toks,
+       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j)), ' ')) AS clean_hash
+       |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
+  }
 
   /** Transitive closure of the LSH pair graph via recursive CTE (fine at
     * oracle scale; the Spark side is the O(log n) large-star/small-star
@@ -1285,6 +1454,28 @@ object TextQueries {
       """SELECT tok, count(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+    "txt_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(cnt.cnt / tot.tot)), 6) AS nll
+        |FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
+
+    "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
+
+    "corpus_sample" -> {
+      val cases = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+        "src3" -> 0.25, "src4" -> 0.1)
+        .map { case (k, v) => s"WHEN '$k' THEN ${math.round(v * 1000000L)}" }
+        .mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${phashSql("concat('smp_', CAST(doc_id AS VARCHAR))")} % 1000000
+         |  < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)""".stripMargin
+    },
 
     "txt_tfidf" ->
       """WITH tf AS (

@@ -87,4 +87,27 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("ivf_cell_e12") && l.trim.startsWith("*(")),
       plan.take(800))
   }
+
+  test("emb_semdedup survivors == corpus minus non-representative near-dup cluster members") {
+    // driver-side expectation from the pair query itself: transitive
+    // closure of the near-dup graph, min-id representative per cluster,
+    // singletons (never paired) all survive — the SemDeDup keep rule
+    val pairs = SparkEntry.queries("emb_neardup_pairs")(spark, sfDir)
+      .select(col("v1"), col("v2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val drop = members.filter(m => find(m) != m)
+    val all = Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("emb_semdedup")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == all -- drop)
+    assert(drop.nonEmpty, "fixture must actually drop duplicates")
+  }
 }

@@ -101,6 +101,60 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
   }
 
+  test("corpus_sample is map-only: the decision evaluates inside the scan stage") {
+    val p = plan("corpus_sample")
+    assert(!p.contains("Exchange"), s"hash sampling must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"), "the sampling hash must stay a native expression")
+  }
+
+  test("txt_unigram_lm: vocab broadcasts; exploded tokens never cross the network") {
+    val p = plan("txt_unigram_lm")
+    // token keys are maximally skewed (stopwords) — a sort-merge join on
+    // tok would drag much of the corpus through a handful of reducers
+    assert(!p.contains("SortMergeJoin"), s"the token join must broadcast:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary counts must broadcast")
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 1,
+      s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+    // that one exchange must sit below the scoring explode: the token
+    // fan-out stays partition-local (the txt_top_ngram idiom)
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not token rows:\n${p.take(2000)}")
+    // the one-row normalizer is the only nested-loop join in the plan
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1)
+  }
+
+  test("txt_scrub_ngrams: frequent set broadcasts; positional grams never shuffle") {
+    val p = plan("txt_scrub_ngrams")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 2,
+      s"expected two compact-row doc_id shuffles (hit-collect + rebuild), got $nDoc:\n${p.take(2500)}")
+    // the positional fan-out sits above its exchange: gram rows are
+    // generated after the shuffle, partition-locally
+    val generate = p.indexOf("Generate posexplode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id", generate)
+    assert(generate >= 0 && exchange > generate,
+      s"positional grams must not cross the network:\n${p.take(2500)}")
+    // the df>k frequent set joins broadcast, and its count aggregates
+    // map-side before the shingle shuffle
+    assert(p.contains("BroadcastHashJoin"), "frequent grams must broadcast")
+    val shuffleShingle = p.indexOf("Exchange hashpartitioning(shingle")
+    val partial = p.indexOf("partial_count", shuffleShingle)
+    assert(shuffleShingle >= 0 && partial > shuffleShingle,
+      "shingle counts must combine map-side below their exchange")
+  }
+
+  test("emb_semdedup: survivors anti-join a BROADCAST drop-set; corpus scanned once") {
+    val p = plan("emb_semdedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the drop-set must broadcast into the anti join:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus-sized side must be scanned, never shuffled")
+  }
+
   test("dedup_incremental broadcasts the batch side; the corpus never cross-joins") {
     val p = plan("dedup_incremental")
     assert(p.contains("BroadcastHashJoin"),

@@ -380,6 +380,91 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(kept > 0 && kept < total,
       s"keep flag is degenerate: $kept of $total")
   }
+
+  // ---- unigram LM scoring ----
+
+  test("unigramScore: hand-computed corpus-unigram NLL") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=3; tot=7
+    val d = Seq((1L, "a a b"), (2L, "b c c c")).toDF("doc_id", "text")
+    val got = TextQueries.unigramScore(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6(-math.log(2.0 / 7)) // all three tokens have count 2
+    val exp2 = r6((-math.log(2.0 / 7) - 3 * math.log(3.0 / 7)) / 4)
+    assert(got(1L) == ((3L, exp1)))
+    assert(got(2L) == ((4L, exp2)))
+  }
+
+  test("unigramScore topV: out-of-vocabulary tokens score with the OOV pseudo-count") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c c c")).toDF("doc_id", "text")
+    // topV=1 keeps only c (count 3); a and b become OOV (pseudo-count 0.5)
+    val got = TextQueries.unigramScore(d, topV = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(-math.log(0.5 / 7)))
+    assert(got(2L) == r6((-math.log(0.5 / 7) - 3 * math.log(3.0 / 7)) / 4))
+  }
+
+  test("unigramScore is invariant under input partitioning") {
+    val base = TextQueries.unigramScore(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rep = TextQueries.unigramScore(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base == rep)
+  }
+
+  // ---- frequent-n-gram scrub ----
+
+  test("scrubFrequentNgrams removes cross-document boilerplate spans, overlaps unioned") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w ta"), (2L, "x y z w tb"), (3L, "x y z w tc"),
+      (4L, "p q p q p q p"), // repetition only WITHIN one doc: df=1, untouched
+      (5L, "x y")            // shorter than n: no grams, untouched
+    ).toDF("doc_id", "text")
+    // "x y z" and "y z w" both have df=3 > 2; "z w t?" have df=1
+    val got = TextQueries.scrubFrequentNgrams(d, n = 3, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // covered = {0,1,2} U {1,2,3} -> four tokens removed, tail survives
+    assert(got(1L) == ((5, 4, md5("ta"))))
+    assert(got(2L) == ((5, 4, md5("tb"))))
+    assert(got(3L) == ((5, 4, md5("tc"))))
+    assert(got(4L) == ((7, 0, md5("p q p q p q p"))))
+    assert(got(5L) == ((2, 0, md5("x y"))))
+  }
+
+  test("scrubFrequentNgrams is invariant under input partitioning") {
+    val base = TextQueries.scrubFrequentNgrams(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val rep = TextQueries.scrubFrequentNgrams(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(base == rep)
+    assert(base.exists(_._3 > 0), "fixture must actually scrub something")
+    assert(base.exists(_._3 == 0), "fixture must leave some docs untouched")
+  }
+
+  // ---- deterministic stratified sampling ----
+
+  test("stratifiedSample: rate 1.0 keeps the whole stratum, 0.0 drops; deterministic") {
+    import spark.implicits._
+    val d = (0L until 600L).map(i => (i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C"))
+      .toDF("doc_id", "source")
+    val got = TextQueries.stratifiedSample(d, Map("A" -> 1.0, "B" -> 0.5), defaultRate = 0.0)
+    val byStratum = got.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStratum.getOrElse("A", Set.empty).size == 200, "rate 1.0 keeps every doc")
+    assert(!byStratum.contains("C"), "default rate 0.0 drops the stratum")
+    val b = byStratum.getOrElse("B", Set.empty)
+    assert(b.nonEmpty && b.size < 200, "rate 0.5 keeps a strict, non-empty subset")
+    // decision is a pure function of doc_id: partitioning cannot change it
+    val rep = TextQueries.stratifiedSample(d.repartition(11), Map("A" -> 1.0, "B" -> 0.5),
+      defaultRate = 0.0).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rep == got.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
 }
 
 /** Harness-integrity pins for the driver-contract dump main. */
