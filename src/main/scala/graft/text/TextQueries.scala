@@ -879,6 +879,107 @@ object TextQueries {
           .as("clean_hash"))
   }
 
+  /** (word, freq) vocabulary table from the corpus — the relation BPE
+    * training iterates on. The ONLY corpus-sized pass in the BPE
+    * pipeline: one exploded, map-side-combined aggregate; everything
+    * after runs on the vocabulary. */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** First-iteration BPE pair statistics (Sennrich et al. 2016 "Neural
+    * Machine Translation of Rare Words with Subword Units", Algorithm
+    * 1's get_stats over the initial character vocabulary): adjacent
+    * symbol-pair counts with the word-end marker `</w>` appended,
+    * weighted by word frequency, top-k by (count desc, pair asc) so
+    * ties are deterministic cross-engine.
+    *
+    * Scale: the corpus is touched once (the [[wordFreq]] aggregate);
+    * pair explosion fans out over the VOCABULARY × word length, which
+    * is bounded regardless of corpus size. */
+  def bpePairs(docs: DataFrame, topK: Int = 50): DataFrame =
+    wordFreq(docs)
+      .filter(length(col("word")) >= 1)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word)),
+          |  i -> concat(substring(word, i, 1), ' ',
+          |       CASE WHEN i = length(word) THEN '</w>'
+          |            ELSE substring(word, i + 1, 1) END))""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** Greedy left-to-right replacement of the adjacent symbol pair
+    * (l, r) by its merged symbol, as a pure aggregate-HOF fold over the
+    * symbols array — no UDF, so the merge step stays a Catalyst
+    * expression. Overlaps resolve left-first ("a a a" under (a,a) →
+    * "aa a"), matching the reference BPE implementation. */
+  private def mergePairExpr(l: String, r: String): Column = {
+    val (ql, qr, qlr) = (sqlQuote(l), sqlQuote(r), sqlQuote(l + r))
+    expr(
+      s"""aggregate(
+         |  sequence(1, size(syms)),
+         |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+         |  (st, i) -> CASE
+         |    WHEN st.skip THEN named_struct('out', st.out, 'skip', false)
+         |    WHEN i < size(syms) AND element_at(syms, i) = '$ql'
+         |         AND element_at(syms, i + 1) = '$qr'
+         |      THEN named_struct('out', concat(st.out, array('$qlr')), 'skip', true)
+         |    ELSE named_struct('out', concat(st.out, array(element_at(syms, i))), 'skip', false)
+         |  END,
+         |  st -> st.out)""".stripMargin)
+  }
+
+  /** Learn `numMerges` BPE merges over the corpus (Sennrich et al. 2016
+    * Algorithm 1): start from the character vocabulary (+ `</w>`),
+    * repeatedly count adjacent symbol pairs weighted by word frequency,
+    * merge the most frequent pair (ties break lexicographically for
+    * determinism). Returns the ordered merge table (rank, left, right)
+    * — the artifact a tokenizer ships.
+    *
+    * Scale (100 TB): the corpus contributes exactly ONE pass — the
+    * [[wordFreq]] aggregate. Every iteration then runs on the
+    * vocabulary frame: one pair-count aggregate (vocab-sized shuffle)
+    * plus ONE collected row (the argmax pair) — the same bounded
+    * collect-per-round discipline as [[graft.ops.Components]], with the
+    * same `localCheckpoint` lineage truncation so round R's plan does
+    * not embed rounds 1..R-1. The merge rewrite itself is a pure
+    * Catalyst fold ([[mergePairExpr]]), distributed per-row over the
+    * vocabulary. Stops early when no adjacent pair remains. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String)] = {
+    var words = wordFreq(docs)
+      .filter(length(col("word")) >= 1)
+      .withColumn("syms", expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+      .select("syms", "freq")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        // slice form, not sequence(1, size-1): a fully-merged word has ONE
+        // symbol, and Spark's sequence(1, 0) counts DOWN instead of
+        // yielding empty — slice's greatest(…, 0) bound cannot
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), (s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges += ((rank, l, r))
+        words = words.withColumn("syms", mergePairExpr(l, r)).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Deterministic hash-based stratified sampling: keep a document iff
     * the salted portable hash of its doc_id falls under its stratum's
     * rate. No RNG state — the decision is reproducible across engines,
@@ -910,6 +1011,17 @@ object TextQueries {
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
         defaultRate = 0.05)
+    },
+
+    // ---- BPE tokenizer training (Sennrich et al. 2016) ----
+    "bpe_pairs" -> { (s, dir) => bpePairs(Tables.documents(s, dir)) },
+    // iterative argmax-and-rewrite: not SQL-expressible → rows-only
+    // driver check; the algorithm is pinned against a driver-side
+    // reference implementation in TextQueriesSpec
+    "bpe_train" -> { (s, dir) =>
+      val m = bpeTrain(Tables.documents(s, dir), numMerges = 20)
+      import s.implicits._
+      m.toDF("rank", "left", "right")
     },
     "txt_repetition" -> { (s, dir) => repetitionSignals(Tables.documents(s, dir)) },
     "txt_repetition_keep" -> { (s, dir) =>
@@ -1466,6 +1578,20 @@ object TextQueries {
         |GROUP BY doc_id""".stripMargin,
 
     "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
+
+    "bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |p AS (SELECT freq, unnest(list_transform(range(1, length(word) + 1),
+        |    i -> concat(substring(word, i, 1), ' ',
+        |         CASE WHEN i = length(word) THEN '</w>'
+        |              ELSE substring(word, i + 1, 1) END))) AS pair
+        |  FROM wf WHERE length(word) >= 1)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     "corpus_sample" -> {
       val cases = Seq("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,

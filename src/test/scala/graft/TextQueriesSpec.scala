@@ -447,6 +447,80 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(base.exists(_._3 == 0), "fixture must leave some docs untouched")
   }
 
+  // ---- BPE tokenizer training ----
+
+  /** Driver-side reference BPE (Sennrich et al. 2016 Algorithm 1):
+    * count adjacent pairs over the char vocab (+</w>) weighted by word
+    * freq, merge the argmax greedily left-to-right, ties lexicographic. */
+  private def refBpeMerges(wordFreqs: Map[String, Long], numMerges: Int): Seq[(Int, String, String)] = {
+    def mergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var vocab: Map[Vector[String], Long] =
+      wordFreqs.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        if (syms.length >= 2)
+          syms.sliding(2).foreach { w => stats((w(0), w(1))) += f }
+      }
+      if (stats.isEmpty) done = true
+      else {
+        val ((l, r), _) = stats.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r))
+        vocab = vocab.map { case (syms, f) => mergeSeq(syms, l, r) -> f }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches the reference algorithm on the classic corpus") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val freqs = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextQueries.bpeTrain(d, numMerges = 8)
+    assert(got == refBpeMerges(freqs, 8))
+    assert(got.size == 8)
+  }
+
+  test("bpeTrain matches the reference algorithm on the real corpus (incl. CJK chars)") {
+    val freqs = docs.select(org.apache.spark.sql.functions.explode(
+        split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextQueries.bpeTrain(docs, numMerges = 6)
+    assert(got == refBpeMerges(freqs, 6))
+  }
+
+  test("bpeTrain stops early when every word is fully merged (no pairs left)") {
+    import spark.implicits._
+    // "aa" x3: pairs (a,a) and (a,</w>) tie at 3; '<' sorts before 'a',
+    // so (a,</w>) merges first, then (a,a</w>) — two merges exhaust the
+    // pair space and the single-symbol words exercise the slice guard
+    val d = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val got = TextQueries.bpeTrain(d, numMerges = 10)
+    assert(got == Seq((0, "a", "</w>"), (1, "a", "a</w>")))
+  }
+
+  test("bpeTrain is invariant under input partitioning") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val d = (1L to 8L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(TextQueries.bpeTrain(d.repartition(7), 5) == TextQueries.bpeTrain(d, 5))
+  }
+
   // ---- deterministic stratified sampling ----
 
   test("stratifiedSample: rate 1.0 keeps the whole stratum, 0.0 drops; deterministic") {
