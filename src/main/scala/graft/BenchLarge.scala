@@ -25,6 +25,12 @@ import org.apache.spark.sql.expressions.Window
   *   - `txt_pack`      GPT-style sequence packing over the 2M-doc
   *                     corpus (stitched global token cumsum — no
   *                     single-partition window)
+  *   - `unigram_lm`    corpus-trained unigram LM scoring (broadcast
+  *                     vocabulary, fan-out never shuffles)
+  *   - `scrub_ngrams`  cross-document boilerplate n-gram scrub
+  *                     (broadcast frequent set)
+  *   - `bpe_train`     20 BPE merges: one corpus pass + vocab-sized
+  *                     iteration rounds
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -335,6 +341,32 @@ object BenchLarge {
     timed("txt_pack") {
       graft.text.TextQueries.packChunks(docs(spark, nDocs, template),
         budget = 2048L).count()
+    }
+    // corpus-trained unigram LM scoring at the full corpus: the
+    // vocabulary (~70k distinct tokens here) aggregates map-side and
+    // BROADCASTS; the exploded tokens re-aggregate on the pre-explode
+    // doc_id clustering, so the fan-out never crosses the network. The
+    // output check is the corpus token total — sensitive to the
+    // tokenize + join + re-agg chain, not just row cardinality.
+    timed("unigram_lm", clearAfter = true) {
+      graft.text.TextQueries.unigramScore(cleanDocs(spark, nDocs, template))
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
+    // cross-document boilerplate scrub at the full corpus: the frequent
+    // set is the 1100-doc template's grams (df >> maxDf) — tiny and
+    // broadcast; the 1%-dup pairs sit at df=2, below the bar, so the
+    // scrub touches exactly the template clique (the check counts
+    // scrubbed docs, not total rows).
+    timed("scrub_ngrams", clearAfter = true) {
+      graft.text.TextQueries.scrubFrequentNgrams(docs(spark, nDocs, template))
+        .filter(col("n_removed") > 0).count()
+    }
+    // BPE tokenizer training: ONE corpus-sized pass (the word-frequency
+    // aggregate) + 20 merge rounds over the ~90k-word vocabulary frame,
+    // each a vocab-sized shuffle plus a single collected argmax row.
+    timed("bpe_train") {
+      graft.text.TextQueries.bpeTrain(docs(spark, nDocs, template),
+        numMerges = 20).size.toLong
     }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
