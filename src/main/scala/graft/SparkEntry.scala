@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
       TemporalQueries.queries ++ WarpQueries.queries ++ PipelineQueries.queries ++
-      graft.text.TextQueries.queries ++ graft.sim.SimilarityQueries.queries
+      graft.text.TextQueries.queries ++ graft.text.PiiQueries.queries ++
+      graft.sim.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
       TemporalQueries.oracles ++ WarpQueries.oracles ++ PipelineQueries.oracles ++
-      graft.text.TextQueries.oracles ++ graft.sim.SimilarityQueries.oracles
+      graft.text.TextQueries.oracles ++ graft.text.PiiQueries.oracles ++
+      graft.sim.SimilarityQueries.oracles
 }

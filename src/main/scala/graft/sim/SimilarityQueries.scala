@@ -282,6 +282,27 @@ object SimilarityQueries {
     // shared LSH bucket before the exact check
     "emb_neardup_pairs" -> { (s, dir) => neardupPairs(s, dir) },
 
+    // ---- embedding-space benchmark decontamination ----
+    // the embedding twin of txt_decontaminate (n-gram overlap can be
+    // paraphrased away; cosine proximity to the eval set cannot): drop
+    // every corpus vector whose cosine to ANY benchmark vector clears
+    // the bar. Candidate generation is the sign-LSH bucket join with the
+    // BENCHMARK side broadcast (eval sets are small by construction);
+    // the corpus is scanned, never shuffled, and survivors materialize
+    // through the same broadcast anti-join shape as dedupKeep.
+    "emb_decontaminate" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val eval = b.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eid"), col("embedding").as("e1"), col("bucket"))
+      val corpus = b.filter(col("vec_id") % 20 =!= 0)
+      val hits = corpus.select(col("vec_id"), col("embedding").as("e2"), col("bucket"))
+        .join(broadcast(eval), Seq("bucket"))
+        .filter(cosineE12(col("e1"), col("e2")) >= 0.25)
+        .select(col("vec_id")).distinct()
+      corpus.join(broadcast(hits), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"))
+    },
+
     // ---- SemDeDup: semantic near-dup REMOVAL over the embedding space ----
     "emb_semdedup" -> { (s, dir) =>
       val pairs = neardupPairs(s, dir).select(col("v1"), col("v2"))
@@ -434,6 +455,19 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin,
 
     "emb_neardup_pairs" -> neardupPairsSql,
+
+    "emb_decontaminate" ->
+      s"""WITH bk AS ($bucketSql),
+         |ev AS (SELECT vec_id AS eid, embedding AS e1, bucket FROM bk WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id, embedding AS e2, bucket FROM bk WHERE vec_id % 20 <> 0),
+         |bad AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM c JOIN ev USING (bucket)
+         |  WHERE CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) >= 0.25)
+         |SELECT vec_id FROM bk
+         |WHERE vec_id % 20 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin,
 
     "emb_semdedup" ->
       s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM ($neardupPairsSql) np),

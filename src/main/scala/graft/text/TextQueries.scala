@@ -980,6 +980,96 @@ object TextQueries {
     merges.toSeq
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document with an LM, split the corpus into equal head /
+    * middle / tail thirds by score; training recipes then mix from the
+    * buckets). Scores come from [[unigramScore]] (nll ascending = most
+    * fluent first), the split replicates SQL `ntile(nBuckets)` exactly:
+    * bucket sizes differ by at most one, larger buckets first, ties on
+    * nll break by doc_id so the assignment is deterministic
+    * cross-engine ([[unigramScore]]'s 1e-6 quantization makes the sort
+    * key itself engine-exact).
+    *
+    * Scale (100 TB): a global rank without a global sort — the rank is
+    * [[graft.ops.Stitch.globalCumsum]] of 1 over nll-ordered chunks
+    * (chunk = floor(nll·16): bounded cardinality — nll spans a few
+    * units — and monotone in the sort key, so chunk-ascending equals
+    * global order; the driver collects one count per chunk, never
+    * rows). There is NO single-partition Exchange in the plan
+    * (PlanSpec-pinned). The corpus count and bucket cutoffs are driver
+    * literals; everything else is the unigram scoring pass plus one
+    * chunk-partitioned window. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val n = docs.count()
+    val scored = unigramScore(docs)
+    val ranked = graft.ops.Stitch.globalCumsum(scored,
+      chunk = floor(col("nll") * 16).cast("long"),
+      ord = Seq(col("nll"), col("doc_id")),
+      value = lit(1L), out = "rk")
+    val q = n / nBuckets
+    val r = n % nBuckets
+    // ntile(nBuckets): first r buckets hold q+1 rows, the rest hold q
+    val bucket =
+      if (q == 0L) col("rk")
+      else when(col("rk") <= lit(r * (q + 1)),
+          floor((col("rk") - 1) / lit(q + 1)) + 1)
+        .otherwise(lit(r) + floor((col("rk") - lit(r * (q + 1)) - 1) / lit(q)) + 1)
+    val labeled = ranked
+      .select(col("doc_id"), col("nll"), bucket.cast("int").as("bucket"))
+    val band =
+      if (nBuckets == 3)
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail"))
+      else concat(lit("b"), col("bucket").cast("string"))
+    labeled.withColumn("band", band)
+  }
+
+  /** Merge table learned by the bpe_encode driver query, cached so the
+    * oracle SQL can embed the merges as literals (the
+    * [[graft.sim.Ivf.cachedCentroids]] pattern: Verify runs queries
+    * first, dumps oracle SQL after). */
+  @volatile private[text] var cachedMerges: Option[Seq[(Int, String, String)]] = None
+
+  /** Apply a learned BPE merge table to the corpus (the other half of
+    * the [[bpeTrain]] → encode tokenizer loop): every document's words
+    * become subword sequences, emitting per-document
+    * (n_words, n_tokens, stream_hash) where stream_hash is the md5 of
+    * the document's space-joined subword stream in word order — the
+    * value that pins encode parity cross-engine.
+    *
+    * Scale (100 TB): the merges are applied to the DISTINCT-WORD
+    * vocabulary, not the corpus — encoding is a fold over ~|vocab| rows
+    * (each merge a [[mergePairExpr]] Catalyst fold, `localCheckpoint`
+    * per round exactly like [[bpeTrain]] so merge R's plan does not
+    * nest rounds 1..R-1's expression trees) — and the encoded
+    * vocabulary BROADCASTS back onto the corpus's exploded words: the
+    * corpus-sized fan-out reuses the pre-explode doc_id clustering
+    * (the [[topNgram]] idiom) so it never crosses the network, and the
+    * word join is a broadcast hash join, never a shuffle on the
+    * maximally-skewed word key. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(Int, String, String)]): DataFrame = {
+    val vocab = wordFreq(docs)
+      .filter(length(col("word")) >= 1)
+      .select(col("word"))
+      .withColumn("syms", expr(
+        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+    val encoded = merges.sortBy(_._1).foldLeft(vocab) { case (df, (_, l, r)) =>
+      df.withColumn("syms", mergePairExpr(l, r)).localCheckpoint()
+    }
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_tokens"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))))).as("stream_hash"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a document iff
     * the salted portable hash of its doc_id falls under its stratum's
     * rate. No RNG state — the decision is reproducible across engines,
@@ -1006,6 +1096,13 @@ object TextQueries {
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
     "txt_unigram_lm" -> { (s, dir) => unigramScore(Tables.documents(s, dir)) },
+    "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
+    "bpe_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = bpeTrain(docs, numMerges = 20)
+      cachedMerges = Some(merges)
+      bpeEncode(docs, merges)
+    },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
@@ -1418,7 +1515,54 @@ object TextQueries {
        |SELECT batch_id, corpus_id AS dup_of, jaccard FROM ranked WHERE rn = 1""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** The unigram-LM scoring SQL, shared by the txt_unigram_lm oracle
+    * and the perplexity-bucket oracle built on top of it. */
+  private val unigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM cnt)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(avg(-ln(cnt.cnt / tot.tot)), 6) AS nll
+      |FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
+
+  /** bpe_encode oracle, rendered from the merge table the query just
+    * learned (absent until the query runs — the Ivf.cachedCentroids
+    * pattern): each word becomes a space-delimited symbol string
+    * `' c h a r s </w> '`, each merge is a left-to-right non-overlapping
+    * `replace(' l r ' → ' lr ')` — string replace's scan order IS BPE's
+    * greedy merge order — and documents re-join their encoded words by
+    * position. */
+  private def bpeEncodeOracles: Map[String, String] = cachedMerges match {
+    case None => Map.empty
+    case Some(merges) =>
+      def q(s: String) = s.replace("'", "''")
+      val applied = merges.sortBy(_._1)
+        .foldLeft("concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'), '</w> ')") {
+          case (acc, (_, l, r)) => s"replace($acc, ' ${q(l)} ${q(r)} ', ' ${q(l + r)} ')"
+        }
+      Map("bpe_encode" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, i AS pos, toks[i] AS word
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+           |enc AS (SELECT word, trim($applied) AS encoded
+           |        FROM (SELECT DISTINCT word FROM w) v WHERE length(word) >= 1)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(len(string_split(encoded, ' '))) AS BIGINT) AS n_tokens,
+           |  md5(string_agg(encoded, ' ' ORDER BY pos)) AS stream_hash
+           |FROM w JOIN enc USING (word)
+           |GROUP BY doc_id""".stripMargin)
+  }
+
+  /** Static oracles plus the runtime-learned BPE-encode oracle — a def
+    * so Verify (which runs queries before dumping oracle SQL) sees the
+    * merge literals the encode query actually used. */
+  def oracles: Map[String, String] = staticOracles ++ bpeEncodeOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
 
     "txt_decontaminate" -> {
@@ -1567,15 +1711,15 @@ object TextQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
 
-    "txt_unigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM cnt)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(-ln(cnt.cnt / tot.tot)), 6) AS nll
-        |FROM toks JOIN cnt USING (tok) CROSS JOIN tot
-        |GROUP BY doc_id""".stripMargin,
+    "txt_unigram_lm" -> unigramLmSql,
+
+    "txt_ppl_buckets" ->
+      s"""WITH u AS ($unigramLmSql),
+         |b AS (SELECT doc_id, nll,
+         |  CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS bucket FROM u)
+         |SELECT doc_id, nll, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+         |FROM b""".stripMargin,
 
     "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
 

@@ -206,6 +206,49 @@ class PlanSpec extends AnyFunSuite {
       "survivor selection must never cross-join the corpus")
   }
 
+  test("txt_pii is a map-only pass: no exchange, no UDF") {
+    val p = plan("txt_pii")
+    assert(!p.contains("Exchange"),
+      s"per-row PII detection must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("txt_ppl_buckets ranks globally without a single-partition window") {
+    val p = plan("txt_ppl_buckets")
+    // every window partitions by the stitch chunk — a global (unkeyed)
+    // window would drag the corpus through one task
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("_chunk#")),
+      s"the rank window must partition by chunk:\n${p.take(2000)}")
+    // the only single-partition exchange is the one-row combine of the
+    // scalar normalizer aggregate (bounded: one partial per partition),
+    // the same shape txt_unigram_lm carries
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, s"unexpected single-partition exchanges ($singles):\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the vocabulary and the chunk offsets must broadcast")
+  }
+
+  test("emb_decontaminate: eval set broadcasts; survivors anti-join a broadcast drop-set") {
+    val p = plan("emb_decontaminate")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"contaminated ids must broadcast into the anti join:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the corpus must be scanned, never shuffled or cross-joined")
+  }
+
+  test("bpe_encode broadcasts the encoded vocabulary onto the corpus words") {
+    // fixed merges: the plan shape is merge-agnostic, and skipping
+    // bpeTrain keeps this pin cheap
+    val p = graft.text.TextQueries.bpeEncode(Tables.documents(spark, sfDir),
+        Seq((0, "e", "</w>"), (1, "t", "h")))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the word join must broadcast, never shuffle on the skewed word key:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("stitched window queries stay partition-parallel") {
     Seq("step_interpolate", "block_max_norm", "event_range", "txt_pack").foreach { q =>
       assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")

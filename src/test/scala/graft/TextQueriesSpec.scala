@@ -521,6 +521,85 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(TextQueries.bpeTrain(d.repartition(7), 5) == TextQueries.bpeTrain(d, 5))
   }
 
+  // ---- BPE encoding (applying learned merges) ----
+
+  /** Greedy left-to-right merge of one pair — the reference rewrite
+    * shared with [[refBpeMerges]]'s inner step. */
+  private def refMergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]; var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refEncode(text: String, merges: Seq[(Int, String, String)]): Vector[String] =
+    text.split(" ").toVector.flatMap { w =>
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      merges.sortBy(_._1).foreach { case (_, l, r) => syms = refMergeSeq(syms, l, r) }
+      syms
+    }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("bpeEncode matches the reference encoder on the classic corpus") {
+    import spark.implicits._
+    val d = Seq((1L, "low lower newest"), (2L, "widest newest low low")).toDF("doc_id", "text")
+    val merges = TextQueries.bpeTrain(d, numMerges = 6)
+    assert(merges.size == 6)
+    val got = TextQueries.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    Seq(1L -> "low lower newest", 2L -> "widest newest low low").foreach { case (id, text) =>
+      val toks = refEncode(text, merges)
+      assert(got(id) == ((text.split(" ").length.toLong, toks.size.toLong,
+        md5hex(toks.mkString(" ")))), s"doc $id")
+    }
+  }
+
+  test("bpeEncode on the real corpus: reference parity and partitioning invariance") {
+    val merges = TextQueries.bpeTrain(docs, numMerges = 4)
+    val got = TextQueries.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val raw = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (id, text) =>
+      val toks = refEncode(text, merges)
+      assert(got(id) == ((text.split(" ").length.toLong, toks.size.toLong,
+        md5hex(toks.mkString(" ")))), s"doc $id")
+    }
+    val rep = TextQueries.bpeEncode(docs.repartition(7), merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rep == got)
+  }
+
+  // ---- CCNet-style perplexity bucketing ----
+
+  test("perplexityBuckets: ntile sizes, score-ordered bands, labels, invariance") {
+    val got = TextQueries.perplexityBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+    val n = got.length
+    assert(n > 0)
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3), s"buckets: ${sizes.keySet}")
+    assert(sizes.values.max - sizes.values.min <= 1, s"ntile sizes: $sizes")
+    // the sort key (nll, doc_id) never decreases across bucket borders
+    val ord = Ordering[(Double, Long)]
+    (1 to 2).foreach { b =>
+      val hi = got.filter(_._3 == b).map(r => (r._2, r._1)).max(ord)
+      val lo = got.filter(_._3 == b + 1).map(r => (r._2, r._1)).min(ord)
+      assert(ord.lteq(hi, lo), s"bucket $b overlaps ${b + 1}: $hi > $lo")
+    }
+    assert(got.forall(r => r._4 == (r._3 match {
+      case 1 => "head"; case 2 => "middle"; case _ => "tail" })))
+    val rep = TextQueries.perplexityBuckets(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+    assert(rep.toSet == got.toSet)
+  }
+
   // ---- deterministic stratified sampling ----
 
   test("stratifiedSample: rate 1.0 keeps the whole stratum, 0.0 drops; deterministic") {
