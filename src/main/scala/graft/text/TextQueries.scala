@@ -547,6 +547,51 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("mix_rank"))
   }
 
+  /** Per-language doc budgets computed by the last [[corpusMixTemp]]
+    * run, cached so the oracle can compare the SAME integer literals
+    * (the [[cachedMerges]] pattern). */
+  @volatile private[text] var cachedTempBudgets: Option[Seq[(String, Long)]] = None
+
+  /** Temperature-scaled mixture allocation — the multilingual-LM
+    * sampling recipe (XLM-R, Conneau et al. 2020 §3.1 / mT5, Xue et al.
+    * 2021 §3.2: sample language l with p_l ∝ n_l^alpha; alpha < 1
+    * upsamples tail languages): derive the per-language weights from
+    * the corpus's OWN language counts, then allocate `budget` documents
+    * by those weights, best score first, exactly like [[corpusMix]].
+    *
+    * The language histogram is a languages-sized aggregate collected to
+    * the driver (bounded: one row per language); the final per-language
+    * doc budgets are INTEGER literals computed driver-side — both
+    * engines compare against identical numbers, no cross-engine `pow`
+    * hazard — and cached for oracle rendering. The mix itself is one
+    * per-language window shuffle (the [[corpusMix]] plan). */
+  def corpusMixTemp(docs: DataFrame, alpha: Double = 0.5, budget: Long = 200L,
+                    score: Column = col("n_chars")): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val pows = counts.map { case (l, n) => l -> math.pow(n.toDouble, alpha) }
+    val tot = pows.map(_._2).sum
+    val weights = pows.map { case (l, p) => l -> p / tot }
+    cachedTempBudgets = Some(weights.map { case (l, w) =>
+      l -> math.floor(budget * w).toLong }.toSeq)
+    corpusMix(docs, weights.toMap, budget, score)
+  }
+
+  /** corpus_mix_temp oracle, rendered from the driver-computed integer
+    * budgets of the last run (absent until the query runs). */
+  private def tempMixOracles: Map[String, String] = cachedTempBudgets match {
+    case None => Map.empty
+    case Some(ks) =>
+      val cases = ks.map { case (l, k) => s"WHEN '${l.replace("'", "''")}' THEN $k" }
+        .mkString(" ")
+      Map("corpus_mix_temp" ->
+        s"""WITH r AS (SELECT doc_id, lang,
+           |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS mix_rank
+           |FROM documents)
+           |SELECT doc_id, lang, mix_rank FROM r
+           |WHERE mix_rank <= CASE lang $cases ELSE 0 END""".stripMargin)
+  }
+
   /** The full training-corpus cleaning pipeline as ONE composed plan —
     * the query a user of this engine actually ships:
     *
@@ -1170,6 +1215,10 @@ object TextQueries {
     },
 
     // ---- token counting + quality scoring ----
+    "corpus_mix_temp" -> { (s, dir) =>
+      corpusMixTemp(Tables.documents(s, dir))
+    },
+
     "txt_stats" -> { (s, dir) =>
       Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
@@ -1560,7 +1609,8 @@ object TextQueries {
   /** Static oracles plus the runtime-learned BPE-encode oracle — a def
     * so Verify (which runs queries before dumping oracle SQL) sees the
     * merge literals the encode query actually used. */
-  def oracles: Map[String, String] = staticOracles ++ bpeEncodeOracles
+  def oracles: Map[String, String] =
+    staticOracles ++ bpeEncodeOracles ++ tempMixOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,

@@ -174,9 +174,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("corpus_mix runs on a single per-language shuffle") {
-    val p = plan("corpus_mix")
-    val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n == 1, s"expected one window exchange, got $n:\n${p.take(1500)}")
+    Seq("corpus_mix", "corpus_mix_temp").foreach { q =>
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1, s"$q: expected one window exchange, got $n:\n${p.take(1500)}")
+    }
   }
 
   test("ANN top-k queries broadcast the small query side") {

@@ -521,6 +521,30 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(TextQueries.bpeTrain(d.repartition(7), 5) == TextQueries.bpeTrain(d, 5))
   }
 
+  // ---- temperature-scaled mixture ----
+
+  test("corpusMixTemp: budgets follow n^alpha; alpha=1 proportional, alpha~0 uniform") {
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expected(alpha: Double, budget: Long): Map[String, Long] = {
+      val pows = counts.view.mapValues(n => math.pow(n.toDouble, alpha)).toMap
+      val tot = pows.values.sum
+      pows.map { case (l, p) => l -> math.floor(budget * p / tot).toLong }
+    }
+    def gotSizes(alpha: Double, budget: Long): Map[String, Long] =
+      TextQueries.corpusMixTemp(docs, alpha, budget)
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(0.5, 1.0, 0.01).foreach { a =>
+      val exp = expected(a, 200L).filter(_._2 > 0)
+      assert(gotSizes(a, 200L) == exp, s"alpha=$a")
+    }
+    // alpha < 1 strictly upsamples the rarest language vs proportional
+    val rare = counts.minBy(_._2)._1
+    assert(expected(0.3, 200L)(rare) >= expected(1.0, 200L)(rare))
+    assert(counts.size >= 3, "fixture needs a multi-language corpus")
+  }
+
   // ---- BPE encoding (applying learned merges) ----
 
   /** Greedy left-to-right merge of one pair — the reference rewrite
