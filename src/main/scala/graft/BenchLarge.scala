@@ -31,6 +31,14 @@ import org.apache.spark.sql.expressions.Window
   *                     (broadcast frequent set)
   *   - `bpe_train`     20 BPE merges: one corpus pass + vocab-sized
   *                     iteration rounds
+  *   - `bpe_encode`    apply the learned merges: vocab fold +
+  *                     broadcast join onto the word fan-out
+  *   - `pii_scrub`     email/IP/phone detection + redaction + md5,
+  *                     map-only regex throughput
+  *   - `ppl_buckets`   CCNet head/middle/tail split (stitched global
+  *                     rank, chunk-partitioned window)
+  *   - `emb_decont`    0.1% eval split vs 2M vectors through the
+  *                     sign-LSH bucket join, broadcast eval side
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -364,9 +372,50 @@ object BenchLarge {
     // BPE tokenizer training: ONE corpus-sized pass (the word-frequency
     // aggregate) + 20 merge rounds over the ~90k-word vocabulary frame,
     // each a vocab-sized shuffle plus a single collected argmax row.
+    // The learned merges feed the encode measurement below (training is
+    // not re-counted inside the encode timer).
+    var bpeMerges: Seq[(Int, String, String)] = Seq.empty
     timed("bpe_train") {
-      graft.text.TextQueries.bpeTrain(docs(spark, nDocs, template),
-        numMerges = 20).size.toLong
+      bpeMerges = graft.text.TextQueries.bpeTrain(docs(spark, nDocs, template),
+        numMerges = 20)
+      bpeMerges.size.toLong
+    }
+    // BPE encoding at the full corpus: the 20 merges fold over the
+    // distinct-word vocabulary (checkpointed per round), then the
+    // encoded vocabulary broadcasts onto the doc_id-clustered word
+    // fan-out. The check sums subword counts — sensitive to the whole
+    // encode chain including the per-doc stream re-assembly.
+    timed("bpe_encode", clearAfter = true) {
+      graft.text.TextQueries.bpeEncode(docs(spark, nDocs, template), bpeMerges)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
+    // PII scrub at the full corpus: three detection counts + the full
+    // redaction chain + md5 per row, map-only. The check forces every
+    // output column (the hash-length sum defeats pruning of the
+    // redaction branch).
+    timed("pii_scrub", clearAfter = true) {
+      graft.text.PiiQueries.piiStats(docs(spark, nDocs, template))
+        .agg((sum(length(col("clean_hash"))) +
+          sum(col("n_emails") + col("n_ips") + col("n_phones"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // CCNet perplexity bucketing at the full corpus: the unigram scoring
+    // pass plus the stitched global rank (chunk-partitioned window, one
+    // collected count per chunk) — no single-partition exchange at 2M
+    // docs. The check is the per-band doc-count total.
+    timed("ppl_buckets", clearAfter = true) {
+      graft.text.TextQueries.perplexityBuckets(cleanDocs(spark, nDocs, template))
+        .groupBy("band").count().collect().map(_.getLong(1)).sum
+    }
+    // embedding decontamination at the full vector corpus: a 0.1% eval
+    // split (2k vectors) broadcasts through the sign-LSH bucket join
+    // against the remaining 2M; survivors anti-join the broadcast hit
+    // set. The check counts survivors.
+    timed("emb_decont", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      graft.sim.SimilarityQueries.annDecontaminate(
+        emb.filter(col("vec_id") % 1000 =!= 0),
+        emb.filter(col("vec_id") % 1000 === 0)).count()
     }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —

@@ -77,8 +77,7 @@ object SimilarityQueries {
 
   /** (vec_id, bucket): sign-random-projection bucket per vector —
     * join-free, one aggregation pass. */
-  private def buckets(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  private def bucketsOf(e: DataFrame): DataFrame = {
     val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
     val scoreAggs = (0 until PLANES).map { p =>
@@ -90,10 +89,38 @@ object SimilarityQueries {
       .select(col("vec_id"), fold.as("bucket"))
   }
 
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    bucketsOf(Tables.embeddings(s, dir))
+
   /** (vec_id, bucket, embedding): buckets joined back to the vectors,
-    * for the ANN queries that need the embedding alongside. */
+    * for the ANN queries that need the embedding alongside. A vector's
+    * bucket depends only on its own coordinates, so the join is on the
+    * frame's own vec_id clustering. */
+  private def bucketedOf(e: DataFrame): DataFrame = e.join(bucketsOf(e), "vec_id")
+
   private def bucketed(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).join(buckets(s, dir), "vec_id")
+    bucketedOf(Tables.embeddings(s, dir))
+
+  /** Embedding-space benchmark decontamination — the embedding twin of
+    * text decontamination (n-gram overlap can be paraphrased away;
+    * cosine proximity to the eval set cannot): drop every corpus vector
+    * whose cosine to ANY eval vector reaches `threshold`. Candidate
+    * generation is the sign-LSH bucket equi-join with the EVAL side
+    * broadcast (eval sets are small by construction); the corpus is
+    * scanned, never shuffled on the bucket key, and survivors
+    * materialize through the same broadcast anti-join shape as text
+    * dedupKeep. Returns the surviving corpus rows. */
+  def annDecontaminate(corpus: DataFrame, eval: DataFrame,
+                       threshold: Double = 0.25): DataFrame = {
+    val eb = bucketedOf(eval)
+      .select(col("vec_id").as("eid"), col("embedding").as("e1"), col("bucket"))
+    val hits = bucketedOf(corpus)
+      .select(col("vec_id"), col("embedding").as("e2"), col("bucket"))
+      .join(broadcast(eb), Seq("bucket"))
+      .filter(cosineE12(col("e1"), col("e2")) >= threshold)
+      .select(col("vec_id")).distinct()
+    corpus.join(broadcast(hits), Seq("vec_id"), "left_anti")
+  }
 
   private val bucketSql: String =
     s"""SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN (
@@ -291,15 +318,10 @@ object SimilarityQueries {
     // the corpus is scanned, never shuffled, and survivors materialize
     // through the same broadcast anti-join shape as dedupKeep.
     "emb_decontaminate" -> { (s, dir) =>
-      val b = bucketed(s, dir)
-      val eval = b.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id").as("eid"), col("embedding").as("e1"), col("bucket"))
-      val corpus = b.filter(col("vec_id") % 20 =!= 0)
-      val hits = corpus.select(col("vec_id"), col("embedding").as("e2"), col("bucket"))
-        .join(broadcast(eval), Seq("bucket"))
-        .filter(cosineE12(col("e1"), col("e2")) >= 0.25)
-        .select(col("vec_id")).distinct()
-      corpus.join(broadcast(hits), Seq("vec_id"), "left_anti")
+      val all = Tables.embeddings(s, dir)
+      annDecontaminate(
+        all.filter(col("vec_id") % 20 =!= 0),
+        all.filter(col("vec_id") % 20 === 0))
         .select(col("vec_id"))
     },
 
