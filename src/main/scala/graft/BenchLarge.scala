@@ -356,9 +356,14 @@ object BenchLarge {
     // doc_id clustering, so the fan-out never crosses the network. The
     // output check is the corpus token total — sensitive to the
     // tokenize + join + re-agg chain, not just row cardinality.
+    // the check must force BOTH output columns: a bare sum(n_tokens)
+    // lets Catalyst prune the whole nll branch (the log-scoring work
+    // this query exists to measure) out of the plan
     timed("unigram_lm", clearAfter = true) {
       graft.text.TextQueries.unigramScore(cleanDocs(spark, nDocs, template))
-        .agg(sum("n_tokens")).collect()(0).getLong(0)
+        .agg((sum("n_tokens") +
+          sum(round(col("nll") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
     }
     // cross-document boilerplate scrub at the full corpus: the frequent
     // set is the 1100-doc template's grams (df >> maxDf) — tiny and

@@ -186,3 +186,92 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): IvfCellE12 =
     copy(child = newChild)
 }
+
+/** Sign-random-projection (SimHash-LSH) bucket: bit p of the result is
+  * set iff Σ_d planes[p][d] · round(x_d·1e6) > 0 — the codegen,
+  * per-row form of the explode + 8-way-sum aggregate the similarity
+  * queries originally bucketed with (same integer arithmetic, same
+  * strict `> 0` sign rule, so bucket ids are bit-identical to the
+  * DuckDB oracle's md5-projection SQL). Turning bucket assignment into
+  * a scalar expression removes a corpus-wide explode(×dim) + groupBy +
+  * join-back from every ANN/near-dup/decontamination plan — at 100 TB
+  * that was the only shuffle in otherwise map-only candidate
+  * generation. The projection matrix rides along as a reference
+  * object. Null if the vector's dimensionality does not match the
+  * matrix's, or any element is null (the aggregate form's null
+  * propagation). */
+case class SignLshBucketE12(child: Expression, planes: Array[Array[Long]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_bucket_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_lsh_bucket_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      var bucket = 0L
+      var p = 0
+      while (p < planes.length) {
+        val proj = planes(p)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          acc += proj(d) * QuantKernels.qround(a.getFloat(d).toDouble * 1e6)
+          d += 1
+        }
+        if (acc > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("lshPlanes", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val hasNull = ctx.freshName("hasNull")
+      val dim = planes(0).length
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $bucket = 0L;
+         |    for (int $p = 0; $p < ${planes.length}; $p++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $x = ((double) $a.getFloat($d)) * 1e6;
+         |        $acc += $mat[$p][$d] * ${QuantKernels.qroundJava(x)};
+         |      }
+         |      if ($acc > 0) $bucket |= (1L << $p);
+         |    }
+         |    ${ev.value} = $bucket;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucketE12 =
+    copy(child = newChild)
+}

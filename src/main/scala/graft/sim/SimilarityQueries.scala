@@ -31,7 +31,7 @@ object SimilarityQueries {
     * md5 per data row (as the oracle SQL does) is pure waste — at scale
     * that's 8 md5 calls per row of the corpus. Same values as the
     * oracle's SQL md5 by construction. */
-  private lazy val projConst: Array[Array[Long]] = {
+  private[graft] lazy val projConst: Array[Array[Long]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(PLANES, DIM) { (p, d) =>
       val hex = mdt.digest(s"${p}_$d".getBytes("UTF-8"))
@@ -39,10 +39,6 @@ object SimilarityQueries {
       java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
     }
   }
-
-  /** Per-plane projection as an array literal indexed by the dim column. */
-  private def projCol(p: Int, d: org.apache.spark.sql.Column) =
-    element_at(typedLit(projConst(p).toSeq), d + 1)
 
   /** Exact integer-quantized squared-norm scaled by 1e12. */
   private val norm2e12 =
@@ -75,28 +71,29 @@ object SimilarityQueries {
     qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double")))
 
-  /** (vec_id, bucket): sign-random-projection bucket per vector —
-    * join-free, one aggregation pass. */
-  private def bucketsOf(e: DataFrame): DataFrame = {
-    val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
-    val scoreAggs = (0 until PLANES).map { p =>
-      sum(projCol(p, col("d")) * col("xq")).as(s"s$p")
-    }
-    val fold = (0 until PLANES).map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
-      .reduce(_ + _)
-    expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
-      .select(col("vec_id"), fold.as("bucket"))
-  }
+  /** Sign-random-projection bucket of an embedding column — a single
+    * codegen'd scalar ([[graft.functions.SignLshBucketE12]], the
+    * projection matrix as a reference object): bucket assignment is
+    * map-only, so candidate generation never shuffles the corpus. The
+    * original explode(×dim) + 8-way-sum groupBy + join-back produced
+    * identical buckets (EmbeddingKernelSpec pins the parity) but cost a
+    * corpus-wide shuffle on vec_id — the one non-map step in every
+    * bucketed plan. */
+  def lshBucket(e: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.SignLshBucketE12(
+      org.apache.spark.sql.GraftBridge.expression(e), projConst))
+
+  /** (vec_id, bucket): per-vector sign-LSH bucket, map-only. */
+  private def bucketsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
 
   private def buckets(s: SparkSession, dir: String): DataFrame =
     bucketsOf(Tables.embeddings(s, dir))
 
-  /** (vec_id, bucket, embedding): buckets joined back to the vectors,
-    * for the ANN queries that need the embedding alongside. A vector's
-    * bucket depends only on its own coordinates, so the join is on the
-    * frame's own vec_id clustering. */
-  private def bucketedOf(e: DataFrame): DataFrame = e.join(bucketsOf(e), "vec_id")
+  /** (vec_id, embedding, bucket): the vectors with their bucket
+    * alongside — a projection, no join. */
+  private def bucketedOf(e: DataFrame): DataFrame =
+    e.withColumn("bucket", lshBucket(col("embedding")))
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     bucketedOf(Tables.embeddings(s, dir))

@@ -414,7 +414,7 @@ object StreamOps {
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingIngestGate(docs: DataFrame, benchmark: DataFrame,
-                          n: Int = 5): DataFrame = {
+                          n: Int = 5, redactPii: Boolean = false): DataFrame = {
     import graft.text.TextQueries
     // persist the one-row shingle set: the static side of a stream join
     // is re-planned every micro-batch, and without the cache each batch
@@ -428,11 +428,18 @@ object StreamOps {
       .distinct()
       .agg(collect_set(col("shingle")).as("bench_shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docs.filter(TextQueries.qualityKeep())
+    val gated = docs.filter(TextQueries.qualityKeep())
       .crossJoin(broadcast(benchRow))
       .filter(size(array_intersect(
         TextQueries.ngramShinglesExpr("text", n), col("bench_shingles"))) === 0)
       .drop("bench_shingles")
+    // PII scrub on the ingest path: per-row regexp_replace, stateless,
+    // so it composes into the gate with zero streaming-semantics cost
+    // (same expressions as the batch txt_pii query — parity pinned in
+    // StreamingSpec)
+    if (redactPii)
+      gated.withColumn("text", graft.text.PiiQueries.redactPii(col("text")))
+    else gated
   }
 
   /** Stream-static embedding near-dup gate: incoming vectors matched

@@ -1047,7 +1047,15 @@ object TextQueries {
   def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
     val n = docs.count()
-    val scored = unigramScore(docs)
+    // globalCumsum executes its input twice (the per-chunk totals
+    // collect, then the ranked output) — with the full unigram scoring
+    // chain upstream that would be two corpus passes, so the scored
+    // frame is materialized ONCE via localCheckpoint (the
+    // bpeTrain/Components discipline; BENCH_LARGE ppl_buckets measures
+    // the saving). Not .persist(): a catalog cache of unigramScore's
+    // exact plan would silently substitute into OTHER queries over the
+    // same corpus (txt_unigram_lm) and change their executed plans.
+    val scored = unigramScore(docs).localCheckpoint()
     val ranked = graft.ops.Stitch.globalCumsum(scored,
       chunk = floor(col("nll") * 16).cast("long"),
       ord = Seq(col("nll"), col("doc_id")),

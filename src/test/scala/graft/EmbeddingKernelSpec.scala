@@ -88,6 +88,64 @@ class EmbeddingKernelSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("SignLshBucketE12 == the explode + 8-way-sum aggregate form it replaced") {
+    import graft.sim.SimilarityQueries
+    val e = Tables.embeddings(spark, sfDir)
+    val planes = SimilarityQueries.projConst
+    // the original aggregate form: explode every dim, quantize, per-plane
+    // weighted sums, sign bits folded into the bucket id
+    val expl = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("xq", round(col("x").cast("double") * 1e6).cast("long"))
+    val scoreAggs = planes.indices.map { p =>
+      sum(element_at(typedLit(planes(p).toSeq), col("d") + 1) * col("xq")).as(s"s$p")
+    }
+    val fold = planes.indices.map(p => when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+    val agg = expl.groupBy("vec_id").agg(scoreAggs.head, scoreAggs.tail: _*)
+      .select(col("vec_id"), fold.as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = e.select(col("vec_id"),
+        SimilarityQueries.lshBucket(col("embedding")).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == agg)
+    assert(kernel.values.toSet.size > 1, "fixture must spread across buckets")
+    // and the kernel stays inside whole-stage codegen
+    val plan = e.select(SimilarityQueries.lshBucket(col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("sign_lsh_bucket_e12") && l.trim.startsWith("*(")), plan.take(800))
+  }
+
+  test("SignLshBucketE12 nulls on length mismatch and null elements; interpreted == codegen") {
+    import graft.sim.SimilarityQueries
+    val planes = SimilarityQueries.projConst
+    val bad = spark.sql(
+      """SELECT array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT)) AS short_null,
+        |       array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS short_ok""".stripMargin)
+    val r = bad.select(
+      SimilarityQueries.lshBucket(col("short_null")).as("a"),
+      SimilarityQueries.lshBucket(col("short_ok")).as("b")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // interpreted parity on adversarial vectors (negatives, zeros)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 100).map(_ => Tuple1(Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f))) :+
+      Tuple1(Array.fill(64)(0f))
+    val df = rows.toDF("embedding")
+    val viaKernel = df.select(SimilarityQueries.lshBucket(col("embedding"))).collect()
+    val ref = rows.map { case Tuple1(v) =>
+      var bucket = 0L
+      planes.indices.foreach { p =>
+        val acc = v.indices.map(d => planes(p)(d) *
+          (if (v(d) >= 0) Math.round(v(d).toDouble * 1e6) else -Math.round(-v(d).toDouble * 1e6))).sum
+        if (acc > 0) bucket |= (1L << p)
+      }
+      bucket
+    }
+    assert(viaKernel.map(_.getLong(0)).toSeq == ref)
+    // the zero vector lands in bucket 0 (no strictly-positive score)
+    assert(ref.last == 0L)
+  }
+
   test("emb_semdedup survivors == corpus minus non-representative near-dup cluster members") {
     // driver-side expectation from the pair query itself: transitive
     // closure of the near-dup graph, min-id representative per cluster,

@@ -433,6 +433,43 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest gate with redactPii scrubs spans; parity with the batch redaction") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    // plant a PII span on every third corpus doc so the scrub is
+    // exercised on known ground truth
+    val corpus = all.filter(col("doc_id") >= 10)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.1.2.3")))
+          .otherwise(col("text")))
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_pii_replay")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingIngestGate(in, bench, redactPii = true)
+      .writeStream.format("memory").queryName("pii_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pii_replay").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      // batch expectation: same gate stages, then the batch redaction
+      val want = graft.streaming.StreamOps
+        .streamingIngestGate(corpus.select(col("doc_id"), lit(t0).as("ts"), col("text")), bench)
+        .withColumn("text", graft.text.PiiQueries.redactPii(col("text")))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(got == want)
+      val planted = got.filter { case (id, _) => id % 3 == 0 }
+      assert(planted.nonEmpty, "fixture must keep some planted docs")
+      planted.foreach { case (id, text) =>
+        assert(text.contains("<EMAIL>") && text.contains("<IP>"), s"doc $id: $text")
+        assert(!text.contains("@example.com") && !text.contains("10.1.2.3"))
+      }
+    } finally q.stop()
+  }
+
   test("stream-static ANN gate == identical batch plan on replay") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.embeddings(spark, sfDir)
