@@ -39,6 +39,8 @@ import org.apache.spark.sql.expressions.Window
   *                     rank, chunk-partitioned window)
   *   - `emb_decont`    0.1% eval split vs 2M vectors through the
   *                     sign-LSH bucket join, broadcast eval side
+  *   - `emb_neardup`   bucket-local near-dup pairs over all 2M
+  *                     vectors, planes=16 sized for the corpus
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -421,6 +423,16 @@ object BenchLarge {
       graft.sim.SimilarityQueries.annDecontaminate(
         emb.filter(col("vec_id") % 1000 =!= 0),
         emb.filter(col("vec_id") % 1000 === 0)).count()
+    }
+    // bucket-local near-dup pairs over the FULL 2M-vector corpus: the
+    // planes knob sized for the corpus (16 planes → 65k buckets,
+    // expected occupancy ~30) — the 8-plane default's 256 buckets would
+    // put ~7.8k vectors per bucket and score ~60M pairs PER BUCKET;
+    // this is the knob that keeps bucket-local self-joins from going
+    // quadratic as the corpus grows.
+    timed("emb_neardup", clearAfter = true) {
+      graft.sim.SimilarityQueries.neardupPairsOf(embeddings(spark, nVecs),
+        planes = 16).count()
     }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —

@@ -29,16 +29,19 @@ object SimilarityQueries {
   /** proj(p, d) = (phash(p || '_' || d) % 2001 − 1000), precomputed on
     * the driver: the hash depends only on (plane, dim), so evaluating
     * md5 per data row (as the oracle SQL does) is pure waste — at scale
-    * that's 8 md5 calls per row of the corpus. Same values as the
-    * oracle's SQL md5 by construction. */
-  private[graft] lazy val projConst: Array[Array[Long]] = {
+    * that's one md5 call per plane per row of the corpus. Same values
+    * as the oracle's SQL md5 by construction; the first 8 rows of any
+    * larger matrix are exactly the 8-plane default's. */
+  private def projMatrix(planes: Int): Array[Array[Long]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(PLANES, DIM) { (p, d) =>
+    Array.tabulate(planes, DIM) { (p, d) =>
       val hex = mdt.digest(s"${p}_$d".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.take(15)
       java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
     }
   }
+
+  private[graft] lazy val projConst: Array[Array[Long]] = projMatrix(PLANES)
 
   /** Exact integer-quantized squared-norm scaled by 1e12. */
   private val norm2e12 =
@@ -78,22 +81,34 @@ object SimilarityQueries {
     * original explode(×dim) + 8-way-sum groupBy + join-back produced
     * identical buckets (EmbeddingKernelSpec pins the parity) but cost a
     * corpus-wide shuffle on vec_id — the one non-map step in every
-    * bucketed plan. */
-  def lshBucket(e: Column): Column =
+    * bucketed plan.
+    *
+    * `planes` is the SCALE knob: bucket count is 2^planes, and within-
+    * bucket scoring is quadratic in expected occupancy n/2^planes — a
+    * fixed plane count makes any bucket-local self-join (near-dup
+    * pairs, SemDeDup) blow up quadratically as the corpus grows. Size
+    * planes ~ log2(n / target_occupancy); the 8-plane default matches
+    * the driver queries' DuckDB oracles, BENCH_LARGE's emb_neardup
+    * measures 16 planes at 2M vectors. More planes trade recall for
+    * cost exactly like LSH banding — pairs split across a plane
+    * boundary are missed, the standard SRP-LSH tradeoff. */
+  def lshBucket(e: Column, planes: Int = PLANES): Column = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     org.apache.spark.sql.GraftBridge.column(graft.functions.SignLshBucketE12(
-      org.apache.spark.sql.GraftBridge.expression(e), projConst))
+      org.apache.spark.sql.GraftBridge.expression(e), projMatrix(planes)))
+  }
 
   /** (vec_id, bucket): per-vector sign-LSH bucket, map-only. */
-  private def bucketsOf(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+  private def bucketsOf(e: DataFrame, planes: Int = PLANES): DataFrame =
+    e.select(col("vec_id"), lshBucket(col("embedding"), planes).as("bucket"))
 
   private def buckets(s: SparkSession, dir: String): DataFrame =
     bucketsOf(Tables.embeddings(s, dir))
 
   /** (vec_id, embedding, bucket): the vectors with their bucket
     * alongside — a projection, no join. */
-  private def bucketedOf(e: DataFrame): DataFrame =
-    e.withColumn("bucket", lshBucket(col("embedding")))
+  private def bucketedOf(e: DataFrame, planes: Int = PLANES): DataFrame =
+    e.withColumn("bucket", lshBucket(col("embedding"), planes))
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
     bucketedOf(Tables.embeddings(s, dir))
@@ -108,10 +123,11 @@ object SimilarityQueries {
     * materialize through the same broadcast anti-join shape as text
     * dedupKeep. Returns the surviving corpus rows. */
   def annDecontaminate(corpus: DataFrame, eval: DataFrame,
-                       threshold: Double = 0.25): DataFrame = {
-    val eb = bucketedOf(eval)
+                       threshold: Double = 0.25,
+                       planes: Int = PLANES): DataFrame = {
+    val eb = bucketedOf(eval, planes)
       .select(col("vec_id").as("eid"), col("embedding").as("e1"), col("bucket"))
-    val hits = bucketedOf(corpus)
+    val hits = bucketedOf(corpus, planes)
       .select(col("vec_id"), col("embedding").as("e2"), col("bucket"))
       .join(broadcast(eb), Seq("bucket"))
       .filter(cosineE12(col("e1"), col("e2")) >= threshold)
@@ -304,7 +320,7 @@ object SimilarityQueries {
 
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
-    "emb_neardup_pairs" -> { (s, dir) => neardupPairs(s, dir) },
+    "emb_neardup_pairs" -> { (s, dir) => neardupPairsOf(Tables.embeddings(s, dir)) },
 
     // ---- embedding-space benchmark decontamination ----
     // the embedding twin of txt_decontaminate (n-gram overlap can be
@@ -324,7 +340,7 @@ object SimilarityQueries {
 
     // ---- SemDeDup: semantic near-dup REMOVAL over the embedding space ----
     "emb_semdedup" -> { (s, dir) =>
-      val pairs = neardupPairs(s, dir).select(col("v1"), col("v2"))
+      val pairs = neardupPairsOf(Tables.embeddings(s, dir)).select(col("v1"), col("v2"))
       val comp = graft.ops.Components.connectedComponents(pairs, "v1", "v2")
       val drop = comp.filter(col("node") =!= col("component"))
         .select(col("node").as("vec_id"))
@@ -347,9 +363,9 @@ object SimilarityQueries {
     * the same anti-join shape as text dedupKeep: singletons never
     * participate in any join, so the corpus-sized side is scanned,
     * never shuffled. */
-  private def neardupPairs(s: SparkSession, dir: String,
-                           threshold: Double = 0.25): DataFrame = {
-    val b = bucketed(s, dir)
+  def neardupPairsOf(e: DataFrame, threshold: Double = 0.25,
+                     planes: Int = PLANES): DataFrame = {
+    val b = bucketedOf(e, planes)
     val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
     val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
     a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))

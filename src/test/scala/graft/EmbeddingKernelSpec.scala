@@ -146,6 +146,20 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     assert(ref.last == 0L)
   }
 
+  test("lshBucket planes knob: a 16-plane bucket refines the 8-plane default") {
+    import graft.sim.SimilarityQueries
+    // the first 8 planes of any larger matrix are the default's, so the
+    // low 8 bits of a 16-plane bucket must equal the 8-plane bucket —
+    // more planes only SPLIT buckets (the scale knob's contract)
+    val rows = Tables.embeddings(spark, sfDir).select(
+      SimilarityQueries.lshBucket(col("embedding")).as("b8"),
+      SimilarityQueries.lshBucket(col("embedding"), 16).as("b16")).collect()
+    rows.foreach(r => assert((r.getLong(1) & 0xFFL) == r.getLong(0)))
+    assert(rows.map(_.getLong(1)).distinct.length >
+      rows.map(_.getLong(0)).distinct.length,
+      "16 planes must actually split buckets on the fixture")
+  }
+
   test("emb_semdedup survivors == corpus minus non-representative near-dup cluster members") {
     // driver-side expectation from the pair query itself: transitive
     // closure of the near-dup graph, min-id representative per cluster,
