@@ -558,6 +558,95 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     java.nio.file.Files.copy(part, dropDir.resolve(name))
   }
 
+  test("bucketed IVF index keeps the per-micro-batch ANN join shuffle-free on the static side") {
+    // the ANN twin of the LSH bucketed-index proof below: persist the
+    // cell-assigned corpus bucketed by `cell`, drive TWO micro-batches
+    // with broadcast disabled, and pin the executed plan — the static
+    // side must be a bucketed scan (SelectedBucketsCount) with ZERO
+    // Exchange; only the micro-batch's own vectors re-cluster.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, 8)
+    val corpus = graft.sim.Ivf.withCell(all.filter(col("vec_id") % 2 === 0), cents)
+    val batchVecs = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), lit(t0).as("ts"), col("embedding"))
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+    spark.sql("DROP TABLE IF EXISTS ann_idx_bucketed")
+    corpus.write.bucketBy(4, "cell").sortBy("cell")
+      .option("path", idxDir.resolve("idx").toString)
+      .saveAsTable("ann_idx_bucketed")
+    val idx = spark.table("ann_idx_bucketed")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_ann_bucket_replay")
+    stageFile(batchVecs.filter(col("vec_id") < 250), dropDir, "b0.parquet")
+    val bt = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(bt)
+    spark.conf.set(bt, "-1")
+    val q = graft.streaming.StreamOps.streamingAnnAgainst(
+      spark.readStream.schema(embSchema).parquet(dropDir.toString), idx, cents)
+      .writeStream.format("memory").queryName("ann_bucket_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.conf.set(bt, prior)
+      stageFile(batchVecs.filter(col("vec_id") >= 250), dropDir, "b1.parquet")
+      q.processAllAvailable()
+      // this batch plan runs under AQE, whose wrapper nodes
+      // (AdaptiveSparkPlanExec, Shuffle/ResultQueryStageExec) are
+      // LEAVES to TreeNode.collect — expand through them explicitly
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      // a ShuffleQueryStage IS a shuffle (it wraps the Exchange)
+      def shuffles(p: SparkPlan): Seq[SparkPlan] = expand(p).filter {
+        case _: ShuffleExchangeExec | _: ShuffleQueryStageExec => true
+        case _ => false
+      }
+      val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
+      val joins = expand(plan).filter {
+        case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(joins.size == 1, s"expected one shuffle-family join:\n$plan")
+      val Seq(left, right) = joins.head.children
+      val (static, stream) =
+        if (left.toString.contains("SelectedBucketsCount")) (left, right) else (right, left)
+      assert(static.toString.contains("SelectedBucketsCount"),
+        s"static side must be a BUCKETED scan:\n$plan")
+      assert(shuffles(static).isEmpty,
+        s"static side must never shuffle:\n$static")
+      assert(shuffles(stream).nonEmpty,
+        s"expected the stream side to shuffle to the bucket layout:\n$stream")
+      // and the two-batch answer equals the same gate run as ONE batch
+      val got = spark.table("ann_bucket_replay").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("dup_of"))
+          -> r.getAs[Double]("cosine")).toMap
+      val want = graft.streaming.StreamOps
+        .streamingAnnAgainst(batchVecs, corpus, cents)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("dup_of")) -> r.getAs[Double]("cosine")).toMap
+      assert(want.nonEmpty, "fixture must produce ANN matches")
+      assert(got == want,
+        s"extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    } finally {
+      q.stop()
+      spark.conf.set(bt, prior)
+      spark.sql("DROP TABLE IF EXISTS ann_idx_bucketed")
+    }
+  }
+
   test("bucketed corpus index keeps the per-micro-batch join shuffle-free on the static side") {
     // StreamOps.streamingLshAgainst's scaladoc claims bucketing the
     // persisted index by (band, sig) makes the per-batch join entirely
