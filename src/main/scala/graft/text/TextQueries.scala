@@ -1144,6 +1144,101 @@ object TextQueries {
       .select(col("doc_id"), col(strataCol))
   }
 
+  /** Deterministic train/val/test holdout split by salted content-free
+    * hash — the standard way every training pipeline carves out eval
+    * data so the assignment is stable under corpus growth and
+    * re-sharding (a document's split never depends on which file or
+    * partition it arrived in). Emits (doc_id, split). Fractions are
+    * parts-per-million so both engines compare the hash against the
+    * same integer literals. Per-row, zero shuffle, zero UDF. */
+  def corpusSplit(docs: DataFrame, trainPpm: Long = 980000L, valPpm: Long = 10000L,
+                  salt: String = "split"): DataFrame = {
+    val denom = 1000000L
+    val h = phash(concat(lit(salt), lit("_"), col("doc_id").cast("string"))) % denom
+    docs.select(
+      col("doc_id"),
+      when(h < trainPpm, lit("train"))
+        .when(h < trainPpm + valPpm, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DSIR: data selection via importance resampling (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling")
+  // ---------------------------------------------------------------------
+
+  /** Per-row hashed unigram+bigram feature buckets (`toks` must be bound):
+    * DSIR's hashed n-gram representation — every gram hashes into one of
+    * `buckets` slots, so the two bag-of-features LMs are BOUNDED at
+    * `buckets` rows by construction, independent of corpus size. */
+  private def dsirBucketsExpr(buckets: Int): String =
+    s"""transform(
+       |  concat(toks, transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+       |                         (t, i) -> concat_ws(' ', t, toks[i + 1]))),
+       |  g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $buckets)""".stripMargin
+
+  /** Per-document DSIR importance weight: log p_target(doc) − log p_raw(doc)
+    * under add-one-smoothed hashed-n-gram bag models fit on a target
+    * slice vs the raw corpus (Xie et al. 2023 §3: importance weights in
+    * an n-gram feature space; hashing bounds the feature dimension).
+    * High `logw` = looks like the target domain. Emits
+    * (doc_id, n_grams, logw).
+    *
+    * Scale shape (100 TB):
+    *  - both feature LMs are ONE map-side-combined aggregate each whose
+    *    output is capped at `buckets` rows — the hashed feature space is
+    *    what makes DSIR tractable at corpus scale, and it is exactly
+    *    what bounds the shuffle here;
+    *  - the log-ratio table (≤ `buckets` rows) BROADCASTS onto the
+    *    per-document scoring pass; the corpus is never shuffled on a
+    *    gram or bucket key (bucket keys inherit stopword skew — a
+    *    sort-merge join here would funnel the corpus through a handful
+    *    of reducers);
+    *  - the scoring explode sits above a `repartition(doc_id)` of
+    *    compact rows (the [[unigramScore]] idiom) so the ×2-token
+    *    fan-out never crosses the network;
+    *  - totals come from plain scans (`sum(2·|toks|−1)`), not from
+    *    re-executing the explode;
+    *  - `ln` is 1-ulp across libms → `logw` is quantized at 1e-6 for
+    *    cross-engine comparison.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
+    val bucketsOf = dsirBucketsExpr(buckets)
+    def bucketRows(docs: DataFrame) = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(bucketsOf)).as("bucket"))
+    val cr = bucketRows(raw).groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val ct = bucketRows(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    def total(docs: DataFrame, name: String) = docs
+      .agg(sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as(name))
+    // raw-side counts are the spine: every bucket a raw document can hit
+    // has cr >= 1, while target-missing buckets take the smoothing mass
+    val ratio = cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(total(target, "tt")))
+      .crossJoin(broadcast(total(raw, "tr")))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) / (col("tt") + buckets)) -
+          log((col("cr").cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"))
+    raw
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(bucketsOf)).as("bucket"))
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(sum(col("ratio")), 6).as("logw"))
+  }
+
+  /** DSIR selection: the k documents most like the target domain, by
+    * importance weight (deterministic top-k stand-in for the paper's
+    * Gumbel resampling — ties break on doc_id so both engines agree).
+    * `orderBy.limit` plans as a distributed TakeOrdered: per-partition
+    * top-k partials, never a global sort. */
+  def dsirTopk(raw: DataFrame, target: DataFrame, k: Int = 200,
+               buckets: Int = 4096): DataFrame =
+    dsirWeights(raw, target, buckets)
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(k)
+
   val queries: Map[String, Q] = Map(
     // ---- Gopher/C4-style quality filter + n-gram repetition ----
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
@@ -1161,6 +1256,17 @@ object TextQueries {
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
         defaultRate = 0.05)
+    },
+    "corpus_split" -> { (s, dir) => corpusSplit(Tables.documents(s, dir)) },
+
+    // ---- DSIR importance weighting: target = the English slice ----
+    "dsir_weights" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dsirWeights(docs, docs.filter(col("lang") === "en"))
+    },
+    "dsir_topk" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      dsirTopk(docs, docs.filter(col("lang") === "en"))
     },
 
     // ---- BPE tokenizer training (Sennrich et al. 2016) ----
@@ -1572,6 +1678,30 @@ object TextQueries {
        |SELECT batch_id, corpus_id AS dup_of, jaccard FROM ranked WHERE rn = 1""".stripMargin
   }
 
+  /** The DSIR importance-weight SQL (target = lang 'en'), shared by the
+    * dsir_weights oracle and the top-k oracle built on top of it.
+    * Mirrors [[dsirWeights]] term for term: hashed unigram+bigram
+    * buckets (B = 4096), add-one smoothing, raw-side bucket spine. */
+  private val dsirWeightsSql: String = {
+    val b = 4096
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, lang, unnest(list_concat(toks,
+       |        list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1])))) AS gram
+       |      FROM t),
+       |bk AS (SELECT doc_id, lang, ${phashSql("gram")} % $b AS bucket FROM g),
+       |cr AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+       |ct AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY bucket),
+       |tr AS (SELECT CAST(sum(2 * len(string_split(text, ' ')) - 1) AS DOUBLE) AS tr FROM documents),
+       |tt AS (SELECT CAST(sum(2 * len(string_split(text, ' ')) - 1) AS DOUBLE) AS tt
+       |       FROM documents WHERE lang = 'en'),
+       |r AS (SELECT bucket,
+       |        ln((coalesce(ct, 0) + 1.0) / (tt + $b)) - ln((cr + 1.0) / (tr + $b)) AS ratio
+       |      FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tt CROSS JOIN tr)
+       |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams, round(sum(r.ratio), 6) AS logw
+       |FROM bk JOIN r USING (bucket)
+       |GROUP BY bk.doc_id""".stripMargin
+  }
+
   /** The unigram-LM scoring SQL, shared by the txt_unigram_lm oracle
     * and the perplexity-bucket oracle built on top of it. */
   private val unigramLmSql: String =
@@ -1622,6 +1752,20 @@ object TextQueries {
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
+
+    "corpus_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < 980000 THEN 'train'
+         |       WHEN h < 990000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${phashSql("concat('split_', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
+         |      FROM documents)""".stripMargin,
+
+    "dsir_weights" -> dsirWeightsSql,
+    "dsir_topk" ->
+      s"""SELECT * FROM ($dsirWeightsSql)
+         |ORDER BY logw DESC, doc_id LIMIT 200""".stripMargin,
 
     "txt_decontaminate" -> {
       val benchSrc = "(SELECT * FROM documents WHERE doc_id < 10)"

@@ -107,6 +107,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "the sampling hash must stay a native expression")
   }
 
+  test("corpus_split is map-only: the assignment evaluates inside the scan stage") {
+    val p = plan("corpus_split")
+    assert(!p.contains("Exchange"), s"per-row hash split must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"), "the split hash must stay a native expression")
+  }
+
+  test("dsir_weights: bounded ratio table broadcasts; exploded grams never shuffle") {
+    val p = plan("dsir_weights")
+    // bucket keys inherit stopword skew — a sort-merge join on bucket
+    // would drag the exploded corpus through a handful of reducers
+    assert(!p.contains("SortMergeJoin"), s"the ratio join must broadcast:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "the <=B-row log-ratio table must broadcast")
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 1,
+      s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+    // the scoring explode sits above that exchange: the x2-token gram
+    // fan-out stays partition-local (the txt_unigram_lm idiom)
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
+    // exactly two one-row total scans cross-join in (target + raw)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2)
+  }
+
+  test("dsir_topk plans as a distributed TakeOrdered, not a global sort") {
+    val p = plan("dsir_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy.limit must plan per-partition top-k partials:\n${p.take(2000)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "no global range-sort exchange for a top-k")
+  }
+
   test("txt_unigram_lm: vocab broadcasts; exploded tokens never cross the network") {
     val p = plan("txt_unigram_lm")
     // token keys are maximally skewed (stopwords) — a sort-merge join on

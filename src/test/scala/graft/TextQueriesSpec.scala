@@ -642,6 +642,55 @@ class TextQueriesSpec extends AnyFunSuite {
       defaultRate = 0.0).collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rep == got.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
+
+  test("corpus_split: total, ~98/1/1, and stable under corpus growth") {
+    val full = TextQueries.corpusSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size == docs.count(), "every document gets exactly one split")
+    val sizes = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > full.size * 0.9, s"train fraction off: $sizes")
+    assert(sizes.getOrElse("val", 0) + sizes.getOrElse("test", 0) > 0,
+      s"holdout splits empty at ${full.size} docs: $sizes")
+    // the assignment is a pure function of (salt, doc_id): a document's
+    // split never changes when the corpus shrinks, grows, or reshards
+    val sub = TextQueries.corpusSplit(docs.filter(col("doc_id") % 3 === 0).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.nonEmpty && sub.forall { case (id, s) => full(id) == s })
+  }
+
+  test("dsir: weights separate domains on a synthetic two-vocabulary corpus") {
+    import spark.implicits._
+    // two disjoint vocabularies; the target slice speaks vocabulary A
+    val a = "proton lattice spectrum orbital phonon"
+    val b = "invoice ledger payroll audit receipt"
+    val d = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) a else b
+      (i, s"$base $base item$i", if (i % 2 == 0) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val w = TextQueries.dsirWeights(d, d.filter(col("lang") === "en"), buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (ws, wo) = (0L until 40L).partition(_ % 2 == 0)
+    assert(ws.map(w).min > wo.map(w).max,
+      "every target-vocabulary doc must outscore every off-domain doc")
+    // n_grams = 2*|toks| - 1 (unigrams + bigrams)
+    val n = TextQueries.dsirWeights(d, d.limit(1), buckets = 512)
+      .filter(col("doc_id") === 0L).head.getLong(1)
+    assert(n == 2 * 11 - 1)
+    // top-k keeps the k best by (logw desc, doc_id): all target docs first
+    val top = TextQueries.dsirTopk(d, d.filter(col("lang") === "en"), k = 20, buckets = 512)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == ws.toSet, s"top-20 must be exactly the target-domain docs, got $top")
+  }
+
+  test("dsir_topk equals sorting the full weight table on the fixture corpus") {
+    val target = docs.filter(col("lang") === "en")
+    val all = TextQueries.dsirWeights(docs, target).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val expect = all.sortBy { case (id, lw) => (-lw, id) }.take(50).map(_._1).toSeq
+    val got = TextQueries.dsirTopk(docs, target, k = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
 }
 
 /** Harness-integrity pins for the driver-contract dump main. */
