@@ -41,6 +41,9 @@ import org.apache.spark.sql.expressions.Window
   *                     sign-LSH bucket join, broadcast eval side
   *   - `emb_neardup`   bucket-local near-dup pairs over all 2M
   *                     vectors, planes=16 sized for the corpus
+  *   - `dsir_weights`  DSIR importance weights: two bounded hashed
+  *                     feature LMs + broadcast ratio join onto the
+  *                     gram fan-out
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -433,6 +436,21 @@ object BenchLarge {
     timed("emb_neardup", clearAfter = true) {
       graft.sim.SimilarityQueries.neardupPairsOf(embeddings(spark, nVecs),
         planes = 16).count()
+    }
+    // DSIR importance weighting at the full corpus: the two feature-LM
+    // aggregates are bounded at B=4096 rows each regardless of corpus
+    // size, the log-ratio table broadcasts, and the x2-token gram
+    // fan-out re-aggregates on the pre-explode doc_id clustering. The
+    // target slice is 10% of the corpus. The check forces both output
+    // columns (quantized weight sum defeats pruning of the scoring
+    // branch).
+    timed("dsir_weights", clearAfter = true) {
+      val corpus = cleanDocs(spark, nDocs, template)
+      graft.text.TextQueries.dsirWeights(corpus,
+        corpus.filter(col("doc_id") % 10 === 0))
+        .agg((sum("n_grams") +
+          sum(round(col("logw") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
     }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
