@@ -442,6 +442,43 @@ object StreamOps {
     else gated
   }
 
+  /** Stateless streaming DSIR gate: score each incoming document's
+    * target-domain affinity against a PRE-TRAINED log-ratio table
+    * ([[graft.text.TextQueries.dsirRatioRow]], fit offline on a raw
+    * corpus + target slice) and keep documents scoring at least
+    * `minLogw`. The ratio table folds into one broadcast row — a
+    * MAP<BIGINT,DOUBLE> bounded at `buckets` entries — so scoring is a
+    * per-row array fold: zero streaming state, constant memory forever,
+    * and grams unseen by either training corpus take the smoothed
+    * `default_ratio` (the ingest-time OOV path batch scoring never
+    * hits, since batch scores the corpus the model was fit on).
+    *
+    * The one-row frame is persisted for the same reason as
+    * [[streamingIngestGate]]'s benchmark shingles: the static side
+    * re-plans every micro-batch, and without the cache each batch would
+    * re-run the two corpus-sized counting aggregates. Session-owned
+    * cache, as lshPairs' lineage caches document.
+    *
+    * Output (append mode): the input row + `logw`. Batch parity: for
+    * documents of the training corpus itself, `logw` equals
+    * [[graft.text.TextQueries.dsirWeights]] (StreamingSpec-pinned).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingDsirGate(docs: DataFrame, raw: DataFrame, target: DataFrame,
+                        buckets: Int = 4096,
+                        minLogw: Double = 0.0): DataFrame = {
+    import graft.text.TextQueries
+    val ratioRow = TextQueries.dsirRatioRow(raw, target, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .crossJoin(broadcast(ratioRow))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("logw", TextQueries.dsirScoreExpr(buckets))
+      .filter(col("logw") >= minLogw)
+      .drop("toks", "ratio_map", "default_ratio")
+  }
+
   /** Stream-static embedding near-dup gate: incoming vectors matched
     * against a static IVF-assigned corpus ([[graft.sim.Ivf.withCell]]).
     * Stateless end to end: cell assignment is a codegen'd expression

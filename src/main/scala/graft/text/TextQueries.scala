@@ -866,6 +866,97 @@ object TextQueries {
           .as("nll"))
   }
 
+  /** Per-document bigram language-model score under stupid backoff
+    * (Brants et al. 2007 "Large Language Models in Machine
+    * Translation" §4: S(w|w') = f(w'w)/f(w') when the bigram was seen,
+    * else α·f(w)/N — no discounting, which is what makes the model a
+    * pure count table and therefore distributable). The order-2 step
+    * beyond [[unigramScore]]'s CCNet-style filter: word-order scrambles
+    * and stitched-together text score high (surprising transitions)
+    * even when their unigram profile looks natural. Scores transitions
+    * only (docs need >= 2 tokens); emits (doc_id, n_transitions, nll2).
+    *
+    * Scale shape (100 TB):
+    *  - both count tables are map-side-combined aggregates; the bigram
+    *    table is the big one (~corpus token count at worst), so `topV`
+    *    bounds BOTH tables before broadcast — exactly what a pruned
+    *    production LM ships — and truncation is deterministic
+    *    (count desc, gram asc);
+    *  - the conditional-probability table attaches the left-word
+    *    unigram denominator vocab-to-vocab BEFORE broadcasting: the
+    *    corpus-sized scoring pass joins ONE broadcast table, never
+    *    shuffles on a token key;
+    *  - scoring reuses the [[unigramScore]] clustering idiom: the
+    *    transition explode sits above `repartition(doc_id)`, so the
+    *    fan-out never crosses the network;
+    *  - the backoff arithmetic is per-row; `ln` quantized at 1e-6 for
+    *    cross-engine comparison.
+    */
+  def bigramScore(docs: DataFrame, topV: Option[Int] = None, alpha: Double = 0.4,
+                  oovCount: Double = 0.5): DataFrame = {
+    val uniFull = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val tot = docs
+      .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
+    val biExpr =
+      "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> concat_ws(' ', t, toks[i + 1]))"
+    val biFull = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(biExpr)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    val uni = topV.fold(uniFull)(v => uniFull.orderBy(col("ucnt").desc, col("tok")).limit(v))
+    val bi = topV.fold(biFull)(v => biFull.orderBy(col("bcnt").desc, col("bg")).limit(v))
+    // conditional-probability table: the left-word denominator joins
+    // vocab-to-vocab (both frames bounded) so the corpus-sized pass
+    // below touches ONE broadcast table; the denominator uses the FULL
+    // unigram count even when topV truncates (backoff mass must stay
+    // calibrated, not renormalized to the retained vocabulary)
+    val biProb = bi
+      .withColumn("lw", element_at(split(col("bg"), " "), 1))
+      .join(uniFull.select(col("tok").as("lw"), col("ucnt").as("lcnt")), Seq("lw"))
+      .select(col("bg"), col("bcnt"), col("lcnt"))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(biExpr)).as("bg"))
+      .withColumn("rw", element_at(split(col("bg"), " "), 2))
+      .join(broadcast(biProb), Seq("bg"), "left")
+      .join(broadcast(uni.select(col("tok").as("rw"), col("ucnt").as("rcnt"))), Seq("rw"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(avg(-log(
+          when(col("bcnt").isNotNull, col("bcnt").cast("double") / col("lcnt"))
+            .otherwise(lit(alpha) * coalesce(col("rcnt").cast("double"), lit(oovCount)) / col("tot")))), 6)
+          .as("nll2"))
+  }
+
+  /** Per-document unigram (token) Shannon entropy — the
+    * RedPajama-V2-style information-content quality signal: templated /
+    * repetitive documents carry low entropy, natural prose sits in a
+    * band, and H = ln(n) − (Σ c·ln c)/n needs only within-document
+    * counts. Emits (doc_id, n_tokens, entropy).
+    *
+    * Scale shape: the [[topNgram]] idiom — one `repartition(doc_id)` of
+    * compact rows; the token explode and BOTH aggregations (per
+    * (doc_id, tok), then per doc_id) reuse that clustering, so the
+    * fan-out never crosses the network and the whole op is one compact
+    * shuffle. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")), 6)
+          .as("entropy"))
+
   /** Scrub word-n-gram spans that occur in more than `maxDf` distinct
     * documents — the token-level analogue of shared-line removal
     * (CCNet, Wenzek et al. 2020 §4.1) / exact substring deduplication
@@ -1202,23 +1293,54 @@ object TextQueries {
     *  - `ln` is 1-ulp across libms → `logw` is quantized at 1e-6 for
     *    cross-engine comparison.
     */
-  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
+  /** The DSIR log-ratio table: (bucket, ratio) for every feature bucket
+    * the raw corpus occupies — at most `buckets` rows by construction,
+    * so it always broadcasts. Raw-side counts are the spine: every
+    * bucket a raw document can hit has cr >= 1, while target-missing
+    * buckets take the smoothing mass. */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
     val bucketsOf = dsirBucketsExpr(buckets)
     def bucketRows(docs: DataFrame) = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(bucketsOf)).as("bucket"))
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(bucketsOf)).as("bucket"))
     val cr = bucketRows(raw).groupBy("bucket").agg(count(lit(1)).as("cr"))
     val ct = bucketRows(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
     def total(docs: DataFrame, name: String) = docs
       .agg(sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as(name))
-    // raw-side counts are the spine: every bucket a raw document can hit
-    // has cr >= 1, while target-missing buckets take the smoothing mass
-    val ratio = cr.join(ct, Seq("bucket"), "left")
+    cr.join(ct, Seq("bucket"), "left")
       .crossJoin(broadcast(total(target, "tt")))
       .crossJoin(broadcast(total(raw, "tr")))
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) / (col("tt") + buckets)) -
-          log((col("cr").cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"))
+          log((col("cr").cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"),
+        // the smoothed score of a bucket neither corpus occupies — what
+        // an unseen gram in a NEW document (ingest gate) falls back to
+        (log(lit(1.0) / (col("tt") + buckets)) - log(lit(1.0) / (col("tr") + buckets)))
+          .as("default_ratio"))
+  }
+
+  /** The ratio table folded into ONE row: (ratio_map MAP<BIGINT,DOUBLE>,
+    * default_ratio) — the broadcastable form a stateless streaming gate
+    * scores per-row against ([[graft.streaming.StreamOps]]). Bounded at
+    * `buckets` map entries. */
+  def dsirRatioRow(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame =
+    dsirRatioTable(raw, target, buckets)
+      .agg(
+        map_from_arrays(collect_list(col("bucket")), collect_list(col("ratio")))
+          .as("ratio_map"),
+        first(col("default_ratio")).as("default_ratio"))
+
+  /** Per-row DSIR score under a one-row broadcast ratio map (`toks`,
+    * `ratio_map`, `default_ratio` must be bound): the fold visits each
+    * gram bucket in document order. */
+  def dsirScoreExpr(buckets: Int): Column =
+    round(expr(
+      s"""aggregate(${dsirBucketsExpr(buckets)}, CAST(0.0 AS DOUBLE),
+         |  (acc, b) -> acc + coalesce(element_at(ratio_map, b), default_ratio))""".stripMargin), 6)
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
+    val bucketsOf = dsirBucketsExpr(buckets)
+    val ratio = dsirRatioTable(raw, target, buckets).drop("default_ratio")
     raw
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1244,6 +1366,8 @@ object TextQueries {
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
     "txt_unigram_lm" -> { (s, dir) => unigramScore(Tables.documents(s, dir)) },
+    "txt_bigram_lm" -> { (s, dir) => bigramScore(Tables.documents(s, dir)) },
+    "txt_entropy" -> { (s, dir) => tokenEntropy(Tables.documents(s, dir)) },
     "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
     "bpe_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -1761,6 +1885,37 @@ object TextQueries {
          |FROM (SELECT doc_id,
          |        ${phashSql("concat('split_', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
          |      FROM documents)""".stripMargin,
+
+    "txt_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uc AS (SELECT tok, count(*) AS ucnt
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok),
+        |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS tot FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+        |       FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bg, count(*) AS bcnt FROM bg GROUP BY bg),
+        |bp AS (SELECT bc.bg, bc.bcnt, uc.ucnt AS lcnt
+        |       FROM bc JOIN uc ON string_split(bc.bg, ' ')[1] = uc.tok)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(-ln(CASE WHEN bp.bcnt IS NOT NULL
+        |                     THEN CAST(bp.bcnt AS DOUBLE) / bp.lcnt
+        |                     ELSE 0.4 * coalesce(r.ucnt, 0.5) / tot.tot END)), 6) AS nll2
+        |FROM bg
+        |LEFT JOIN bp USING (bg)
+        |LEFT JOIN uc r ON string_split(bg.bg, ' ')[2] = r.tok
+        |CROSS JOIN tot
+        |GROUP BY bg.doc_id""".stripMargin,
+
+    "txt_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |        sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "dsir_weights" -> dsirWeightsSql,
     "dsir_topk" ->

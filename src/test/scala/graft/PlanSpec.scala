@@ -132,6 +132,33 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2)
   }
 
+  test("txt_bigram_lm: LM tables broadcast onto the transition fan-out") {
+    val p = plan("txt_bigram_lm")
+    // at test SF every join broadcasts; at scale the vocab-to-vocab
+    // denominator join may legitimately sort-merge (both sides bounded)
+    // but the corpus-sized scoring joins must never shuffle on a token
+    // key — no SMJ anywhere in this plan pins that for the shipped shape
+    assert(!p.contains("SortMergeJoin"), s"LM tables must broadcast:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"))
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 1,
+      s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
+  }
+
+  test("txt_entropy: one compact doc_id shuffle feeds both aggregations") {
+    val p = plan("txt_entropy")
+    val nEx = "Exchange".r.findAllIn(p).size
+    assert(nEx == 1, s"expected exactly one exchange, got $nEx:\n${p.take(1500)}")
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not token rows:\n${p.take(1500)}")
+  }
+
   test("dsir_topk plans as a distributed TakeOrdered, not a global sort") {
     val p = plan("dsir_topk")
     assert(p.contains("TakeOrderedAndProject"),

@@ -433,6 +433,45 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless DSIR gate: batch-parity scores, threshold applied per row") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val target = all.filter(col("lang") === "en")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_dsir_replay")
+    all.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps
+      .streamingDsirGate(in, all, target, minLogw = Double.NegativeInfinity)
+      .writeStream.format("memory").queryName("dsir_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dsir_replay").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+      // scoring the training corpus itself through the gate must match
+      // the batch weights (same ratio table; fold vs agg order agree
+      // after the shared 1e-6 quantization on this fixture)
+      val want = graft.text.TextQueries.dsirWeights(all, target)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet)
+      val off = got.filter { case (id, v) => math.abs(v - want(id)) > 1e-9 }
+      assert(off.isEmpty, s"score drift vs batch: ${off.take(5)}")
+      // threshold arm: a cutoff at the batch 100th-best weight keeps
+      // exactly the batch-side winners (>= on both sides, ties included)
+      val cut = want.values.toSeq.sorted(Ordering[Double].reverse)(99)
+      val q2 = graft.streaming.StreamOps.streamingDsirGate(in, all, target, minLogw = cut)
+        .writeStream.format("memory").queryName("dsir_gate").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val kept = spark.table("dsir_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+        val wantKept = want.filter(_._2 >= cut).keySet
+        assert(kept == wantKept, s"extra=${kept -- wantKept} missing=${wantKept -- kept}")
+        assert(kept.nonEmpty && kept.size < want.size,
+          "threshold must keep a strict, non-empty subset on the fixture")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("ingest gate with redactPii scrubs spans; parity with the batch redaction") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)

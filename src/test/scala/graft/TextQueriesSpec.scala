@@ -643,6 +643,60 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(rep == got.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
   }
 
+  test("bigramScore: hand-computed stupid-backoff NLL, incl. the backoff path") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a c"), (1L, "b a b"), (2L, "c a")).toDF("doc_id", "text")
+    // reference model driver-side
+    val toks = Map(0L -> Seq("a", "b", "a", "c"), 1L -> Seq("b", "a", "b"), 2L -> Seq("c", "a"))
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val big = toks.values.flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tot = toks.values.map(_.size).sum.toDouble
+    def nll(id: Long, keep: Set[String], keepUni: Set[String]): Double = {
+      val terms = toks(id).sliding(2).map { p =>
+        val bg = p.mkString(" ")
+        if (keep(bg)) -math.log(big(bg) / uni(p.head))
+        // topV truncates the unigram table too: an evicted right word
+        // backs off through the OOV pseudo-count, like any fixed-vocab LM
+        else -math.log(0.4 * keepUni.filter(_ == p(1)).headOption.fold(0.5)(uni) / tot)
+      }.toSeq
+      BigDecimal(terms.sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val full = TextQueries.bigramScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full.keySet == Set(0L, 1L, 2L))
+    assert(full(0L)._1 == 3 && full(2L)._1 == 1)
+    for (id <- Seq(0L, 1L, 2L))
+      assert(full(id)._2 == nll(id, big.keySet, uni.keySet), s"doc $id full-table NLL")
+    // topV=2 keeps the 2 most frequent bigrams (count desc, gram asc):
+    // "a b"(2), "b a"(2) — every other transition takes the backoff arm —
+    // and the 2 most frequent unigrams (a:4, b:3), so right-word c is OOV
+    val trunc = TextQueries.bigramScore(d, topV = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (id <- Seq(0L, 1L, 2L))
+      assert(trunc(id) == nll(id, Set("a b", "b a"), Set("a", "b")), s"doc $id truncated NLL")
+    // invariant under input partitioning
+    val rep = TextQueries.bigramScore(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == full.view.mapValues(_._2).toMap)
+  }
+
+  test("tokenEntropy: hand-computed Shannon entropy over within-doc counts") {
+    import spark.implicits._
+    val d = Seq((0L, "a a b"), (1L, "x x x x"), (2L, "p q r s")).toDF("doc_id", "text")
+    val got = TextQueries.tokenEntropy(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def h(cs: Seq[Int]): Double = {
+      val n = cs.sum.toDouble
+      BigDecimal(math.log(n) - cs.map(c => c * math.log(c)).sum / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0L) == ((3L, h(Seq(2, 1)))))
+    assert(got(1L) == ((4L, h(Seq(4)))), "uniform repetition has zero entropy")
+    assert(got(1L)._2 == 0.0)
+    assert(got(2L) == ((4L, h(Seq(1, 1, 1, 1)))), "all-distinct maximizes entropy")
+  }
+
   test("corpus_split: total, ~98/1/1, and stable under corpus growth") {
     val full = TextQueries.corpusSplit(docs).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
