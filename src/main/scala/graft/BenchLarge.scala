@@ -446,8 +446,7 @@ object BenchLarge {
     // branch).
     timed("dsir_weights", clearAfter = true) {
       val corpus = cleanDocs(spark, nDocs, template)
-      graft.text.TextQueries.dsirWeights(corpus,
-        corpus.filter(col("doc_id") % 10 === 0))
+      graft.text.TextQueries.dsirWeightsOf(corpus, col("doc_id") % 10 === 0)
         .agg((sum("n_grams") +
           sum(round(col("logw") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)

@@ -1319,6 +1319,33 @@ object TextQueries {
           .as("default_ratio"))
   }
 
+  /** [[dsirRatioTable]] for the common case where the target domain is
+    * a PREDICATE over the raw corpus itself (a language, a source, a
+    * quality label) rather than a separate corpus: both count tables
+    * and both totals come from ONE corpus pass each via conditional
+    * aggregation — halving the number of full scans the two-frame form
+    * needs. Use the two-frame overload when the target is external
+    * (e.g. a curated reference corpus not contained in `raw`). */
+  def dsirRatioTableOf(raw: DataFrame, targetPred: Column,
+                       buckets: Int = 4096): DataFrame = {
+    val counts = raw
+      .select(targetPred.as("is_t"), split(col("text"), " ").as("toks"))
+      .select(col("is_t"), explode(expr(dsirBucketsExpr(buckets))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cr"), count(when(col("is_t"), lit(1))).as("ct"))
+    val totals = raw.agg(
+      sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as("tr"),
+      sum(when(targetPred, lit(2) * size(split(col("text"), " ")) - 1))
+        .cast("double").as("tt"))
+    counts
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct").cast("double") + 1.0) / (col("tt") + buckets)) -
+          log((col("cr").cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"),
+        (log(lit(1.0) / (col("tt") + buckets)) - log(lit(1.0) / (col("tr") + buckets)))
+          .as("default_ratio"))
+  }
+
   /** The ratio table folded into ONE row: (ratio_map MAP<BIGINT,DOUBLE>,
     * default_ratio) — the broadcastable form a stateless streaming gate
     * scores per-row against ([[graft.streaming.StreamOps]]). Bounded at
@@ -1338,17 +1365,24 @@ object TextQueries {
       s"""aggregate(${dsirBucketsExpr(buckets)}, CAST(0.0 AS DOUBLE),
          |  (acc, b) -> acc + coalesce(element_at(ratio_map, b), default_ratio))""".stripMargin), 6)
 
-  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
-    val bucketsOf = dsirBucketsExpr(buckets)
-    val ratio = dsirRatioTable(raw, target, buckets).drop("default_ratio")
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame =
+    dsirScore(raw, dsirRatioTable(raw, target, buckets), buckets)
+
+  /** [[dsirWeights]] with the target domain as a predicate over the raw
+    * corpus — the fused [[dsirRatioTableOf]] counting pass. Identical
+    * output to `dsirWeights(raw, raw.filter(targetPred))` (spec-pinned)
+    * with half the corpus scans. */
+  def dsirWeightsOf(raw: DataFrame, targetPred: Column, buckets: Int = 4096): DataFrame =
+    dsirScore(raw, dsirRatioTableOf(raw, targetPred, buckets), buckets)
+
+  private def dsirScore(raw: DataFrame, ratioTable: DataFrame, buckets: Int): DataFrame =
     raw
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(bucketsOf)).as("bucket"))
-      .join(broadcast(ratio), Seq("bucket"))
+      .select(col("doc_id"), explode(expr(dsirBucketsExpr(buckets))).as("bucket"))
+      .join(broadcast(ratioTable.drop("default_ratio")), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), round(sum(col("ratio")), 6).as("logw"))
-  }
 
   /** DSIR selection: the k documents most like the target domain, by
     * importance weight (deterministic top-k stand-in for the paper's
@@ -1358,6 +1392,13 @@ object TextQueries {
   def dsirTopk(raw: DataFrame, target: DataFrame, k: Int = 200,
                buckets: Int = 4096): DataFrame =
     dsirWeights(raw, target, buckets)
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(k)
+
+  /** [[dsirTopk]] over the fused predicate-target form. */
+  def dsirTopkOf(raw: DataFrame, targetPred: Column, k: Int = 200,
+                 buckets: Int = 4096): DataFrame =
+    dsirWeightsOf(raw, targetPred, buckets)
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(k)
 
@@ -1383,14 +1424,15 @@ object TextQueries {
     },
     "corpus_split" -> { (s, dir) => corpusSplit(Tables.documents(s, dir)) },
 
-    // ---- DSIR importance weighting: target = the English slice ----
+    // ---- DSIR importance weighting: target = the English slice.
+    // The target is a slice of the corpus itself, so the queries run the
+    // fused single-counting-pass form; output is identical to the
+    // two-frame form (spec-pinned), and the oracle is shared. ----
     "dsir_weights" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      dsirWeights(docs, docs.filter(col("lang") === "en"))
+      dsirWeightsOf(Tables.documents(s, dir), col("lang") === "en")
     },
     "dsir_topk" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      dsirTopk(docs, docs.filter(col("lang") === "en"))
+      dsirTopkOf(Tables.documents(s, dir), col("lang") === "en")
     },
 
     // ---- BPE tokenizer training (Sennrich et al. 2016) ----

@@ -128,8 +128,14 @@ class PlanSpec extends AnyFunSuite {
     val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
     assert(generate >= 0 && exchange > generate,
       s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
-    // exactly two one-row total scans cross-join in (target + raw)
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2)
+    // the fused form: ONE one-row totals frame cross-joins in (both
+    // totals from a single conditional aggregate)...
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1)
+    // ...and the corpus is scanned exactly three times end to end:
+    // fused counting pass, fused totals pass, scoring pass (the
+    // two-frame form needs five)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 corpus scans, got $scans:\n${p.take(2000)}")
   }
 
   test("txt_bigram_lm: LM tables broadcast onto the transition fan-out") {

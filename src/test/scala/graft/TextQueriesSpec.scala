@@ -734,6 +734,13 @@ class TextQueriesSpec extends AnyFunSuite {
     val top = TextQueries.dsirTopk(d, d.filter(col("lang") === "en"), k = 20, buckets = 512)
       .collect().map(_.getLong(0)).toSet
     assert(top == ws.toSet, s"top-20 must be exactly the target-domain docs, got $top")
+    // the fused predicate-target form is value-identical to the
+    // two-frame form (same counts, same totals, same smoothing)
+    val fused = TextQueries.dsirWeightsOf(d, col("lang") === "en", buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val twoFrame = TextQueries.dsirWeights(d, d.filter(col("lang") === "en"), buckets = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused == twoFrame)
   }
 
   test("dsir_topk equals sorting the full weight table on the fixture corpus") {
