@@ -41,9 +41,12 @@ import org.apache.spark.sql.expressions.Window
   *                     sign-LSH bucket join, broadcast eval side
   *   - `emb_neardup`   bucket-local near-dup pairs over all 2M
   *                     vectors, planes=16 sized for the corpus
-  *   - `dsir_weights`  DSIR importance weights: two bounded hashed
-  *                     feature LMs + broadcast ratio join onto the
-  *                     gram fan-out
+  *   - `dsir_weights`  DSIR importance weights: fused single-pass
+  *                     bounded feature LMs + broadcast ratio join onto
+  *                     the gram fan-out
+  *   - `bigram_lm`     stupid-backoff bigram scoring, both count
+  *                     tables topV-pruned before broadcast (the pruned
+  *                     production-LM shape)
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -436,6 +439,18 @@ object BenchLarge {
     timed("emb_neardup", clearAfter = true) {
       graft.sim.SimilarityQueries.neardupPairsOf(embeddings(spark, nVecs),
         planes = 16).count()
+    }
+    // stupid-backoff bigram scoring at the full corpus, in the pruned
+    // production shape: topV=65536 bounds BOTH count tables before
+    // broadcast (the unpruned bigram table here is ~360k rows — fine at
+    // this corpus, unbounded at 100 TB, which is the point of the knob).
+    // The check forces both output columns.
+    timed("bigram_lm", clearAfter = true) {
+      graft.text.TextQueries.bigramScore(cleanDocs(spark, nDocs, template),
+        topV = Some(65536))
+        .agg((sum("n_transitions") +
+          sum(round(col("nll2") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
     }
     // DSIR importance weighting at the full corpus: the two feature-LM
     // aggregates are bounded at B=4096 rows each regardless of corpus
