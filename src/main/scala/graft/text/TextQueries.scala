@@ -36,6 +36,17 @@ object TextQueries {
 
   private val STOP = Seq("the", "a", "of", "and")
 
+  /** SQL fragment producing the positional word-n-gram array from a
+    * bound `toks` column — the ONE definition of gram construction the
+    * n-gram operators share ([[topNgram]], [[scrubFrequentNgrams]],
+    * [[bigramScore]], [[dsirBucketsExpr]]). Space-joined, order
+    * preserved, (size - n + 1) grams. */
+  private def ngramArrayExpr(n: Int): String = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
+    s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+  }
+
   /** documents → (doc_id, shingle) distinct word-n-gram shingles. */
   private def ngramShingles(docs: DataFrame, n: Int): DataFrame = {
     val parts = (0 until n)
@@ -774,9 +785,7 @@ object TextQueries {
   def topNgram(docs: DataFrame, n: Int = 2): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
-    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
-    val gramExpr =
-      s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+    val gramExpr = ngramArrayExpr(n)
     // ONE shuffle, before the fan-out: repartitioning the compact
     // (doc_id, text) rows by doc_id satisfies both downstream
     // distributions — HashPartitioning(doc_id) is a subset of the
@@ -874,7 +883,12 @@ object TextQueries {
     * beyond [[unigramScore]]'s CCNet-style filter: word-order scrambles
     * and stitched-together text score high (surprising transitions)
     * even when their unigram profile looks natural. Scores transitions
-    * only (docs need >= 2 tokens); emits (doc_id, n_transitions, nll2).
+    * only; emits (doc_id, n_transitions, nll2). NOTE: documents with
+    * fewer than 2 tokens have no transitions and are OMITTED from the
+    * output (unlike [[unigramScore]]/[[tokenEntropy]], which emit every
+    * document) — compose per-doc score joins with a LEFT join on this
+    * frame and treat an absent row as "no bigram evidence", or the
+    * composition silently drops short documents.
     *
     * Scale shape (100 TB):
     *  - both count tables are map-side-combined aggregates; the bigram
@@ -883,9 +897,11 @@ object TextQueries {
     *    production LM ships — and truncation is deterministic
     *    (count desc, gram asc);
     *  - the conditional-probability table attaches the left-word
-    *    unigram denominator vocab-to-vocab BEFORE broadcasting: the
-    *    corpus-sized scoring pass joins ONE broadcast table, never
-    *    shuffles on a token key;
+    *    unigram denominator vocab-to-vocab BEFORE broadcasting, so the
+    *    corpus-sized scoring pass touches only broadcast frames — the
+    *    pair table, the (pruned) right-word table the backoff arm
+    *    needs, and the one-row normalizer — and never shuffles on a
+    *    token key;
     *  - scoring reuses the [[unigramScore]] clustering idiom: the
     *    transition explode sits above `repartition(doc_id)`, so the
     *    fan-out never crosses the network;
@@ -899,8 +915,7 @@ object TextQueries {
       .groupBy("tok").agg(count(lit(1)).as("ucnt"))
     val tot = docs
       .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
-    val biExpr =
-      "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> concat_ws(' ', t, toks[i + 1]))"
+    val biExpr = ngramArrayExpr(2)
     val biFull = docs
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(biExpr)).as("bg"))
@@ -994,9 +1009,7 @@ object TextQueries {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle").as("gram"))
-    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
-    val gramExpr =
-      s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+    val gramExpr = ngramArrayExpr(n)
     val pre = docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val hits = pre
@@ -1245,6 +1258,12 @@ object TextQueries {
   def corpusSplit(docs: DataFrame, trainPpm: Long = 980000L, valPpm: Long = 10000L,
                   salt: String = "split"): DataFrame = {
     val denom = 1000000L
+    // fail fast on impossible fractions: trainPpm + valPpm over the
+    // denominator would silently make the test branch unreachable —
+    // every "held-out" doc would land in train and nothing would error
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= denom,
+      s"split fractions must satisfy 0 <= trainPpm + valPpm <= $denom ppm, " +
+        s"got train=$trainPpm val=$valPpm")
     val h = phash(concat(lit(salt), lit("_"), col("doc_id").cast("string"))) % denom
     docs.select(
       col("doc_id"),
@@ -1264,8 +1283,7 @@ object TextQueries {
     * `buckets` rows by construction, independent of corpus size. */
   private def dsirBucketsExpr(buckets: Int): String =
     s"""transform(
-       |  concat(toks, transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
-       |                         (t, i) -> concat_ws(' ', t, toks[i + 1]))),
+       |  concat(toks, ${ngramArrayExpr(2)}),
        |  g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % $buckets)""".stripMargin
 
   /** Per-document DSIR importance weight: log p_target(doc) − log p_raw(doc)
@@ -1294,10 +1312,16 @@ object TextQueries {
     *    cross-engine comparison.
     */
   /** The DSIR log-ratio table: (bucket, ratio) for every feature bucket
-    * the raw corpus occupies — at most `buckets` rows by construction,
-    * so it always broadcasts. Raw-side counts are the spine: every
-    * bucket a raw document can hit has cr >= 1, while target-missing
-    * buckets take the smoothing mass. */
+    * EITHER corpus occupies — at most `buckets` rows by construction,
+    * so it always broadcasts. The join is full-outer: a bucket only the
+    * raw corpus hits takes the smoothing mass on the target side, and a
+    * bucket only the TARGET hits (possible when the target is an
+    * external reference corpus, the documented two-frame use) keeps its
+    * high target ratio — a left join on the raw spine would silently
+    * hand exactly the most target-indicative unseen grams the neutral
+    * default instead ([[graft.streaming.StreamOps.streamingDsirGate]]'s
+    * scoring path; batch [[dsirWeights]] only ever scores raw docs, so
+    * it never reads the cr=0 rows). */
   def dsirRatioTable(raw: DataFrame, target: DataFrame, buckets: Int = 4096): DataFrame = {
     val bucketsOf = dsirBucketsExpr(buckets)
     def bucketRows(docs: DataFrame) = docs
@@ -1307,12 +1331,12 @@ object TextQueries {
     val ct = bucketRows(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
     def total(docs: DataFrame, name: String) = docs
       .agg(sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as(name))
-    cr.join(ct, Seq("bucket"), "left")
+    cr.join(ct, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(total(target, "tt")))
       .crossJoin(broadcast(total(raw, "tr")))
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) / (col("tt") + buckets)) -
-          log((col("cr").cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"),
+          log((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"),
         // the smoothed score of a bucket neither corpus occupies — what
         // an unseen gram in a NEW document (ingest gate) falls back to
         (log(lit(1.0) / (col("tt") + buckets)) - log(lit(1.0) / (col("tr") + buckets)))

@@ -743,6 +743,27 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(fused == twoFrame)
   }
 
+  test("dsirRatioTable keeps target-only buckets (external reference target)") {
+    import spark.implicits._
+    // disjoint vocabularies: the external target's grams occupy buckets
+    // the raw corpus never hits — those rows must survive with ratio
+    // ABOVE the smoothed default (a raw-spine left join used to drop
+    // them, handing the most target-indicative unseen grams the neutral
+    // default in the streaming gate)
+    val raw = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ext = Seq((9L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val rt = TextQueries.dsirRatioTable(raw, ext, buckets = 512).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val default = rt.head._3
+    val above = rt.count(_._2 > default)
+    val below = rt.count(_._2 < default)
+    assert(above >= 1, "target-only buckets must keep their high target ratio")
+    assert(below >= 1, "raw-only buckets must score below the default")
+    // the gate's one-row form carries the same buckets
+    val row = TextQueries.dsirRatioRow(raw, ext, buckets = 512).head
+    assert(row.getMap[Long, Double](0).size == rt.length)
+  }
+
   test("dsir_topk equals sorting the full weight table on the fixture corpus") {
     val target = docs.filter(col("lang") === "en")
     val all = TextQueries.dsirWeights(docs, target).collect()
