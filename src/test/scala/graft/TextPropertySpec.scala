@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.text.TextQueries
+
+/** Property-based invariants of the text-pipeline primitives over
+  * seeded random corpora (the [[BinningPropertySpec]] idiom:
+  * deterministic Gen samples, no flaky shrinkage).
+  */
+class TextPropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val vocab = Vector("the", "a", "of", "and", "spark", "scan",
+    "merge", "window", "hash", "batch")
+  private val docGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 24)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+  private val langGen: Gen[String] = Gen.oneOf("en", "de", "fr")
+
+  /** Deterministic sample corpus i: (doc_id, text, lang). */
+  private def corpus(i: Int, n: Int = 40): Seq[(Long, String, String)] =
+    (0 until n).map { d =>
+      val s = Seed(1000L * i + d)
+      (d.toLong,
+        docGen(Gen.Parameters.default, s).get,
+        langGen(Gen.Parameters.default, s.next).get)
+    }
+
+  test("globalCumsum == single-partition window reference on random values") {
+    val valueGen: Gen[Long] = Gen.chooseNum(-50L, 50L)
+    for (i <- 0 until 5) {
+      val rows: Seq[(Long, Long)] = (0 until 200).map { k =>
+        (k.toLong, valueGen(Gen.Parameters.default, Seed(7L * i + k)).get)
+      }
+      val df = rows.toDF("id", "v").repartition(7)
+      val got = graft.ops.Stitch.globalCumsum(df,
+          chunk = col("id") / 25, ord = Seq(col("id")), value = col("v"), out = "cum")
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var run = 0L
+      val want = rows.sortBy(_._1).map { case (id, v) => run += v; id -> run }.toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  test("corpusSplit: total, disjoint, partition-invariant on random corpora") {
+    for (i <- 0 until 3) {
+      val d = corpus(i).toDF("doc_id", "text", "lang")
+      val got = TextQueries.corpusSplit(d).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(got.length == 40 && got.map(_._1).distinct.length == 40,
+        "exactly one split per document")
+      assert(got.forall(kv => Set("train", "val", "test")(kv._2)))
+      val rep = TextQueries.corpusSplit(d.repartition(11)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rep == got.toMap, "assignment is a pure function of doc_id")
+    }
+    // impossible fractions fail fast instead of silently eating the
+    // test split
+    intercept[IllegalArgumentException] {
+      TextQueries.corpusSplit(corpus(0).toDF("doc_id", "text", "lang"),
+        trainPpm = 990000L, valPpm = 20000L)
+    }
+  }
+
+  test("fused DSIR == two-frame DSIR on random corpora") {
+    for (i <- 0 until 3) {
+      val d = corpus(i).toDF("doc_id", "text", "lang")
+      val fused = TextQueries.dsirWeightsOf(d, col("lang") === "en", buckets = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val two = TextQueries.dsirWeights(d, d.filter(col("lang") === "en"), buckets = 256)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == two, s"sample $i")
+    }
+  }
+
+  test("tokenEntropy: bounded by [0, ln n], zero iff one distinct token") {
+    for (i <- 0 until 3) {
+      val d = corpus(i).toDF("doc_id", "text", "lang")
+      val docs = corpus(i).map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+      TextQueries.tokenEntropy(d).collect().foreach { r =>
+        val (id, n, h) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        assert(n == docs(id).size)
+        // H is quantized at 1e-6 half-up, so the upper bound can be
+        // exceeded by up to half a quantum
+        assert(h >= 0.0 && h <= math.log(n.toDouble) + 5e-7, s"doc $id: H=$h n=$n")
+        assert((h == 0.0) == (docs(id).distinct.size == 1), s"doc $id")
+      }
+    }
+  }
+}
