@@ -479,6 +479,43 @@ object StreamOps {
       .drop("toks", "ratio_map", "default_ratio")
   }
 
+  /** Stateless streaming perplexity gate (the ingest form of CCNet's
+    * LM quality filter, Wenzek et al. 2020 §4.3): score each incoming
+    * document's unigram NLL against a model TRAINED OFFLINE on a
+    * reference corpus ([[graft.text.TextQueries.unigramModelRow]]) and
+    * keep documents inside [minNll, maxNll] — the head/middle band;
+    * boilerplate scores low, noise scores high. The model is one
+    * broadcast row (a topV-bounded token map + the normalizer), scoring
+    * is a per-row array fold: zero streaming state, constant memory,
+    * out-of-vocabulary tokens take the OOV pseudo-count.
+    *
+    * The one-row model is persisted for the same reason as the other
+    * gates' static sides: without the cache each micro-batch re-runs
+    * the corpus-sized vocabulary aggregate. Session-owned cache, as
+    * lshPairs' lineage caches document.
+    *
+    * Output (append mode): the input row + `nll`. Batch parity: for
+    * documents of the training corpus itself (untruncated vocab), `nll`
+    * equals [[graft.text.TextQueries.unigramScore]]
+    * (StreamingSpec-pinned).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingPerplexityGate(docs: DataFrame, corpus: DataFrame,
+                              minNll: Double = 0.0,
+                              maxNll: Double = Double.MaxValue,
+                              topV: Option[Int] = None): DataFrame = {
+    import graft.text.TextQueries
+    val model = TextQueries.unigramModelRow(corpus, topV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .crossJoin(broadcast(model))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nll", TextQueries.unigramScoreExpr())
+      .filter(col("nll") >= minNll && col("nll") <= maxNll)
+      .drop("toks", "uni_map", "tot")
+  }
+
   /** Stream-static embedding near-dup gate: incoming vectors matched
     * against a static IVF-assigned corpus ([[graft.sim.Ivf.withCell]]).
     * Stateless end to end: cell assignment is a codegen'd expression

@@ -972,6 +972,36 @@ object TextQueries {
           sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")), 6)
           .as("entropy"))
 
+  /** The unigram LM folded into ONE row: (uni_map MAP<STRING,BIGINT>,
+    * tot DOUBLE) — the broadcastable artifact a stateless streaming
+    * perplexity gate scores per-row against
+    * ([[graft.streaming.StreamOps.streamingPerplexityGate]]). Bounded
+    * at `topV` entries when given (REQUIRED at web scale: the untruncated
+    * vocabulary is unbounded); evicted and unseen tokens score through
+    * the `oovCount` pseudo-count, exactly as [[unigramScore]]'s topV
+    * path does. */
+  def unigramModelRow(docs: DataFrame, topV: Option[Int] = None): DataFrame = {
+    val full = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = topV.fold(full)(v =>
+      full.orderBy(col("cnt").desc, col("tok")).limit(v))
+    counts
+      .agg(map_from_arrays(collect_list(col("tok")), collect_list(col("cnt")))
+        .as("uni_map"))
+      .crossJoin(broadcast(docs
+        .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))))
+  }
+
+  /** Per-row unigram NLL under a one-row broadcast model (`toks`,
+    * `uni_map`, `tot` must be bound) — the fold-order twin of
+    * [[unigramScore]]'s aggregate. */
+  def unigramScoreExpr(oovCount: Double = 0.5): Column =
+    round(expr(
+      s"""aggregate(toks, CAST(0.0 AS DOUBLE),
+         |  (acc, t) -> acc - ln(coalesce(CAST(element_at(uni_map, t) AS DOUBLE), $oovCount) / tot))
+         |  / size(toks)""".stripMargin), 6)
+
   /** Scrub word-n-gram spans that occur in more than `maxDf` distinct
     * documents — the token-level analogue of shared-line removal
     * (CCNet, Wenzek et al. 2020 §4.1) / exact substring deduplication

@@ -472,6 +472,39 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless perplexity gate: batch-parity NLL, band filter per row") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_ppl_replay")
+    all.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingPerplexityGate(in, all)
+      .writeStream.format("memory").queryName("ppl_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ppl_replay").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+      val want = graft.text.TextQueries.unigramScore(all)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == want.keySet)
+      val off = got.filter { case (id, v) => math.abs(v - want(id)) > 1e-9 }
+      assert(off.isEmpty, s"NLL drift vs batch: ${off.take(5)}")
+      // band arm: keep the middle half by the batch quartiles
+      val sorted = want.values.toSeq.sorted
+      val (lo, hi) = (sorted(sorted.size / 4), sorted(3 * sorted.size / 4))
+      val q2 = graft.streaming.StreamOps.streamingPerplexityGate(in, all, lo, hi)
+        .writeStream.format("memory").queryName("ppl_band").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val kept = spark.table("ppl_band").collect().map(_.getAs[Long]("doc_id")).toSet
+        val wantKept = want.filter { case (_, v) => v >= lo && v <= hi }.keySet
+        assert(kept == wantKept, s"extra=${kept -- wantKept} missing=${wantKept -- kept}")
+        assert(kept.nonEmpty && kept.size < want.size)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("ingest gate with redactPii scrubs spans; parity with the batch redaction") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
