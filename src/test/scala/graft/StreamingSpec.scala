@@ -505,6 +505,53 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("DSIR gate per-micro-batch plan: cached one-row model, zero shuffles") {
+    // the gate's cost model says each micro-batch pays ONE broadcast of
+    // the persisted ratio row and a per-row fold — prove it on the
+    // executed second-batch plan: the model comes from cache (no
+    // recomputation of the counting aggregates), the only join is the
+    // one-row broadcast nested loop, and nothing shuffles
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val target = all.filter(col("lang") === "en")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_dsir_plan")
+    stageFile(all.filter(col("doc_id") < 250)
+      .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b0.parquet")
+    val q = graft.streaming.StreamOps
+      .streamingDsirGate(spark.readStream.schema(docSchema).parquet(dropDir.toString),
+        all, target, minLogw = Double.NegativeInfinity)
+      .writeStream.format("memory").queryName("dsir_plan").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stageFile(all.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b1.parquet")
+      q.processAllAvailable()
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
+      val nodes = expand(plan)
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"the persisted model row must be served from cache:\n$plan")
+      assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,
+        s"expected exactly the one-row model broadcast join:\n$plan")
+      assert(!nodes.exists {
+        case _: ShuffleExchangeExec | _: ShuffleQueryStageExec => true
+        case _ => false
+      }, s"a stateless per-row gate must not shuffle the batch:\n$plan")
+    } finally q.stop()
+  }
+
   test("ingest gate with redactPii scrubs spans; parity with the batch redaction") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
