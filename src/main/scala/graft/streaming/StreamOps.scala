@@ -172,7 +172,7 @@ object StreamOps {
         posexplode(graft.text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")))
       .select(col("doc_id"), col("ts"), col("band"), col("sig"))
       .as[BandIn]
-      .groupByKey(b => b.band + "#" + b.sig)
+      .groupByKey(b => s"${b.band}#${b.sig}")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: String, rows: Iterator[BandIn], state: GroupState[Long]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -188,7 +188,7 @@ object StreamOps {
             // (never at/below the current watermark — Spark rejects that)
             val maxMs = sorted.map(_.ts.getTime).max
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1000L, maxMs + horizonMs))
+              math.max(state.getCurrentWatermarkMs() + 1000L, maxMs + horizonMs))
             out.iterator
           }
         })
@@ -306,7 +306,7 @@ object StreamOps {
         posexplode(graft.text.TextQueries.bandSigsExpr("text")).as(Seq("band", "sig")),
         graft.text.TextQueries.shingleHashesExpr("text").as("sh"))
       .as[LshIn]
-      .groupByKey(b => b.band + "#" + b.sig)
+      .groupByKey(b => s"${b.band}#${b.sig}")
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[LshIn], state: GroupState[LshDocs]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -332,7 +332,7 @@ object StreamOps {
             state.update(st)
             val maxMs = sorted.map(_.ts.getTime).max
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1000L, maxMs + horizonMs))
+              math.max(state.getCurrentWatermarkMs() + 1000L, maxMs + horizonMs))
             out.iterator
           }
         })
