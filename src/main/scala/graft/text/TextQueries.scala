@@ -949,6 +949,83 @@ object TextQueries {
           .as("nll2"))
   }
 
+  /** Per-document bigram score under INTERPOLATED KNESER-NEY smoothing
+    * (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.24 for the
+    * interpolated form) — the discounting family production LM filters
+    * (CCNet's KenLM) actually use, one step past [[bigramScore]]'s
+    * stupid backoff:
+    *
+    *   P(w|w') = max(c(w'w) − D, 0)/c(w'·)
+    *           + (D · N1+(w'·)/c(w'·)) · (N1+(·w)/N1+(··))
+    *
+    * with c(w'·) = Σ_w c(w'w), the LEFT-CONTEXT token count (it differs
+    * from the raw unigram count for document-final words, and only this
+    * denominator makes P(·|w') a proper distribution),
+    *
+    * where N1+(w'·) counts distinct continuations of w', N1+(·w)
+    * counts distinct left contexts of w (the "how novel is this word's
+    * placement" continuation probability that makes KN better than
+    * frequency backoff), and N1+(··) is the number of distinct bigram
+    * types. Every term is a ratio of count-table aggregates, which is
+    * what makes the model distributable — no EM, no iteration.
+    * Scores transitions only; emits (doc_id, n_transitions, nll_kn);
+    * documents with < 2 tokens are omitted (the [[bigramScore]]
+    * LEFT-join composition convention). A word that never occurs as a
+    * right-hand token has no continuation count; its Pcont takes a 0.5
+    * pseudo-type so log stays finite (mirrored in the oracle).
+    *
+    * Scale shape (100 TB): identical to [[bigramScore]] — the bigram,
+    * left-context, and continuation tables are map-side-combined
+    * vocab-sized aggregates that BROADCAST onto the doc_id-clustered
+    * transition fan-out; the corpus never shuffles on a token key. The
+    * continuation counts (`count(DISTINCT …)`) expand to two-phase
+    * aggregates on the already-exploded bigram rows, still bounded by
+    * vocabulary, not corpus. */
+  def kneserNeyScore(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
+    val biExprKn = ngramArrayExpr(2)
+    val bigrams = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(biExprKn)).as("bg"))
+      .select(col("bg"),
+        element_at(split(col("bg"), " "), 1).as("lw"),
+        element_at(split(col("bg"), " "), 2).as("rw"))
+    val bc = bigrams.groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    // the KN denominator is the LEFT-CONTEXT count c(w') = sum_w c(w'w)
+    // (bigram tokens starting with w'), not the raw unigram count — the
+    // two differ for document-final words, and only the former makes
+    // P(.|w') a proper distribution
+    val lc = bigrams.groupBy("lw").agg(count(lit(1)).as("lcnt"))
+    // distinct-type tables: continuations of w' and left contexts of w
+    val contL = bigrams.select("lw", "rw").distinct()
+      .groupBy("lw").agg(count(lit(1)).as("cont_l"))
+    val contR = bigrams.select("lw", "rw").distinct()
+      .groupBy("rw").agg(count(lit(1)).as("cont_r"))
+    val types = bigrams.select("bg").distinct()
+      .agg(count(lit(1)).cast("double").as("n_types"))
+    val lwTable = lc.join(contL, Seq("lw"), "left")
+      .select(col("lw"), col("lcnt"), coalesce(col("cont_l"), lit(0L)).as("cont_l"))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(biExprKn)).as("bg"))
+      .withColumn("rw", element_at(split(col("bg"), " "), 2))
+      .withColumn("lw", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(bc), Seq("bg"), "left")
+      .join(broadcast(lwTable), Seq("lw"))
+      .join(broadcast(contR), Seq("rw"), "left")
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(avg(-log(
+          greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col("lcnt")
+            + lit(discount) * col("cont_l") / col("lcnt")
+            * (coalesce(col("cont_r").cast("double"), lit(0.5)) / col("n_types")))), 6)
+          .as("nll_kn"))
+  }
+
   /** Per-document unigram (token) Shannon entropy — the
     * RedPajama-V2-style information-content quality signal: templated /
     * repetitive documents carry low entropy, natural prose sits in a
@@ -1462,6 +1539,7 @@ object TextQueries {
     "txt_top_ngram" -> { (s, dir) => topNgram(Tables.documents(s, dir)) },
     "txt_unigram_lm" -> { (s, dir) => unigramScore(Tables.documents(s, dir)) },
     "txt_bigram_lm" -> { (s, dir) => bigramScore(Tables.documents(s, dir)) },
+    "txt_kn_lm" -> { (s, dir) => kneserNeyScore(Tables.documents(s, dir)) },
     "txt_entropy" -> { (s, dir) => tokenEntropy(Tables.documents(s, dir)) },
     "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
     "bpe_encode" -> { (s, dir) =>
@@ -2002,6 +2080,33 @@ object TextQueries {
         |LEFT JOIN uc r ON string_split(bg.bg, ' ')[2] = r.tok
         |CROSS JOIN tot
         |GROUP BY bg.doc_id""".stripMargin,
+
+    "txt_kn_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |allg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |                 i -> concat(toks[i], ' ', toks[i + 1]))) AS bg FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |              i -> concat(toks[i], ' ', toks[i + 1]))) AS bg
+        |      FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT bg, count(*) AS bcnt FROM allg GROUP BY bg),
+        |lc AS (SELECT string_split(bg, ' ')[1] AS lw, count(*) AS lcnt FROM allg GROUP BY 1),
+        |pairs AS (SELECT DISTINCT string_split(bg, ' ')[1] AS lw, string_split(bg, ' ')[2] AS rw
+        |          FROM allg),
+        |cl AS (SELECT lw, count(*) AS cont_l FROM pairs GROUP BY lw),
+        |cr2 AS (SELECT rw, count(*) AS cont_r FROM pairs GROUP BY rw),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM (SELECT DISTINCT bg FROM allg)),
+        |lt AS (SELECT lc.lw, lc.lcnt, coalesce(cl.cont_l, 0) AS cont_l
+        |       FROM lc LEFT JOIN cl USING (lw))
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(-ln(
+        |    greatest(coalesce(bc.bcnt, 0) - 0.75, 0.0) / lt.lcnt
+        |    + 0.75 * lt.cont_l / lt.lcnt * (coalesce(cr2.cont_r, 0.5) / ty.n_types))), 6) AS nll_kn
+        |FROM g
+        |LEFT JOIN bc USING (bg)
+        |JOIN lt ON string_split(g.bg, ' ')[1] = lt.lw
+        |LEFT JOIN cr2 ON string_split(g.bg, ' ')[2] = cr2.rw
+        |CROSS JOIN ty
+        |GROUP BY g.doc_id""".stripMargin,
 
     "txt_entropy" ->
       """WITH c AS (

@@ -155,6 +155,20 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
   }
 
+  test("txt_kn_lm: count tables broadcast onto the transition fan-out") {
+    val p = plan("txt_kn_lm")
+    assert(!p.contains("SortMergeJoin"),
+      s"the KN count tables must broadcast, never shuffle the corpus on a token key:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"))
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 1,
+      s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
+  }
+
   test("txt_entropy: one compact doc_id shuffle feeds both aggregations") {
     val p = plan("txt_entropy")
     val nEx = "Exchange".r.findAllIn(p).size

@@ -681,6 +681,42 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(rep == full.view.mapValues(_._2).toMap)
   }
 
+  test("kneserNeyScore: hand-computed interpolated-KN NLL") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a c"), (1L, "b a b"), (2L, "c a")).toDF("doc_id", "text")
+    val toks = Map(0L -> Seq("a", "b", "a", "c"), 1L -> Seq("b", "a", "b"), 2L -> Seq("c", "a"))
+    val D = 0.75
+    val big = toks.values.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    // KN denominator: left-context token count, not the unigram count
+    val lc = big.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val types = big.keySet
+    val contL = types.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val contR = types.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val nTypes = types.size.toDouble
+    def p(l: String, r: String): Double =
+      math.max(big.getOrElse((l, r), 0.0) - D, 0.0) / lc(l) +
+        D * contL(l) / lc(l) * (contR.getOrElse(r, 0.5) / nTypes)
+    def nll(id: Long): Double = {
+      val terms = toks(id).sliding(2).map(t => -math.log(p(t(0), t(1)))).toSeq
+      BigDecimal(terms.sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextQueries.kneserNeyScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L) && got(0L)._1 == 3 && got(2L)._1 == 1)
+    for (id <- Seq(0L, 1L, 2L)) assert(got(id)._2 == nll(id), s"doc $id KN NLL")
+    // probability mass sanity on the reference model: for each seen left
+    // context, sum over the full right vocabulary is ~1 (interpolated KN
+    // is a proper distribution when every right word has a continuation)
+    for (l <- Seq("a", "b", "c")) {
+      val mass = Seq("a", "b", "c").map(r => p(l, r)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context $l: mass $mass")
+    }
+    val rep = TextQueries.kneserNeyScore(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == got.view.mapValues(_._2).toMap)
+  }
+
   test("tokenEntropy: hand-computed Shannon entropy over within-doc counts") {
     import spark.implicits._
     val d = Seq((0L, "a a b"), (1L, "x x x x"), (2L, "p q r s")).toDF("doc_id", "text")
