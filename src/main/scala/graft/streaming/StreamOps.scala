@@ -504,14 +504,15 @@ object StreamOps {
   def streamingPerplexityGate(docs: DataFrame, corpus: DataFrame,
                               minNll: Double = 0.0,
                               maxNll: Double = Double.MaxValue,
-                              topV: Option[Int] = None): DataFrame = {
+                              topV: Option[Int] = None,
+                              oovCount: Double = 0.5): DataFrame = {
     import graft.text.TextQueries
     val model = TextQueries.unigramModelRow(corpus, topV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .crossJoin(broadcast(model))
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("nll", TextQueries.unigramScoreExpr())
+      .withColumn("nll", TextQueries.unigramScoreExpr(oovCount))
       .filter(col("nll") >= minNll && col("nll") <= maxNll)
       .drop("toks", "uni_map", "tot")
   }

@@ -844,13 +844,28 @@ object TextQueries {
     *  - `ln` is 1-ulp across libms → the score is quantized at 1e-6
     *    for cross-engine comparison (the [[topNgram]]/tfidf idiom).
     */
+  /** Vocabulary counting pass shared by [[unigramScore]] and
+    * [[unigramModelRow]] (the streaming gate's batch-parity contract
+    * depends on the two staying identical): raw scan, no repartition —
+    * the partial agg combines map-side and only vocab-sized partials
+    * shuffle. */
+  private def unigramVocab(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("tok"))
+    .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Deterministic topV truncation (count desc, token asc) — shared for
+    * the same parity reason. */
+  private def truncVocab(full: DataFrame, topV: Option[Int]): DataFrame =
+    topV.fold(full)(v => full.orderBy(col("cnt").desc, col("tok")).limit(v))
+
+  /** Full-corpus token-count normalizer — a plain scan + scalar
+    * aggregate, shared for the same parity reason. */
+  private def unigramNormalizer(docs: DataFrame): DataFrame = docs
+    .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
+
   def unigramScore(docs: DataFrame, topV: Option[Int] = None,
                    oovCount: Double = 0.5): DataFrame = {
-    // counting pass: raw scan, no repartition — the partial agg combines
-    // map-side and only vocab-sized partials shuffle
-    val full = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val full = unigramVocab(docs)
     // normalizer over the FULL corpus even when the broadcast side is
     // topV-truncated (OOV mass must still be "rare", not renormalized).
     // Derived as a per-row token-count sum — identical value to
@@ -859,10 +874,8 @@ object TextQueries {
     // count subtree is NOT exchange-reusable across the broadcast and
     // normalizer branches: canonicalization differs, so deriving tot
     // from `full` would scan and shuffle the corpus a third time).
-    val tot = docs
-      .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
-    val counts = topV.fold(full)(v =>
-      full.orderBy(col("cnt").desc, col("tok")).limit(v))
+    val tot = unigramNormalizer(docs)
+    val counts = truncVocab(full, topV)
     docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -974,37 +987,50 @@ object TextQueries {
     * right-hand token has no continuation count; its Pcont takes a 0.5
     * pseudo-type so log stays finite (mirrored in the oracle).
     *
-    * Scale shape (100 TB): identical to [[bigramScore]] — the bigram,
-    * left-context, and continuation tables are map-side-combined
-    * vocab-sized aggregates that BROADCAST onto the doc_id-clustered
-    * transition fan-out; the corpus never shuffles on a token key. The
-    * continuation counts (`count(DISTINCT …)`) expand to two-phase
-    * aggregates on the already-exploded bigram rows, still bounded by
-    * vocabulary, not corpus. */
-  def kneserNeyScore(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    * Scale shape (100 TB): ONE corpus-sized counting pass (the bigram
+    * count aggregate, map-side combined); every other model table —
+    * left-context counts, both continuation-type counts, the type
+    * total — derives from that table's rows, never from the corpus.
+    * The bigram table is ~corpus-token-count rows unpruned, so at web
+    * scale `topV` is REQUIRED (deterministic count-desc/gram-asc
+    * truncation, the pruned-production-LM form [[bigramScore]] ships);
+    * the derived tables then describe the pruned model consistently,
+    * and contexts with no retained bigram back off to the pure
+    * continuation probability (lambda = 1). Everything broadcasts onto
+    * the doc_id-clustered transition fan-out; the corpus never
+    * shuffles on a token key. */
+  def kneserNeyScore(docs: DataFrame, discount: Double = 0.75,
+                     topV: Option[Int] = None): DataFrame = {
     require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
     val biExprKn = ngramArrayExpr(2)
-    val bigrams = docs
+    // ONE corpus-sized counting pass; every other model table derives
+    // from the bigram count table (its keys ARE the distinct pairs):
+    // lc = sum(bcnt) by left word (the KN denominator c(w'.) — the
+    // left-context token count, which differs from the raw unigram
+    // count for document-final words and is what makes P(.|w') a
+    // proper distribution), contL/contR = row counts by side, types =
+    // the table's row count. The naive form recomputed each of these
+    // with its own corpus explode — 5 scans where 1 suffices.
+    val bcFull = docs
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(biExprKn)).as("bg"))
-      .select(col("bg"),
-        element_at(split(col("bg"), " "), 1).as("lw"),
-        element_at(split(col("bg"), " "), 2).as("rw"))
-    val bc = bigrams.groupBy("bg").agg(count(lit(1)).as("bcnt"))
-    // the KN denominator is the LEFT-CONTEXT count c(w') = sum_w c(w'w)
-    // (bigram tokens starting with w'), not the raw unigram count — the
-    // two differ for document-final words, and only the former makes
-    // P(.|w') a proper distribution
-    val lc = bigrams.groupBy("lw").agg(count(lit(1)).as("lcnt"))
-    // distinct-type tables: continuations of w' and left contexts of w
-    val contL = bigrams.select("lw", "rw").distinct()
-      .groupBy("lw").agg(count(lit(1)).as("cont_l"))
-    val contR = bigrams.select("lw", "rw").distinct()
-      .groupBy("rw").agg(count(lit(1)).as("cont_r"))
-    val types = bigrams.select("bg").distinct()
-      .agg(count(lit(1)).cast("double").as("n_types"))
-    val lwTable = lc.join(contL, Seq("lw"), "left")
-      .select(col("lw"), col("lcnt"), coalesce(col("cont_l"), lit(0L)).as("cont_l"))
+      .groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    // `topV` prunes the TYPE INVENTORY deterministically (count desc,
+    // gram asc) — the pruned-production-LM form the bigram table needs
+    // at web scale (it is ~corpus-token-count rows unpruned); all
+    // derived tables then describe the pruned model consistently, and
+    // transitions whose context has no retained bigram fall back to
+    // the pure continuation probability below
+    val bc = topV.fold(bcFull)(v => bcFull.orderBy(col("bcnt").desc, col("bg")).limit(v))
+    val sided = bc.select(col("bg"), col("bcnt"),
+      element_at(split(col("bg"), " "), 1).as("lw"),
+      element_at(split(col("bg"), " "), 2).as("rw"))
+    val lc = sided.groupBy("lw").agg(sum(col("bcnt")).as("lcnt"))
+    val contL = sided.groupBy("lw").agg(count(lit(1)).as("cont_l"))
+    val contR = sided.groupBy("rw").agg(count(lit(1)).as("cont_r"))
+    val types = bc.agg(count(lit(1)).cast("double").as("n_types"))
+    val lwTable = lc.join(contL, Seq("lw"))
+      .select(col("lw"), col("lcnt"), col("cont_l"))
     docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1012,16 +1038,22 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(biExprKn)).as("bg"))
       .withColumn("rw", element_at(split(col("bg"), " "), 2))
       .withColumn("lw", element_at(split(col("bg"), " "), 1))
-      .join(broadcast(bc), Seq("bg"), "left")
-      .join(broadcast(lwTable), Seq("lw"))
+      .join(broadcast(bc.select("bg", "bcnt")), Seq("bg"), "left")
+      // LEFT join: under topV a transition's context may have no
+      // retained bigram at all — it falls back to the pure continuation
+      // probability (lambda = 1); with the full table the fallback arm
+      // is dead code (every transition is its own bigram)
+      .join(broadcast(lwTable), Seq("lw"), "left")
       .join(broadcast(contR), Seq("rw"), "left")
       .crossJoin(broadcast(types))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_transitions"),
         round(avg(-log(
-          greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col("lcnt")
-            + lit(discount) * col("cont_l") / col("lcnt")
+          coalesce(
+            greatest(coalesce(col("bcnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col("lcnt"),
+            lit(0.0))
+            + coalesce(lit(discount) * col("cont_l") / col("lcnt"), lit(1.0))
             * (coalesce(col("cont_r").cast("double"), lit(0.5)) / col("n_types")))), 6)
           .as("nll_kn"))
   }
@@ -1057,18 +1089,11 @@ object TextQueries {
     * vocabulary is unbounded); evicted and unseen tokens score through
     * the `oovCount` pseudo-count, exactly as [[unigramScore]]'s topV
     * path does. */
-  def unigramModelRow(docs: DataFrame, topV: Option[Int] = None): DataFrame = {
-    val full = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val counts = topV.fold(full)(v =>
-      full.orderBy(col("cnt").desc, col("tok")).limit(v))
-    counts
+  def unigramModelRow(docs: DataFrame, topV: Option[Int] = None): DataFrame =
+    truncVocab(unigramVocab(docs), topV)
       .agg(map_from_arrays(collect_list(col("tok")), collect_list(col("cnt")))
         .as("uni_map"))
-      .crossJoin(broadcast(docs
-        .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))))
-  }
+      .crossJoin(broadcast(unigramNormalizer(docs)))
 
   /** Per-row unigram NLL under a one-row broadcast model (`toks`,
     * `uni_map`, `tot` must be bound) — the fold-order twin of

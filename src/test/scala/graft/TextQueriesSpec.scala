@@ -715,6 +715,27 @@ class TextQueriesSpec extends AnyFunSuite {
     val rep = TextQueries.kneserNeyScore(d.repartition(5)).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(rep == got.view.mapValues(_._2).toMap)
+    // topV=2 prunes the type inventory to the 2 most frequent bigrams
+    // (count desc, gram asc): "a b"(2), "b a"(2). All derived tables
+    // describe the pruned model; a context with no retained bigram
+    // ("c") falls back to the pure continuation probability.
+    val keep = Map(("a", "b") -> 2.0, ("b", "a") -> 2.0)
+    val lcP = keep.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val clP = keep.keySet.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val crP = keep.keySet.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    def pP(l: String, r: String): Double = {
+      val cont = crP.getOrElse(r, 0.5) / keep.size
+      if (!lcP.contains(l)) cont
+      else math.max(keep.getOrElse((l, r), 0.0) - D, 0.0) / lcP(l) +
+        D * clP(l) / lcP(l) * cont
+    }
+    def nllP(id: Long): Double = {
+      val terms = toks(id).sliding(2).map(t => -math.log(pP(t(0), t(1)))).toSeq
+      BigDecimal(terms.sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pruned = TextQueries.kneserNeyScore(d, topV = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllP(id), s"doc $id pruned-KN NLL")
   }
 
   test("tokenEntropy: hand-computed Shannon entropy over within-doc counts") {
