@@ -47,6 +47,8 @@ import org.apache.spark.sql.expressions.Window
   *   - `bigram_lm`     stupid-backoff bigram scoring, both count
   *                     tables topV-pruned before broadcast (the pruned
   *                     production-LM shape)
+  *   - `kn_lm`         interpolated Kneser-Ney scoring from ONE
+  *                     counting pass, type inventory topV-pruned
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -450,6 +452,16 @@ object BenchLarge {
         topV = Some(65536))
         .agg((sum("n_transitions") +
           sum(round(col("nll2") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // interpolated Kneser-Ney at the full corpus: one counting pass,
+    // every other model table derived from the pruned (topV=65536)
+    // bigram type inventory. The check forces both output columns.
+    timed("kn_lm", clearAfter = true) {
+      graft.text.TextQueries.kneserNeyScore(cleanDocs(spark, nDocs, template),
+        topV = Some(65536))
+        .agg((sum("n_transitions") +
+          sum(round(col("nll_kn") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
     // DSIR importance weighting at the full corpus: the two feature-LM
