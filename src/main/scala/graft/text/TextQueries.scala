@@ -1058,6 +1058,46 @@ object TextQueries {
           .as("nll_kn"))
   }
 
+  /** Per-document duplicate-n-gram CHARACTER coverage — the form
+    * Gopher's repetition thresholds are actually stated in (Rae et al.
+    * 2021 Table A1: "fraction of characters in duplicate n-grams"):
+    * mark every token position covered by an n-gram that occurs >= 2
+    * times WITHIN the document (all occurrences, overlaps counted
+    * once), and report covered token characters over total token
+    * characters. Complements [[repetitionSignals]]'s count-based
+    * `dup_frac_n` — a long duplicated span weighs by its length here,
+    * not by its gram count. Emits (doc_id, n_tokens, dup_char_frac).
+    *
+    * Scale shape (100 TB): the [[topNgram]] idiom — ONE compact
+    * `repartition(doc_id)`; the positional gram explode, the
+    * within-doc gram count, the coverage re-aggregation, and the
+    * join-back all reuse that clustering, so the fan-out never crosses
+    * the network. Per-row O(G²) HOF counting is avoided on purpose:
+    * with large documents the grouped count stays linear. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val pre = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dupStarts = pre
+      .select(col("doc_id"), posexplode(expr(ngramArrayExpr(n))))
+      .groupBy(col("doc_id"), col("col"))
+      .agg(collect_list(col("pos")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .groupBy("doc_id")
+      .agg(flatten(collect_list(col("ps"))).as("starts"))
+    pre.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${n - 1}))))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(
+          expr("aggregate(covered, 0L, (acc, i) -> acc + length(element_at(toks, i + 1)))")
+            .cast("double") /
+            expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"), 6)
+          .as("dup_char_frac"))
+  }
+
   /** Per-document unigram (token) Shannon entropy — the
     * RedPajama-V2-style information-content quality signal: templated /
     * repetitive documents carry low entropy, natural prose sits in a
@@ -1566,6 +1606,7 @@ object TextQueries {
     "txt_bigram_lm" -> { (s, dir) => bigramScore(Tables.documents(s, dir)) },
     "txt_kn_lm" -> { (s, dir) => kneserNeyScore(Tables.documents(s, dir)) },
     "txt_entropy" -> { (s, dir) => tokenEntropy(Tables.documents(s, dir)) },
+    "txt_dup_coverage" -> { (s, dir) => dupNgramCoverage(Tables.documents(s, dir)) },
     "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
     "bpe_encode" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -2132,6 +2173,22 @@ object TextQueries {
         |LEFT JOIN cr2 ON string_split(g.bg, ' ')[2] = cr2.rw
         |CROSS JOIN ty
         |GROUP BY g.doc_id""".stripMargin,
+
+    "txt_dup_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos, concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]) AS gram
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)),
+        |d AS (SELECT doc_id, gram FROM g GROUP BY doc_id, gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, u.idx
+        |        FROM g JOIN d USING (doc_id, gram),
+        |             LATERAL (SELECT unnest(range(g.pos, g.pos + 3)) AS idx) u),
+        |cchars AS (SELECT cov.doc_id, sum(length(t.toks[cov.idx])) AS cc
+        |           FROM cov JOIN t USING (doc_id) GROUP BY cov.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+        |  round(coalesce(cchars.cc, 0) /
+        |        CAST(length(d2.text) - (len(t.toks) - 1) AS DOUBLE), 6) AS dup_char_frac
+        |FROM t JOIN documents d2 USING (doc_id)
+        |LEFT JOIN cchars USING (doc_id)""".stripMargin,
 
     "txt_entropy" ->
       """WITH c AS (

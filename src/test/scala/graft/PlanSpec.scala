@@ -169,6 +169,24 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
   }
 
+  test("txt_dup_coverage: compact doc_id shuffles only; gram fan-out stays partition-local") {
+    val p = plan("txt_dup_coverage")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the scrub idiom: two compact-row doc_id exchanges (coverage branch
+    // + join-back; the optimizer's isnotnull on the build side defeats
+    // exchange reuse), never more
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 2,
+      s"expected two compact-row doc_id shuffles, got $nDoc:\n${p.take(2000)}")
+    // within the coverage branch the positional explode sits ABOVE its
+    // exchange: gram rows are generated after the shuffle
+    val generate = p.indexOf("Generate posexplode")
+    val below = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).matchData
+      .exists(_.start > generate)
+    assert(generate >= 0 && below,
+      s"the coverage branch must shuffle un-exploded docs:\n${p.take(2000)}")
+  }
+
   test("txt_entropy: one compact doc_id shuffle feeds both aggregations") {
     val p = plan("txt_entropy")
     val nEx = "Exchange".r.findAllIn(p).size

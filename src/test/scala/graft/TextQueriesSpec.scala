@@ -738,6 +738,29 @@ class TextQueriesSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllP(id), s"doc $id pruned-KN NLL")
   }
 
+  test("dupNgramCoverage: hand-computed char coverage, overlaps counted once") {
+    import spark.implicits._
+    // doc 0: "x y z x y z w" — trigram "x y z" occurs at 0 and 3,
+    // covering token indices 0..5 (overlap-free here): covered chars =
+    // 6 of 7, frac = 6/7. doc 1: no repeated trigram -> 0. doc 2:
+    // "a a a a a" — "a a a" at 0,1,2 covers ALL 5 tokens (overlaps
+    // counted once): frac = 1. doc 3: too short for a trigram -> 0.
+    val d = Seq(
+      (0L, "x y z x y z w"),
+      (1L, "p q r s t"),
+      (2L, "a a a a a"),
+      (3L, "u v")).toDF("doc_id", "text")
+    val got = TextQueries.dupNgramCoverage(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(0L) == ((7, BigDecimal(6.0 / 7).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1L) == ((5, 0.0)))
+    assert(got(2L) == ((5, 1.0)))
+    assert(got(3L) == ((2, 0.0)), "short docs report zero coverage, not absence")
+    val rep = TextQueries.dupNgramCoverage(d.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == got.view.mapValues(_._2).toMap)
+  }
+
   test("tokenEntropy: hand-computed Shannon entropy over within-doc counts") {
     import spark.implicits._
     val d = Seq((0L, "a a b"), (1L, "x x x x"), (2L, "p q r s")).toDF("doc_id", "text")
