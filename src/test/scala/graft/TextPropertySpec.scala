@@ -78,6 +78,61 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bigramScore == driver-side stupid-backoff reference on random corpora") {
+    for (i <- 0 until 3) {
+      val rows = corpus(i, n = 30)
+      val d = rows.toDF("doc_id", "text", "lang")
+      val toks = rows.map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+      val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val big = toks.values.filter(_.size >= 2)
+        .flatMap(t => t.sliding(2).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val tot = toks.values.map(_.size).sum.toDouble
+      val got = TextQueries.bigramScore(d).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val multi = toks.filter(_._2.size >= 2)
+      assert(got.keySet == multi.keySet, "exactly the >=2-token docs are scored")
+      for ((id, ts) <- multi) {
+        val terms = ts.sliding(2).map { p =>
+          val bg = p.mkString(" ")
+          if (big.contains(bg)) -math.log(big(bg) / uni(p.head))
+          else -math.log(0.4 * uni(p(1)) / tot)
+        }.toSeq
+        val want = BigDecimal(terms.sum / terms.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id) == want, s"sample $i doc $id")
+      }
+    }
+  }
+
+  test("kneserNeyScore == driver-side interpolated-KN reference on random corpora") {
+    for (i <- 0 until 3) {
+      val rows = corpus(i, n = 30)
+      val d = rows.toDF("doc_id", "text", "lang")
+      val toks = rows.map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+      val D = 0.75
+      val big = toks.values.filter(_.size >= 2)
+        .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val lc = big.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val contL = big.keySet.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val contR = big.keySet.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val nTypes = big.size.toDouble
+      val got = TextQueries.kneserNeyScore(d).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      for ((id, ts) <- toks if ts.size >= 2) {
+        val terms = ts.sliding(2).map { p =>
+          val v = math.max(big.getOrElse((p(0), p(1)), 0.0) - D, 0.0) / lc(p(0)) +
+            D * contL(p(0)) / lc(p(0)) * (contR.getOrElse(p(1), 0.5) / nTypes)
+          -math.log(v)
+        }.toSeq
+        val want = BigDecimal(terms.sum / terms.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got(id) == want, s"sample $i doc $id")
+      }
+    }
+  }
+
   test("tokenEntropy: bounded by [0, ln n], zero iff one distinct token") {
     for (i <- 0 until 3) {
       val d = corpus(i).toDF("doc_id", "text", "lang")
