@@ -853,10 +853,21 @@ object TextQueries {
     .select(explode(split(col("text"), " ")).as("tok"))
     .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
-  /** Deterministic topV truncation (count desc, token asc) — shared for
-    * the same parity reason. */
+  /** Deterministic topV truncation (count desc, key asc) — ONE
+    * definition of pruning determinism for every count table. */
+  private def truncTop(df: DataFrame, topV: Option[Int],
+                       cnt: String, key: String): DataFrame =
+    topV.fold(df)(v => df.orderBy(col(cnt).desc, col(key)).limit(v))
+
   private def truncVocab(full: DataFrame, topV: Option[Int]): DataFrame =
-    topV.fold(full)(v => full.orderBy(col("cnt").desc, col("tok")).limit(v))
+    truncTop(full, topV, "cnt", "tok")
+
+  /** (bigram, count) table — the ONE corpus-sized counting pass the
+    * bigram-family scorers share ([[bigramScore]], [[kneserNeyScore]]). */
+  private def bigramCounts(docs: DataFrame): DataFrame = docs
+    .select(split(col("text"), " ").as("toks"))
+    .select(explode(expr(ngramArrayExpr(2))).as("bg"))
+    .groupBy("bg").agg(count(lit(1)).as("bcnt"))
 
   /** Full-corpus token-count normalizer — a plain scan + scalar
     * aggregate, shared for the same parity reason. */
@@ -929,12 +940,9 @@ object TextQueries {
     val tot = docs
       .agg(sum(size(split(col("text"), " "))).cast("double").as("tot"))
     val biExpr = ngramArrayExpr(2)
-    val biFull = docs
-      .select(split(col("text"), " ").as("toks"))
-      .select(explode(expr(biExpr)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("bcnt"))
-    val uni = topV.fold(uniFull)(v => uniFull.orderBy(col("ucnt").desc, col("tok")).limit(v))
-    val bi = topV.fold(biFull)(v => biFull.orderBy(col("bcnt").desc, col("bg")).limit(v))
+    val biFull = bigramCounts(docs)
+    val uni = truncTop(uniFull, topV, "ucnt", "tok")
+    val bi = truncTop(biFull, topV, "bcnt", "bg")
     // conditional-probability table: the left-word denominator joins
     // vocab-to-vocab (both frames bounded) so the corpus-sized pass
     // below touches ONE broadcast table; the denominator uses the FULL
@@ -1011,26 +1019,23 @@ object TextQueries {
     // proper distribution), contL/contR = row counts by side, types =
     // the table's row count. The naive form recomputed each of these
     // with its own corpus explode — 5 scans where 1 suffices.
-    val bcFull = docs
-      .select(split(col("text"), " ").as("toks"))
-      .select(explode(expr(biExprKn)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    val bcFull = bigramCounts(docs)
     // `topV` prunes the TYPE INVENTORY deterministically (count desc,
     // gram asc) — the pruned-production-LM form the bigram table needs
     // at web scale (it is ~corpus-token-count rows unpruned); all
     // derived tables then describe the pruned model consistently, and
     // transitions whose context has no retained bigram fall back to
     // the pure continuation probability below
-    val bc = topV.fold(bcFull)(v => bcFull.orderBy(col("bcnt").desc, col("bg")).limit(v))
+    val bc = truncTop(bcFull, topV, "bcnt", "bg")
     val sided = bc.select(col("bg"), col("bcnt"),
       element_at(split(col("bg"), " "), 1).as("lw"),
       element_at(split(col("bg"), " "), 2).as("rw"))
-    val lc = sided.groupBy("lw").agg(sum(col("bcnt")).as("lcnt"))
-    val contL = sided.groupBy("lw").agg(count(lit(1)).as("cont_l"))
     val contR = sided.groupBy("rw").agg(count(lit(1)).as("cont_r"))
     val types = bc.agg(count(lit(1)).cast("double").as("n_types"))
-    val lwTable = lc.join(contL, Seq("lw"))
-      .select(col("lw"), col("lcnt"), col("cont_l"))
+    // one aggregation produces both the denominator and the
+    // continuation-type count — same keys, no join needed
+    val lwTable = sided.groupBy("lw")
+      .agg(sum(col("bcnt")).as("lcnt"), count(lit(1)).as("cont_l"))
     docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1068,12 +1073,15 @@ object TextQueries {
     * `dup_frac_n` — a long duplicated span weighs by its length here,
     * not by its gram count. Emits (doc_id, n_tokens, dup_char_frac).
     *
-    * Scale shape (100 TB): the [[topNgram]] idiom — ONE compact
-    * `repartition(doc_id)`; the positional gram explode, the
-    * within-doc gram count, the coverage re-aggregation, and the
-    * join-back all reuse that clustering, so the fan-out never crosses
-    * the network. Per-row O(G²) HOF counting is avoided on purpose:
-    * with large documents the grouped count stays linear. */
+    * Scale shape (100 TB): the [[scrubFrequentNgrams]] idiom — the
+    * positional gram explode, the within-doc gram count, and the
+    * coverage re-aggregation all run above doc_id clustering, so the
+    * fan-out never crosses the network; what DOES move are two
+    * compact-row doc_id exchanges (coverage branch + join-back — the
+    * optimizer's isnotnull on the build side defeats exchange reuse;
+    * PlanSpec pins exactly two). Per-row O(G²) HOF counting is
+    * avoided on purpose: with large documents the grouped count stays
+    * linear. */
   def dupNgramCoverage(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val pre = docs.repartition(col("doc_id"))
