@@ -49,6 +49,8 @@ import org.apache.spark.sql.expressions.Window
   *                     production-LM shape)
   *   - `kn_lm`         interpolated Kneser-Ney scoring from ONE
   *                     counting pass, type inventory topV-pruned
+  *   - `dup_coverage`  Gopher duplicate-n-gram char coverage
+  *                     (within-doc positional coverage, scrub idiom)
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
   *                     decontamination + Gopher/C4 quality filter +
   *                     LSH dedup, cleaned intermediate persisted) over
@@ -452,6 +454,18 @@ object BenchLarge {
         topV = Some(65536))
         .agg((sum("n_transitions") +
           sum(round(col("nll2") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // Gopher duplicate-char coverage at the full corpus: within-doc
+    // positional gram counting over the doc_id clustering; the dup
+    // corpus plants exact-duplicate TEXT (cross-doc), not within-doc
+    // repetition, so coverage is near-zero by construction — the
+    // measurement times the counting machinery, and the check pins the
+    // quantized coverage sum plus token totals.
+    timed("dup_coverage", clearAfter = true) {
+      graft.text.TextQueries.dupNgramCoverage(cleanDocs(spark, nDocs, template))
+        .agg((sum("n_tokens") +
+          sum(round(col("dup_char_frac") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
     // interpolated Kneser-Ney at the full corpus: one counting pass,
