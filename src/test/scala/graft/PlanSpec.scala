@@ -171,13 +171,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("txt_dup_coverage: compact doc_id shuffles only; gram fan-out stays partition-local") {
     val p = plan("txt_dup_coverage")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // the scrub idiom: two compact-row doc_id exchanges (coverage branch
-    // + join-back; the optimizer's isnotnull on the build side defeats
-    // exchange reuse), never more
+    assert(!p.contains("CartesianProduct"))
+    // three compact-row doc_id exchanges — the pre-explode repartition
+    // materializes once per consumer (count branch, positional-rejoin
+    // branch, final join-back; exchange reuse defeated across the
+    // subtrees) — and every one moves un-exploded (doc_id, text) rows;
+    // the gram fan-outs and the (doc_id, gram) join all sit above them
     val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
-    assert(nDoc == 2,
-      s"expected two compact-row doc_id shuffles, got $nDoc:\n${p.take(2000)}")
+    assert(nDoc == 3,
+      s"expected three compact-row doc_id shuffles, got $nDoc:\n${p.take(2000)}")
     // within the coverage branch the positional explode sits ABOVE its
     // exchange: gram rows are generated after the shuffle
     val generate = p.indexOf("Generate posexplode")
