@@ -386,22 +386,26 @@ object BenchLarge {
       graft.text.TextQueries.scrubFrequentNgrams(docs(spark, nDocs, template))
         .filter(col("n_removed") > 0).count()
     }
-    // BPE tokenizer training: ONE corpus-sized pass (the word-frequency
-    // aggregate) + 20 merge rounds over the ~90k-word vocabulary frame,
-    // each a vocab-sized shuffle plus a single collected argmax row.
-    // The learned merges feed the encode measurement below (training is
-    // not re-counted inside the encode timer).
+    // BPE tokenizer training at a production-shaped merge count: ONE
+    // corpus-sized pass (the word-frequency aggregate), then the
+    // ~90k-word vocabulary collects and 1000 merge rounds run
+    // driver-side (incremental pair stats + lazy-deletion heap — zero
+    // Spark jobs per round; the pre-r9 distributed loop paid one
+    // vocab-sized job PER MERGE, fine at 20, hours at a 32k production
+    // vocab). The learned merges feed the encode measurement below
+    // (training is not re-counted inside the encode timer).
     var bpeMerges: Seq[(Int, String, String)] = Seq.empty
     timed("bpe_train") {
       bpeMerges = graft.text.TextQueries.bpeTrain(docs(spark, nDocs, template),
-        numMerges = 20)
+        numMerges = 1000)
       bpeMerges.size.toLong
     }
-    // BPE encoding at the full corpus: the 20 merges fold over the
-    // distinct-word vocabulary (checkpointed per round), then the
-    // encoded vocabulary broadcasts onto the doc_id-clustered word
-    // fan-out. The check sums subword counts — sensitive to the whole
-    // encode chain including the per-doc stream re-assembly.
+    // BPE encoding at the full corpus with the full 1000-merge table:
+    // the distinct-word vocabulary collects and encodes driver-side
+    // (min-rank iteration per word), then the encoded vocabulary
+    // broadcasts onto the doc_id-clustered word fan-out. The check sums
+    // subword counts — sensitive to the whole encode chain including
+    // the per-doc stream re-assembly.
     timed("bpe_encode", clearAfter = true) {
       graft.text.TextQueries.bpeEncode(docs(spark, nDocs, template), bpeMerges)
         .agg(sum("n_tokens")).collect()(0).getLong(0)

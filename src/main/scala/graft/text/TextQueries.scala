@@ -1267,6 +1267,42 @@ object TextQueries {
          |  st -> st.out)""".stripMargin)
   }
 
+  /** In-memory BPE encode of one word: repeatedly merge the
+    * lowest-rank applicable pair (all its occurrences, greedy
+    * left-to-right — the [[mergePairExpr]] scan) until no pair in the
+    * merge table remains. Equivalent to applying the merge table in
+    * rank order, at O(len²) worst case instead of O(len·|merges|). */
+  private def encodeWordDriver(w: String,
+                               ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+    var continue = syms.length >= 2
+    while (continue) {
+      var best: Option[((String, String), Int)] = None
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        ranks.get(p).foreach { rk =>
+          if (best.forall(_._2 > rk)) best = Some((p, rk))
+        }
+        i += 1
+      }
+      best match {
+        case None => continue = false
+        case Some(((l, r), _)) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
   /** Learn `numMerges` BPE merges over the corpus (Sennrich et al. 2016
     * Algorithm 1): start from the character vocabulary (+ `</w>`),
     * repeatedly count adjacent symbol pairs weighted by word frequency,
@@ -1275,7 +1311,112 @@ object TextQueries {
     * — the artifact a tokenizer ships.
     *
     * Scale (100 TB): the corpus contributes exactly ONE pass — the
-    * [[wordFreq]] aggregate. Every iteration then runs on the
+    * [[wordFreq]] aggregate — and its output is bounded by the DISTINCT
+    * word vocabulary (Heaps' law: ~millions of rows even for a
+    * 100 TB web corpus), not the corpus. A production merge count is
+    * tens of thousands, so the loop itself must not launch per-round
+    * Spark jobs: when the vocabulary fits a driver bound
+    * (`maxDriverVocab` rows; ~tens of bytes per word — hundreds of MB
+    * at the default 4M cap) it is collected ONCE and the classic
+    * in-memory merge loop runs with incremental pair-statistics and a
+    * lazy-deletion priority queue (the subword-nmt shape: each merge
+    * touches only the words containing the merged pair, argmax is a
+    * heap pop, zero Spark jobs per round). Only when the vocabulary
+    * exceeds the bound does training fall back to the distributed
+    * per-round loop ([[bpeTrainDistributed]]) — correct at any scale,
+    * but one vocab-sized Spark job per merge. Both paths produce
+    * identical merge tables (ties break (count desc, l, r) in each;
+    * partitioning-invariance and reference-parity spec-pinned). */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 20,
+               maxDriverVocab: Long = 4000000L): Seq[(Int, String, String)] = {
+    val vocab = wordFreq(docs)
+      .filter(length(col("word")) >= 1)
+      .localCheckpoint()
+    if (vocab.count() <= maxDriverVocab)
+      bpeTrainDriver(vocab.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else bpeTrainDistributed(vocab, numMerges)
+  }
+
+  /** In-memory BPE merge loop over a collected (word, freq) vocabulary —
+    * incremental pair statistics + lazy-deletion max-heap, so each round
+    * is O(words containing the merged pair), not O(vocab). */
+  private def bpeTrainDriver(vocab: Array[(String, Long)],
+                             numMerges: Int): Seq[(Int, String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] = vocab.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      w.foreach(c => b += c.toString); b += "</w>"; b
+    }
+    val freq: Array[Long] = vocab.map(_._2)
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = syms(wi); val f = freq(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = stats.getOrElse(p, 0L) + f
+        if (c == 0L) stats.remove(p) else stats(p) = c
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+      if (sign < 0) {
+        i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          // drop the index only if the pair is truly gone from this word
+          // (re-added below for pairs the merge keeps)
+          where.get(p).foreach(_ -= wi)
+          i += 1
+        }
+      }
+    }
+    syms.indices.foreach(addWord(_, 1L))
+    // lazy-deletion heap ordered (count desc, l asc, r asc) — entries go
+    // stale when a later merge changes the pair's count; a popped entry
+    // is valid iff it matches the pair's CURRENT count
+    val ord = Ordering.by[(Long, String, String), (Long, String, String)] {
+      case (c, l, r) => (-c, l, r)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord.reverse)
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    def mergeWord(wi: Int, l: String, r: String): Unit = {
+      val s = syms(wi)
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      addWord(wi, -1L)
+      val touched = mutable.Set.empty[(String, String)]
+      var j = 0
+      while (j < s.length - 1) { touched += ((s(j), s(j + 1))); j += 1 }
+      syms(wi) = out
+      addWord(wi, 1L)
+      j = 0
+      while (j < out.length - 1) { touched += ((out(j), out(j + 1))); j += 1 }
+      touched.foreach { p =>
+        stats.get(p).foreach { c => heap.enqueue((c, p._1, p._2)) }
+      }
+    }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String)]
+    var rank = 0
+    while (rank < numMerges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      if (stats.getOrElse((l, r), 0L) == c) {
+        merges += ((rank, l, r))
+        // snapshot: mergeWord mutates `where`
+        where.getOrElse((l, r), mutable.Set.empty).toArray.sorted
+          .foreach(mergeWord(_, l, r))
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed per-round BPE merge loop — the overflow path for a
+    * vocabulary too large to collect. Every iteration runs on the
     * vocabulary frame: one pair-count aggregate (vocab-sized shuffle)
     * plus ONE collected row (the argmax pair) — the same bounded
     * collect-per-round discipline as [[graft.ops.Components]], with the
@@ -1283,9 +1424,9 @@ object TextQueries {
     * not embed rounds 1..R-1. The merge rewrite itself is a pure
     * Catalyst fold ([[mergePairExpr]]), distributed per-row over the
     * vocabulary. Stops early when no adjacent pair remains. */
-  def bpeTrain(docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String)] = {
-    var words = wordFreq(docs)
-      .filter(length(col("word")) >= 1)
+  private[text] def bpeTrainDistributed(vocab: DataFrame,
+                                        numMerges: Int): Seq[(Int, String, String)] = {
+    var words = vocab
       .withColumn("syms", expr(
         "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
       .select("syms", "freq")
@@ -1383,24 +1524,52 @@ object TextQueries {
     * value that pins encode parity cross-engine.
     *
     * Scale (100 TB): the merges are applied to the DISTINCT-WORD
-    * vocabulary, not the corpus — encoding is a fold over ~|vocab| rows
-    * (each merge a [[mergePairExpr]] Catalyst fold, `localCheckpoint`
-    * per round exactly like [[bpeTrain]] so merge R's plan does not
-    * nest rounds 1..R-1's expression trees) — and the encoded
-    * vocabulary BROADCASTS back onto the corpus's exploded words: the
-    * corpus-sized fan-out reuses the pre-explode doc_id clustering
-    * (the [[topNgram]] idiom) so it never crosses the network, and the
-    * word join is a broadcast hash join, never a shuffle on the
-    * maximally-skewed word key. */
-  def bpeEncode(docs: DataFrame, merges: Seq[(Int, String, String)]): DataFrame = {
+    * vocabulary, not the corpus, and the encoded vocabulary BROADCASTS
+    * back onto the corpus's exploded words: the corpus-sized fan-out
+    * reuses the pre-explode doc_id clustering (the [[topNgram]] idiom)
+    * so it never crosses the network, and the word join is a broadcast
+    * hash join, never a shuffle on the maximally-skewed word key. The
+    * vocabulary encode itself mirrors [[bpeTrain]]'s two paths: when
+    * the vocabulary fits the driver bound it is collected once and each
+    * word encoded in memory by repeatedly applying its lowest-rank
+    * applicable merge (equivalent to applying merges in rank order —
+    * a merge only creates adjacencies involving its NEW symbol, so an
+    * earlier-rank pair can never become newly applicable — and each
+    * application is the same greedy left-to-right scan as
+    * [[mergePairExpr]]); zero Spark jobs per merge. The overflow
+    * fallback folds [[mergePairExpr]] over the vocabulary frame with a
+    * `localCheckpoint` per round so merge R's plan does not nest rounds
+    * 1..R-1's expression trees — one vocab-sized job per merge. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(Int, String, String)],
+                maxDriverVocab: Long = 4000000L): DataFrame = {
+    val spark = docs.sparkSession
     val vocab = wordFreq(docs)
       .filter(length(col("word")) >= 1)
       .select(col("word"))
-      .withColumn("syms", expr(
-        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
-    val encoded = merges.sortBy(_._1).foldLeft(vocab) { case (df, (_, l, r)) =>
-      df.withColumn("syms", mergePairExpr(l, r)).localCheckpoint()
-    }
+      .localCheckpoint()
+    val encoded =
+      if (vocab.count() <= maxDriverVocab) {
+        val ranks = merges.map { case (rk, l, r) => (l, r) -> rk }.toMap
+        val rows = vocab.collect().map { row =>
+          val w = row.getString(0)
+          org.apache.spark.sql.Row(w, encodeWordDriver(w, ranks))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("word",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("syms",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, containsNull = false),
+              nullable = false))))
+      } else {
+        val init = vocab.withColumn("syms", expr(
+          "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+        merges.sortBy(_._1).foldLeft(init) { case (df, (_, l, r)) =>
+          df.withColumn("syms", mergePairExpr(l, r)).localCheckpoint()
+        }
+      }
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .join(broadcast(encoded), Seq("word"))
@@ -2094,25 +2263,32 @@ object TextQueries {
 
   /** bpe_encode oracle, rendered from the merge table the query just
     * learned (absent until the query runs — the Ivf.cachedCentroids
-    * pattern): each word becomes a space-delimited symbol string
-    * `' c h a r s </w> '`, each merge is a left-to-right non-overlapping
-    * `replace(' l r ' → ' lr ')` — string replace's scan order IS BPE's
-    * greedy merge order — and documents re-join their encoded words by
-    * position. */
+    * pattern): each word becomes a symbol string with DOUBLED-space
+    * delimiters `'  c  h  a  r  s  </w>  '`, each merge is a
+    * left-to-right non-overlapping `replace(' l  r ' → ' lr ')` —
+    * string replace's scan order IS BPE's greedy merge order, and the
+    * doubled delimiter means adjacent occurrences (`a b a b` under
+    * merge (a,b)) don't share a boundary space: each match consumes one
+    * space from each flanking pair, the single-space replacement
+    * restores it, so ALL non-overlapping occurrences merge exactly like
+    * the engine's [[mergePairExpr]] fold. A single-space oracle merges
+    * only the first of two adjacent occurrences (`replace(' a b a b ',
+    * ' a b ', ' ab ')` = `' ab a b '`) and wrongly diverges. The doubled
+    * spaces collapse back to single just before the final trim. */
   private def bpeEncodeOracles: Map[String, String] = cachedMerges match {
     case None => Map.empty
     case Some(merges) =>
       def q(s: String) = s.replace("'", "''")
       val applied = merges.sortBy(_._1)
-        .foldLeft("concat(' ', regexp_replace(word, '(.)', '\\1 ', 'g'), '</w> ')") {
-          case (acc, (_, l, r)) => s"replace($acc, ' ${q(l)} ${q(r)} ', ' ${q(l + r)} ')"
+        .foldLeft("concat('  ', regexp_replace(word, '(.)', '\\1  ', 'g'), '</w>  ')") {
+          case (acc, (_, l, r)) => s"replace($acc, ' ${q(l)}  ${q(r)} ', ' ${q(l + r)} ')"
         }
       Map("bpe_encode" ->
         s"""WITH w AS (
            |  SELECT doc_id, i AS pos, toks[i] AS word
            |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
-           |enc AS (SELECT word, trim($applied) AS encoded
+           |enc AS (SELECT word, trim(replace($applied, '  ', ' ')) AS encoded
            |        FROM (SELECT DISTINCT word FROM w) v WHERE length(word) >= 1)
            |SELECT doc_id,
            |  CAST(count(*) AS BIGINT) AS n_words,

@@ -521,6 +521,33 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(TextQueries.bpeTrain(d.repartition(7), 5) == TextQueries.bpeTrain(d, 5))
   }
 
+  test("bpeTrain driver and distributed paths produce identical merge tables") {
+    // the driver path (default) vs the overflow fallback, on the real
+    // corpus AND on a maxDriverVocab=0 forcing — both must match the
+    // reference algorithm and each other, including tie-breaks
+    val got = TextQueries.bpeTrain(docs, numMerges = 6)
+    val dist = TextQueries.bpeTrain(docs, numMerges = 6, maxDriverVocab = 0L)
+    assert(got == dist)
+    import spark.implicits._
+    // adjacent-occurrence words stress the incremental pair-stat updates
+    val d = Seq((1L, "abab abab aaaa low low lower")).toDF("doc_id", "text")
+    assert(TextQueries.bpeTrain(d, 8) == TextQueries.bpeTrain(d, 8, maxDriverVocab = 0L))
+  }
+
+  test("bpeEncode merges adjacent pair occurrences (the 'abab' overlap case)") {
+    import spark.implicits._
+    // merge (a,b) applies at positions 0 and 2 of 'abab': both must
+    // merge ([ab, ab, </w>]), matching the reference greedy scan — and
+    // the DuckDB oracle's doubled-delimiter replace chain (a
+    // single-space replace chain merges only the first occurrence)
+    val d = Seq((1L, "abab abab ababab aaaa")).toDF("doc_id", "text")
+    val merges = TextQueries.bpeTrain(d, numMerges = 3)
+    val got = TextQueries.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val toks = refEncode("abab abab ababab aaaa", merges)
+    assert(got(1L) == ((4L, toks.size.toLong, md5hex(toks.mkString(" ")))))
+  }
+
   // ---- temperature-scaled mixture ----
 
   test("corpusMixTemp: budgets follow n^alpha; alpha=1 proportional, alpha~0 uniform") {
@@ -568,6 +595,22 @@ class TextQueriesSpec extends AnyFunSuite {
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("bpeEncode driver and fold paths produce identical encodings") {
+    // real corpus (CJK incl.) + an adjacent-occurrence stress doc: the
+    // collected min-rank-iteration encode vs the distributed
+    // mergePairExpr fold must agree row for row
+    val merges = TextQueries.bpeTrain(docs, numMerges = 6)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(snap(TextQueries.bpeEncode(docs, merges)) ==
+      snap(TextQueries.bpeEncode(docs, merges, maxDriverVocab = 0L)))
+    import spark.implicits._
+    val d = Seq((1L, "abab ababab aaaa low lower")).toDF("doc_id", "text")
+    val m2 = TextQueries.bpeTrain(d, numMerges = 5)
+    assert(snap(TextQueries.bpeEncode(d, m2)) ==
+      snap(TextQueries.bpeEncode(d, m2, maxDriverVocab = 0L)))
+  }
 
   test("bpeEncode matches the reference encoder on the classic corpus") {
     import spark.implicits._
