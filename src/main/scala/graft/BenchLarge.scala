@@ -386,6 +386,18 @@ object BenchLarge {
       graft.text.TextQueries.scrubFrequentNgrams(docs(spark, nDocs, template))
         .filter(col("n_removed") > 0).count()
     }
+    // exact-substring dedup at the full corpus (Lee et al. 2021 window
+    // granularity; k sized to the 18-token synthetic docs — production
+    // default is 50): pass 1 counts window hashes (native xxhash64 —
+    // the production config), pass 2 left-semi joins the duplicated set
+    // and rebuilds per doc. The planted 1% dup pairs and the template
+    // clique make every window of a duplicated doc repeat; the check
+    // counts docs with at least one duplicated span.
+    timed("substr_dedup", clearAfter = true) {
+      graft.text.TextQueries.exactSubstringDedup(docs(spark, nDocs, template),
+        k = 8, portableHash = false)
+        .filter(col("n_removed") > 0).count()
+    }
     // BPE tokenizer training at a production-shaped merge count: ONE
     // corpus-sized pass (the word-frequency aggregate), then the
     // ~90k-word vocabulary collects and 1000 merge rounds run

@@ -1214,6 +1214,78 @@ object TextQueries {
           .as("clean_hash"))
   }
 
+  /** Exact-substring deduplication at k-token window granularity (Lee
+    * et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" §4.1: remove every ≥50-token span that appears verbatim
+    * more than once in the corpus — within OR across documents). The
+    * suffix-array construction the paper uses is replaced by the
+    * distributed compromise: every k-token window is hashed, windows
+    * whose hash occurs ≥2 times corpus-wide are duplicated, and a
+    * document's duplicated spans are the union of its duplicated
+    * windows (adjacent/overlapping windows merge into maximal spans by
+    * construction). Any duplicated run of length L ≥ k is covered
+    * exactly (every one of its windows repeats wherever the run
+    * repeats); runs shorter than k are below the threshold by
+    * definition — i.e. k IS the paper's 50-token match threshold.
+    * Emits (doc_id, n_tokens, n_removed, n_spans, clean_hash): the
+    * [[scrubFrequentNgrams]] output shape plus the maximal-span count,
+    * clean_hash the md5 of the text with duplicated spans removed.
+    *
+    * Scale shape (100 TB):
+    *  - pass 1 hashes every window and counts by hash: the window
+    *    STRINGS (an O(k)× amplification) exist only partition-locally
+    *    between the explode and the hash projection; what shuffles is
+    *    the map-side-combined (hash, count) aggregate — O(corpus
+    *    tokens) compact 16-byte rows, the same order of shuffle the
+    *    paper's suffix-array sort pays;
+    *  - pass 2 re-derives positional window hashes above the doc_id
+    *    clustering and LEFT-SEMI joins the duplicated-hash set on h:
+    *    the dup set is corpus-derived (NOT broadcastable — for a
+    *    template clique it is Zipf-large), so this is a shuffle join of
+    *    two compact keyed frames; a hyper-duplicated window (the same
+    *    boilerplate in millions of docs) lands its position rows on one
+    *    reducer but each row emits exactly once — bounded, no
+    *    fan-out;
+    *  - pass 3 joins the per-doc start lists back on doc_id (both
+    *    sides doc_id-clustered) and rebuilds per-row: expand starts to
+    *    covered indices, count maximal spans (a covered index whose
+    *    predecessor is uncovered opens a span), filter the token
+    *    array, md5.
+    *  - `portableHash=false` swaps the md5-based cross-engine hash for
+    *    native xxhash64 — the production configuration; md5 exists for
+    *    DuckDB-oracle parity.
+    */
+  def exactSubstringDedup(docs: DataFrame, k: Int = 50,
+                          portableHash: Boolean = true): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
+    val pre = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // the count branch needs no doc_id clustering (it aggregates on h)
+    // and no positions — scan → explode → hash, map-side combined
+    val dup = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(ngramArrayExpr(k))).as("win"))
+      .select(h(col("win")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val starts = pre
+      .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    pre.join(starts, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${k - 1}))))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("covered")).as("n_removed"),
+        size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
+        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
+          .as("clean_hash"))
+  }
+
   /** (word, freq) vocabulary table from the corpus — the relation BPE
     * training iterates on. The ONLY corpus-sized pass in the BPE
     * pipeline: one exploded, map-side-combined aggregate; everything
@@ -1798,6 +1870,7 @@ object TextQueries {
       bpeEncode(docs, merges)
     },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
+    "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
@@ -2097,10 +2170,34 @@ object TextQueries {
        |SELECT t.doc_id,
        |  CAST(len(t.toks) AS INT) AS n_tokens,
        |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
-       |  md5(array_to_string(list_filter(t.toks,
-       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j)), ' ')) AS clean_hash
+       |  md5(coalesce(array_to_string(list_filter(t.toks,
+       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j)), ' '), '')) AS clean_hash
        |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
+
+  /** dedup_substring oracle: DuckDB twin of [[exactSubstringDedup]] —
+    * k-token windows by 1-based list slice, duplicated = window hash
+    * seen ≥2 times corpus-wide, coverage the distinct union of
+    * half-open `range(pos, pos + k)` spans (0-based positions, matching
+    * Spark's posexplode; the list_filter index j is 1-based, hence
+    * `j - 1`). */
+  private def substringDedupOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id, i - 1 AS pos,
+       |        ${phashSql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+       |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - ${k - 1}, 0) + 1)) AS i)),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $k) AS span FROM w JOIN dup USING (h))
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS INT) AS n_tokens,
+       |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+       |  CAST(coalesce(len(list_filter(h.covered,
+       |    c -> NOT list_contains(h.covered, c - 1))), 0) AS INT) AS n_spans,
+       |  md5(coalesce(array_to_string(list_filter(t.toks,
+       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j - 1)), ' '), '')) AS clean_hash
+       |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
 
   /** Transitive closure of the LSH pair graph via recursive CTE (fine at
     * oracle scale; the Spark side is the O(log n) large-star/small-star
@@ -2552,6 +2649,7 @@ object TextQueries {
          |FROM b""".stripMargin,
 
     "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
+    "dedup_substring" -> substringDedupOracle(k = 50),
 
     "bpe_pairs" ->
       """WITH wf AS (

@@ -247,6 +247,29 @@ class PlanSpec extends AnyFunSuite {
       "shingle counts must combine map-side below their exchange")
   }
 
+  test("dedup_substring: window fan-out partition-local; hash counts combine map-side") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    // two compact-row doc_id exchanges (position-collect branch +
+    // rebuild join-back), both moving un-exploded (doc_id, text) rows —
+    // the count branch aggregates on h and needs no doc_id clustering
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 2,
+      s"expected two compact-row doc_id shuffles, got $nDoc:\n${p.take(2500)}")
+    // the positional explode sits above its doc_id exchange: window
+    // rows are generated after the shuffle, partition-locally
+    val generate = p.indexOf("Generate posexplode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id", generate)
+    assert(generate >= 0 && exchange > generate,
+      s"positional windows must not cross the network:\n${p.take(2500)}")
+    // the window-hash count combines map-side below its h exchange:
+    // what shuffles is (hash, partial count), never window strings
+    val shuffleH = p.indexOf("Exchange hashpartitioning(h")
+    val partial = p.indexOf("partial_count", shuffleH)
+    assert(shuffleH >= 0 && partial > shuffleH,
+      s"window-hash counts must combine map-side below their exchange:\n${p.take(2500)}")
+  }
+
   test("emb_semdedup: survivors anti-join a BROADCAST drop-set; corpus scanned once") {
     val p = plan("emb_semdedup")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),

@@ -447,6 +447,47 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(base.exists(_._3 == 0), "fixture must leave some docs untouched")
   }
 
+  // ---- exact-substring dedup (Lee et al. 2021 granularity) ----
+
+  test("exactSubstringDedup: cross-doc runs, within-doc repeats, maximal spans") {
+    import spark.implicits._
+    // k=5: docs 1/2 share a 7-token run (3 duplicated windows each,
+    // merging into ONE maximal span); doc 3 is unique; doc 4 repeats
+    // its own 5-token window (within-doc duplication counts too, and
+    // the two spans stay separate because position 5 breaks them)
+    val a = "a0 a1 s0 s1 s2 s3 s4 s5 s6 a2 a3"
+    val b = "b0 s0 s1 s2 s3 s4 s5 s6 b1 b2"
+    val c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val d = "r0 r1 r2 r3 r4 d0 r0 r1 r2 r3 r4"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedup(df, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((11, 7, 1, md5hex("a0 a1 a2 a3"))))
+    assert(got(2L) == ((10, 7, 1, md5hex("b0 b1 b2"))))
+    assert(got(3L) == ((10, 0, 0, md5hex(c))))
+    assert(got(4L) == ((11, 10, 2, md5hex("d0"))))
+  }
+
+  test("exactSubstringDedup: docs shorter than k emit zero windows, never error") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedup(df, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got == Map(1L -> ((3, 0, 0)), 2L -> ((3, 0, 0))))
+  }
+
+  test("exactSubstringDedup: partitioning invariance and portable/native hash parity") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val base = snap(TextQueries.exactSubstringDedup(docs, k = 10))
+    assert(base.exists(_._3 > 0), "fixture must contain duplicated windows")
+    assert(base.exists(_._3 == 0), "fixture must contain clean docs")
+    assert(base == snap(TextQueries.exactSubstringDedup(docs.repartition(7), k = 10)))
+    // the hash only decides dup membership — md5-portable and native
+    // xxhash64 configurations must produce identical results
+    assert(base == snap(TextQueries.exactSubstringDedup(docs, k = 10, portableHash = false)))
+  }
+
   // ---- BPE tokenizer training ----
 
   /** Driver-side reference BPE (Sennrich et al. 2016 Algorithm 1):
