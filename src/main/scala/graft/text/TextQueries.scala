@@ -1063,6 +1063,98 @@ object TextQueries {
           .as("nll_kn"))
   }
 
+  /** Per-document TRIGRAM score under interpolated Kneser-Ney smoothing
+    * (Chen & Goodman 1999 eq. 4.24 applied recursively) — the order-3
+    * form of [[kneserNeyScore]], one step closer to the 5-gram KenLM
+    * CCNet actually filters with:
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃) − D, 0)/c(w₁w₂·)
+    *              + (D · N1+(w₁w₂·)/c(w₁w₂·)) · P(w₃|w₂)
+    *   P(w₃|w₂)   = max(N1+(·w₂w₃) − D, 0)/N1+(·w₂·)
+    *              + (D · N1+(w₂·)/N1+(·w₂·)) · Pcont(w₃)
+    *   Pcont(w₃)  = N1+(·w₃)/N1+(··)
+    *
+    * where the MIDDLE level runs on continuation-type counts derived
+    * from the trigram type inventory (Chen & Goodman's
+    * lower-order-from-higher-order construction): N1+(·w₂w₃) = distinct
+    * left contexts of the pair, N1+(·w₂·) = trigram types with middle
+    * w₂, N1+(w₂·) = distinct pairs starting at w₂, N1+(·w₃) = distinct
+    * pairs ending at w₃, N1+(··) = total pair types — every one a
+    * GROUP BY over the trigram count table's rows. Per retained
+    * context, each level's probabilities sum to 1 exactly (the
+    * telescoping max(c−D,0)/den + D·types/den identity; spec-pinned
+    * through the recursive backoff). Scores trigram transitions only;
+    * emits (doc_id, n_transitions, nll_kn3); documents with < 3 tokens
+    * are omitted (the [[bigramScore]] LEFT-join composition
+    * convention). Unseen w₃ takes the 0.5 pseudo-type; a context with
+    * no retained trigram backs off with lambda = 1 at that level.
+    *
+    * Scale shape (100 TB): ONE corpus-sized counting pass (the trigram
+    * count aggregate, map-side combined); ALL five model tables derive
+    * from that table's rows — the corpus is never re-scanned and never
+    * shuffled on a token key. The trigram table is the unbounded one
+    * (≈ corpus token count), so `topV` is REQUIRED at web scale
+    * (deterministic count-desc/gram-asc truncation); the derived
+    * tables then describe the pruned model consistently. Everything
+    * broadcasts onto the doc_id-clustered transition fan-out
+    * ([[unigramScore]] idiom: the explode sits above
+    * repartition(doc_id), so the fan-out never crosses the network). */
+  def kneserNeyScore3(docs: DataFrame, discount: Double = 0.75,
+                      topV: Option[Int] = None): DataFrame = {
+    require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
+    val tcFull = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(ngramArrayExpr(3))).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("tcnt"))
+    val tc = truncTop(tcFull, topV, "tcnt", "tg")
+    val sided = tc.select(col("tg"), col("tcnt"),
+      element_at(split(col("tg"), " "), 1).as("w1"),
+      element_at(split(col("tg"), " "), 2).as("w2"),
+      element_at(split(col("tg"), " "), 3).as("w3"))
+    // top level: denominator + continuation-type count per (w1, w2) —
+    // one aggregation, same keys, no join
+    val ctx = sided.groupBy("w1", "w2")
+      .agg(sum(col("tcnt")).as("lcnt"), count(lit(1)).as("cont12"))
+    // middle level: the pair-type inventory with its left-context type
+    // count N1+(·w2w3)
+    val btypes = sided.groupBy("w2", "w3").agg(count(lit(1)).as("n1"))
+    // N1+(·w2·) = Σ_w3 N1+(·w2w3) and N1+(w2·) = pair types per w2 —
+    // one aggregation over btypes
+    val mid = btypes.groupBy("w2")
+      .agg(sum(col("n1")).as("nmid"), count(lit(1)).as("n2dot"))
+    // bottom level: distinct left pairs per w3, and the total type count
+    val uniCont = btypes.groupBy("w3").agg(count(lit(1)).as("n1r"))
+    val types2 = btypes.agg(count(lit(1)).cast("double").as("n_types2"))
+    val pBi =
+      coalesce(greatest(coalesce(col("n1"), lit(0L)).cast("double") - discount, lit(0.0)) / col("nmid"),
+        lit(0.0)) +
+        coalesce(lit(discount) * col("n2dot") / col("nmid"), lit(1.0)) *
+          (coalesce(col("n1r").cast("double"), lit(0.5)) / col("n_types2"))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(ngramArrayExpr(3))).as("tg"))
+      .withColumn("w1", element_at(split(col("tg"), " "), 1))
+      .withColumn("w2", element_at(split(col("tg"), " "), 2))
+      .withColumn("w3", element_at(split(col("tg"), " "), 3))
+      .join(broadcast(tc.select("tg", "tcnt")), Seq("tg"), "left")
+      .join(broadcast(ctx), Seq("w1", "w2"), "left")
+      .join(broadcast(btypes), Seq("w2", "w3"), "left")
+      .join(broadcast(mid), Seq("w2"), "left")
+      .join(broadcast(uniCont), Seq("w3"), "left")
+      .crossJoin(broadcast(types2))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        round(avg(-log(
+          coalesce(
+            greatest(coalesce(col("tcnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col("lcnt"),
+            lit(0.0))
+            + coalesce(lit(discount) * col("cont12") / col("lcnt"), lit(1.0)) * pBi)), 6)
+          .as("nll_kn3"))
+  }
+
   /** Per-document duplicate-n-gram CHARACTER coverage — the form
     * Gopher's repetition thresholds are actually stated in (Rae et al.
     * 2021 Table A1: "fraction of characters in duplicate n-grams"):
@@ -1860,6 +1952,7 @@ object TextQueries {
     "txt_unigram_lm" -> { (s, dir) => unigramScore(Tables.documents(s, dir)) },
     "txt_bigram_lm" -> { (s, dir) => bigramScore(Tables.documents(s, dir)) },
     "txt_kn_lm" -> { (s, dir) => kneserNeyScore(Tables.documents(s, dir)) },
+    "txt_kn_lm_3" -> { (s, dir) => kneserNeyScore3(Tables.documents(s, dir)) },
     "txt_entropy" -> { (s, dir) => tokenEntropy(Tables.documents(s, dir)) },
     "txt_dup_coverage" -> { (s, dir) => dupNgramCoverage(Tables.documents(s, dir)) },
     "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
@@ -2460,6 +2553,43 @@ object TextQueries {
         |LEFT JOIN cr2 ON string_split(g.bg, ' ')[2] = cr2.rw
         |CROSS JOIN ty
         |GROUP BY g.doc_id""".stripMargin,
+
+    // trigram interpolated KN: all five model tables derive from the
+    // trigram count table, mirroring kneserNeyScore3 term for term
+    // (unpruned at oracle scale, so the pruning fallback arms are dead
+    // here — they are spec-pinned instead)
+    "txt_kn_lm_3" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |allg AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |           i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tg FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tg
+        |      FROM t WHERE len(toks) >= 3),
+        |tcn AS (SELECT tg, count(*) AS tcnt FROM allg GROUP BY tg),
+        |s AS (SELECT tg, tcnt, string_split(tg, ' ')[1] AS w1,
+        |        string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3 FROM tcn),
+        |ctx AS (SELECT w1, w2, sum(tcnt) AS lcnt, count(*) AS cont12 FROM s GROUP BY w1, w2),
+        |bt AS (SELECT w2, w3, count(*) AS n1 FROM s GROUP BY w2, w3),
+        |mid AS (SELECT w2, sum(n1) AS nmid, count(*) AS n2dot FROM bt GROUP BY w2),
+        |uc AS (SELECT w3, count(*) AS n1r FROM bt GROUP BY w3),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types2 FROM bt),
+        |gw AS (SELECT doc_id, tg, string_split(tg, ' ')[1] AS w1,
+        |         string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3 FROM g)
+        |SELECT gw.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        |  round(avg(-ln(
+        |    greatest(coalesce(tcn.tcnt, 0) - 0.75, 0.0) / ctx.lcnt
+        |    + 0.75 * ctx.cont12 / ctx.lcnt *
+        |      (greatest(coalesce(bt.n1, 0) - 0.75, 0.0) / mid.nmid
+        |       + 0.75 * mid.n2dot / mid.nmid *
+        |         (coalesce(uc.n1r, 0.5) / ty.n_types2)))), 6) AS nll_kn3
+        |FROM gw
+        |LEFT JOIN tcn USING (tg)
+        |JOIN ctx USING (w1, w2)
+        |LEFT JOIN bt USING (w2, w3)
+        |JOIN mid USING (w2)
+        |LEFT JOIN uc USING (w3)
+        |CROSS JOIN ty
+        |GROUP BY gw.doc_id""".stripMargin,
 
     "txt_dup_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

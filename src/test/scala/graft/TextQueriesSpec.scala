@@ -822,6 +822,68 @@ class TextQueriesSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllP(id), s"doc $id pruned-KN NLL")
   }
 
+  test("kneserNeyScore3: hand-computed recursive interpolated-KN NLL, mass pin, pruning") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b c"), (1L, "b a b a"), (2L, "c a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val toks = Map(0L -> Seq("a", "b", "a", "b", "c"),
+      1L -> Seq("b", "a", "b", "a"), 2L -> Seq("c", "a", "b"))
+    val D = 0.75
+    val triFull = toks.values.flatMap(_.sliding(3).map(x => (x(0), x(1), x(2))))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    // reference model: every table derived from the trigram count table
+    def model(tc: Map[(String, String, String), Double]) = {
+      val ctx = tc.groupBy(t => (t._1._1, t._1._2))
+        .view.mapValues(v => (v.values.sum, v.size.toDouble)).toMap
+      val bt = tc.keySet.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toDouble).toMap
+      val mid = bt.groupBy(_._1._1).view.mapValues(v => (v.values.sum, v.size.toDouble)).toMap
+      val uc = bt.keySet.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val T = bt.size.toDouble
+      def pcont(w3: String) = uc.getOrElse(w3, 0.5) / T
+      def pbi(w2: String, w3: String) = mid.get(w2) match {
+        case None => pcont(w3)
+        case Some((nmid, n2dot)) =>
+          math.max(bt.getOrElse((w2, w3), 0.0) - D, 0.0) / nmid + D * n2dot / nmid * pcont(w3)
+      }
+      def p(w1: String, w2: String, w3: String) = ctx.get((w1, w2)) match {
+        case None => pbi(w2, w3)
+        case Some((lcnt, cont12)) =>
+          math.max(tc.getOrElse((w1, w2, w3), 0.0) - D, 0.0) / lcnt +
+            D * cont12 / lcnt * pbi(w2, w3)
+      }
+      (p _, ctx.keySet, uc.keySet)
+    }
+    val (p, ctxKeys, w3s) = model(triFull)
+    def nllOf(pf: (String, String, String) => Double)(id: Long): Double = {
+      val terms = toks(id).sliding(3).map(t => -math.log(pf(t(0), t(1), t(2)))).toSeq
+      BigDecimal(terms.sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextQueries.kneserNeyScore3(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "docs under 3 tokens are omitted")
+    assert(got(0L)._1 == 3 && got(2L)._1 == 1)
+    for (id <- Seq(0L, 1L, 2L)) assert(got(id)._2 == nllOf(p)(id), s"doc $id KN3 NLL")
+    // mass pin THROUGH the recursive backoff: for every retained
+    // context, the distribution over the seen-w3 universe telescopes to
+    // exactly 1 at each level
+    for ((w1, w2) <- ctxKeys) {
+      val mass = w3s.toSeq.map(w3 => p(w1, w2, w3)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context ($w1,$w2): mass $mass")
+    }
+    val rep = TextQueries.kneserNeyScore3(d.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == got.view.mapValues(_._2).toMap)
+    // topV prunes the trigram type inventory (count desc, gram asc);
+    // all derived tables describe the pruned model, and a context with
+    // no retained trigram backs off with lambda = 1 at that level
+    val keep = triFull.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, s"$a $b $c") }.take(2).toMap
+    val (pP, _, _) = model(keep)
+    val pruned = TextQueries.kneserNeyScore3(d, topV = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllOf(pP)(id), s"doc $id pruned-KN3 NLL")
+  }
+
   test("dupNgramCoverage: hand-computed char coverage, overlaps counted once") {
     import spark.implicits._
     // doc 0: "x y z x y z w" — trigram "x y z" occurs at 0 and 3,
