@@ -121,10 +121,19 @@ object SimilarityQueries {
     * broadcast (eval sets are small by construction); the corpus is
     * scanned, never shuffled on the bucket key, and survivors
     * materialize through the same broadcast anti-join shape as text
-    * dedupKeep. Returns the surviving corpus rows. */
+    * dedupKeep. Returns the surviving corpus rows.
+    *
+    * The drop set (`hits`) is bounded by the number of CONTAMINATED
+    * corpus vectors, not by the eval set — a heavily contaminated
+    * corpus (or a loose `threshold`) can outgrow a broadcast. When the
+    * caller can't bound contamination a priori, pass
+    * `broadcastDrop = false`: the anti-join then shuffles both sides on
+    * vec_id (they co-partition, so the corpus moves once and the drop
+    * set — still only ids — stays compact). */
   def annDecontaminate(corpus: DataFrame, eval: DataFrame,
                        threshold: Double = 0.25,
-                       planes: Int = PLANES): DataFrame = {
+                       planes: Int = PLANES,
+                       broadcastDrop: Boolean = true): DataFrame = {
     val eb = bucketedOf(eval, planes)
       .select(col("vec_id").as("eid"), col("embedding").as("e1"), col("bucket"))
     val hits = bucketedOf(corpus, planes)
@@ -132,7 +141,8 @@ object SimilarityQueries {
       .join(broadcast(eb), Seq("bucket"))
       .filter(cosineE12(col("e1"), col("e2")) >= threshold)
       .select(col("vec_id")).distinct()
-    corpus.join(broadcast(hits), Seq("vec_id"), "left_anti")
+    corpus.join(if (broadcastDrop) broadcast(hits) else hits,
+      Seq("vec_id"), "left_anti")
   }
 
   private val bucketSql: String =

@@ -496,8 +496,12 @@ object StreamOps {
     *
     * Output (append mode): the input row + `nll`. Batch parity: for
     * documents of the training corpus itself (untruncated vocab), `nll`
-    * equals [[graft.text.TextQueries.unigramScore]]
-    * (StreamingSpec-pinned).
+    * matches [[graft.text.TextQueries.unigramScore]] up to the 1e-6
+    * quantization boundary (StreamingSpec-pinned): the batch side
+    * averages exploded rows in partition order while this expression
+    * folds the document sequentially, so the pre-round sums can differ
+    * by ~1 ulp and a value sitting exactly on a rounding tie may land
+    * one 1e-6 quantum apart.
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */

@@ -1243,7 +1243,11 @@ object TextQueries {
 
   /** Per-row unigram NLL under a one-row broadcast model (`toks`,
     * `uni_map`, `tot` must be bound) — the fold-order twin of
-    * [[unigramScore]]'s aggregate. */
+    * [[unigramScore]]'s aggregate. Parity with the batch aggregate
+    * holds up to the 1e-6 quantization boundary, not bit-exactly: the
+    * batch side's partial sums accumulate in partition order, this
+    * fold in document order, so a pre-round difference of ~1 ulp on a
+    * rounding tie can shift the result by one quantum. */
   def unigramScoreExpr(oovCount: Double = 0.5): Column =
     round(expr(
       s"""aggregate(toks, CAST(0.0 AS DOUBLE),

@@ -182,4 +182,24 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     assert(got == all -- drop)
     assert(drop.nonEmpty, "fixture must actually drop duplicates")
   }
+
+  test("annDecontaminate broadcastDrop=false: identical survivors, no broadcast anti-join") {
+    // the unbounded-contamination escape hatch: same result set as the
+    // default broadcast path, with the drop set shuffled instead of
+    // broadcast (for corpora where the contaminated fraction can
+    // outgrow a broadcast)
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = all.filter(col("vec_id") % 20 =!= 0)
+    val eval = all.filter(col("vec_id") % 20 === 0)
+    val bc = graft.sim.SimilarityQueries.annDecontaminate(corpus, eval)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val shuffled = graft.sim.SimilarityQueries
+      .annDecontaminate(corpus, eval, broadcastDrop = false)
+    assert(shuffled.select("vec_id").collect().map(_.getLong(0)).toSet == bc)
+    assert(bc.size < corpus.count(), "fixture must actually drop vectors")
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"broadcastDrop=false must not broadcast the drop set:\n${p.take(2000)}")
+  }
 }
