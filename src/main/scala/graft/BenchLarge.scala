@@ -29,8 +29,12 @@ import org.apache.spark.sql.expressions.Window
   *                     vocabulary, fan-out never shuffles)
   *   - `scrub_ngrams`  cross-document boilerplate n-gram scrub
   *                     (broadcast frequent set)
-  *   - `bpe_train`     20 BPE merges: one corpus pass + vocab-sized
-  *                     iteration rounds
+  *   - `substr_dedup`  exact-substring dedup at k-token window
+  *                     granularity (count windows, semi-join the
+  *                     duplicated set, rebuild per doc)
+  *   - `bpe_train`     1000 BPE merges: one corpus pass, then the
+  *                     driver-side heap merge loop over the collected
+  *                     vocab pair-stats
   *   - `bpe_encode`    apply the learned merges: vocab fold +
   *                     broadcast join onto the word fan-out
   *   - `pii_scrub`     email/IP/phone detection + redaction + md5,

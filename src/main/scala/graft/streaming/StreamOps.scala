@@ -521,6 +521,69 @@ object StreamOps {
       .drop("toks", "uni_map", "tot")
   }
 
+  /** The full stateless curation gate — quality + benchmark
+    * decontamination + DSIR target-affinity + CCNet perplexity band as
+    * ONE micro-batch plan. A production ingest pipeline chains all four
+    * stages on every document; composed naively
+    * ([[streamingIngestGate]] → [[streamingDsirGate]] →
+    * [[streamingPerplexityGate]]) each stage is its own cross-join, so
+    * every micro-batch pays THREE one-row broadcasts and re-plans three
+    * static sides. This gate folds the three model artifacts — the
+    * benchmark shingle set, the DSIR log-ratio map, and the unigram LM
+    * row — into ONE static row (a cross join of three one-row frames,
+    * persisted session-owned like each individual gate's static side),
+    * so each micro-batch pays ONE broadcast and one scan: quality is a
+    * per-row predicate before the join, and contamination / logw / nll
+    * are per-row expressions over the broadcast row's columns. Zero
+    * streaming state, constant memory; every filter survivor carries
+    * its `logw` and `nll` scores.
+    *
+    * Batch parity (StreamingSpec-pinned): survivors == the intersection
+    * of the four batch stages' keeps; `logw` exactly matches
+    * [[graft.text.TextQueries.dsirWeights]] and `nll` matches
+    * [[graft.text.TextQueries.unigramScore]] up to the 1e-6
+    * quantization boundary.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    * Output (append mode): the input row + `logw` + `nll`.
+    */
+  def streamingCurationGate(docs: DataFrame, benchmark: DataFrame,
+                            raw: DataFrame, target: DataFrame,
+                            lmCorpus: DataFrame,
+                            n: Int = 5, buckets: Int = 4096,
+                            minLogw: Double = 0.0,
+                            minNll: Double = 0.0,
+                            maxNll: Double = Double.MaxValue,
+                            topV: Option[Int] = None,
+                            oovCount: Double = 0.5,
+                            redactPii: Boolean = false): DataFrame = {
+    import graft.text.TextQueries
+    // one static row = benchmark shingles x DSIR ratio map x unigram LM:
+    // three one-row frames cross-joined once at plan time, so the
+    // per-micro-batch cost is a single broadcast of a single row
+    val benchRow = benchmark
+      .select(explode(TextQueries.ngramShinglesExpr("text", n)).as("shingle"))
+      .distinct()
+      .agg(collect_set(col("shingle")).as("bench_shingles"))
+    val staticRow = benchRow
+      .crossJoin(TextQueries.dsirRatioRow(raw, target, buckets))
+      .crossJoin(TextQueries.unigramModelRow(lmCorpus, topV))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = docs
+      .filter(TextQueries.qualityKeep())
+      .crossJoin(broadcast(staticRow))
+      .filter(size(array_intersect(
+        TextQueries.ngramShinglesExpr("text", n), col("bench_shingles"))) === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("logw", TextQueries.dsirScoreExpr(buckets))
+      .withColumn("nll", TextQueries.unigramScoreExpr(oovCount))
+      .filter(col("logw") >= minLogw && col("nll") >= minNll && col("nll") <= maxNll)
+      .drop("toks", "bench_shingles", "ratio_map", "default_ratio", "uni_map", "tot")
+    if (redactPii)
+      gated.withColumn("text", graft.text.PiiQueries.redactPii(col("text")))
+    else gated
+  }
+
   /** Stream-static embedding near-dup gate: incoming vectors matched
     * against a static IVF-assigned corpus ([[graft.sim.Ivf.withCell]]).
     * Stateless end to end: cell assignment is a codegen'd expression

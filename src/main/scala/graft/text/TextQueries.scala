@@ -619,17 +619,22 @@ object TextQueries {
     * Returns the clean corpus as (doc_id, content_hash).
     *
     * Cache contract (same as `persistLineage` in [[lshPairs]]): with
-    * `persistIntermediate=true` the cleaned text frame is persisted
-    * MEMORY_AND_DISK and stays SESSION-OWNED — repeated calls in one
-    * session accumulate caches that only `spark.catalog.clearCache()`
-    * (or session end) reclaims. Callers looping over corpus versions
-    * should clearCache between runs or pass `persistIntermediate=false`.
+    * `persistIntermediate=true` the cleaned text frame is persisted at
+    * `storageLevel` (default MEMORY_AND_DISK) and stays SESSION-OWNED —
+    * repeated calls in one session accumulate caches that only
+    * `spark.catalog.clearCache()` (or session end) reclaims. Callers
+    * looping over corpus versions should clearCache between runs or
+    * pass `persistIntermediate=false`. At corpus sizes where the
+    * cleaned text outgrows executor storage memory, DISK_ONLY trades
+    * eviction-pressure churn for sequential re-reads.
     */
   def corpusClean(corpus: DataFrame, benchmark: DataFrame,
                   n: Int = 5, threshold: Double = 0.5,
                   persistIntermediate: Boolean = true,
                   persistLineage: Boolean = false,
-                  extraFilter: Option[Column] = None): DataFrame = {
+                  extraFilter: Option[Column] = None,
+                  storageLevel: org.apache.spark.storage.StorageLevel =
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // `extraFilter` composes additional per-row keeps into the quality
     // stage (e.g. repetitionKeep()) without touching the pipeline shape
     val clean0 = corpus
@@ -643,9 +648,7 @@ object TextQueries {
     // cleaned text (cache stays session-owned, as lshPairs documents)
     // is the in-query form of what a production pipeline does anyway:
     // materialize the filtered corpus, then dedup the materialization.
-    val clean = if (persistIntermediate)
-      clean0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else clean0
+    val clean = if (persistIntermediate) clean0.persist(storageLevel) else clean0
     dedupKeep(clean, threshold, persistLineage = persistLineage)
   }
 

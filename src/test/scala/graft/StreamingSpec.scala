@@ -668,6 +668,108 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("composed curation gate: survivors = quality ∩ decon ∩ DSIR ∩ perplexity, scores parity") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_replay")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    // thresholds from the batch sides so every stage actually filters:
+    // DSIR median, perplexity middle band
+    val wantW = graft.text.TextQueries.dsirWeights(corpus, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wantN = graft.text.TextQueries.unigramScore(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val wSorted = wantW.values.toSeq.sorted
+    val nSorted = wantN.values.toSeq.sorted
+    val cutW = wSorted(wSorted.size / 2)
+    val (loN, hiN) = (nSorted(nSorted.size / 4), nSorted(3 * nSorted.size / 4))
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      in, bench, corpus, target, corpus,
+      minLogw = cutW, minNll = loN, maxNll = hiN)
+      .writeStream.format("memory").queryName("cur_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cur_replay").collect()
+      val got = rows.map(r => r.getAs[Long]("doc_id")
+        -> ((r.getAs[Double]("logw"), r.getAs[Double]("nll")))).toMap
+      // expected survivors: the four INDEPENDENT batch stages intersected
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dsirKeep = wantW.filter(_._2 >= cutW).keySet
+      val pplKeep = wantN.filter { case (_, v) => v >= loN && v <= hiN }.keySet
+      val want = quality & decon & dsirKeep & pplKeep
+      assert(want.nonEmpty && want.size < corpus.count(),
+        "fixture must keep a strict, non-empty subset")
+      // each stage must bite on its own (or the composition proves nothing)
+      val nCorpus = corpus.count()
+      for ((nm, s) <- Seq("quality" -> quality, "decon" -> decon,
+          "dsir" -> dsirKeep, "ppl" -> pplKeep))
+        assert(s.size < nCorpus, s"stage $nm filters nothing on the fixture")
+      assert(got.keySet == want, s"extra=${got.keySet -- want} missing=${want -- got.keySet}")
+      // score parity: logw exact (shared fold + quantization), nll up to
+      // the 1e-6 quantization boundary (fold vs partition-order avg)
+      val offW = got.filter { case (id, (w, _)) => math.abs(w - wantW(id)) > 1e-9 }
+      assert(offW.isEmpty, s"logw drift: ${offW.take(5)}")
+      val offN = got.filter { case (id, (_, v)) => math.abs(v - wantN(id)) > 1.001e-6 }
+      assert(offN.isEmpty, s"nll drift: ${offN.take(5)}")
+    } finally q.stop()
+  }
+
+  test("composed curation gate per-micro-batch plan: ONE one-row broadcast, zero shuffles") {
+    // the whole point of the composition: four stages, still exactly one
+    // broadcast join of one cached static row, and no shuffle of the
+    // micro-batch — pinned on the executed second-batch plan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_plan")
+    stageFile(corpus.filter(col("doc_id") < 250)
+      .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b0.parquet")
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue)
+      .writeStream.format("memory").queryName("cur_plan").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stageFile(corpus.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b1.parquet")
+      q.processAllAvailable()
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
+      val nodes = expand(plan)
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"the composed static row must be served from cache:\n$plan")
+      assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,
+        s"four stages must still pay exactly ONE one-row broadcast join:\n$plan")
+      assert(!nodes.exists {
+        case _: ShuffleExchangeExec | _: ShuffleQueryStageExec => true
+        case _ => false
+      }, s"a stateless per-row gate must not shuffle the batch:\n$plan")
+    } finally q.stop()
+  }
+
   /** Stage `df` as one more file into a streaming drop-folder (file
     * sources monitor directories; each new file is the next batch). */
   private def stageFile(df: org.apache.spark.sql.DataFrame,
