@@ -1952,6 +1952,159 @@ object TextQueries {
       .orderBy(col("logw").desc, col("doc_id"))
       .limit(k)
 
+  // ---------------------------------------------------------------------
+  // Learned quality classifier: logistic regression over the DSIR
+  // hashed n-gram feature space — the fastText-style curated-vs-crawl
+  // filter (Joulin et al. 2017 "Bag of Tricks"; the GPT-3 data-quality
+  // LR of Brown et al. 2020 Appendix A), with the DSIR substrate
+  // supplying the bounded feature representation (Xie et al. 2023).
+  // ---------------------------------------------------------------------
+
+  /** Train the classifier: full-batch gradient descent on a BOUNDED
+    * deterministic sample (at most `sampleN` docs, selected by salted
+    * doc_id hash so the sample is unbiased and identical run to run —
+    * the [[graft.sim.Ivf]] bounded-training discipline: model fitting
+    * collects a capped sample, never the corpus). Features are the
+    * hashed unigram+bigram bucket counts of [[dsirBucketsExpr]],
+    * normalized per document (x_b = cnt_b / n_grams) so document length
+    * doesn't dominate; `targetPred` supplies the label (true = the
+    * curated/target class). Returns (bias, weights[buckets]).
+    *
+    * The driver-side loop is deterministic: the sample arrives in
+    * TakeOrdered order, full-batch gradients accumulate in that fixed
+    * order, and no randomness enters (weights start at zero). Scale
+    * shape (100 TB): ONE distributed pass computes the per-doc feature
+    * arrays; `sampleN` bounds the collect and the training cost by
+    * construction — exactly how production quality filters are fit
+    * (a few hundred thousand labeled docs, scored over the full crawl). */
+  def qualityClassifierTrain(docs: DataFrame, targetPred: Column,
+                             buckets: Int = 1024, sampleN: Int = 100000,
+                             iters: Int = 300, lr: Double = 5.0,
+                             l2: Double = 1e-4): (Double, Array[Double]) = {
+    val sample = docs
+      .select(targetPred.cast("int").as("y"),
+        split(col("text"), " ").as("toks"),
+        phash(concat(lit("qc_sample_"), col("doc_id"))).as("ord"))
+      .select(col("y"), expr(dsirBucketsExpr(buckets)).as("bks"), col("ord"))
+      .orderBy("ord")
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).map(_.toInt).toArray))
+    require(sample.nonEmpty, "classifier training needs a non-empty corpus")
+    val m = sample.length
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    var it = 0
+    while (it < iters) {
+      val gw = new Array[Double](buckets)
+      var gb = 0.0
+      var i = 0
+      while (i < m) {
+        val (y, bks) = sample(i)
+        val n = bks.length
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += w(bks(j)); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-(bias + dot / n)))
+        val err = p - y
+        gb += err
+        j = 0
+        while (j < n) { gw(bks(j)) += err / n; j += 1 }
+        i += 1
+      }
+      var b = 0
+      while (b < buckets) { w(b) -= lr * (gw(b) / m + l2 * w(b)); b += 1 }
+      bias -= lr * gb / m
+      it += 1
+    }
+    (bias, w)
+  }
+
+  /** Score every document under trained weights: logit = bias + mean
+    * per-gram weight, prob = sigmoid(logit). Emits
+    * (doc_id, n_grams, logit, prob), both scores quantized at 1e-6
+    * (`exp` is 1-ulp across libms — the [[unigramScore]] rule).
+    *
+    * Scale shape (100 TB): the weight vector rides along as ONE
+    * broadcast row (8·buckets bytes by construction); the gram fan-out
+    * explodes above `repartition(doc_id)` and the aggregate reuses that
+    * clustering ([[dsirScore]] idiom) — per-row work against a
+    * broadcast artifact, no token-keyed shuffle anywhere. */
+  def qualityClassifierScore(docs: DataFrame, bias: Double,
+                             weights: Array[Double]): DataFrame = {
+    val buckets = weights.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wRow = broadcast(Seq(weights.toSeq).toDF("w"))
+    val logitRaw = lit(bias) +
+      sum(element_at(col("w"), (col("bucket") + 1).cast("int"))) / count(lit(1))
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(dsirBucketsExpr(buckets))).as("bucket"))
+      .crossJoin(wRow)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        round(logitRaw, 6).as("logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-logitRaw)), 6).as("prob"))
+  }
+
+  /** Session-trained classifier weights, keyed by (sfDir, buckets) so
+    * the literal-weights oracle can only be emitted for the exact
+    * configuration the query trained — the [[graft.sim.Ivf]]
+    * cached-centroids discipline, fail-loud on ambiguity. */
+  private val trainedQc = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Double, Array[Double])]
+
+  private[text] def cachedQc: Option[(Double, Array[Double])] =
+    trainedQc.headOption.map { case (k, v) =>
+      require(trainedQc.size == 1,
+        s"classifier oracle ambiguity: trained for ${trainedQc.keys.mkString(", ")}")
+      v
+    }
+
+  /** The proxy target label for the registered query: a fixed slice of
+    * curated `source` values — the synthetic stand-in for "Wikipedia
+    * side" in a curated-vs-crawl filter. */
+  private val qcTargetPred: Column =
+    col("source").isin("src0", "src1", "src2", "src3", "src4")
+
+  private val QC_BUCKETS = 1024
+
+  /** The registered query: train on the proxy source label (cached for
+    * the oracle), score the full corpus. */
+  private def qualityClassifierQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (b, w) = trainedQc.getOrElseUpdate((dir, QC_BUCKETS),
+      qualityClassifierTrain(docs, qcTargetPred, buckets = QC_BUCKETS))
+    qualityClassifierScore(docs, b, w)
+  }
+
+  /** quality_classifier oracle, rendered from the weights the query
+    * just learned (absent until it runs — the Ivf.cachedCentroids
+    * pattern): the weight vector becomes a DuckDB list literal indexed
+    * by bucket, the bucket derivation is the shared portable-hash
+    * fragment, and both scores quantize at 1e-6. */
+  private def qcOracles: Map[String, String] = cachedQc match {
+    case None => Map.empty
+    case Some((bias, w)) =>
+      val wl = w.mkString("[", ", ", "]")
+      Map("quality_classifier" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_concat(toks,
+           |        list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1])))) AS gram
+           |      FROM t),
+           |bk AS (SELECT doc_id, ${phashSql("gram")} % $QC_BUCKETS AS bucket FROM g),
+           |wt AS (SELECT $wl AS wl),
+           |s AS (SELECT doc_id, count(*) AS n_grams, sum(wl[CAST(bucket + 1 AS INT)]) AS sw
+           |      FROM bk CROSS JOIN wt GROUP BY doc_id)
+           |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           |  round($bias + sw / n_grams, 6) AS logit,
+           |  round(1.0 / (1.0 + exp(-($bias + sw / n_grams))), 6) AS prob
+           |FROM s""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Gopher/C4-style quality filter + n-gram repetition ----
     "txt_quality" -> { (s, dir) => qualityStats(Tables.documents(s, dir)) },
@@ -1988,6 +2141,10 @@ object TextQueries {
     "dsir_topk" -> { (s, dir) =>
       dsirTopkOf(Tables.documents(s, dir), col("lang") === "en")
     },
+
+    // ---- learned quality classifier: LR over hashed n-gram features,
+    // trained on the proxy source label, scored distributively ----
+    "quality_classifier" -> qualityClassifierQuery _,
 
     // ---- BPE tokenizer training (Sennrich et al. 2016) ----
     "bpe_pairs" -> { (s, dir) => bpePairs(Tables.documents(s, dir)) },
@@ -2499,7 +2656,7 @@ object TextQueries {
     * so Verify (which runs queries before dumping oracle SQL) sees the
     * merge literals the encode query actually used. */
   def oracles: Map[String, String] =
-    staticOracles ++ bpeEncodeOracles ++ tempMixOracles
+    staticOracles ++ bpeEncodeOracles ++ tempMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,

@@ -183,6 +183,20 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
   }
 
+  test("quality_classifier: one-row weight broadcast, gram fan-out partition-local") {
+    val p = plan("quality_classifier")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the weight row must broadcast; nothing may shuffle on a bucket key:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row weight vector must ride a broadcast:\n${p.take(2000)}")
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(nDoc == 1, s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+    val generate = p.indexOf("Generate explode")
+    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(generate >= 0 && exchange > generate,
+      s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
+  }
+
   test("txt_dup_coverage: compact doc_id shuffles only; gram fan-out stays partition-local") {
     val p = plan("txt_dup_coverage")
     assert(!p.contains("CartesianProduct"))

@@ -884,6 +884,69 @@ class TextQueriesSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllOf(pP)(id), s"doc $id pruned-KN3 NLL")
   }
 
+  test("qualityClassifierTrain: separable fixture converges, deterministic, bounded sample") {
+    import spark.implicits._
+    // two perfectly separable vocabularies: the classifier must push
+    // the classes apart and reproduce bit-identical weights on retrain
+    val d = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "clean prose with careful structure and real words here", "good")
+      else (i, "spam spam buy now click here free free free win prize", "crawl")
+    }.toDF("doc_id", "text", "source")
+    val pred = col("source") === "good"
+    val (b1, w1) = TextQueries.qualityClassifierTrain(d, pred, buckets = 256)
+    val (b2, w2) = TextQueries.qualityClassifierTrain(d, pred, buckets = 256)
+    assert(b1 == b2 && w1.sameElements(w2), "training must be deterministic")
+    val probs = TextQueries.qualityClassifierScore(d, b1, w1)
+      .select("doc_id", "prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (good, bad) = (probs.filter(_._1 % 2 == 0).values, probs.filter(_._1 % 2 == 1).values)
+    assert(good.forall(_ > 0.9), s"target-class probs must converge high: ${good.take(3)}")
+    assert(bad.forall(_ < 0.1), s"crawl-class probs must converge low: ${bad.take(3)}")
+    // the bounded sample really bounds: training on 4 docs must ignore
+    // the rest (same fixture, flipped labels beyond the sample would
+    // otherwise drag the weights)
+    val flip = d.withColumn("source",
+      when(col("doc_id") >= 4, when(pred, lit("crawl")).otherwise(lit("good")))
+        .otherwise(col("source")))
+    val (_, wCap) = TextQueries.qualityClassifierTrain(flip, pred, buckets = 256, sampleN = 4)
+    val capIds = flip
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(concat('qc_sample_', doc_id)), 1, 15), 16, 10) AS BIGINT)").as("ord"))
+      .orderBy("ord").limit(4).collect().map(_.getLong(0)).toSet
+    val (_, wRef) = TextQueries.qualityClassifierTrain(
+      flip.filter(col("doc_id").isin(capIds.toSeq: _*)), pred, buckets = 256)
+    assert(wCap.sameElements(wRef), "sampleN must select exactly the hash-ordered prefix")
+  }
+
+  test("qualityClassifierScore: hand-computed logit/prob under fixed weights, repartition-stable") {
+    import spark.implicits._
+    val d = Seq((0L, "a b c"), (1L, "b b"), (2L, "z")).toDF("doc_id", "text")
+    val B = 16
+    val w = Array.tabulate(B)(i => (i % 5) * 0.25 - 0.5)
+    val bias = 0.125
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(md.substring(0, 15), 16) % B).toInt
+    }
+    def expect(toks: Seq[String]): (Long, Double, Double) = {
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val logit = bias + grams.map(g => w(bucket(g))).sum / grams.size
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (grams.size.toLong, r6(logit), r6(1.0 / (1.0 + math.exp(-logit))))
+    }
+    val got = TextQueries.qualityClassifierScore(d, bias, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val toks = Map(0L -> Seq("a", "b", "c"), 1L -> Seq("b", "b"), 2L -> Seq("z"))
+    for ((id, t) <- toks) {
+      val (n, lg, p) = expect(t)
+      assert(got(id) == ((n, lg, p)), s"doc $id: ${got(id)} vs ($n, $lg, $p)")
+    }
+    val rep = TextQueries.qualityClassifierScore(d.repartition(5), bias, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep == got)
+  }
+
   test("dupNgramCoverage: hand-computed char coverage, overlaps counted once") {
     import spark.implicits._
     // doc 0: "x y z x y z w" — trigram "x y z" occurs at 0 and 3,
