@@ -1103,59 +1103,145 @@ object TextQueries {
     * ([[unigramScore]] idiom: the explode sits above
     * repartition(doc_id), so the fan-out never crosses the network). */
   def kneserNeyScore3(docs: DataFrame, discount: Double = 0.75,
+                      topV: Option[Int] = None): DataFrame =
+    kneserNeyScoreN(docs, 3, discount, topV)
+
+  /** Interpolated Kneser-Ney at ARBITRARY order n >= 3 — the general
+    * form of [[kneserNeyScore3]] (order 2 is [[kneserNeyScore]]); n=5
+    * is the actual CCNet/KenLM filter configuration (Wenzek et al.
+    * 2020 §4.3; Heafield 2011). The recursion is Chen & Goodman 1999's
+    * lower-order-from-higher-order construction:
+    *
+    *  - level n scores raw n-gram counts against the (n−1)-word
+    *    context denominator;
+    *  - level i < n scores CONTINUATION TYPE counts t_i (distinct
+    *    left extensions among (i+1)-gram types) against their own
+    *    denominators, derived by one aggregation per level from the
+    *    level above — B_{i-1} = B_i grouped on its last i−1 words;
+    *  - level 1 is Pcont(w) = N1+(·w)/N1+(··) over the pair types.
+    *
+    * Per retained context each level telescopes to mass 1 exactly
+    * (spec-pinned through the recursion at n=4). Documents with < n
+    * tokens are omitted; emits (doc_id, n_transitions, nll_kn{n}).
+    *
+    * Scale shape (100 TB): still ONE corpus-sized counting pass — the
+    * n-gram count aggregate — with ALL 2(n−1) model tables derived
+    * from its rows by vocab-sized aggregations; `topV` is REQUIRED at
+    * web scale (the n-gram type inventory grows with the corpus) and
+    * every derived table describes the pruned model consistently, with
+    * lambda = 1 backoff at any level whose context was pruned away.
+    * Every model table broadcasts onto the doc_id-clustered transition
+    * fan-out; the corpus is never re-scanned and never shuffled on a
+    * token key. */
+  def kneserNeyScoreN(docs: DataFrame, n: Int, discount: Double = 0.75,
                       topV: Option[Int] = None): DataFrame = {
+    require(n >= 3, s"kneserNeyScoreN is the order >= 3 family (got $n); order 2 is kneserNeyScore")
     require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
+    def wc(from: Int, to: Int): Seq[String] = (from to to).map(i => s"w$i")
     val tcFull = docs
       .select(split(col("text"), " ").as("toks"))
-      .select(explode(expr(ngramArrayExpr(3))).as("tg"))
-      .groupBy("tg").agg(count(lit(1)).as("tcnt"))
-    val tc = truncTop(tcFull, topV, "tcnt", "tg")
-    val sided = tc.select(col("tg"), col("tcnt"),
-      element_at(split(col("tg"), " "), 1).as("w1"),
-      element_at(split(col("tg"), " "), 2).as("w2"),
-      element_at(split(col("tg"), " "), 3).as("w3"))
-    // top level: denominator + continuation-type count per (w1, w2) —
-    // one aggregation, same keys, no join
-    val ctx = sided.groupBy("w1", "w2")
-      .agg(sum(col("tcnt")).as("lcnt"), count(lit(1)).as("cont12"))
-    // middle level: the pair-type inventory with its left-context type
-    // count N1+(·w2w3)
-    val btypes = sided.groupBy("w2", "w3").agg(count(lit(1)).as("n1"))
-    // N1+(·w2·) = Σ_w3 N1+(·w2w3) and N1+(w2·) = pair types per w2 —
-    // one aggregation over btypes
-    val mid = btypes.groupBy("w2")
-      .agg(sum(col("n1")).as("nmid"), count(lit(1)).as("n2dot"))
-    // bottom level: distinct left pairs per w3, and the total type count
-    val uniCont = btypes.groupBy("w3").agg(count(lit(1)).as("n1r"))
-    val types2 = btypes.agg(count(lit(1)).cast("double").as("n_types2"))
-    val pBi =
-      coalesce(greatest(coalesce(col("n1"), lit(0L)).cast("double") - discount, lit(0.0)) / col("nmid"),
+      .select(explode(expr(ngramArrayExpr(n))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+    val tc = truncTop(tcFull, topV, "cnt", "g")
+    val sided = tc.select(col("g") +: col("cnt") +:
+      (1 to n).map(i => element_at(split(col("g"), " "), i).as(s"w$i")): _*)
+    // top level: denominator + continuation-type count per (w1..w_{n-1})
+    val ctxN = sided.groupBy(wc(1, n - 1).map(col): _*)
+      .agg(sum(col("cnt")).as(s"den$n"), count(lit(1)).as(s"ty$n"))
+    // type-count chain: B_i keyed by the LAST i words, t_i = distinct
+    // left extensions among the (i+1)-gram types; each level is one
+    // aggregation over the level above, never a corpus re-scan
+    val bT = scala.collection.mutable.Map(
+      (n - 1) -> sided.groupBy(wc(2, n).map(col): _*).agg(count(lit(1)).as(s"t${n - 1}")))
+    val midT = scala.collection.mutable.Map.empty[Int, DataFrame]
+    for (i <- (n - 1) to 2 by -1) {
+      midT(i) = bT(i).groupBy(wc(n - i + 1, n - 1).map(col): _*)
+        .agg(sum(col(s"t$i")).as(s"den$i"), count(lit(1)).as(s"ty$i"))
+      bT(i - 1) = bT(i).groupBy(wc(n - i + 2, n).map(col): _*)
+        .agg(count(lit(1)).as(s"t${i - 1}"))
+    }
+    // bottom-level normalizer: total pair types N1+(··)
+    val totTy = bT(2).agg(count(lit(1)).cast("double").as("tot_ty"))
+    // the recursive probability, built bottom-up; a missing context at
+    // any level (pruned or unseen) backs off with lambda = 1
+    var p: Column = coalesce(col("t1").cast("double"), lit(0.5)) / col("tot_ty")
+    for (i <- 2 until n)
+      p = coalesce(
+        greatest(coalesce(col(s"t$i"), lit(0L)).cast("double") - discount, lit(0.0)) / col(s"den$i"),
         lit(0.0)) +
-        coalesce(lit(discount) * col("n2dot") / col("nmid"), lit(1.0)) *
-          (coalesce(col("n1r").cast("double"), lit(0.5)) / col("n_types2"))
-    docs
+        coalesce(lit(discount) * col(s"ty$i") / col(s"den$i"), lit(1.0)) * p
+    p = coalesce(
+      greatest(coalesce(col("cnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col(s"den$n"),
+      lit(0.0)) +
+      coalesce(lit(discount) * col(s"ty$n") / col(s"den$n"), lit(1.0)) * p
+    var scored = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(ngramArrayExpr(3))).as("tg"))
-      .withColumn("w1", element_at(split(col("tg"), " "), 1))
-      .withColumn("w2", element_at(split(col("tg"), " "), 2))
-      .withColumn("w3", element_at(split(col("tg"), " "), 3))
-      .join(broadcast(tc.select("tg", "tcnt")), Seq("tg"), "left")
-      .join(broadcast(ctx), Seq("w1", "w2"), "left")
-      .join(broadcast(btypes), Seq("w2", "w3"), "left")
-      .join(broadcast(mid), Seq("w2"), "left")
-      .join(broadcast(uniCont), Seq("w3"), "left")
-      .crossJoin(broadcast(types2))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(ngramArrayExpr(n))).as("g"))
+    for (i <- 1 to n)
+      scored = scored.withColumn(s"w$i", element_at(split(col("g"), " "), i))
+    scored = scored
+      .join(broadcast(tc.select("g", "cnt")), Seq("g"), "left")
+      .join(broadcast(ctxN), wc(1, n - 1), "left")
+    for (i <- (n - 1) to 2 by -1)
+      scored = scored
+        .join(broadcast(bT(i)), wc(n - i + 1, n), "left")
+        .join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")
+    scored
+      .join(broadcast(bT(1)), Seq(s"w$n"), "left")
+      .crossJoin(broadcast(totTy))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_transitions"),
-        round(avg(-log(
-          coalesce(
-            greatest(coalesce(col("tcnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col("lcnt"),
-            lit(0.0))
-            + coalesce(lit(discount) * col("cont12") / col("lcnt"), lit(1.0)) * pBi)), 6)
-          .as("nll_kn3"))
+        round(avg(-log(p)), 6).as(s"nll_kn$n"))
+  }
+
+  /** The [[kneserNeyScoreN]] DuckDB oracle, generated for any order —
+    * CTE chain mirroring the derivation table for table, the nested
+    * interpolation expression term for term (unpruned at oracle scale,
+    * so the lambda-1 pruning arms are dead here; spec-pinned instead). */
+  private def knOracleSql(n: Int): String = {
+    val D = "0.75"
+    def wc(from: Int, to: Int): Seq[String] = (from to to).map(i => s"w$i")
+    val gramExpr = {
+      val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ' ', ")
+      s"list_transform(range(1, len(toks) - ${n - 2}), i -> concat($parts))"
+    }
+    val splitCols = (1 to n).map(i => s"string_split(g, ' ')[$i] AS w$i").mkString(", ")
+    val chain = new StringBuilder
+    chain ++= s"b${n - 1} AS (SELECT ${wc(2, n).mkString(", ")}, count(*) AS t${n - 1} FROM s GROUP BY ${wc(2, n).mkString(", ")}),\n"
+    for (i <- (n - 1) to 2 by -1) {
+      chain ++= s"mid$i AS (SELECT ${wc(n - i + 1, n - 1).mkString(", ")}, sum(t$i) AS den$i, count(*) AS ty$i FROM b$i GROUP BY ${wc(n - i + 1, n - 1).mkString(", ")}),\n"
+      chain ++= s"b${i - 1} AS (SELECT ${wc(n - i + 2, n).mkString(", ")}, count(*) AS t${i - 1} FROM b$i GROUP BY ${wc(n - i + 2, n).mkString(", ")}),\n"
+    }
+    var pSql = s"(coalesce(b1.t1, 0.5) / tot.tot_ty)"
+    for (i <- 2 until n)
+      pSql = s"(greatest(coalesce(b$i.t$i, 0) - $D, 0.0) / mid$i.den$i" +
+        s" + $D * mid$i.ty$i / mid$i.den$i * $pSql)"
+    pSql = s"greatest(coalesce(tcn.cnt, 0) - $D, 0.0) / ctx.den$n" +
+      s" + $D * ctx.ty$n / ctx.den$n * $pSql"
+    val joins = new StringBuilder
+    joins ++= s"LEFT JOIN tcn USING (g)\nJOIN ctx USING (${wc(1, n - 1).mkString(", ")})\n"
+    for (i <- (n - 1) to 2 by -1) {
+      joins ++= s"LEFT JOIN b$i USING (${wc(n - i + 1, n).mkString(", ")})\n"
+      joins ++= s"JOIN mid$i USING (${wc(n - i + 1, n - 1).mkString(", ")})\n"
+    }
+    joins ++= s"LEFT JOIN b1 USING (w$n)\nCROSS JOIN tot"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |allg AS (SELECT unnest($gramExpr) AS g FROM t),
+       |gd AS (SELECT doc_id, unnest($gramExpr) AS g FROM t WHERE len(toks) >= $n),
+       |tcn AS (SELECT g, count(*) AS cnt FROM allg GROUP BY g),
+       |s AS (SELECT g, cnt, $splitCols FROM tcn),
+       |ctx AS (SELECT ${wc(1, n - 1).mkString(", ")}, sum(cnt) AS den$n, count(*) AS ty$n FROM s GROUP BY ${wc(1, n - 1).mkString(", ")}),
+       |${chain.toString.stripSuffix(",\n")},
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot_ty FROM b2),
+       |gw AS (SELECT doc_id, g, $splitCols FROM gd)
+       |SELECT gw.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+       |  round(avg(-ln($pSql)), 6) AS nll_kn$n
+       |FROM gw
+       |$joins
+       |GROUP BY gw.doc_id""".stripMargin
   }
 
   /** Per-document duplicate-n-gram CHARACTER coverage — the form
@@ -2113,6 +2199,7 @@ object TextQueries {
     "txt_bigram_lm" -> { (s, dir) => bigramScore(Tables.documents(s, dir)) },
     "txt_kn_lm" -> { (s, dir) => kneserNeyScore(Tables.documents(s, dir)) },
     "txt_kn_lm_3" -> { (s, dir) => kneserNeyScore3(Tables.documents(s, dir)) },
+    "txt_kn_lm_5" -> { (s, dir) => kneserNeyScoreN(Tables.documents(s, dir), 5) },
     "txt_entropy" -> { (s, dir) => tokenEntropy(Tables.documents(s, dir)) },
     "txt_dup_coverage" -> { (s, dir) => dupNgramCoverage(Tables.documents(s, dir)) },
     "txt_ppl_buckets" -> { (s, dir) => perplexityBuckets(Tables.documents(s, dir)) },
@@ -2718,42 +2805,12 @@ object TextQueries {
         |CROSS JOIN ty
         |GROUP BY g.doc_id""".stripMargin,
 
-    // trigram interpolated KN: all five model tables derive from the
-    // trigram count table, mirroring kneserNeyScore3 term for term
-    // (unpruned at oracle scale, so the pruning fallback arms are dead
-    // here — they are spec-pinned instead)
-    "txt_kn_lm_3" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |allg AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
-        |           i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tg FROM t),
-        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-        |        i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))) AS tg
-        |      FROM t WHERE len(toks) >= 3),
-        |tcn AS (SELECT tg, count(*) AS tcnt FROM allg GROUP BY tg),
-        |s AS (SELECT tg, tcnt, string_split(tg, ' ')[1] AS w1,
-        |        string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3 FROM tcn),
-        |ctx AS (SELECT w1, w2, sum(tcnt) AS lcnt, count(*) AS cont12 FROM s GROUP BY w1, w2),
-        |bt AS (SELECT w2, w3, count(*) AS n1 FROM s GROUP BY w2, w3),
-        |mid AS (SELECT w2, sum(n1) AS nmid, count(*) AS n2dot FROM bt GROUP BY w2),
-        |uc AS (SELECT w3, count(*) AS n1r FROM bt GROUP BY w3),
-        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS n_types2 FROM bt),
-        |gw AS (SELECT doc_id, tg, string_split(tg, ' ')[1] AS w1,
-        |         string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3 FROM g)
-        |SELECT gw.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-        |  round(avg(-ln(
-        |    greatest(coalesce(tcn.tcnt, 0) - 0.75, 0.0) / ctx.lcnt
-        |    + 0.75 * ctx.cont12 / ctx.lcnt *
-        |      (greatest(coalesce(bt.n1, 0) - 0.75, 0.0) / mid.nmid
-        |       + 0.75 * mid.n2dot / mid.nmid *
-        |         (coalesce(uc.n1r, 0.5) / ty.n_types2)))), 6) AS nll_kn3
-        |FROM gw
-        |LEFT JOIN tcn USING (tg)
-        |JOIN ctx USING (w1, w2)
-        |LEFT JOIN bt USING (w2, w3)
-        |JOIN mid USING (w2)
-        |LEFT JOIN uc USING (w3)
-        |CROSS JOIN ty
-        |GROUP BY gw.doc_id""".stripMargin,
+    // order-n interpolated KN: every model table derives from the ONE
+    // n-gram count table; the oracle SQL is generated by the same loop
+    // structure as the engine derivation (unpruned at oracle scale, so
+    // the lambda-1 pruning arms are dead here — spec-pinned instead)
+    "txt_kn_lm_3" -> knOracleSql(3),
+    "txt_kn_lm_5" -> knOracleSql(5),
 
     "txt_dup_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -169,18 +169,20 @@ class PlanSpec extends AnyFunSuite {
       s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
   }
 
-  test("txt_kn_lm_3: all five derived model tables broadcast onto the trigram fan-out") {
-    val p = plan("txt_kn_lm_3")
-    assert(!p.contains("SortMergeJoin"),
-      s"the KN3 model tables must broadcast, never shuffle the corpus on a token key:\n${p.take(2000)}")
-    assert(p.contains("BroadcastHashJoin"))
-    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
-    assert(nDoc == 1,
-      s"expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
-    val generate = p.indexOf("Generate explode")
-    val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
-    assert(generate >= 0 && exchange > generate,
-      s"the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
+  test("txt_kn_lm_3 / txt_kn_lm_5: every derived model table broadcasts onto the n-gram fan-out") {
+    for (q <- Seq("txt_kn_lm_3", "txt_kn_lm_5")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q model tables must broadcast, never shuffle the corpus on a token key:\n${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"))
+      val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+      assert(nDoc == 1,
+        s"$q: expected ONE compact-row doc_id shuffle, got $nDoc:\n${p.take(2000)}")
+      val generate = p.indexOf("Generate explode")
+      val exchange = p.indexOf("Exchange hashpartitioning(doc_id")
+      assert(generate >= 0 && exchange > generate,
+        s"$q: the shuffle must move un-exploded docs, not transition rows:\n${p.take(2000)}")
+    }
   }
 
   test("quality_classifier: one-row weight broadcast, gram fan-out partition-local") {

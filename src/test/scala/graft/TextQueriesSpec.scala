@@ -884,6 +884,80 @@ class TextQueriesSpec extends AnyFunSuite {
     for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllOf(pP)(id), s"doc $id pruned-KN3 NLL")
   }
 
+  test("kneserNeyScoreN: order-4 recursive reference model, mass pin through every level, pruning") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b a c"), (1L, "b a b a b"), (2L, "c a b a"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val toks = Map(0L -> Seq("a", "b", "a", "b", "a", "c"),
+      1L -> Seq("b", "a", "b", "a", "b"), 2L -> Seq("c", "a", "b", "a"))
+    val n = 4
+    val D = 0.75
+    val gramsFull = toks.values.flatMap(_.sliding(n).map(_.toList))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    // recursive reference: level n on raw counts; level i < n on type
+    // counts t_i (distinct left extensions among (i+1)-gram types),
+    // each level derived from the one above — the engine's derivation,
+    // re-built independently from Chen & Goodman's definitions
+    def model(tc: Map[List[String], Double]) = {
+      val ctxN = tc.groupBy(_._1.init).view
+        .mapValues(v => (v.values.sum, v.size.toDouble)).toMap
+      var bs = Map((n - 1) -> tc.keySet.groupBy(_.tail).view.mapValues(_.size.toDouble).toMap)
+      var mids = Map.empty[Int, Map[List[String], (Double, Double)]]
+      for (i <- (n - 1) to 2 by -1) {
+        mids += i -> bs(i).groupBy(_._1.init).view
+          .mapValues(v => (v.values.sum, v.size.toDouble)).toMap
+        bs += (i - 1) -> bs(i).keySet.groupBy(_.tail).view.mapValues(_.size.toDouble).toMap
+      }
+      val tot = bs(2).size.toDouble
+      def pLevel(i: Int, g: List[String]): Double =
+        if (i == 1) bs(1).getOrElse(g.takeRight(1), 0.5) / tot
+        else {
+          val key = g.takeRight(i)
+          val (den, ty, cnt) =
+            if (i == n) {
+              val c = ctxN.get(key.init)
+              (c.map(_._1), c.map(_._2), tc.getOrElse(key, 0.0))
+            } else {
+              val c = mids(i).get(key.init)
+              (c.map(_._1), c.map(_._2), bs(i).getOrElse(key, 0.0))
+            }
+          den match {
+            case None => pLevel(i - 1, g) // pruned/unseen context: lambda = 1
+            case Some(dn) =>
+              math.max(cnt - D, 0.0) / dn + D * ty.get / dn * pLevel(i - 1, g)
+          }
+        }
+      ((g: List[String]) => pLevel(n, g), ctxN.keySet, bs(1).keySet.map(_.head))
+    }
+    def nllOf(pf: List[String] => Double)(id: Long): Double = {
+      val terms = toks(id).sliding(n).map(g => -math.log(pf(g.toList))).toSeq
+      BigDecimal(terms.sum / terms.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (p, ctxKeys, w4s) = model(gramsFull)
+    val got = TextQueries.kneserNeyScoreN(d, n).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), "docs under n tokens are omitted")
+    assert(got(0L)._1 == 3 && got(2L)._1 == 1)
+    for (id <- Seq(0L, 1L, 2L)) assert(got(id)._2 == nllOf(p)(id), s"doc $id KN4 NLL")
+    // mass pin THROUGH the full recursion: every retained context's
+    // distribution over the seen-word universe telescopes to exactly 1
+    for (ctx <- ctxKeys) {
+      val mass = w4s.toSeq.map(w => p(ctx :+ w)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context $ctx: mass $mass")
+    }
+    val rep = TextQueries.kneserNeyScoreN(d.repartition(5), n).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == got.view.mapValues(_._2).toMap)
+    // topV pruning: derived tables describe the pruned model, missing
+    // contexts back off with lambda = 1 at their level
+    val keep = gramsFull.toSeq
+      .sortBy { case (g, c) => (-c, g.mkString(" ")) }.take(2).toMap
+    val (pP, _, _) = model(keep)
+    val pruned = TextQueries.kneserNeyScoreN(d, n, topV = Some(2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for (id <- Seq(0L, 1L, 2L)) assert(pruned(id) == nllOf(pP)(id), s"doc $id pruned-KN4 NLL")
+  }
+
   test("qualityClassifierTrain: separable fixture converges, deterministic, bounded sample") {
     import spark.implicits._
     // two perfectly separable vocabularies: the classifier must push
