@@ -544,8 +544,16 @@ object StreamOps {
     * [[graft.text.TextQueries.unigramScore]] up to the 1e-6
     * quantization boundary.
     *
+    * `classifier` adds the OPTIONAL fifth stage: a pre-trained learned
+    * quality classifier ([[graft.text.TextQueries.qualityClassifierTrain]]
+    * weights) scored per row against the same broadcast row — the
+    * weight vector rides in the static row's `qc_w` column, survivors
+    * additionally satisfy `quality_prob >= minProb` and carry the
+    * score. Still exactly one broadcast, zero state.
+    *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
-    * Output (append mode): the input row + `logw` + `nll`.
+    * Output (append mode): the input row + `logw` + `nll`
+    * [+ `quality_prob`].
     */
   def streamingCurationGate(docs: DataFrame, benchmark: DataFrame,
                             raw: DataFrame, target: DataFrame,
@@ -556,20 +564,27 @@ object StreamOps {
                             maxNll: Double = Double.MaxValue,
                             topV: Option[Int] = None,
                             oovCount: Double = 0.5,
-                            redactPii: Boolean = false): DataFrame = {
+                            redactPii: Boolean = false,
+                            classifier: Option[(Double, Array[Double])] = None,
+                            minProb: Double = 0.0): DataFrame = {
     import graft.text.TextQueries
-    // one static row = benchmark shingles x DSIR ratio map x unigram LM:
-    // three one-row frames cross-joined once at plan time, so the
-    // per-micro-batch cost is a single broadcast of a single row
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one static row = benchmark shingles x DSIR ratio map x unigram LM
+    // [x classifier weights]: one-row frames cross-joined once at plan
+    // time, so the per-micro-batch cost is a single broadcast of a
+    // single row
     val benchRow = benchmark
       .select(explode(TextQueries.ngramShinglesExpr("text", n)).as("shingle"))
       .distinct()
       .agg(collect_set(col("shingle")).as("bench_shingles"))
-    val staticRow = benchRow
+    val modelRow = benchRow
       .crossJoin(TextQueries.dsirRatioRow(raw, target, buckets))
       .crossJoin(TextQueries.unigramModelRow(lmCorpus, topV))
+    val staticRow = classifier
+      .fold(modelRow) { case (_, w) => modelRow.crossJoin(Seq(w.toSeq).toDF("qc_w")) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gated = docs
+    val scored0 = docs
       .filter(TextQueries.qualityKeep())
       .crossJoin(broadcast(staticRow))
       .filter(size(array_intersect(
@@ -578,7 +593,13 @@ object StreamOps {
       .withColumn("logw", TextQueries.dsirScoreExpr(buckets))
       .withColumn("nll", TextQueries.unigramScoreExpr(oovCount))
       .filter(col("logw") >= minLogw && col("nll") >= minNll && col("nll") <= maxNll)
-      .drop("toks", "bench_shingles", "ratio_map", "default_ratio", "uni_map", "tot")
+    val gated = classifier.fold(scored0) { case (bias, w) =>
+      scored0
+        .withColumn("quality_prob",
+          TextQueries.qualityClassifierProbExpr(bias, w.length))
+        .filter(col("quality_prob") >= minProb)
+        .drop("qc_w")
+    }.drop("toks", "bench_shingles", "ratio_map", "default_ratio", "uni_map", "tot")
     if (redactPii)
       gated.withColumn("text", graft.text.PiiQueries.redactPii(col("text")))
     else gated

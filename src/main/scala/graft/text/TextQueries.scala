@@ -2136,6 +2136,21 @@ object TextQueries {
         round(lit(1.0) / (lit(1.0) + exp(-logitRaw)), 6).as("prob"))
   }
 
+  /** Per-row classifier probability under a one-row broadcast weight
+    * vector (`toks` and `qc_w` must be bound; `qc_w` is the
+    * ARRAY<DOUBLE> weight column) — the fold-order twin of
+    * [[qualityClassifierScore]] for stateless streaming gates. Parity
+    * with the batch aggregate holds up to the 1e-6 quantization
+    * boundary (the [[unigramScoreExpr]] fold-vs-partition-order
+    * caveat). */
+  def qualityClassifierProbExpr(bias: Double, buckets: Int): Column = {
+    val logit = lit(bias) + expr(
+      s"""aggregate(${dsirBucketsExpr(buckets)}, CAST(0.0 AS DOUBLE),
+         |  (acc, b) -> acc + element_at(qc_w, CAST(b + 1 AS INT)))""".stripMargin) /
+      (lit(2) * size(col("toks")) - 1)
+    round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+  }
+
   /** Session-trained classifier weights, keyed by (sfDir, buckets) so
     * the literal-weights oracle can only be emitted for the exact
     * configuration the query trained — the [[graft.sim.Ivf]]

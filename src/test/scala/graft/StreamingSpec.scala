@@ -722,10 +722,59 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate with classifier stage: prob parity, threshold bites, survivors compose") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val (bias, w) = graft.text.TextQueries.qualityClassifierTrain(
+      corpus, col("lang") === "en", buckets = 256)
+    val wantP = graft.text.TextQueries.qualityClassifierScore(corpus, bias, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val pSorted = wantP.values.toSeq.sorted
+    val cutP = pSorted(pSorted.size / 2)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_cls")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      in, bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      classifier = Some((bias, w)), minProb = cutP)
+      .writeStream.format("memory").queryName("cur_cls").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cur_cls").collect()
+      val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_prob")).toMap
+      // survivors: quality ∩ decon ∩ {prob >= cut} (DSIR/nll bands open)
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the per-row fold can land one 1e-6 quantum away from the batch
+      // prob, so judge the threshold against the STREAM's own score
+      val want = (quality & decon).filter(id => got.get(id).exists(_ >= cutP) ||
+        (!got.contains(id) && wantP(id) < cutP + 1.1e-6))
+      assert(got.keySet.subsetOf(quality & decon))
+      val offP = got.filter { case (id, p) => math.abs(p - wantP(id)) > 1.001e-6 }
+      assert(offP.isEmpty, s"prob drift vs batch: ${offP.take(5)}")
+      assert(got.nonEmpty && got.size < (quality & decon).size,
+        "the classifier threshold must bite on the fixture")
+      // every confidently-above-cut doc must survive, every
+      // confidently-below-cut doc must be dropped
+      for (id <- quality & decon) {
+        if (wantP(id) >= cutP + 1.1e-6) assert(got.contains(id), s"doc $id wrongly dropped")
+        if (wantP(id) < cutP - 1.1e-6) assert(!got.contains(id), s"doc $id wrongly kept")
+      }
+    } finally q.stop()
+  }
+
   test("composed curation gate per-micro-batch plan: ONE one-row broadcast, zero shuffles") {
-    // the whole point of the composition: four stages, still exactly one
-    // broadcast join of one cached static row, and no shuffle of the
-    // micro-batch — pinned on the executed second-batch plan
+    // the whole point of the composition: four stages (+ the classifier
+    // stage), still exactly one broadcast join of one cached static
+    // row, and no shuffle of the micro-batch — pinned on the executed
+    // second-batch plan
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
@@ -739,10 +788,13 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_plan")
     stageFile(corpus.filter(col("doc_id") < 250)
       .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b0.parquet")
+    val (qcBias, qcW) = graft.text.TextQueries.qualityClassifierTrain(
+      corpus, col("lang") === "en", buckets = 64, iters = 5)
     val q = graft.streaming.StreamOps.streamingCurationGate(
       spark.readStream.schema(docSchema).parquet(dropDir.toString),
       bench, corpus, target, corpus,
-      minLogw = Double.NegativeInfinity, minNll = Double.MinValue)
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      classifier = Some((qcBias, qcW)))
       .writeStream.format("memory").queryName("cur_plan").outputMode("append").start()
     try {
       q.processAllAvailable()
