@@ -53,6 +53,10 @@ import org.apache.spark.sql.expressions.Window
   *                     production-LM shape)
   *   - `kn_lm`         interpolated Kneser-Ney scoring from ONE
   *                     counting pass, type inventory topV-pruned
+  *   - `kn_lm_5`       the order-5 (CCNet/KenLM) form: same single
+  *                     counting pass, eight derived model tables
+  *   - `quality_classifier` bounded-sample LR training + broadcast
+  *                     weight-row scoring over the full corpus
   *   - `dup_coverage`  Gopher duplicate-n-gram char coverage
   *                     (within-doc positional coverage, scrub idiom)
   *   - `corpus_clean`  the composed cleaning pipeline (benchmark
@@ -496,6 +500,31 @@ object BenchLarge {
         topV = Some(65536))
         .agg((sum("n_transitions") +
           sum(round(col("nll_kn") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // order-5 interpolated KN at the full corpus — the real CCNet/KenLM
+    // configuration: one counting pass, eight derived model tables all
+    // topV-pruned (65536) before broadcast. The check forces both
+    // output columns.
+    timed("kn_lm_5", clearAfter = true) {
+      graft.text.TextQueries.kneserNeyScoreN(cleanDocs(spark, nDocs, template), 5,
+        topV = Some(65536))
+        .agg((sum("n_transitions") +
+          sum(round(col("nll_kn5") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // learned quality classifier at the full corpus: bounded-sample
+    // driver-side training (100k docs, 300 GD iters) + the broadcast
+    // weight-row scoring pass over all 2M docs. The pseudo-label is a
+    // deterministic doc_id slice (labels don't affect cost). The check
+    // forces both score columns.
+    timed("quality_classifier", clearAfter = true) {
+      val docsQc = cleanDocs(spark, nDocs, template)
+      val (b, w) = graft.text.TextQueries.qualityClassifierTrain(
+        docsQc, col("doc_id") % 3 === 0)
+      graft.text.TextQueries.qualityClassifierScore(docsQc, b, w)
+        .agg((sum("n_grams") +
+          sum(round(col("prob") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
     // DSIR importance weighting at the full corpus: the two feature-LM
