@@ -1885,6 +1885,101 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Source/domain-level curation (the URL-filtering family: C4
+  // blocklists, RefinedWeb/FineWeb per-domain quality gating)
+  // ---------------------------------------------------------------------
+
+  /** Per-source (domain) aggregate curation profile — the signal behind
+    * domain-level filtering (Raffel et al. 2020 §2.2 blocklist
+    * filtering; Penedo et al. 2023 §3.1 URL scoring): document count,
+    * token volume, the fraction of docs passing the per-row
+    * [[qualityKeep]] gate, and the exact-duplicate fraction
+    * (1 − distinct content hashes / docs). Emits
+    * (source, n_docs, n_tokens, keep_rate, dup_rate).
+    *
+    * Scale shape (100 TB): ONE corpus pass projecting each row to a
+    * compact (source, keep-bit, token-count, 32-byte hash) tuple before
+    * the per-source aggregate — the only shuffle is keyed on `source`
+    * (domains number millions against billions of docs, and the
+    * count/sum/avg legs combine map-side; the exact distinct-hash leg
+    * is the expensive one, but it shuffles hashes-not-texts, the
+    * established dedup discipline). Heavy-hitter domains make the
+    * distinct leg's groups large, not skew-fatal: Spark plans
+    * count(DISTINCT) as a two-level expand+partial aggregate, and AQE
+    * splits oversized partitions. */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        qualityKeep().cast("int").as("keep"),
+        wsTokenCount("text").cast("long").as("n_tokens"),
+        md5(col("text")).as("content_hash"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(avg(col("keep")), 6).as("keep_rate"),
+        round((count(lit(1)) - countDistinct(col("content_hash")))
+          .cast("double") / count(lit(1)), 6).as("dup_rate"))
+
+  /** Domain-level gate: drop every document whose SOURCE fails the
+    * aggregate profile — keep_rate below `minKeepRate` or exact-dup
+    * fraction above `maxDupRate` condemns the whole domain, the
+    * coarse-grained complement of per-row quality filtering (bad
+    * domains are overwhelmingly bad row by row, and gating the domain
+    * catches the rows the per-row filter missed). Emits the surviving
+    * (doc_id, source).
+    *
+    * Scale shape: the corpus is scanned twice (once aggregated by
+    * [[sourceStats]], once gated) but shuffled only inside the
+    * aggregate; the gate itself broadcasts the FAILING source set —
+    * bounded by the blocklist's selectivity, not the domain count —
+    * into a left_anti, so the second pass is map-only. A threshold
+    * lax enough to condemn most of the web inverts that bound; at
+    * that point flip to keeping the passing set instead. */
+  def sourceFilter(docs: DataFrame, minKeepRate: Double = 0.55,
+                   maxDupRate: Double = 0.5): DataFrame = {
+    val bad = sourceStats(docs)
+      .filter(col("keep_rate") < minKeepRate || col("dup_rate") > maxDupRate)
+      .select("source")
+    docs.join(broadcast(bad), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Deterministic epoch shuffle + shard assignment: order the corpus
+    * by a salted per-doc hash (a different `salt` per epoch gives a
+    * fresh, reproducible permutation) and deal the ranked stream
+    * round-robin into `nShards` loader shards — the data-ordering step
+    * between a packed corpus and a multi-worker training loader.
+    * Round-robin on the global rank makes shard sizes equal to ±1 BY
+    * CONSTRUCTION (hash-mod sharding only approximates that), and the
+    * assignment is invariant under corpus re-partitioning. Emits
+    * (doc_id, shard, pos): shard's `pos`-th sample is `doc_id`.
+    *
+    * Scale shape (100 TB): the global rank is the classic
+    * single-partition-window trap; it runs partition-and-stitch
+    * instead ([[graft.ops.Stitch.globalCumsum]] keyed by the top
+    * `chunkBits` bits of the hash — the chunk id is order-consistent
+    * with the hash itself, so within-chunk ranks + driver-prefix-summed
+    * chunk offsets compose to the exact global row_number; uniform
+    * hashes make the 2^chunkBits chunks uniform). Driver state is one
+    * count per chunk. */
+  def corpusShuffle(docs: DataFrame, nShards: Int = 64,
+                    salt: String = "epoch1", chunkBits: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(chunkBits >= 1 && chunkBits <= 30,
+      s"chunkBits must be in [1, 30], got $chunkBits")
+    val h = phash(concat(lit(salt), lit("_"), col("doc_id").cast("string")))
+    val ranked = graft.ops.Stitch.globalCumsum(
+      docs.select(col("doc_id"), h.as("h")),
+      shiftright(col("h"), 60 - chunkBits), Seq(col("h"), col("doc_id")),
+      lit(1L), "rank")
+    ranked.select(
+      col("doc_id"),
+      ((col("rank") - 1) % nShards).as("shard"),
+      expr(s"(rank - 1) div $nShards").as("pos"))
+  }
+
+  // ---------------------------------------------------------------------
   // DSIR: data selection via importance resampling (Xie et al. 2023,
   // "Data Selection for Language Models via Importance Resampling")
   // ---------------------------------------------------------------------
@@ -2232,6 +2327,11 @@ object TextQueries {
         defaultRate = 0.05)
     },
     "corpus_split" -> { (s, dir) => corpusSplit(Tables.documents(s, dir)) },
+    "corpus_shuffle" -> { (s, dir) => corpusShuffle(Tables.documents(s, dir)) },
+
+    // ---- domain-level curation: aggregate profile + whole-source gate ----
+    "source_stats" -> { (s, dir) => sourceStats(Tables.documents(s, dir)) },
+    "source_filter" -> { (s, dir) => sourceFilter(Tables.documents(s, dir)) },
 
     // ---- DSIR importance weighting: target = the English slice.
     // The target is a slice of the corpus itself, so the queries run the
@@ -2771,6 +2871,38 @@ object TextQueries {
          |FROM (SELECT doc_id,
          |        ${phashSql("concat('split_', CAST(doc_id AS VARCHAR))")} % 1000000 AS h
          |      FROM documents)""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${phashSql("concat('epoch1_', CAST(doc_id AS VARCHAR))")} AS h FROM documents),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS rk FROM h)
+         |SELECT doc_id, CAST(rk % 64 AS BIGINT) AS shard,
+         |  CAST(rk // 64 AS BIGINT) AS pos FROM r""".stripMargin,
+
+    "source_stats" ->
+      """WITH t AS (SELECT source, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT source,
+        |  CAST(len(toks) >= 20 AND (CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)) BETWEEN 3.0 AND 8.0
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.35
+        |    AND len(list_filter(['the','a','of','and'], s -> list_contains(toks, s))) >= 1 AS INT) AS keep,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens, md5(text) AS content_hash FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(keep), 6) AS keep_rate,
+        |  round((count(*) - count(DISTINCT content_hash)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM m GROUP BY source""".stripMargin,
+
+    "source_filter" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  CAST(len(toks) >= 20 AND (CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)) BETWEEN 3.0 AND 8.0
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.35
+        |    AND len(list_filter(['the','a','of','and'], s -> list_contains(toks, s))) >= 1 AS INT) AS keep,
+        |  md5(text) AS content_hash FROM t),
+        |st AS (SELECT source, round(avg(keep), 6) AS keep_rate,
+        |  round((count(*) - count(DISTINCT content_hash)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |  FROM m GROUP BY source),
+        |bad AS (SELECT source FROM st WHERE keep_rate < 0.55 OR dup_rate > 0.5)
+        |SELECT doc_id, source FROM m WHERE source NOT IN (SELECT source FROM bad)""".stripMargin,
 
     "txt_bigram_lm" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

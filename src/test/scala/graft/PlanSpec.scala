@@ -409,4 +409,24 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("Exchange SinglePartition"), s"$q single-tasks")
     }
   }
+
+  test("source_filter broadcasts the failing-domain set into the gate anti-join") {
+    val p = plan("source_filter")
+    // the gate pass must stay map-only over the corpus: the blocklist
+    // (bounded by selectivity, not domain count) broadcasts; a
+    // shuffle-anti would re-shuffle every document on the skewed
+    // source key
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"failing sources must broadcast into the anti join:\n${p.take(2000)}")
+  }
+
+  test("corpus_shuffle ranks globally without a single-partition exchange") {
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the epoch rank must stitch, not single-task:\n${p.take(2000)}")
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("_chunk#")),
+      s"the rank window must partition by the hash-prefix chunk:\n${p.take(2000)}")
+  }
 }

@@ -1136,6 +1136,75 @@ class TextQueriesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == expect)
   }
+
+  // -------------------------------------------------------------------
+  // source-level curation (sourceStats / sourceFilter)
+  // -------------------------------------------------------------------
+
+  test("sourceFilter condemns the failing domain wholesale, keeps the rest") {
+    import spark.implicits._
+    // domain "junk": every doc under the 20-word floor; domain "good":
+    // long stopword-bearing docs that pass the per-row gate
+    val goodText = ("the " + (1 to 30).map(i => s"word$i").mkString(" "))
+    val d = ((0L until 10L).map(i => (i, "tiny doc", "junk")) ++
+      (10L until 20L).map(i => (i, s"$goodText extra$i", "good")))
+      .toDF("doc_id", "text", "source")
+    val kept = TextQueries.sourceFilter(d).collect().map(_.getLong(0)).toSet
+    assert(kept == (10L until 20L).toSet,
+      s"whole junk domain must fall, whole good domain survive: $kept")
+    val stats = TextQueries.sourceStats(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(stats("junk") == ((10L, 0.0)) && stats("good") == ((10L, 1.0)))
+  }
+
+  test("sourceStats dup_rate counts exact duplicates within the domain") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma", "s"), (1L, "alpha beta gamma", "s"),
+      (2L, "alpha beta gamma", "s"), (3L, "delta epsilon zeta", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextQueries.sourceStats(d).collect()(0)
+    // 4 docs, 2 distinct hashes -> dup_rate = (4-2)/4
+    assert(r.getAs[Double]("dup_rate") == 0.5)
+    assert(r.getAs[Long]("n_tokens") == 12L)
+  }
+
+  // -------------------------------------------------------------------
+  // deterministic epoch shuffle (corpusShuffle)
+  // -------------------------------------------------------------------
+
+  test("corpusShuffle: exact balanced permutation matching the driver-side sort") {
+    val nShards = 7
+    val got = TextQueries.corpusShuffle(docs, nShards = nShards).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(got.length == n, "every document is dealt exactly once")
+    assert(got.map(r => (r._2, r._3)).distinct.length == n,
+      "(shard, pos) slots are unique")
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"round-robin shards balance to ±1: $sizes")
+    // the exact global rank: recompute the salted hash and sort driver-side
+    val hs = docs.select(col("doc_id"),
+      conv(substring(md5(concat(lit("epoch1_"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = hs.sortBy { case (id, h) => (h, id) }.zipWithIndex.map {
+      case ((id, _), rk) => (id, (rk % nShards).toLong, (rk / nShards).toLong)
+    }.toSet
+    assert(got.toSet == expected, "engine rank must equal the exact sort rank")
+  }
+
+  test("corpusShuffle is invariant under repartitioning and chunk granularity; salt reshuffles") {
+    val base = TextQueries.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rep = TextQueries.corpusShuffle(docs.repartition(11), chunkBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep == base, "partitioning and stitch granularity must be invisible")
+    val epoch2 = TextQueries.corpusShuffle(docs, salt = "epoch2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(epoch2 != base, "a fresh salt must permute differently")
+    assert(epoch2.map(_._1) == base.map(_._1), "same documents either way")
+  }
 }
 
 /** Harness-integrity pins for the driver-contract dump main. */
