@@ -1479,6 +1479,9 @@ object TextQueries {
     docs.select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** [[wordFreq]] for the sibling tokenizer ([[UnigramLm]]). */
+  private[text] def wordFreqOf(docs: DataFrame): DataFrame = wordFreq(docs)
+
   /** First-iteration BPE pair statistics (Sennrich et al. 2016 "Neural
     * Machine Translation of Rare Words with Subword Units", Algorithm
     * 1's get_stats over the initial character vocabulary): adjacent
