@@ -19,16 +19,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos (legacy conf, set here so it holds under
-    * any driver-created session) and rebuild a microsecond TimestampType
-    * column — DuckDB's ns→µs view of the same instants is identical.
+  /** `events.ts` normalizes to a microsecond TimestampType column (UTC
+    * session) regardless of how the driver generated the parquet:
+    * TIMESTAMP(NANOS) — which Spark 4 rejects unless read as raw nanos
+    * via the legacy conf, set here so it holds under any driver-created
+    * session — converts ns→µs; TIMESTAMP_MICROS without UTC adjustment
+    * reads as TIMESTAMP_NTZ and casts to the same wall-clock instants
+    * under the UTC session; an adjusted-to-UTC file is already the
+    * target type. DuckDB's view of the same file matches in all three
+    * layouts.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -15,7 +15,7 @@ import graft.binning.BinAxis
 object StreamOps {
 
   /** Schema of the events table as needed for `readStream` (streaming
-    * sources require an explicit schema; ts arrives as raw nanos since
+    * sources require an explicit schema; ts arrives as raw nanos when
     * the files carry TIMESTAMP(NANOS), see Tables.events). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -26,13 +26,30 @@ object StreamOps {
 
   /** Streaming event source from a directory of parquet files (file
     * streaming sources monitor directories; point it at a drop folder).
+    *
+    * Streaming sources need the schema up front, but the ts physical
+    * layout depends on the producer (TIMESTAMP(NANOS) read as raw
+    * nanos, TIMESTAMP_MICROS without UTC adjustment read as
+    * TIMESTAMP_NTZ — the same two layouts Tables.events normalizes), so
+    * any file already in the folder is probed once at stream-definition
+    * time; an empty folder defaults to the raw-nanos contract. Either
+    * way the stream normalizes to a microsecond TimestampType `ts`.
     */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probed = scala.util.Try(
+      spark.read.parquet(eventsDir).schema("ts").dataType).toOption
+    val tsType = probed.getOrElse(LongType)
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f                   => f
+    })
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Windowed streaming histogram: per (tumbling time window, bin) counts

@@ -80,9 +80,10 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
       val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
       java.nio.file.Files.move(part, dropDir.resolve(name))
     }
-    // keep raw nanos so the streaming source schema matches readEvents
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // normalize to the raw-nanos drop-folder layout readEvents expects,
+    // whatever timestamp physical type the testdata parquet carries
+    val raw = Tables.events(spark, sfDir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
       .select("event_id", "ts", "user_id", "event_type", "value")
     val streamIn = graft.streaming.StreamOps.readEvents(spark, dropDir.toString)
     val q = graft.streaming.StreamOps.sessionize(streamIn)
@@ -131,8 +132,8 @@ class StreamingAsofSpec extends org.scalatest.funsuite.AnyFunSuite {
       val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
       java.nio.file.Files.move(part, dropDir.resolve(name))
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = Tables.events(spark, sfDir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
       .select("event_id", "ts", "user_id", "event_type", "value")
     val q = graft.streaming.StreamOps.streamingAsofJoin(
         graft.streaming.StreamOps.readEvents(spark, dropDir.toString))
