@@ -2322,6 +2322,22 @@ object TextQueries {
       cachedMerges = Some(merges)
       bpeEncode(docs, merges)
     },
+
+    // ---- unigram-LM tokenizer (Kudo 2018; SentencePiece unigram) ----
+    // EM training is iterative and not SQL-expressible → rows-only
+    // driver check; the algorithm is pinned in UnigramLmSpec (EM
+    // behavior, driver/distributed parity, partitioning invariance).
+    "unigram_train" -> { (s, dir) =>
+      import s.implicits._
+      UnigramLm.train(Tables.documents(s, dir),
+        vocabSize = 48, maxPieceLen = 5, seedSize = 128).toDF("piece", "logp")
+    },
+    "unigram_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pieces = UnigramLm.train(docs, vocabSize = 48, maxPieceLen = 5, seedSize = 128)
+      UnigramLm.cachedPieces = Some(pieces)
+      UnigramLm.encode(docs, pieces, maxPieceLen = 5)
+    },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "corpus_sample" -> { (s, dir) =>
@@ -2860,8 +2876,19 @@ object TextQueries {
   /** Static oracles plus the runtime-learned BPE-encode oracle — a def
     * so Verify (which runs queries before dumping oracle SQL) sees the
     * merge literals the encode query actually used. */
+  /** unigram_encode oracle, rendered from the piece table the query
+    * just learned (the [[cachedMerges]] pattern): DuckDB replays the
+    * Viterbi DP from the same (piece, logp) literals. */
+  private def unigramEncodeOracles: Map[String, String] =
+    UnigramLm.cachedPieces match {
+      case None         => Map.empty
+      case Some(pieces) =>
+        Map("unigram_encode" -> UnigramLm.encodeOracleSql(pieces, maxPieceLen = 5))
+    }
+
   def oracles: Map[String, String] =
-    staticOracles ++ bpeEncodeOracles ++ tempMixOracles ++ qcOracles
+    staticOracles ++ bpeEncodeOracles ++ unigramEncodeOracles ++
+      tempMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,

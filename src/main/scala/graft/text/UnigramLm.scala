@@ -352,7 +352,7 @@ object UnigramLm {
 
   /** The distributed path on the SAME collected-scale vocab — exposed
     * for the parity spec only. */
-  private[text] def trainDistributed(docs: DataFrame, vocabSize: Int = 96,
+  private[graft] def trainDistributed(docs: DataFrame, vocabSize: Int = 96,
                                      maxPieceLen: Int = 6, seedSize: Int = 512,
                                      shrink: Double = 0.8, emIters: Int = 2,
                                      microUnit: Long = 1000000L): Pieces =
@@ -365,7 +365,7 @@ object UnigramLm {
     * edges ending at the position in s-ascending order, replacing only
     * on STRICTLY greater score — ties therefore prefer the earliest
     * candidate, i.e. the longest piece. */
-  private[text] def viterbiDriver(word: String,
+  private[graft] def viterbiDriver(word: String,
                                   pieces: collection.Map[String, Double],
                                   maxPieceLen: Int): Seq[String] = {
     val n = word.length
