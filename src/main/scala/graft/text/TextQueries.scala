@@ -499,6 +499,115 @@ object TextQueries {
       .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
 
+  /** Containment-DEGREE decontamination: per corpus document, the
+    * fraction of its distinct word-n-grams that appear anywhere in the
+    * benchmark/eval set — the graded form of [[decontaminate]]'s binary
+    * any-overlap drop (the PaLM/Llama "contamination fraction" report:
+    * docs are bucketed by overlap percentage rather than dropped on one
+    * shared shingle). Emits (doc_id, n_shingles, n_contaminated,
+    * contain_frac); docs shorter than n tokens carry no shingles and
+    * drop out, exactly like the shingle-based dedup chain.
+    *
+    * Scale shape: identical to [[decontaminate]] — the benchmark's
+    * distinct shingle set broadcasts onto ONE streaming pass over the
+    * corpus's exploded shingles, and the only shuffle is the compact
+    * (doc_id, counts) aggregation. The corpus never shuffles on the
+    * shingle key.
+    */
+  def containmentFraction(corpus: DataFrame, benchmark: DataFrame,
+                          n: Int = 5): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+      .withColumn("hit", lit(true))
+    ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_shingles"), 6).as("contain_frac"))
+  }
+
+  /** Sliding context-window chunking (the tokenizer-side
+    * `return_overflowing_tokens` shape): cut each document's token
+    * stream into windows of `chunkLen` tokens whose starts step by
+    * `stride` (= chunkLen − overlap), so consecutive chunks share
+    * `chunkLen − stride` tokens; the tail chunk may be shorter, and a
+    * document never yields a chunk starting at/past its end. Emits one
+    * row per chunk: (doc_id, chunk_id, n_tokens, chunk_hash).
+    * [[packChunks]] is the complementary loader-side op (documents
+    * packed head-to-tail into exact-budget sequences); this one keeps
+    * every window inside its own document, the long-document split used
+    * for context-bounded training and embedding-indexing.
+    *
+    * Scale shape: pure per-row fan-out — the chunk count is
+    * 1 + ceil(max(n − chunkLen, 0)/stride) by construction, the
+    * explode is bounded by n_tokens/stride per doc, and the whole pass
+    * is map-only: zero exchanges (PlanSpec-pinned).
+    */
+  def chunkDocs(docs: DataFrame, chunkLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+      s"need 1 <= stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, (greatest(size(toks) - $chunkLen, 0) + $stride - 1) div $stride),
+           |  j -> slice(toks, j * $stride + 1, $chunkLen))""".stripMargin))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  // ---- Bloom-filter membership dedup (Bloom 1970; the Dolma exact-
+  // dedup gate shape: probe new documents against a compact filter of
+  // everything already ingested) ----
+
+  /** In-lambda SQL fragment for the portable 60-bit hash (the expr-
+    * string twin of [[phash]]). */
+  private def phashFrag(inner: String): String =
+    s"CAST(conv(substring(md5($inner), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The k Bloom bit positions of a document's text, as a distinct
+    * array (two of the k hashes may collide): position_i =
+    * phash(text ⊕ i) mod m, salt-concatenated so the k functions are
+    * independent in both engines. */
+  private def bloomPositionsExpr(m: Long, k: Int): String =
+    s"""array_distinct(transform(sequence(0, ${k - 1}),
+       |  i -> ${phashFrag("concat(text, '#bloom', i)")} % ${m}L))""".stripMargin
+
+  /** Build the Bloom filter over the seen corpus: the distinct SET bit
+    * positions of all k hashes of every document. Sparse rows-of-set-
+    * bits is the distributed representation — it joins, unions
+    * (incremental ingest = union + distinct), and persists as a plain
+    * table; at n documents it holds ≤ n·k rows regardless of m, so m
+    * can be sized generously (false-positive rate (1−e^{−kn/m})^k)
+    * without materializing m bits anywhere. */
+  def bloomBuild(seen: DataFrame, m: Long = 1L << 24, k: Int = 5): DataFrame =
+    seen.select(explode(expr(bloomPositionsExpr(m, k))).as("bit")).distinct()
+
+  /** Probe a batch against a built filter: a document is flagged iff
+    * ALL its (distinct) bit positions are set — Bloom's contract: a
+    * document whose exact text was seen ALWAYS flags (no false
+    * negatives); an unseen document flags only at the false-positive
+    * rate. Emits (doc_id, bloom_hit).
+    *
+    * Scale shape: the batch fans out to k compact (doc_id, bit) rows
+    * per doc and equi-joins the filter on the uniformly-distributed bit
+    * key (no skew by construction), then aggregates once on doc_id —
+    * two compact-key shuffles, no text ever leaves its partition. When
+    * the filter is small next to the batch, Spark/AQE broadcasts it;
+    * neither side ever pays an all-pairs comparison.
+    */
+  def bloomProbe(batch: DataFrame, bits: DataFrame,
+                 m: Long = 1L << 24, k: Int = 5): DataFrame =
+    batch
+      .select(col("doc_id"), explode(expr(bloomPositionsExpr(m, k))).as("bit"))
+      .join(bits.withColumn("present", lit(true)), Seq("bit"), "left")
+      .groupBy("doc_id")
+      .agg((count(lit(1)) === sum(when(col("present"), 1L).otherwise(0L)))
+        .as("bloom_hit"))
+
   /** GPT-style sequence packing (concat-and-chunk): lay every document
     * out head-to-tail in doc_id order and cut the token stream into
     * fixed-`budget` training sequences — the data-prep step between a
@@ -2340,6 +2449,20 @@ object TextQueries {
     },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
+    // graded twin of txt_decontaminate: same bench/corpus split
+    "txt_contain_frac" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      containmentFraction(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), n = 5)
+    },
+    "txt_chunk" -> { (s, dir) => chunkDocs(Tables.documents(s, dir)) },
+    // Bloom gate: filter built over the even-doc_id half, every doc
+    // probed — evens all hit (no false negatives), odds only on true
+    // content duplicates or the deterministic false-positive rate
+    "bloom_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bloomProbe(docs, bloomBuild(docs.filter(col("doc_id") % 2 === 0)))
+    },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
@@ -3030,6 +3153,42 @@ object TextQueries {
          |FROM documents d
          |WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
     },
+
+    "txt_contain_frac" -> {
+      val benchSrc = "(SELECT * FROM documents WHERE doc_id < 10)"
+      val corpusSrc = "(SELECT * FROM documents WHERE doc_id >= 10)"
+      s"""WITH bsh AS (SELECT DISTINCT shingle FROM (${ngramShinglesSqlFor(benchSrc, 5)})),
+         |csh AS (${ngramShinglesSqlFor(corpusSrc, 5)})
+         |SELECT c.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+         |        / count(*), 6) AS contain_frac
+         |FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+         |GROUP BY c.doc_id""".stripMargin
+    },
+
+    "txt_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, j AS chunk_id,
+        |        list_slice(toks, CAST(j * 48 + 1 AS INT), CAST(j * 48 + 64 AS INT)) AS chunk
+        |      FROM t, LATERAL (SELECT unnest(range(0,
+        |        (greatest(len(toks) - 64, 0) + 47) // 48 + 1)) AS j))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+
+    "bloom_dedup" ->
+      s"""WITH pos AS (SELECT doc_id, list_distinct(list_transform(range(0, 5),
+         |        i -> ${phashSql("concat(text, '#bloom', i)")} % ${1L << 24})) AS ps
+         |      FROM documents),
+         |bits AS (SELECT DISTINCT unnest(ps) AS bit FROM pos WHERE doc_id % 2 = 0),
+         |probe AS (SELECT doc_id, unnest(ps) AS bit FROM pos)
+         |SELECT p.doc_id,
+         |  count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+         |FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+         |GROUP BY p.doc_id""".stripMargin,
 
     "corpus_mix" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,

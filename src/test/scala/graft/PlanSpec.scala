@@ -429,4 +429,32 @@ class PlanSpec extends AnyFunSuite {
     assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("_chunk#")),
       s"the rank window must partition by the hash-prefix chunk:\n${p.take(2000)}")
   }
+
+  test("txt_chunk is a map-only fan-out: no exchange anywhere in the plan") {
+    val p = plan("txt_chunk")
+    assert(!p.contains("Exchange"),
+      s"per-doc window chunking must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("txt_contain_frac broadcasts the benchmark shingles onto the corpus pass") {
+    val p = plan("txt_contain_frac")
+    // the corpus side fans out in place; the only hash exchanges belong
+    // to the compact (doc_id, counts) aggregation
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench shingle set must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle on the shingle key:\n${p.take(2000)}")
+  }
+
+  test("bloom_dedup shuffles compact keys only: bit join + doc_id aggregate") {
+    val p = plan("bloom_dedup")
+    // text never leaves its partition: every exchange keys on the
+    // 8-byte bit position or doc_id, and the probe side aggregates
+    // map-side before the doc_id exchange
+    val exchanged = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanged.subsetOf(Set("bit", "doc_id")),
+      s"bloom probe must shuffle only compact keys, got $exchanged:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"), "bloom probe single-tasks")
+  }
 }

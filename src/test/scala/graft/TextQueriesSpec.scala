@@ -1249,3 +1249,69 @@ class VerifySpec extends AnyFunSuite {
       "Verify.main must not stop a session it did not create")
   }
 }
+
+/** Pins for the sliding-window chunker, the Bloom dedup gate, and the
+  * containment-fraction decontamination signal. */
+class ChunkBloomSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("chunkDocs windows step by stride and reconstruct the token stream") {
+    val chunkLen = 64
+    val stride = 48
+    val got = TextQueries.chunkDocs(docs, chunkLen, stride).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val nChunks = 1 + math.ceil(math.max(toks.length - chunkLen, 0) / stride.toDouble).toInt
+      val mine = got.filter(_._1._1 == r.getLong(0))
+      assert(mine.size == nChunks, s"doc ${r.getLong(0)}: ${mine.size} vs $nChunks chunks")
+      // chunk j = toks[j*stride, j*stride+chunkLen); dropping the overlap
+      // from every later chunk re-concatenates to exactly the original
+      val slices = (0 until nChunks).map(j => toks.slice(j * stride, j * stride + chunkLen))
+      slices.zipWithIndex.foreach { case (sl, j) =>
+        val (n, hash) = mine((r.getLong(0), j.toLong))
+        assert(n == sl.length && hash == h(sl.mkString(" ")), s"doc ${r.getLong(0)} chunk $j")
+      }
+      val rebuilt = slices.head ++ slices.tail.flatMap(_.drop(chunkLen - stride))
+      assert(rebuilt.toSeq == toks.toSeq, s"doc ${r.getLong(0)} does not reconstruct")
+    }
+  }
+
+  test("bloom probe has no false negatives and unions incrementally") {
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val bits = TextQueries.bloomBuild(seen)
+    val hits = TextQueries.bloomProbe(docs, bits).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val seenIds = seen.select("doc_id").collect().map(_.getLong(0)).toSet
+    seenIds.foreach(id => assert(hits(id), s"seen doc $id must always flag"))
+    // false positives exist but must be rare at m=2^24, k=5, n=250
+    val odd = hits.filterNot { case (id, _) => seenIds(id) }
+    assert(odd.count(_._2) <= odd.size / 10, s"fp rate too high: ${odd.count(_._2)}/${odd.size}")
+    // incremental ingest: union+distinct of two half-filters == one build
+    val bitsA = TextQueries.bloomBuild(docs.filter(col("doc_id") % 4 === 0))
+    val bitsB = TextQueries.bloomBuild(seen.filter(col("doc_id") % 4 =!= 0))
+    val merged = bitsA.union(bitsB).distinct()
+    assert(merged.collect().map(_.getLong(0)).toSet ==
+      bits.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("containment fraction is exact on constructed overlap") {
+    import spark.implicits._
+    val bench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d e f g h"),     // every 5-gram contained -> 1.0
+      (11L, "x y z w v u t s"),     // disjoint -> 0.0
+      (12L, "a b c d e zz x y z w") // exactly one of six 5-grams hits
+    ).toDF("doc_id", "text")
+    val got = TextQueries.containmentFraction(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((4L, 4L, 1.0)))
+    assert(got(11L) == ((4L, 0L, 0.0)))
+    assert(got(12L) == ((6L, 1L, 0.166667)))
+  }
+}
