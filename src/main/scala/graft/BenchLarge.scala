@@ -541,6 +541,60 @@ object BenchLarge {
           sum(round(col("logw") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
+    // unigram-LM tokenizer training at the full corpus: ONE corpus pass
+    // (the distinct-word frequency aggregate, ~95k words here), then EM
+    // runs driver-side over the collected vocab — the same
+    // bounded-collect shape as bpe_train. A production-leaning
+    // inventory (4096 pieces from an 8192 seed) exercises the prune
+    // loop, and the learned pieces feed the encode measurement below.
+    var uniPieces: graft.text.UnigramLm.Pieces = Seq.empty
+    timed("unigram_train") {
+      uniPieces = graft.text.UnigramLm.train(docs(spark, nDocs, template),
+        vocabSize = 4096, maxPieceLen = 5, seedSize = 8192)
+      uniPieces.size.toLong
+    }
+    // unigram Viterbi encode at the full corpus: the distinct-word
+    // vocabulary runs the expr-DP once per word, then the encoded vocab
+    // broadcasts onto the doc_id-clustered word fan-out. The check sums
+    // subword counts across all 2M docs.
+    timed("unigram_encode", clearAfter = true) {
+      graft.text.UnigramLm.encode(docs(spark, nDocs, template), uniPieces,
+        maxPieceLen = 5)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
+    // Bloom gate at the full corpus: the filter builds over the even
+    // half (1M docs x 5 hashes -> ~5M distinct set bits at m=2^24) and
+    // all 2M docs probe it — compact (doc_id, bit) rows only, text
+    // never shuffles. The check counts flagged docs (evens + planted
+    // dups + the fp tail).
+    timed("bloom_dedup", clearAfter = true) {
+      val d = docs(spark, nDocs, template)
+      graft.text.TextQueries.bloomProbe(d,
+          graft.text.TextQueries.bloomBuild(d.filter(col("doc_id") % 2 === 0)))
+        .filter(col("bloom_hit")).count()
+    }
+    // containment-fraction decontamination at the full corpus: the ~2k
+    // eval-slice shingle set broadcasts onto one fan-out pass over the
+    // other 2M docs; only (doc_id, counts) rows shuffle. The check
+    // forces both count columns and the quantized fraction.
+    timed("contain_frac", clearAfter = true) {
+      val corpus = cleanDocs(spark, nDocs, template)
+      val bench = corpus.filter(col("doc_id") % 1000 === 777 && col("doc_id") >= template)
+      graft.text.TextQueries.containmentFraction(
+          corpus.filter(col("doc_id") % 1000 =!= 777), bench)
+        .agg((sum("n_shingles") + sum("n_contaminated") +
+          sum(round(col("contain_frac") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // sliding-window chunking at the full corpus, sized so the ~40-token
+    // synthetic docs fan out to ~4 windows each (map-only, zero
+    // exchanges; the cost IS the fan-out + per-chunk md5). The check
+    // sums chunk token counts.
+    timed("txt_chunk", clearAfter = true) {
+      graft.text.TextQueries.chunkDocs(docs(spark, nDocs, template),
+        chunkLen = 16, stride = 12)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
     // at the full corpus size: the flagship user query gets a committed

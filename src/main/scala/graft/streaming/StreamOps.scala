@@ -496,6 +496,35 @@ object StreamOps {
       .drop("toks", "ratio_map", "default_ratio")
   }
 
+  /** Stateless streaming Bloom dedup gate (the ingest form of the
+    * Dolma-style exact-dedup filter, [[graft.text.TextQueries.bloomProbe]]):
+    * drop every incoming document whose k Bloom bit positions are ALL
+    * set in a filter built offline over the already-ingested corpus
+    * ([[graft.text.TextQueries.bloomBuild]] →
+    * [[graft.text.TextQueries.bloomWordMapRow]]). A seen document
+    * always drops (no false negatives); an unseen one drops only at
+    * the filter's false-positive rate. Zero streaming state: the dense
+    * word-map row is bounded at m/64 entries (~4 MB at m=2^24) BY
+    * CONSTRUCTION — independent of corpus size — so each micro-batch
+    * pays one one-row broadcast and a per-row k-hash membership fold,
+    * the same cost envelope as the other stateless gates. Batch
+    * parity: the drop set equals `bloomProbe(..).filter(bloom_hit)`
+    * exactly (spec-pinned — both sides are integer/bit arithmetic on
+    * the same md5 hashes, no float boundary anywhere).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingBloomGate(docs: DataFrame, seen: DataFrame,
+                         m: Long = 1L << 24, k: Int = 5): DataFrame = {
+    import graft.text.TextQueries
+    val bloomRow = TextQueries.bloomWordMapRow(TextQueries.bloomBuild(seen, m, k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .crossJoin(broadcast(bloomRow))
+      .filter(!TextQueries.bloomHitExpr(m, k))
+      .drop("bmap")
+  }
+
   /** Stateless streaming perplexity gate (the ingest form of CCNet's
     * LM quality filter, Wenzek et al. 2020 §4.3): score each incoming
     * document's unigram NLL against a model TRAINED OFFLINE on a

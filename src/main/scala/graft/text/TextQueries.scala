@@ -572,7 +572,7 @@ object TextQueries {
     * array (two of the k hashes may collide): position_i =
     * phash(text ⊕ i) mod m, salt-concatenated so the k functions are
     * independent in both engines. */
-  private def bloomPositionsExpr(m: Long, k: Int): String =
+  private[graft] def bloomPositionsExpr(m: Long, k: Int): String =
     s"""array_distinct(transform(sequence(0, ${k - 1}),
        |  i -> ${phashFrag("concat(text, '#bloom', i)")} % ${m}L))""".stripMargin
 
@@ -607,6 +607,27 @@ object TextQueries {
       .groupBy("doc_id")
       .agg((count(lit(1)) === sum(when(col("present"), 1L).otherwise(0L)))
         .as("bloom_hit"))
+
+  /** The filter folded into ONE broadcastable row: a `bmap`
+    * word-index → 64-bit-word map (bit b lives in word b div 64 at
+    * offset b mod 64). Entries are bounded by m/64 regardless of how
+    * many documents the filter has absorbed — 2^24 bits is a ≤262k-entry
+    * (~4 MB) row — so this is the dense artifact the streaming gate
+    * broadcasts per micro-batch, built from the same sparse bits table
+    * the batch probe joins. */
+  def bloomWordMapRow(bits: DataFrame): DataFrame =
+    bits
+      .groupBy(expr("bit div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("bmap"))
+
+  /** Per-row membership test against a bound `bmap` column: true iff
+    * every one of the text's k bit positions is set — the expression
+    * twin of [[bloomProbe]]'s join-and-count (parity spec-pinned). */
+  private[graft] def bloomHitExpr(m: Long, k: Int): Column =
+    expr(s"""forall(${bloomPositionsExpr(m, k)},
+            |  p -> (coalesce(element_at(bmap, p div 64), 0L)
+            |        & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
 
   /** GPT-style sequence packing (concat-and-chunk): lay every document
     * out head-to-tail in doc_id order and cut the token stream into

@@ -556,6 +556,72 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless Bloom gate: drop set == batch bloomProbe hits, exactly") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val seen = all.filter(col("doc_id") % 2 === 0)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_bloom_replay")
+    all.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingBloomGate(in, seen)
+      .writeStream.format("memory").queryName("bloom_gate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("bloom_gate").collect().map(_.getAs[Long]("doc_id")).toSet
+      val wantKept = graft.text.TextQueries
+        .bloomProbe(all, graft.text.TextQueries.bloomBuild(seen))
+        .filter(!col("bloom_hit")).collect().map(_.getLong(0)).toSet
+      assert(kept == wantKept, s"extra=${kept -- wantKept} missing=${wantKept -- kept}")
+      // the gate is a dedup filter: every seen doc must be gone, and the
+      // fixture must actually pass something through
+      val seenIds = seen.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((kept & seenIds).isEmpty, "a seen document leaked through the gate")
+      assert(kept.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("Bloom gate per-micro-batch plan: cached one-row filter, zero shuffles") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_bloom_plan")
+    stageFile(all.filter(col("doc_id") < 250)
+      .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b0.parquet")
+    val q = graft.streaming.StreamOps
+      .streamingBloomGate(spark.readStream.schema(docSchema).parquet(dropDir.toString),
+        all.filter(col("doc_id") % 2 === 0))
+      .writeStream.format("memory").queryName("bloom_plan").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stageFile(all.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b1.parquet")
+      q.processAllAvailable()
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
+      val nodes = expand(plan)
+      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+        s"the persisted filter row must be served from cache:\n$plan")
+      assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,
+        s"expected exactly the one-row filter broadcast join:\n$plan")
+      assert(!nodes.exists {
+        case _: ShuffleExchangeExec | _: ShuffleQueryStageExec => true
+        case _ => false
+      }, s"a stateless per-row gate must not shuffle the batch:\n$plan")
+    } finally q.stop()
+  }
+
   test("ingest gate with redactPii scrubs spans; parity with the batch redaction") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
