@@ -595,6 +595,18 @@ object BenchLarge {
         chunkLen = 16, stride = 12)
         .agg(sum("n_tokens")).collect()(0).getLong(0)
     }
+    // one-pass signal sweep at the full corpus: every token-level
+    // quality signal from ONE scan + one doc_id exchange — the
+    // scan-consolidation shape (vs paying the corpus scan per signal
+    // family). The check forces all seven columns.
+    timed("txt_signals", clearAfter = true) {
+      graft.text.TextQueries.signalSweep(cleanDocs(spark, nDocs, template))
+        .agg((sum("n_tokens") + sum("n_distinct") + sum("stop_distinct") +
+          sum(round(col("entropy") * 1e6).cast("long")) +
+          sum(round(col("mean_word_len") * 1e6).cast("long")) +
+          sum(round(col("frac_distinct") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
     // at the full corpus size: the flagship user query gets a committed

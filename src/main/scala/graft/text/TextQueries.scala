@@ -1446,6 +1446,42 @@ object TextQueries {
           sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")), 6)
           .as("entropy"))
 
+  /** One-pass signal sweep: every token-level quality signal the
+    * curation stack consumes — token count, distinct-token count and
+    * fraction, mean word length, stopword coverage, and Shannon entropy
+    * — derived from a SINGLE corpus scan and a single compact shuffle.
+    * The point is the plan shape, not a new signal: at 100 TB a
+    * pipeline that runs [[qualityStats]] + [[tokenEntropy]] as separate
+    * queries pays the corpus scan once per signal family; this emits
+    * the union of their token-derived columns for one scan.
+    *
+    * Everything derives from the (doc_id, tok, count) level, so no text
+    * or per-row precomputation rides through the fan-out: the explode
+    * re-aggregates on the pre-explode doc_id clustering (one
+    * repartition Exchange, both aggregates reuse it — PlanSpec pins
+    * exactly one exchange and one scan). Emits (doc_id, n_tokens,
+    * n_distinct, frac_distinct, mean_word_len, stop_distinct, entropy).
+    */
+  def signalSweep(docs: DataFrame): DataFrame = {
+    val stopsArr = STOP.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6).as("frac_distinct"),
+        round(sum(length(col("tok")) * col("c")).cast("double") / sum(col("c")), 6)
+          .as("mean_word_len"),
+        sum(when(expr(s"array_contains($stopsArr, tok)"), 1L).otherwise(0L))
+          .cast("int").as("stop_distinct"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) / sum(col("c")), 6)
+          .as("entropy"))
+  }
+
   /** The unigram LM folded into ONE row: (uni_map MAP<STRING,BIGINT>,
     * tot DOUBLE) — the broadcastable artifact a stateless streaming
     * perplexity gate scores per-row against
@@ -2470,6 +2506,7 @@ object TextQueries {
     },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
+    "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -3188,6 +3225,18 @@ object TextQueries {
          |FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
          |GROUP BY c.doc_id""".stripMargin
     },
+
+    "txt_signals" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS frac_distinct,
+        |  round(CAST(sum(length(tok) * c) AS DOUBLE) / sum(c), 6) AS mean_word_len,
+        |  CAST(sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS INT) AS stop_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+        |FROM g GROUP BY doc_id""".stripMargin,
 
     "txt_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -430,6 +430,16 @@ class PlanSpec extends AnyFunSuite {
       s"the rank window must partition by the hash-prefix chunk:\n${p.take(2000)}")
   }
 
+  test("txt_signals pays one scan and one doc_id exchange for the whole sweep") {
+    val p = plan("txt_signals")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the sweep must scan the corpus exactly once, got $scans:\n${p.take(1500)}")
+    val nDoc = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    val nAll = "Exchange".r.findAllIn(p).size
+    assert(nDoc == 1 && nAll == nDoc,
+      s"both aggregates must reuse the single doc_id clustering:\n${p.take(1500)}")
+  }
+
   test("txt_chunk is a map-only fan-out: no exchange anywhere in the plan") {
     val p = plan("txt_chunk")
     assert(!p.contains("Exchange"),

@@ -1300,6 +1300,27 @@ class ChunkBloomSpec extends AnyFunSuite {
       bits.collect().map(_.getLong(0)).toSet)
   }
 
+  test("signalSweep agrees with the standalone quality and entropy queries") {
+    val sweep = TextQueries.signalSweep(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val quality = TextQueries.qualityStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val entropy = TextQueries.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sweep.keySet == quality.keySet && sweep.keySet == entropy.keySet)
+    sweep.foreach { case (id, s) =>
+      val q = quality(id)
+      assert(s.getLong(1) == q.getInt(1).toLong, s"doc $id n_tokens vs n_words")
+      assert(math.abs(s.getDouble(3) - q.getDouble(3)) < 1e-6, s"doc $id frac_distinct")
+      // single-spaced fixture: the token-length and text-length forms of
+      // mean word length coincide
+      assert(math.abs(s.getDouble(4) - q.getDouble(2)) < 1e-6, s"doc $id mean_word_len")
+      assert(s.getInt(5) == q.getInt(4), s"doc $id stop_distinct")
+      assert(s.getLong(1) == entropy(id)._1 && s.getDouble(6) == entropy(id)._2,
+        s"doc $id entropy")
+    }
+  }
+
   test("containment fraction is exact on constructed overlap") {
     import spark.implicits._
     val bench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
