@@ -1482,6 +1482,44 @@ object TextQueries {
           .as("entropy"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every word-k-gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum — the selected
+    * DISTINCT hash set is the fingerprint. The paper's guarantee: two
+    * documents sharing any run of ≥ w + k − 1 tokens share at least one
+    * fingerprint (spec-pinned), while the expected density is 2/(w+1)
+    * of all grams — a LOCAL, position-robust alternative to the global
+    * shingle-set families ([[minhashSignatures]] samples the whole set;
+    * winnowing guarantees coverage of every sufficiently long run).
+    * Documents shorter than w grams keep min-of-all (≥1 fingerprint
+    * whenever any gram exists); documents under k tokens emit zero.
+    * Emits (doc_id, n_grams, n_fingerprints, fp_hash) where fp_hash is
+    * the md5 of the sorted fingerprint stream.
+    *
+    * Scale shape: pure map-only per-row arrays — zero exchanges
+    * (PlanSpec-pinned); the fingerprint SET (bounded by ~2·n_grams/(w+1))
+    * is the compact artifact a cross-doc matcher would explode and
+    * equi-join on, exactly the [[lshPairs]] bucket-join shape.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr(
+        s"transform(${ngramArrayExpr(k)}, g -> ${phashFrag("g")})"))
+      .withColumn("fps", expr(
+        s"""CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE array_distinct(transform(
+           |  sequence(1, greatest(size(hashes) - $w + 1, 1)),
+           |  i -> array_min(slice(hashes, i, $w)))) END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("hashes")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(expr("concat_ws(' ', transform(array_sort(fps), x -> cast(x as string)))"))
+          .as("fp_hash"))
+  }
+
   /** The unigram LM folded into ONE row: (uni_map MAP<STRING,BIGINT>,
     * tot DOUBLE) — the broadcastable artifact a stateless streaming
     * perplexity gate scores per-row against
@@ -2507,6 +2545,7 @@ object TextQueries {
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
+    "txt_winnow" -> { (s, dir) => winnowFingerprints(Tables.documents(s, dir)) },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -3237,6 +3276,26 @@ object TextQueries {
         |  CAST(sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS INT) AS stop_distinct,
         |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM g GROUP BY doc_id""".stripMargin,
+
+    "txt_winnow" -> {
+      // word-3-gram hashes, window w=4, min per window, distinct set
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(
+         |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         |          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])),
+         |        g -> ${phashSql("g")}) AS hashes
+         |      FROM t),
+         |f AS (SELECT doc_id, len(hashes) AS n_grams,
+         |        CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         |        ELSE list_distinct(list_transform(
+         |          range(1, greatest(len(hashes) - 3, 1) + 1),
+         |          i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))) END AS fps
+         |      FROM h)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+         |  md5(array_to_string(list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)), ' ')) AS fp_hash
+         |FROM f""".stripMargin
+    },
 
     "txt_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

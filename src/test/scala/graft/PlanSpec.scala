@@ -446,6 +446,12 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc window chunking must not shuffle:\n${p.take(1500)}")
   }
 
+  test("txt_winnow is a map-only pass: no exchange anywhere in the plan") {
+    val p = plan("txt_winnow")
+    assert(!p.contains("Exchange"),
+      s"per-doc winnowing must not shuffle:\n${p.take(1500)}")
+  }
+
   test("txt_contain_frac broadcasts the benchmark shingles onto the corpus pass") {
     val p = plan("txt_contain_frac")
     // the corpus side fans out in place; the only hash exchanges belong

@@ -1321,6 +1321,46 @@ class ChunkBloomSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantees a shared fingerprint for runs of >= w+k-1 tokens") {
+    import spark.implicits._
+    // k=3, w=4: any shared run of >= 6 tokens must share a fingerprint.
+    // Build pairs with a 6-token shared run embedded in different
+    // surroundings, and a disjoint pair as the negative control.
+    val run = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (0L, s"one two $run three four"),
+      (1L, s"nine eight seven $run"),
+      (2L, "p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    // equal fp_hash would be too strong (different surroundings change
+    // the set), so recompute the fingerprint SETS with the same
+    // expressions and check intersection
+    val sets = d.withColumn("toks", split(col("text"), " "))
+      .withColumn("hashes", expr(
+        "transform(transform(slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "(t, i) -> concat_ws(' ', t, element_at(toks, i + 2), element_at(toks, i + 3))), " +
+          "g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        """CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+          |ELSE array_distinct(transform(
+          |  sequence(1, greatest(size(hashes) - 4 + 1, 1)),
+          |  i -> array_min(slice(hashes, i, 4)))) END""".stripMargin))
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sets(0L) & sets(1L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((sets(0L) & sets(2L)).isEmpty && (sets(1L) & sets(2L)).isEmpty,
+      "disjoint docs must not collide on this fixture")
+    // and the query output is consistent with the sets
+    val out = TextQueries.winnowFingerprints(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._2 == sets(0L).size && out(1L)._2 == sets(1L).size)
+    // density: fingerprints are a strict subset of grams on real docs
+    val corpus = TextQueries.winnowFingerprints(docs).collect()
+    assert(corpus.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(corpus.exists(r => r.getLong(2) < r.getLong(1)),
+      "winnowing must select fewer fingerprints than grams somewhere")
+  }
+
   test("containment fraction is exact on constructed overlap") {
     import spark.implicits._
     val bench = Seq((0L, "a b c d e f g h")).toDF("doc_id", "text")
