@@ -1502,22 +1502,68 @@ object TextQueries {
     * is the compact artifact a cross-doc matcher would explode and
     * equi-join on, exactly the [[lshPairs]] bucket-join shape.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+  /** Dedup-normalization pass (the CCNet/Dolma pre-hash step, Wenzek et
+    * al. 2020 §4.1: hashes are computed over NORMALIZED text so
+    * case/punctuation variants of the same content deduplicate):
+    * lowercase, strip everything outside [a-z0-9 ], collapse whitespace
+    * runs, trim. Emits (doc_id, n_tokens_norm, norm_hash) — norm_hash
+    * is what the exact-dedup / Bloom chain would key on. Map-only, zero
+    * exchanges; both regexes are RE2-portable so the DuckDB oracle
+    * replays the identical transform. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+      .select(col("doc_id"),
+        when(length(col("norm")) === 0, 0L)
+          .otherwise(size(split(col("norm"), " ")).cast("long")).as("n_tokens_norm"),
+        md5(col("norm")).as("norm_hash"))
+
+  /** (doc_id, n_grams, fps) winnowed-fingerprint frame both winnow
+    * queries derive from. */
+  private def winnowFrame(docs: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("hashes", expr(
         s"transform(${ngramArrayExpr(k)}, g -> ${phashFrag("g")})"))
-      .withColumn("fps", expr(
-        s"""CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-           |ELSE array_distinct(transform(
-           |  sequence(1, greatest(size(hashes) - $w + 1, 1)),
-           |  i -> array_min(slice(hashes, i, $w)))) END""".stripMargin))
-      .select(col("doc_id"),
-        size(col("hashes")).cast("long").as("n_grams"),
+      .select(col("doc_id"), size(col("hashes")).cast("long").as("n_grams"),
+        expr(
+          s"""CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+             |ELSE array_distinct(transform(
+             |  sequence(1, greatest(size(hashes) - $w + 1, 1)),
+             |  i -> array_min(slice(hashes, i, $w)))) END""".stripMargin).as("fps"))
+  }
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowFrame(docs, k, w)
+      .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         md5(expr("concat_ws(' ', transform(array_sort(fps), x -> cast(x as string)))"))
           .as("fp_hash"))
+
+  /** Cross-document winnowing match: candidate near-dup pairs sharing
+    * at least `minShared` selected fingerprints — the MOSS match step.
+    * By the winnowing guarantee every pair sharing a run of
+    * ≥ w + k − 1 tokens appears with n_shared ≥ 1; `minShared` is the
+    * precision knob. Emits (d1, d2, n_shared), d1 < d2.
+    *
+    * Scale shape: the [[lshPairs]] bucket-join shape on the fingerprint
+    * key — candidates meet in equi-join buckets, never all-pairs — via
+    * [[graft.ops.Scale.selfPairs]], so a degenerate fingerprint (shared
+    * boilerplate) detects as a hot key and salts into a triangle join
+    * instead of one quadratic bucket. Only compact (fp, doc_id) longs
+    * shuffle.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Int = 2): DataFrame = {
+    val fps = winnowFrame(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    graft.ops.Scale.selfPairs(fps, Seq("fp"), "doc_id")
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"), col("n_shared"))
   }
 
   /** The unigram LM folded into ONE row: (uni_map MAP<STRING,BIGINT>,
@@ -2546,6 +2592,8 @@ object TextQueries {
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     "txt_winnow" -> { (s, dir) => winnowFingerprints(Tables.documents(s, dir)) },
+    "dedup_winnow_pairs" -> { (s, dir) => winnowPairs(Tables.documents(s, dir)) },
+    "txt_normalize" -> { (s, dir) => normalizeText(Tables.documents(s, dir)) },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -3295,6 +3343,35 @@ object TextQueries {
          |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |  md5(array_to_string(list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)), ' ')) AS fp_hash
          |FROM f""".stripMargin
+    },
+
+    "txt_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(norm) = 0 THEN 0
+        |       ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens_norm,
+        |  md5(norm) AS norm_hash
+        |FROM n""".stripMargin,
+
+    "dedup_winnow_pairs" -> {
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(
+         |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         |          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])),
+         |        g -> ${phashSql("g")}) AS hashes
+         |      FROM t),
+         |f AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         |        ELSE list_distinct(list_transform(
+         |          range(1, greatest(len(hashes) - 3, 1) + 1),
+         |          i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))) END) AS fp
+         |      FROM h)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*) >= 2""".stripMargin
     },
 
     "txt_chunk" ->

@@ -452,6 +452,18 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc winnowing must not shuffle:\n${p.take(1500)}")
   }
 
+  test("txt_normalize is a map-only pass: no exchange anywhere in the plan") {
+    val p = plan("txt_normalize")
+    assert(!p.contains("Exchange"),
+      s"normalization must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("dedup_winnow_pairs meets candidates in fingerprint buckets, never cartesian") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the match step must equi-join on the fingerprint key:\n${p.take(2000)}")
+  }
+
   test("txt_contain_frac broadcasts the benchmark shingles onto the corpus pass") {
     val p = plan("txt_contain_frac")
     // the corpus side fans out in place; the only hash exchanges belong

@@ -1359,6 +1359,11 @@ class ChunkBloomSpec extends AnyFunSuite {
     assert(corpus.forall(r => r.getLong(2) <= r.getLong(1)))
     assert(corpus.exists(r => r.getLong(2) < r.getLong(1)),
       "winnowing must select fewer fingerprints than grams somewhere")
+    // the pair matcher surfaces exactly the sharing pair on this fixture
+    val pairs = TextQueries.winnowPairs(d, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L)), s"got $pairs")
+    assert(pairs((0L, 1L)) == (sets(0L) & sets(1L)).size)
   }
 
   test("containment fraction is exact on constructed overlap") {
