@@ -1557,7 +1557,21 @@ object TextQueries {
     */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                   minShared: Int = 2): DataFrame = {
+    // Materialize the fingerprint arrays ONCE before exploding into the
+    // self-join, at the ARRAY level specifically: selfPairs consumes
+    // its input from five subtrees (skew-detection aggregate + both
+    // cold and hot sides), and when `fps` reaches a projection that
+    // references it only once (the explode), CollapseProject inlines
+    // the whole window-min/hash chain — including the per-lambda
+    // re-evaluation of `toks`/`hashes` the multi-reference guard
+    // normally blocks — multiplying the per-row cost ~60× (measured
+    // 262 s vs 4 s at 200k docs). Checkpointing (doc_id, fps) keeps
+    // every upstream alias multiply-referenced (linear evaluation, the
+    // txt_winnow shape) and hands the join compact materialized longs —
+    // the same rows it would shuffle anyway, linear in corpus size.
     val fps = winnowFrame(docs, k, w)
+      .select(col("doc_id"), col("fps"))
+      .localCheckpoint()
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     graft.ops.Scale.selfPairs(fps, Seq("fp"), "doc_id")
       .groupBy("doc_id_1", "doc_id_2")
