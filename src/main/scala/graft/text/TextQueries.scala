@@ -2602,6 +2602,21 @@ object TextQueries {
       UnigramLm.cachedPieces = Some(pieces)
       UnigramLm.encode(docs, pieces, maxPieceLen = 5)
     },
+
+    // ---- WordPiece tokenizer (Schuster & Nakajima 2012; BERT) ----
+    // likelihood-scored merge loop: iterative, not SQL-expressible →
+    // rows-only driver check; pinned against a reference trainer and the
+    // distributed path in WordPieceSpec
+    "wordpiece_train" -> { (s, dir) =>
+      import s.implicits._
+      WordPiece.train(Tables.documents(s, dir), numMerges = 30).toDF("rank", "token")
+    },
+    "wordpiece_encode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = WordPiece.train(docs, numMerges = 30)
+      WordPiece.cachedVocab = Some(vocab)
+      WordPiece.encode(docs, vocab)
+    },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
@@ -3168,9 +3183,18 @@ object TextQueries {
         Map("unigram_encode" -> UnigramLm.encodeOracleSql(pieces, maxPieceLen = 5))
     }
 
+  /** wordpiece_encode oracle from the vocabulary the query just learned
+    * (same cached-literal pattern). */
+  private def wordpieceEncodeOracles: Map[String, String] =
+    WordPiece.cachedVocab match {
+      case None        => Map.empty
+      case Some(vocab) =>
+        Map("wordpiece_encode" -> WordPiece.encodeOracleSql(vocab))
+    }
+
   def oracles: Map[String, String] =
     staticOracles ++ bpeEncodeOracles ++ unigramEncodeOracles ++
-      tempMixOracles ++ qcOracles
+      wordpieceEncodeOracles ++ tempMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
