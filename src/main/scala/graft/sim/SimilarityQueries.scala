@@ -348,6 +348,12 @@ object SimilarityQueries {
         .select(col("vec_id"))
     },
 
+    // ---- PCA projection: bounded-sample train, map-only apply ----
+    "emb_pca" -> { (s, dir) =>
+      val (mean, comps) = Pca.train(s, dir, k = 4)
+      Pca.project(Tables.embeddings(s, dir), mean, comps)
+    },
+
     // ---- SemDeDup: semantic near-dup REMOVAL over the embedding space ----
     "emb_semdedup" -> { (s, dir) =>
       val pairs = neardupPairsOf(Tables.embeddings(s, dir)).select(col("v1"), col("v2"))
@@ -396,7 +402,14 @@ object SimilarityQueries {
     * queries never ran, the entries are simply omitted → the driver
     * records its weaker rows-only check, same as before.
     */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracles
+  def oracles: Map[String, String] = staticOracles ++ ivfOracles ++ pcaOracles
+
+  /** emb_pca oracle from the (mean, components) the query just trained
+    * — the cached-literal pattern (see [[ivfOracles]]). */
+  private def pcaOracles: Map[String, String] = Pca.cachedModel match {
+    case None             => Map.empty
+    case Some((mu, comps)) => Map("emb_pca" -> Pca.projectSql(mu, comps))
+  }
 
   private def ivfOracles: Map[String, String] = Ivf.cachedCentroids match {
     case None => Map.empty

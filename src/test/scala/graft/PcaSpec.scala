@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import graft.sim.Pca
+import graft.functions.{PcaProjectE12, QuantKernels}
+
+/** Pins for the PCA substrate: the Jacobi eigensolver against analytic
+  * eigenpairs, the fit contract (ordering, orthonormality, sign
+  * normalization, determinism), and the codegen'd projection kernel
+  * against a driver reference including null propagation. */
+class PcaSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("jacobiEigen recovers analytic eigenpairs of a known symmetric matrix") {
+    // [[2,1],[1,2]] has eigenvalues 3 (v=[1,1]/√2) and 1 (v=[1,-1]/√2)
+    val (evals, evecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = evals.indices.sortBy(i => -evals(i))
+    assert(math.abs(evals(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(evals(order(1)) - 1.0) < 1e-12)
+    val v0 = evecs(order(0))
+    assert(math.abs(math.abs(v0(0)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(v0(0) - v0(1)) < 1e-12, "eigenvector of 3 is [1,1]/sqrt(2)")
+    // residual check on a 4x4 with repeated structure (exercises the
+    // theta==0 equal-diagonal rotation branch)
+    val m = Array(
+      Array(1.0, 0.5, 0.0, 0.2),
+      Array(0.5, 1.0, 0.3, 0.0),
+      Array(0.0, 0.3, 1.0, 0.5),
+      Array(0.2, 0.0, 0.5, 1.0))
+    val (ev2, vv2) = Pca.jacobiEigen(m)
+    for (j <- 0 until 4; i <- 0 until 4) {
+      val av = (0 until 4).map(d => m(i)(d) * vv2(j)(d)).sum
+      assert(math.abs(av - ev2(j) * vv2(j)(i)) < 1e-10,
+        s"A v != lambda v at ($i, $j)")
+    }
+  }
+
+  test("fit orders by variance, returns orthonormal sign-fixed components, deterministically") {
+    val rnd = new scala.util.Random(7)
+    // anisotropic cloud: dominant direction along (3, 1, 0, ...) in 8-d
+    val sample = Array.fill(300) {
+      val t = rnd.nextGaussian() * 3.0
+      val n = Array.fill(8)(rnd.nextGaussian() * 0.3)
+      n(0) += t * 3 / math.sqrt(10.0)
+      n(1) += t * 1 / math.sqrt(10.0)
+      n
+    }
+    val (mean, comps, evals) = Pca.fit(sample, k = 3)
+    assert(mean.length == 8 && comps.length == 3)
+    assert(evals(0) >= evals(1) && evals(1) >= evals(2), "eigenvalue order")
+    // orthonormal
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 8).map(d => comps(a)(d) * comps(b)(d)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-10, s"components not orthonormal at ($a,$b): $dot")
+    }
+    // first component aligns with the planted direction
+    val planted = Array(3.0, 1.0).map(_ / math.sqrt(10.0))
+    val align = math.abs(comps(0)(0) * planted(0) + comps(0)(1) * planted(1))
+    assert(align > 0.99, s"pc1 must align with the planted direction, got $align")
+    // sign convention: largest-|coordinate| entry is positive
+    comps.foreach { c =>
+      val arg = c.indices.maxBy(i => math.abs(c(i)))
+      assert(c(arg) > 0, s"sign normalization violated: ${c.toSeq}")
+    }
+    // bit-identical on rerun
+    val (m2, c2, _) = Pca.fit(sample, k = 3)
+    assert(mean.toSeq == m2.toSeq && comps.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
+  test("the codegen'd projection kernel matches the driver reference on the embeddings table") {
+    val (mean, comps) = Pca.train(spark, sfDir, k = 4)
+    val got = Pca.project(Tables.embeddings(spark, sfDir), mean, comps)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    val expected = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect().map { r =>
+        val x = r.getSeq[Float](1)
+        r.getLong(0) -> comps.indices.map { k =>
+          var acc = 0L
+          var d = 0
+          while (d < mean.length) {
+            acc += QuantKernels.qround((x(d).toDouble - mean(d)) * comps(k)(d) * 1e12)
+            d += 1
+          }
+          acc
+        }.toSeq
+      }.toMap
+    assert(got == expected)
+  }
+
+  test("projection nulls on dimension mismatch and null elements") {
+    val mean = Array(0.0, 0.0)
+    val comps = Array(Array(1.0, 0.0))
+    def proj(c: org.apache.spark.sql.Column) =
+      GraftBridge.column(PcaProjectE12(GraftBridge.expression(c), mean, comps))
+    val mm = Seq(Tuple1(Array(1f, 2f, 3f))).toDF("embedding")
+      .select(proj(col("embedding")).as("p")).collect()(0)
+    assert(mm.isNullAt(0), "dim mismatch must null")
+    val nn = spark.sql(
+      "SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+      .select(proj(col("embedding")).as("p")).collect()(0)
+    assert(nn.isNullAt(0), "null element must null")
+  }
+}
