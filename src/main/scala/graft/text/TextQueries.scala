@@ -1482,6 +1482,30 @@ object TextQueries {
           .as("entropy"))
   }
 
+  /** Compression-ratio repetitiveness signal: highly repetitive or
+    * machine-generated text DEFLATEs far below natural prose, so
+    * `deflate_bytes / n_bytes` is a one-pass repetitiveness proxy used
+    * by corpus-curation toolkits next to the Gopher/C4 heuristics — it
+    * catches long-range repetition the bounded-n dup-fraction signals
+    * miss, at zero shuffle. Map-only, codegen'd kernel
+    * ([[graft.functions.DeflateLen]]), no UDF, no exchange. No DuckDB
+    * oracle (DEFLATE is not SQL-expressible) → rows-only; pinned in
+    * CompressSpec against direct JVM deflate and on constructed
+    * repetitive-vs-shuffled fixtures. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val dl = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DeflateLen(
+        org.apache.spark.sql.GraftBridge.expression(docs("text"))))
+    docs.select(
+      col("doc_id"),
+      expr("octet_length(text)").as("n_bytes"),
+      dl.as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") === 0, lit(null).cast("double"))
+          .otherwise(round(col("deflate_bytes").cast("double") /
+            col("n_bytes").cast("double"), 6)))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS algorithm): hash every word-k-gram, slide a window of `w`
@@ -2620,6 +2644,8 @@ object TextQueries {
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
+    // DEFLATE is not SQL-expressible → rows-only; CompressSpec pins it
+    "txt_compress" -> { (s, dir) => compressionRatio(Tables.documents(s, dir)) },
     "txt_winnow" -> { (s, dir) => winnowFingerprints(Tables.documents(s, dir)) },
     "dedup_winnow_pairs" -> { (s, dir) => winnowPairs(Tables.documents(s, dir)) },
     "txt_normalize" -> { (s, dir) => normalizeText(Tables.documents(s, dir)) },
