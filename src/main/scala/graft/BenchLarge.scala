@@ -607,6 +607,67 @@ object BenchLarge {
           sum(round(col("frac_distinct") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
+    // winnowing fingerprints at the full corpus: map-only per-doc
+    // window minima (zero exchanges) — the cost IS the gram hashing +
+    // sliding min + distinct per row. The check forces every column.
+    timed("txt_winnow", clearAfter = true) {
+      graft.text.TextQueries.winnowFingerprints(docs(spark, nDocs, template))
+        .agg((sum("n_grams") + sum("n_fingerprints") +
+          sum(length(col("fp_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // cross-document winnowing match at the full corpus: fingerprint
+    // equi-join buckets via the skew-salted selfPairs (the 1100-doc
+    // template clique IS the hot-fingerprint case — it must detect and
+    // salt, not form one quadratic bucket). The check counts matched
+    // pairs (planted dup pairs + the template clique).
+    timed("winnow_pairs", clearAfter = true) {
+      graft.text.TextQueries.winnowPairs(docs(spark, nDocs, template)).count()
+    }
+    // dedup-normalization at the full corpus: two RE2 regex passes +
+    // md5 per row, map-only. The check forces both output columns.
+    timed("txt_normalize", clearAfter = true) {
+      graft.text.TextQueries.normalizeText(docs(spark, nDocs, template))
+        .agg((sum("n_tokens_norm") + sum(length(col("norm_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // WordPiece training at a production-shaped merge count: ONE corpus
+    // pass (the word-frequency aggregate), then 1000 likelihood-scored
+    // merge rounds driver-side (incremental pair/symbol stats, full-scan
+    // argmax — see WordPiece.scala for why no heap). The learned vocab
+    // feeds the encode measurement below.
+    var wpVocab: Seq[(Int, String)] = Seq.empty
+    timed("wordpiece_train") {
+      wpVocab = graft.text.WordPiece.train(docs(spark, nDocs, template),
+        numMerges = 1000)
+      wpVocab.size.toLong
+    }
+    // WordPiece greedy encode at the full corpus: the distinct-word
+    // vocabulary runs the longest-match walk once per word (match-span
+    // join + HOF loop), then broadcasts onto the doc_id-clustered word
+    // fan-out. The check sums subword counts across all 2M docs.
+    timed("wordpiece_encode", clearAfter = true) {
+      graft.text.WordPiece.encode(docs(spark, nDocs, template), wpVocab)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
+    // PCA projection at the full vector corpus: bounded-sample train
+    // (1024 vectors) + one map-only codegen'd k x d pass over 2M
+    // vectors. The check sums the quantized first and last coordinates.
+    timed("emb_pca", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val (mu, comps) = graft.sim.Pca.trainOn(emb, k = 8)
+      graft.sim.Pca.project(emb, mu, comps)
+        .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // compression-ratio signal at the full corpus: per-row DEFLATE
+    // (thread-local Deflater), map-only. The check forces all columns.
+    timed("txt_compress", clearAfter = true) {
+      graft.text.TextQueries.compressionRatio(docs(spark, nDocs, template))
+        .agg((sum("n_bytes") + sum("deflate_bytes") +
+          sum(round(col("ratio") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
     // at the full corpus size: the flagship user query gets a committed
@@ -627,6 +688,22 @@ object BenchLarge {
         .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
       graft.text.TextQueries.corpusClean(corpus, bench,
         persistLineage = persist).count()
+    }
+    // the end-to-end curate-tokenize-pack pipeline at the full corpus:
+    // corpus_clean survivors train a 1000-merge BPE, encode, and pack
+    // by encoded counts — the flagship composition gets its own
+    // committed number and budget like its parts (also appended after
+    // corpus_clean: it persists the survivor corpus and is the only
+    // query heavier than corpus_clean). The check sums chunk slice
+    // lengths = total encoded tokens of the cleaned corpus.
+    timed("corpus_tokenize", clearBetween = true, clearAfter = true) {
+      val corpus = cleanDocs(spark, nDocs, template)
+      val bench = corpus
+        .filter(col("doc_id") % 1000 === 777 && col("doc_id") >= template)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      graft.text.TextQueries.corpusTokenize(corpus, bench,
+        budget = 2048L, numMerges = 1000, persistLineage = persist)
+        .agg(sum("off_len")).collect()(0).getLong(0)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }

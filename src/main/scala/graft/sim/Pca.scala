@@ -162,15 +162,23 @@ object Pca {
     trained(lk)
   }
 
-  /** Train on the bounded deterministic sample of the embeddings at
-    * `dir` (not memoized — [[Ivf.trainCentroids]] staleness rationale). */
-  def train(spark: SparkSession, dir: String, k: Int): (Array[Double], Array[Array[Double]]) = {
-    val sample = graft.Tables.embeddings(spark, dir)
+  /** Train on the bounded deterministic sample of `vectors` (needs
+    * vec_id + embedding columns); no oracle-literal caching — the
+    * corpus-scale bench path. */
+  def trainOn(vectors: DataFrame, k: Int): (Array[Double], Array[Array[Double]]) = {
+    val sample = vectors
       .filter(col("vec_id") < SAMPLE_N)
       .orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val (mean, comps, _) = fit(sample, k)
+    (mean, comps)
+  }
+
+  /** Train on the bounded deterministic sample of the embeddings at
+    * `dir` (not memoized — [[Ivf.trainCentroids]] staleness rationale). */
+  def train(spark: SparkSession, dir: String, k: Int): (Array[Double], Array[Array[Double]]) = {
+    val (mean, comps) = trainOn(graft.Tables.embeddings(spark, dir), k)
     trained((dir, k)) = (mean, comps)
     lastKey = Some((dir, k))
     (mean, comps)

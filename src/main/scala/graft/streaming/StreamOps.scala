@@ -612,7 +612,8 @@ object StreamOps {
                             oovCount: Double = 0.5,
                             redactPii: Boolean = false,
                             classifier: Option[(Double, Array[Double])] = None,
-                            minProb: Double = 0.0): DataFrame = {
+                            minProb: Double = 0.0,
+                            maxCompressRatio: Option[Double] = None): DataFrame = {
     import graft.text.TextQueries
     val spark = docs.sparkSession
     import spark.implicits._
@@ -630,8 +631,12 @@ object StreamOps {
     val staticRow = classifier
       .fold(modelRow) { case (_, w) => modelRow.crossJoin(Seq(w.toSeq).toDF("qc_w")) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored0 = docs
-      .filter(TextQueries.qualityKeep())
+    // the compression-ratio stage is stateless per-row arithmetic (no
+    // model artifact), so it rides the same micro-batch plan for free
+    val preQ = docs.filter(TextQueries.qualityKeep())
+    val pre = maxCompressRatio.fold(preQ)(thr =>
+      preQ.filter(TextQueries.compressRatioExpr(col("text")) <= thr))
+    val scored0 = pre
       .crossJoin(broadcast(staticRow))
       .filter(size(array_intersect(
         TextQueries.ngramShinglesExpr("text", n), col("bench_shingles"))) === 0)

@@ -322,7 +322,8 @@ object TextQueries {
   def dedupKeep(docs: DataFrame, threshold: Double = 0.5,
                 keepBy: Option[Column] = None,
                 ascending: Boolean = true,
-                persistLineage: Boolean = false): DataFrame = {
+                persistLineage: Boolean = false,
+                keepText: Boolean = false): DataFrame = {
     val pairs = lshPairs(docs, threshold, persistLineage = persistLineage)
       .select(col("d1"), col("d2"))
     val labels = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
@@ -345,8 +346,11 @@ object TextQueries {
     // the broadcast hint pins the intended plan: after the iterative CC
     // computation Spark's size estimate for the drop-set is opaque, and
     // a shuffle-anti here would re-shuffle the whole corpus (PlanSpec)
+    // keepText=true hands survivors to a downstream consumer (the
+    // tokenize pipeline) with their text — same plan, different select
     docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .select(col("doc_id"),
+        (if (keepText) col("text") else md5(col("text")).as("content_hash")))
   }
 
   /** Per-document LSH band signatures (doc_id, band, sig) — the
@@ -649,10 +653,17 @@ object TextQueries {
     * PlanSpec pins no-single-partition-exchange.
     */
   def packChunks(docs: DataFrame, budget: Long,
+                 chunkWidth: Long = 100000L): DataFrame =
+    packCounts(docs.select(col("doc_id"),
+      wsTokenCount("text").cast("long").as("n_tokens")), budget, chunkWidth)
+
+  /** [[packChunks]] over a precomputed (doc_id, n_tokens) frame — the
+    * form a tokenizer-aware pipeline needs (pack by ENCODED subword
+    * counts, not whitespace counts; see [[corpusTokenize]]). Same
+    * stitched global cumsum, same output contract. */
+  def packCounts(withN: DataFrame, budget: Long,
                  chunkWidth: Long = 100000L): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val withN = docs.select(col("doc_id"),
-      wsTokenCount("text").cast("long").as("n_tokens"))
     val cum = graft.ops.Stitch.globalCumsum(withN,
       expr(s"doc_id div $chunkWidth"), Seq(col("doc_id")),
       col("n_tokens"), "cum")
@@ -764,7 +775,8 @@ object TextQueries {
                   persistLineage: Boolean = false,
                   extraFilter: Option[Column] = None,
                   storageLevel: org.apache.spark.storage.StorageLevel =
-                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                  keepText: Boolean = false): DataFrame = {
     // `extraFilter` composes additional per-row keeps into the quality
     // stage (e.g. repetitionKeep()) without touching the pipeline shape
     val clean0 = corpus
@@ -779,7 +791,57 @@ object TextQueries {
     // is the in-query form of what a production pipeline does anyway:
     // materialize the filtered corpus, then dedup the materialization.
     val clean = if (persistIntermediate) clean0.persist(storageLevel) else clean0
-    dedupKeep(clean, threshold, persistLineage = persistLineage)
+    dedupKeep(clean, threshold, persistLineage = persistLineage, keepText = keepText)
+  }
+
+  /** Merge table learned by the last [[corpusTokenize]] run, cached for
+    * oracle rendering (its OWN slot — `bpe_encode` trains on the raw
+    * corpus, this pipeline on the cleaned survivors; sharing
+    * [[cachedMerges]] would silently cross the two oracles). */
+  @volatile private[text] var cachedTokenizeMerges: Option[Seq[(Int, String, String)]] = None
+
+  /** The full curate-tokenize-pack loop as ONE composed pipeline — what
+    * a training-data job actually ships end to end:
+    *
+    *  1. [[corpusClean]] (decontaminate → quality gate → LSH dedup),
+    *     survivors kept WITH text;
+    *  2. [[bpeTrain]] on the SURVIVORS (the tokenizer a real pipeline
+    *     trains sees post-clean text — training it on the raw corpus
+    *     would spend merge slots on boilerplate the clean step just
+    *     removed);
+    *  3. [[bpeEncode]] with the learned table → per-doc subword counts;
+    *  4. [[packCounts]] by the ENCODED counts (the whole point of
+    *     tokenizer-aware packing: whitespace counts mis-size training
+    *     chunks by the subword fan-out factor).
+    *
+    * Emits the pack layout (chunk_id, doc_id, off_start, off_len) in
+    * ENCODED-token space. The cleaned survivor frame is persisted
+    * (session-owned, the [[corpusClean]] cache contract) because three
+    * consumers walk it: the train word-frequency pass, the encode
+    * vocabulary pass, and the encode fan-out.
+    *
+    * Scale shape (100 TB): every stage keeps its own audited shape —
+    * the clean chain's broadcast/anti-join discipline, ONE corpus pass
+    * for tokenizer training (driver merge loop), the broadcast
+    * encoded-vocabulary join, and the stitched global cumsum (no
+    * single-partition exchange). The composition adds NO new shuffle:
+    * stage boundaries hand over (doc_id, n_tokens)-sized frames only.
+    *
+    * The DuckDB oracle composes the stage oracles over the SAME learned
+    * merge literals (cached per run), so the end-to-end layout is
+    * hash-verified, not just the stages. */
+  def corpusTokenize(corpus: DataFrame, benchmark: DataFrame,
+                     budget: Long = 512L, numMerges: Int = 20,
+                     n: Int = 5, threshold: Double = 0.5,
+                     persistLineage: Boolean = false): DataFrame = {
+    val cleaned = corpusClean(corpus, benchmark, n, threshold,
+      persistLineage = persistLineage, keepText = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = bpeTrain(cleaned, numMerges)
+    cachedTokenizeMerges = Some(merges)
+    packCounts(
+      bpeEncode(cleaned, merges).select(col("doc_id"), col("n_tokens")),
+      budget)
   }
 
   /** The quality-metric SQL bodies over a lambda-bound token array
@@ -1506,6 +1568,17 @@ object TextQueries {
             col("n_bytes").cast("double"), 6)))
   }
 
+  /** The per-row deflate ratio as a scalar column — the
+    * [[compressionRatio]] arithmetic shared with the streaming curation
+    * gate (stateless, so it composes into a micro-batch plan for free). */
+  def compressRatioExpr(c: Column): Column = {
+    val dl = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DeflateLen(org.apache.spark.sql.GraftBridge.expression(c)))
+    val nb = length(encode(c, "UTF-8"))
+    when(nb === 0, lit(null).cast("double"))
+      .otherwise(round(dl.cast("double") / nb.cast("double"), 6))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS algorithm): hash every word-k-gram, slide a window of `w`
@@ -1535,6 +1608,25 @@ object TextQueries {
     * exchanges; both regexes are RE2-portable so the DuckDB oracle
     * replays the identical transform. */
   def normalizeText(docs: DataFrame): DataFrame =
+    docs
+      // one-pass codegen'd kernel; the regex chain it replaces
+      // ([[normalizeTextRegex]]) measured 42.7 s over 2M docs (two Java
+      // regex passes per row) vs byte-loop cost here — the SQL-regex
+      // form remains the cross-engine semantic definition (the DuckDB
+      // oracle runs it) and kernel==regex parity is spec-pinned
+      // including multi-byte and exotic-lowercase inputs
+      .withColumn("norm", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.NormalizeDedup(
+          org.apache.spark.sql.GraftBridge.expression(col("text")))))
+      .select(col("doc_id"),
+        when(length(col("norm")) === 0, 0L)
+          .otherwise(size(split(col("norm"), " ")).cast("long")).as("n_tokens_norm"),
+        md5(col("norm")).as("norm_hash"))
+
+  /** The regex twin of [[normalizeText]] — the portable semantic
+    * definition (what the DuckDB oracle evaluates), retained for the
+    * kernel-parity spec. */
+  private[graft] def normalizeTextRegex(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm", trim(regexp_replace(regexp_replace(
         lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
@@ -2736,6 +2828,16 @@ object TextQueries {
         docs.filter(col("doc_id") < 10))
     },
 
+    // ---- the end-to-end curate-tokenize-pack pipeline: corpus_clean
+    // survivors train + encode a BPE tokenizer, the encoded counts pack
+    // into 512-token chunks; the composed oracle hash-verifies the
+    // final layout ----
+    "corpus_tokenize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      corpusTokenize(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10))
+    },
+
     // ---- GPT-style sequence packing: concat in doc_id order, cut
     // into fixed 512-token training chunks, emit per-doc slices ----
     "txt_pack" -> { (s, dir) =>
@@ -3173,27 +3275,58 @@ object TextQueries {
     * only the first of two adjacent occurrences (`replace(' a b a b ',
     * ' a b ', ' ab ')` = `' ab a b '`) and wrongly diverges. The doubled
     * spaces collapse back to single just before the final trim. */
+  /** The merge-fold encode SQL over an arbitrary (doc_id, text) source
+    * relation — shared by the bpe_encode oracle (src = documents) and
+    * the composed corpus_tokenize oracle (src = cleaned survivors). */
+  private def bpeEncodeSqlFor(merges: Seq[(Int, String, String)], src: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    val applied = merges.sortBy(_._1)
+      .foldLeft("concat('  ', regexp_replace(word, '(.)', '\\1  ', 'g'), '</w>  ')") {
+        case (acc, (_, l, r)) => s"replace($acc, ' ${q(l)}  ${q(r)} ', ' ${q(l + r)} ')"
+      }
+    s"""WITH w AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src tsrc),
+       |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       |enc AS (SELECT word, trim(replace($applied, '  ', ' ')) AS encoded
+       |        FROM (SELECT DISTINCT word FROM w) v WHERE length(word) >= 1)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(encoded, ' '))) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(encoded, ' ' ORDER BY pos)) AS stream_hash
+       |FROM w JOIN enc USING (word)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   private def bpeEncodeOracles: Map[String, String] = cachedMerges match {
     case None => Map.empty
     case Some(merges) =>
-      def q(s: String) = s.replace("'", "''")
-      val applied = merges.sortBy(_._1)
-        .foldLeft("concat('  ', regexp_replace(word, '(.)', '\\1  ', 'g'), '</w>  ')") {
-          case (acc, (_, l, r)) => s"replace($acc, ' ${q(l)}  ${q(r)} ', ' ${q(l + r)} ')"
-        }
-      Map("bpe_encode" ->
-        s"""WITH w AS (
-           |  SELECT doc_id, i AS pos, toks[i] AS word
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |       LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
-           |enc AS (SELECT word, trim(replace($applied, '  ', ' ')) AS encoded
-           |        FROM (SELECT DISTINCT word FROM w) v WHERE length(word) >= 1)
-           |SELECT doc_id,
-           |  CAST(count(*) AS BIGINT) AS n_words,
-           |  CAST(sum(len(string_split(encoded, ' '))) AS BIGINT) AS n_tokens,
-           |  md5(string_agg(encoded, ' ' ORDER BY pos)) AS stream_hash
-           |FROM w JOIN enc USING (word)
-           |GROUP BY doc_id""".stripMargin)
+      Map("bpe_encode" -> bpeEncodeSqlFor(merges, "documents"))
+  }
+
+  /** corpus_tokenize oracle: the corpus_clean survivor set feeds the
+    * merge-fold encode (over the merges THIS run learned on the
+    * survivors), whose per-doc n_tokens feed the txt_pack cumsum — the
+    * three stage oracles composed verbatim, so DuckDB verifies the
+    * end-to-end chunk layout, not just the stages. */
+  private def corpusTokenizeOracles: Map[String, String] = cachedTokenizeMerges match {
+    case None => Map.empty
+    case Some(merges) =>
+      val cleanedSrc =
+        s"""(SELECT d.doc_id, d.text FROM documents d
+           | JOIN (SELECT doc_id FROM ($corpusCleanOracle) cc) surv USING (doc_id))""".stripMargin
+      val enc = bpeEncodeSqlFor(merges, cleanedSrc)
+      Map("corpus_tokenize" ->
+        s"""WITH t AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n FROM ($enc) e),
+           |c AS (SELECT doc_id, n,
+           |  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+           |s AS (SELECT doc_id, n, cum, cum - n AS start FROM c),
+           |x AS (SELECT doc_id, n, cum, start,
+           |  unnest(range(start // 512, (cum - 1) // 512 + 1)) AS chunk_id FROM s)
+           |SELECT chunk_id, doc_id,
+           |  greatest(start, chunk_id * 512) - start AS off_start,
+           |  least(cum, (chunk_id + 1) * 512) - greatest(start, chunk_id * 512) AS off_len
+           |FROM x""".stripMargin)
   }
 
   /** Static oracles plus the runtime-learned BPE-encode oracle — a def
@@ -3220,7 +3353,8 @@ object TextQueries {
 
   def oracles: Map[String, String] =
     staticOracles ++ bpeEncodeOracles ++ unigramEncodeOracles ++
-      wordpieceEncodeOracles ++ tempMixOracles ++ qcOracles
+      wordpieceEncodeOracles ++ corpusTokenizeOracles ++
+      tempMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,

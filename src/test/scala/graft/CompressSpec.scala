@@ -48,6 +48,28 @@ class CompressSpec extends AnyFunSuite {
     assert(e.getInt(1) == 0 && e.isNullAt(3))
   }
 
+  test("normalize kernel == regex chain on the corpus and adversarial inputs") {
+    val docs = Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows(TextQueries.normalizeText(docs)) ==
+      rows(TextQueries.normalizeTextRegex(docs)))
+    // adversarial: mixed case, punctuation runs, unicode (multi-byte),
+    // exotic lowercase (U+0130 lowers to i + combining dot), tabs,
+    // leading/trailing/collapsed spaces, empty and all-stripped rows
+    val adv = Seq(
+      (0L, "  Hello,   WORLD!!  "),
+      (1L, "a.b c\td—e"),
+      (2L, "İstanbul ÉTÉ"),
+      (3L, "๛๛๛"),
+      (4L, ""),
+      (5L, "A1 b2;C3"),
+      (6L, "日本語 text 123")
+    ).toDF("doc_id", "text")
+    assert(rows(TextQueries.normalizeText(adv)) ==
+      rows(TextQueries.normalizeTextRegex(adv)))
+  }
+
   test("the signal plan is map-only (no exchange) and stays codegen'd") {
     val plan = TextQueries.compressionRatio(Tables.documents(spark, sfDir))
       .queryExecution.executedPlan

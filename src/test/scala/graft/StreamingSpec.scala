@@ -889,6 +889,44 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate compression stage: exact deflate parity, threshold bites") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val wantR = graft.text.TextQueries.compressionRatio(corpus)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rSorted = wantR.values.toSeq.sorted
+    val cutR = rSorted(rSorted.size / 2)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_cmp")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      maxCompressRatio = Some(cutR))
+      .writeStream.format("memory").queryName("cur_cmp").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_cmp").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // deflate is deterministic within one JVM -> EXACT parity, no
+      // quantization band needed (unlike the float-scored stages)
+      val cmpKeep = wantR.filter(_._2 <= cutR).keySet
+      val want = quality & decon & cmpKeep
+      assert(cmpKeep.size < corpus.count(),
+        "the compression threshold must filter something on the fixture")
+      assert(want.nonEmpty && got == want,
+        s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   /** Stage `df` as one more file into a streaming drop-folder (file
     * sources monitor directories; each new file is the next batch). */
   private def stageFile(df: org.apache.spark.sql.DataFrame,
