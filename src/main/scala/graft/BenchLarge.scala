@@ -111,10 +111,17 @@ object BenchLarge {
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
 
   /** Committed BENCH_LARGE.json, parsed: input sizes, per-query secs,
-    * and the host-speed calibration time (absent in pre-gate files). */
+    * and the host-speed calibration times (absent in pre-gate files).
+    * `calib` is the numeric shuffle+agg kernel; `calibStr` the
+    * string-workload kernel (shingle build + md5 + string-keyed
+    * shuffle) — two r9 quiet runs showed this host class running the
+    * numeric kernel at 1.05-1.1x baseline while the allocation-heavy
+    * string queries ran ~2x, so a single numeric scale under-relaxes
+    * exactly the family that feels host weather most. */
   final case class LargeBaseline(rows: Long, docs: Long, vecs: Long,
                                  queries: Map[String, Double],
-                                 calib: Option[Double] = None)
+                                 calib: Option[Double] = None,
+                                 calibStr: Option[Double] = None)
 
   private def asNum(k: String, n: graft.binning.MetaNode): Double = n match {
     case graft.binning.MetaNode.MNum(v) => v
@@ -127,7 +134,8 @@ object BenchLarge {
     val root = MetaTree.parse(json).asInstanceOf[MetaNode.MObj]
     val qs = root.obj("queries").fields.map { case (k, v) => k -> asNum(k, v) }.toMap
     LargeBaseline(root.int("rows"), root.int("docs"), root.int("vecs"), qs,
-      root.get("calib").map(asNum("calib", _)))
+      root.get("calib").map(asNum("calib", _)),
+      root.get("calib_str").map(asNum("calib_str", _)))
   }
 
   /** Queries that regressed past `tol ×` their baseline time, plus any
@@ -144,9 +152,16 @@ object BenchLarge {
     * unscalable part — a uniformly faster host just passes. */
   def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
                   tol: Double, baseCalib: Option[Double] = None,
-                  freshCalib: Option[Double] = None): Seq[String] = {
-    val scale = (for (b <- baseCalib; f <- freshCalib if b > 0 && f > 0) yield f / b)
-      .getOrElse(1.0).max(1.0)
+                  freshCalib: Option[Double] = None,
+                  baseCalibStr: Option[Double] = None,
+                  freshCalibStr: Option[Double] = None): Seq[String] = {
+    def ratio(b: Option[Double], f: Option[Double]) =
+      (for (bb <- b; ff <- f if bb > 0 && ff > 0) yield ff / bb).getOrElse(1.0)
+    // max of the numeric and string kernels: relax-only, and the string
+    // kernel captures the allocation/string-shuffle weather the numeric
+    // kernel demonstrably misses (see LargeBaseline scaladoc)
+    val scale = math.max(ratio(baseCalib, freshCalib),
+      ratio(baseCalibStr, freshCalibStr)).max(1.0)
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
       got <- fresh.get(name) if got > base * tol * scale
@@ -283,8 +298,30 @@ object BenchLarge {
         .agg(sum("cnt")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // string-workload calibration twin: FIXED 1M-doc corpus → shingle
+    // build → md5 portable hash → string-keyed shuffle — the lsh_pairs
+    // instruction mix. Two r9 quiet runs showed hosts where the numeric
+    // kernel reads 1.05x baseline while this family runs ~2x; the gate
+    // scales by the WORSE of the two kernels (relax-only).
+    def calibStrPass(): Double = {
+      val t0 = System.nanoTime()
+      docs(spark, 1000000L, 1100L)
+        .select(explode(graft.text.TextQueries.ngramShinglesExpr("text", 3)).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * length(col("sh")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     calibPass()
     val calibSec = (1 to 3).map(_ => calibPass()).min
+    calibStrPass()
+    val calibStrSec = (1 to 3).map(_ => calibStrPass()).min
+    // calibration-only mode: stamp a committed baseline's calib fields
+    // without re-measuring the 30-minute query suite
+    if (sys.env.get("SPARK_GRAFT_LARGE_CALIB_ONLY").contains("true")) {
+      println(s"""{"metric":"bench_large_calib","calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)}}""")
+      spark.stop()
+      return
+    }
 
     timed("hist_3d_rel") {
       val h = Binning.histogramNd(events(spark, rows), axes3)
@@ -712,7 +749,7 @@ object BenchLarge {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val evPerSec = (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
-    println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"queries":$qs,"outputs":$cs}""")
+    println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)},"queries":$qs,"outputs":$cs}""")
     spark.stop()
 
     // ---- regression gate against the committed baseline -------------
@@ -727,12 +764,16 @@ object BenchLarge {
           s"differ from baseline (${base.rows}, ${base.docs}, ${base.vecs})")
       } else {
         val regs = regressions(base.queries, results.toMap, tol,
-          baseCalib = base.calib, freshCalib = Some(calibSec))
+          baseCalib = base.calib, freshCalib = Some(calibSec),
+          baseCalibStr = base.calibStr, freshCalibStr = Some(calibStrSec))
         if (regs.nonEmpty) {
           regs.foreach(r => System.err.println(s"REGRESSION $r"))
           sys.exit(1)
         }
-        val scaleNote = base.calib.map(b => s" (host-speed scale ${f2(calibSec / b)})").getOrElse("")
+        val scaleNote = base.calib.map(b =>
+          s" (host-speed scale num ${f2(calibSec / b)}" +
+            base.calibStr.map(bs => s", str ${f2(calibStrSec / bs)}").getOrElse("") + ")")
+          .getOrElse("")
         System.err.println(s"gate ok: ${results.size} queries within ${f2(tol)} x of $baselinePath$scaleNote")
       }
     } else if (baselinePath.nonEmpty) {

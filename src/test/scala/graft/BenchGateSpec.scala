@@ -108,4 +108,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchLarge.parseBaseline(withCalib).calib === Some(1.23))
     assert(BenchLarge.parseBaseline(sampleJson).calib === None)
   }
+
+  test("the string calibration kernel relaxes budgets when it reads worse than numeric") {
+    // host weather hits string workloads 2.5x but the numeric kernel
+    // only 1.1x (the observed r9 pattern): the gate must scale by the
+    // WORSE kernel, or string-heavy queries fail on pure weather
+    val base = Map("a" -> 10.0)
+    val fresh = Map("a" -> 22.0) // 2.2x — inside 1.5 x 2.5, outside 1.5 x 1.1
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(1.1)).nonEmpty,
+      "numeric-only calibration must flag this")
+    assert(BenchLarge.regressions(base, fresh, tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(1.1),
+      baseCalibStr = Some(1.0), freshCalibStr = Some(2.5)).isEmpty,
+      "the string kernel's scale must relax the budget")
+    // and the max is relax-only: a FASTER string kernel never shrinks
+    assert(BenchLarge.regressions(Map("a" -> 10.0), Map("a" -> 14.0), tol = 1.5,
+      baseCalib = Some(1.0), freshCalib = Some(1.0),
+      baseCalibStr = Some(2.0), freshCalibStr = Some(1.0)).isEmpty)
+  }
+
+  test("parseBaseline reads the optional calib_str field") {
+    val withBoth = sampleJson.replace(""""queries"""",
+      """"calib":1.23,"calib_str":2.34,"queries"""")
+    assert(BenchLarge.parseBaseline(withBoth).calibStr === Some(2.34))
+    assert(BenchLarge.parseBaseline(sampleJson).calibStr === None)
+  }
 }
