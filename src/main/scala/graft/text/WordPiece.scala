@@ -278,7 +278,10 @@ object WordPiece {
       .join(broadcast(vocabDF), Seq("piece"))
       .groupBy("word")
       .agg(array_sort(collect_list(struct(col("e"), col("s")))).as("edges"))
-    words.join(found, Seq("word"), "left")
+    // both sides are vocabulary-sized; the broadcast hint keeps the
+    // aggregate's opaque size estimate from degrading this to an SMJ
+    // (the encoded vocab broadcasts downstream anyway — same budget)
+    words.join(broadcast(found), Seq("word"), "left")
       .select(col("word"), coalesce(col("edges"),
         expr("cast(array() as array<struct<e:int,s:int>>)")).as("edges"))
   }

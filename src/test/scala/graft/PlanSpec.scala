@@ -485,4 +485,45 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe must shuffle only compact keys, got $exchanged:\n${p.take(2000)}")
     assert(!p.contains("Exchange SinglePartition"), "bloom probe single-tasks")
   }
+
+  test("emb_pca is a map-only codegen'd pass: no exchange, no UDF") {
+    val p = plan("emb_pca")
+    assert(!p.contains("Exchange"),
+      s"the projection must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "projection must be a native expression")
+    // the *(N) stage markers are how executedPlan.toString spells
+    // whole-stage codegen
+    assert(p.contains("*(1)"),
+      s"the kernel must stay inside codegen:\n${p.take(1500)}")
+  }
+
+  test("txt_compress is a map-only codegen'd pass: no exchange, no UDF") {
+    val p = plan("txt_compress")
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"the deflate signal must be a map-only native pass:\n${p.take(1500)}")
+  }
+
+  test("wordpiece_encode broadcasts the encoded vocabulary onto the corpus words") {
+    val p = plan("wordpiece_encode")
+    // the corpus-sized side must meet the distinct-word vocabulary in a
+    // broadcast hash join — a shuffle on the word key is the skew trap
+    // (the bpe_encode pin, same idiom)
+    assert(p.contains("BroadcastHashJoin"),
+      s"encoded vocab must broadcast:\n${p.take(2000)}")
+    val smjs = "SortMergeJoin".r.findAllIn(p).size
+    assert(smjs == 0,
+      s"the corpus must never shuffle on the word key ($smjs SMJs):\n${p.take(2000)}")
+  }
+
+  test("corpus_tokenize adds no corpus shuffle beyond its stages' own shapes") {
+    val p = plan("corpus_tokenize")
+    // the pack stage consumes only compact (doc_id, n_tokens) rows; a
+    // SinglePartition exchange would mean the global cumsum degraded to
+    // a one-task sort (the Stitch guarantee, end to end)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the composed pipeline must stay partition-parallel:\n${p.take(2000)}")
+    // the encoded vocabulary still broadcasts inside the composition
+    assert(p.contains("BroadcastHashJoin"),
+      s"stage joins must stay broadcast inside the composition:\n${p.take(2000)}")
+  }
 }
