@@ -697,6 +697,16 @@ object BenchLarge {
         .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
         .collect()(0).getLong(0)
     }
+    // SemDeDup in PCA-reduced space at the full vector corpus: bucket
+    // assignment costs k x planes integer ops per row (vs dim x planes
+    // full-space — the point of reducing first); candidate pairs verify
+    // with the exact cosine on originals; planes sized to the corpus as
+    // in emb_neardup. The check counts survivors.
+    timed("emb_semdedup_pca", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val (mu, comps) = graft.sim.Pca.trainOn(emb, k = 8)
+      graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps, planes = 16).count()
+    }
     // compression-ratio signal at the full corpus: per-row DEFLATE
     // (thread-local Deflater), map-only. The check forces all columns.
     timed("txt_compress", clearAfter = true) {

@@ -197,9 +197,12 @@ object Pca {
   }
 
   /** DuckDB twin of [[project]] from the trained literals (shortest
-    * round-trip doubles, identical per-term round-then-sum). */
+    * round-trip doubles, identical per-term round-then-sum).
+    * `withEmbedding` carries the original vector through — the
+    * reduced-space SemDeDup oracle verifies candidates on it. */
   def projectSql(mean: Array[Double], comps: Array[Array[Double]],
-                 table: String = "embeddings"): String = {
+                 table: String = "embeddings",
+                 withEmbedding: Boolean = false): String = {
     val dim = mean.length
     val mu = mean.mkString("[", ", ", "]")
     val pc = comps.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
@@ -207,8 +210,9 @@ object Pca {
       s"""  list_sum(list_transform(range(1, ${dim + 1}), i ->
          |    CAST(round((CAST(embedding[i] AS DOUBLE) - mu[i]) * pc[${k + 1}][i] * 1e12) AS BIGINT))) AS pc${k + 1}_e12""".stripMargin
     }.mkString(",\n")
+    val emb = if (withEmbedding) " embedding," else ""
     s"""WITH m AS (SELECT $mu AS mu, $pc AS pc)
-       |SELECT vec_id,
+       |SELECT vec_id,$emb
        |$outs
        |FROM $table CROSS JOIN m""".stripMargin
   }

@@ -363,8 +363,76 @@ object SimilarityQueries {
       Tables.embeddings(s, dir)
         .join(broadcast(drop), Seq("vec_id"), "left_anti")
         .select(col("vec_id"))
+    },
+
+    // ---- SemDeDup bucketed in the PCA-reduced space (the production
+    // recipe: cluster on reduced vectors, verify on originals) ----
+    "emb_semdedup_pca" -> { (s, dir) =>
+      val (mu, comps) = Pca.train(s, dir, k = 4)
+      semdedupPca(Tables.embeddings(s, dir), mu, comps)
     }
   )
+
+  /** ±1000-range reduced-space projection entries, (plane, coord) —
+    * the [[projMatrix]] recipe under an 'r' salt so the reduced planes
+    * never collide with the full-space matrix. */
+  private[graft] def reducedPlanes(planes: Int, k: Int): Array[Array[Long]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, k) { (p, j) =>
+      val hex = mdt.digest(s"r${p}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+  }
+
+  /** Sign-LSH bucket over the QUANTIZED PCA coordinates (`proj` bound
+    * as array<long>): bit p set iff Σ_j rp[p][j] · proj[j] > 0 — pure
+    * integer arithmetic, exact cross-engine. Magnitude bound:
+    * |proj_j| ≤ dim·1e12, |rp| ≤ 1000, k ≤ 16 → ≪ 2^63. */
+  private def reducedBucketCol(rp: Array[Array[Long]]): Column =
+    rp.indices.map { p =>
+      val s = rp(p).indices
+        .map(j => expr(s"element_at(proj, ${j + 1})") * lit(rp(p)(j)))
+        .reduce(_ + _)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SemDeDup with candidate generation in the PCA-REDUCED space
+    * (Abbas et al. 2023 run k-means on reduced embeddings; sign-LSH
+    * cells over the PCA coordinates are this engine's equivalent):
+    * bucket on k quantized PCA coordinates — O(k·planes) integer ops
+    * per row instead of O(dim·planes), the point of reducing first —
+    * then score candidate pairs with the EXACT quantized cosine on the
+    * ORIGINAL vectors, resolve groups by connected components, keep
+    * the min-id representative, anti-join the broadcast drop-set (the
+    * [[neardupPairsOf]]/emb_semdedup shape end to end).
+    *
+    * Scale: bucket assignment is map-only (one codegen'd projection +
+    * a k-term integer fold); everything downstream inherits the
+    * audited emb_semdedup shapes. `planes` stays the anti-quadratic
+    * occupancy knob. */
+  def semdedupPca(e: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
+                  planes: Int = PLANES, threshold: Double = 0.25): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    val rp = reducedPlanes(planes, comps.length)
+    val projCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PcaProjectE12(
+        org.apache.spark.sql.GraftBridge.expression(e("embedding")), mean, comps))
+    val b = e.withColumn("proj", projCol)
+      .withColumn("bucket", reducedBucketCol(rp))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
+    val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+    val pairs = a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("v1"), col("v2"))
+    val comp = graft.ops.Components.connectedComponents(pairs, "v1", "v2")
+    val drop = comp.filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+    e.join(broadcast(drop), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+  }
 
   /** Bucket-local near-duplicate pairs at exact cosine >= `threshold` —
     * candidate generation is the sign-LSH bucket equi-join (never
@@ -404,11 +472,53 @@ object SimilarityQueries {
     */
   def oracles: Map[String, String] = staticOracles ++ ivfOracles ++ pcaOracles
 
-  /** emb_pca oracle from the (mean, components) the query just trained
-    * — the cached-literal pattern (see [[ivfOracles]]). */
+  /** emb_pca / emb_semdedup_pca oracles from the (mean, components)
+    * the queries trained — the cached-literal pattern ([[ivfOracles]]). */
   private def pcaOracles: Map[String, String] = Pca.cachedModel match {
     case None             => Map.empty
-    case Some((mu, comps)) => Map("emb_pca" -> Pca.projectSql(mu, comps))
+    case Some((mu, comps)) => Map(
+      "emb_pca" -> Pca.projectSql(mu, comps),
+      "emb_semdedup_pca" -> semdedupPcaSql(mu, comps))
+  }
+
+  /** DuckDB twin of [[semdedupPca]]: literal PCA projection (with the
+    * original vector carried through), literal reduced-plane integer
+    * bucket, exact quantized cosine on originals, recursive-CTE
+    * components, min-id survivors — the emb_semdedup oracle tail over
+    * the reduced-space candidate generation. */
+  private def semdedupPcaSql(mu: Array[Double], comps: Array[Array[Double]],
+                             planes: Int = PLANES,
+                             threshold: Double = 0.25): String = {
+    val k = comps.length
+    val rp = reducedPlanes(planes, k)
+    val bucketSql = rp.indices.map { p =>
+      val s = (0 until k).map(j => s"pc${j + 1}_e12 * ${rp(p)(j)}").mkString(" + ")
+      s"CASE WHEN ($s) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    val pairsSql =
+      s"""WITH prj AS (${Pca.projectSql(mu, comps, withEmbedding = true)}),
+         |bk AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM prj),
+         |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
+         |c AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
+         |scored AS (
+         |  SELECT v1, v2,
+         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+         |  FROM a JOIN c USING (bucket) WHERE v1 < v2)
+         |SELECT v1, v2 FROM scored WHERE cosine >= $threshold""".stripMargin
+    s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM ($pairsSql) np),
+       |nodes AS (SELECT v1 AS n FROM pairs UNION SELECT v2 FROM pairs),
+       |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+       |          UNION SELECT v2 AS a, v1 AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT n AS a, n AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+       |SELECT e.vec_id FROM embeddings e
+       |LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |WHERE c.component IS NULL OR c.component = e.vec_id""".stripMargin
   }
 
   private def ivfOracles: Map[String, String] = Ivf.cachedCentroids match {

@@ -91,6 +91,39 @@ class PcaSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("reduced-space SemDeDup: survivors = min-id representatives of the bucket-local pair graph") {
+    import graft.sim.SimilarityQueries
+    val e = Tables.embeddings(spark, sfDir)
+    val (mu, comps) = Pca.train(spark, sfDir, k = 4)
+    val got = SimilarityQueries.semdedupPca(e, mu, comps)
+      .collect().map(_.getLong(0)).toSet
+    // driver reference: project + bucket + exact-cosine pairs + union-find
+    val rp = SimilarityQueries.reducedPlanes(8, 4)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def proj(x: Array[Float]): Array[Long] = comps.map { p =>
+      x.indices.map(d => QuantKernels.qround((x(d).toDouble - mu(d)) * p(d) * 1e12)).sum
+    }
+    def bucket(pc: Array[Long]): Long =
+      rp.indices.map { p =>
+        val s = pc.indices.map(j => rp(p)(j) * pc(j)).sum
+        if (s > 0) 1L << p else 0L
+      }.sum
+    def qdotD(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(d => QuantKernels.qround(a(d).toDouble * b(d).toDouble * 1e12)).sum
+    val byBucket = vecs.toSeq.groupBy { case (_, x) => bucket(proj(x)) }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((_, members) <- byBucket; Seq((i1, x1), (i2, x2)) <- members.sortBy(_._1).combinations(2)) {
+      val cos = qdotD(x1, x2).toDouble /
+        (math.sqrt(qdotD(x1, x1).toDouble) * math.sqrt(qdotD(x2, x2).toDouble))
+      if (cos >= 0.25) { val (a, b) = (find(i1), find(i2)); if (a != b) parent(math.max(a, b)) = math.min(a, b) }
+    }
+    val want = vecs.keySet.filter(id => find(id) == id)
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    // the pair graph must be non-trivial on the fixture or this pins nothing
+    assert(want.size < vecs.size, "fixture must contain reduced-space duplicates")
+  }
+
   test("projection nulls on dimension mismatch and null elements") {
     val mean = Array(0.0, 0.0)
     val comps = Array(Array(1.0, 0.0))
