@@ -2243,6 +2243,41 @@ object TextQueries {
       .select(col("doc_id"), col(strataCol))
   }
 
+  /** Deterministic source UPSAMPLING — the other half of the mixing
+    * family next to [[stratifiedSample]]'s downsampling: a real-valued
+    * per-stratum weight w replicates every document floor(w) times plus
+    * one more iff its salted hash falls under frac(w) — how training
+    * recipes over-represent high-quality sources (epochs per source,
+    * e.g. the Llama/GPT-3 data mixtures with >1 epochs on curated
+    * slices) while staying reproducible and auditable (a doc's copy
+    * count never depends on partitioning or arrival order). Weights
+    * round to parts-per-million on the driver so both engines compare
+    * identical integers. Emits (doc_id, stratum, copy) with copy =
+    * 1..n_copies.
+    *
+    * Scale: per-row arithmetic + a bounded sequence fan-out (×w) — no
+    * shuffle, no RNG state; the fan-out IS the output. */
+  def corpusUpsample(docs: DataFrame, weights: Map[String, Double],
+                     strataCol: String = "source", salt: String = "ups",
+                     defaultWeight: Double = 0.0): DataFrame = {
+    val denom = 1000000L
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1000),
+      s"weights must be in [0, 1000] epochs, got $weights / $defaultWeight")
+    val wcol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultWeight * denom))) {
+        case (acc, (k, v)) => when(col(strataCol) === k, lit(math.round(v * denom))).otherwise(acc)
+      }
+    docs
+      .withColumn("wppm", wcol)
+      .withColumn("n_copies",
+        expr(s"wppm div $denom") +
+          when(phash(concat(lit(salt), lit("_"), col("doc_id").cast("string"))) % denom
+            < col("wppm") % denom, 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col(strataCol),
+        explode(expr("sequence(1, n_copies)")).as("copy"))
+  }
+
   /** Deterministic train/val/test holdout split by salted content-free
     * hash — the standard way every training pipeline carves out eval
     * data so the assignment is stable under corpus growth and
@@ -2759,6 +2794,10 @@ object TextQueries {
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),
         defaultRate = 0.05)
+    },
+    "corpus_upsample" -> { (s, dir) =>
+      corpusUpsample(Tables.documents(s, dir),
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4), defaultWeight = 0.0)
     },
     "corpus_split" -> { (s, dir) => corpusSplit(Tables.documents(s, dir)) },
     "corpus_shuffle" -> { (s, dir) => corpusShuffle(Tables.documents(s, dir)) },
@@ -3764,6 +3803,24 @@ object TextQueries {
       s"""SELECT doc_id, source FROM documents
          |WHERE ${phashSql("concat('smp_', CAST(doc_id AS VARCHAR))")} % 1000000
          |  < (CASE source $cases ELSE ${math.round(0.05 * 1000000L)} END)""".stripMargin
+    },
+
+    "corpus_upsample" -> {
+      val cases = Seq("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.4)
+        .map { case (k, v) => s"WHEN '$k' THEN ${math.round(v * 1000000L)}" }
+        .mkString(" ")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    (CASE source $cases ELSE 0 END) AS wppm
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    wppm // 1000000 +
+         |    CASE WHEN ${phashSql("concat('ups_', CAST(doc_id AS VARCHAR))")} % 1000000
+         |         < wppm % 1000000 THEN 1 ELSE 0 END AS n
+         |  FROM w)
+         |SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+         |FROM c WHERE n > 0""".stripMargin
     },
 
     "txt_tfidf" ->
