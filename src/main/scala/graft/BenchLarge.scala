@@ -697,15 +697,19 @@ object BenchLarge {
         .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
         .collect()(0).getLong(0)
     }
-    // SemDeDup in PCA-reduced space at the full vector corpus: bucket
-    // assignment costs k x planes integer ops per row (vs dim x planes
-    // full-space — the point of reducing first); candidate pairs verify
-    // with the exact cosine on originals; planes sized to the corpus as
-    // in emb_neardup. The check counts survivors.
+    // SemDeDup in PCA-reduced space at the full vector corpus:
+    // equi-depth grid bucketing over the top-4 PCA coordinates, 16
+    // bins each -> 65k buckets with ~30 occupancy BY CONSTRUCTION
+    // regardless of the data distribution (sign-LSH over the reduced
+    // coords measured 577 s here: n planes in a k-dim space cap out at
+    // sum_{i<=k} C(n-1, i) regions and concentrate the mass). Pairs
+    // verify with the exact cosine on originals. The check counts
+    // survivors.
     timed("emb_semdedup_pca", clearAfter = true) {
       val emb = embeddings(spark, nVecs)
       val (mu, comps) = graft.sim.Pca.trainOn(emb, k = 8)
-      graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps, planes = 16).count()
+      graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps,
+        gridDims = 4, bins = 16).count()
     }
     // compression-ratio signal at the full corpus: per-row DEFLATE
     // (thread-local Deflater), map-only. The check forces all columns.

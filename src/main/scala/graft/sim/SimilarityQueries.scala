@@ -369,57 +369,91 @@ object SimilarityQueries {
     // recipe: cluster on reduced vectors, verify on originals) ----
     "emb_semdedup_pca" -> { (s, dir) =>
       val (mu, comps) = Pca.train(s, dir, k = 4)
-      semdedupPca(Tables.embeddings(s, dir), mu, comps)
+      // 81 buckets over the 500-vector fixture (occupancy ~6) so the
+      // pair graph the oracle closes transitively is non-trivial
+      semdedupPca(Tables.embeddings(s, dir), mu, comps, gridDims = 4, bins = 3)
     }
   )
 
-  /** ±1000-range reduced-space projection entries, (plane, coord) —
-    * the [[projMatrix]] recipe under an 'r' salt so the reduced planes
-    * never collide with the full-space matrix. */
-  private[graft] def reducedPlanes(planes: Int, k: Int): Array[Array[Long]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(planes, k) { (p, j) =>
-      val hex = mdt.digest(s"r${p}_$j".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  /** Equi-depth grid cutoffs over the first `gridDims` QUANTIZED PCA
+    * coordinates, from the bounded deterministic sample (the
+    * [[Ivf.trainCentroids]]/[[Pca.train]] discipline): cutoffs(j) =
+    * the `bins`−1 sample quantiles of coordinate j — integer (e12)
+    * values, so the bin comparison is exact cross-engine. Driver cost
+    * O(sample·dim·k); the cutoff matrix is (gridDims)×(bins−1) longs. */
+  private[graft] def pcaGridCutoffs(e: DataFrame, mean: Array[Double],
+                                    comps: Array[Array[Double]],
+                                    gridDims: Int, bins: Int): Array[Array[Long]] = {
+    val sample = e.filter(col("vec_id") < Pca.SAMPLE_N).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "grid cutoffs need a non-empty sample")
+    val projs = sample.map { x =>
+      Array.tabulate(gridDims) { j =>
+        var acc = 0L
+        var d = 0
+        while (d < mean.length) {
+          acc += graft.functions.QuantKernels.qround(
+            (x(d).toDouble - mean(d)) * comps(j)(d) * 1e12)
+          d += 1
+        }
+        acc
+      }
+    }
+    Array.tabulate(gridDims) { j =>
+      val sorted = projs.map(_(j)).sorted
+      Array.tabulate(bins - 1)(b => sorted(((b + 1).toLong * sorted.length / bins).toInt
+        .min(sorted.length - 1)))
     }
   }
 
-  /** Sign-LSH bucket over the QUANTIZED PCA coordinates (`proj` bound
-    * as array<long>): bit p set iff Σ_j rp[p][j] · proj[j] > 0 — pure
-    * integer arithmetic, exact cross-engine. Magnitude bound:
-    * |proj_j| ≤ dim·1e12, |rp| ≤ 1000, k ≤ 16 → ≪ 2^63. */
-  private def reducedBucketCol(rp: Array[Array[Long]]): Column =
-    rp.indices.map { p =>
-      val s = rp(p).indices
-        .map(j => expr(s"element_at(proj, ${j + 1})") * lit(rp(p)(j)))
+  /** Grid-bucket id over the quantized PCA coordinates (`proj` bound as
+    * array<long>): bin_j = #cutoffs(j) strictly below pc_j (ties to the
+    * lower bin), bucket = Σ bin_j · bins^j — pure integer comparisons,
+    * exact cross-engine. */
+  private def gridBucketCol(cuts: Array[Array[Long]], bins: Int): Column =
+    cuts.indices.map { j =>
+      val bin = cuts(j).map(c =>
+        when(expr(s"element_at(proj, ${j + 1})") > lit(c), 1L).otherwise(0L))
         .reduce(_ + _)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+      bin * lit(math.pow(bins.toDouble, j.toDouble).toLong)
     }.reduce(_ + _)
 
-  /** SemDeDup with candidate generation in the PCA-REDUCED space
-    * (Abbas et al. 2023 run k-means on reduced embeddings; sign-LSH
-    * cells over the PCA coordinates are this engine's equivalent):
-    * bucket on k quantized PCA coordinates — O(k·planes) integer ops
-    * per row instead of O(dim·planes), the point of reducing first —
-    * then score candidate pairs with the EXACT quantized cosine on the
-    * ORIGINAL vectors, resolve groups by connected components, keep
-    * the min-id representative, anti-join the broadcast drop-set (the
-    * [[neardupPairsOf]]/emb_semdedup shape end to end).
+  /** SemDeDup with candidate generation in the PCA-REDUCED space (Abbas
+    * et al. 2023 cluster on reduced embeddings before scoring): bucket
+    * by an EQUI-DEPTH grid over the top `gridDims` PCA coordinates
+    * (sample-quantile cutoffs, `bins` bins per dim → bins^gridDims
+    * buckets), then score candidate pairs with the EXACT quantized
+    * cosine on the ORIGINAL vectors, resolve groups by connected
+    * components, keep the min-id representative, anti-join the
+    * broadcast drop-set (the [[neardupPairsOf]]/emb_semdedup shape
+    * end to end).
     *
-    * Scale: bucket assignment is map-only (one codegen'd projection +
-    * a k-term integer fold); everything downstream inherits the
-    * audited emb_semdedup shapes. `planes` stays the anti-quadratic
-    * occupancy knob. */
+    * Why a quantile grid and not sign-LSH over the reduced coords: n
+    * sign planes in a k-dim space cut out at most Σ_{i≤k} C(n−1, i)
+    * distinct regions, and correlated projections concentrate the mass
+    * — measured 577 s at 2M vectors (16 planes over k=8) vs 8.4 s for
+    * the full-space bucketing, a quadratic bucket-local blowup. The
+    * equi-depth grid is balanced BY CONSTRUCTION on the sample
+    * distribution (occupancy ≈ n / bins^gridDims regardless of shape),
+    * and it splits along the top-variance directions, which is the
+    * point of reducing first. Near-dup pairs straddling a cutoff are
+    * the recall tradeoff, exactly like LSH banding. Bucket assignment
+    * is map-only: one codegen'd projection + gridDims·(bins−1) integer
+    * compares per row. */
   def semdedupPca(e: DataFrame, mean: Array[Double], comps: Array[Array[Double]],
-                  planes: Int = PLANES, threshold: Double = 0.25): DataFrame = {
-    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
-    val rp = reducedPlanes(planes, comps.length)
+                  gridDims: Int = 4, bins: Int = 4,
+                  threshold: Double = 0.25): DataFrame = {
+    require(gridDims >= 1 && gridDims <= comps.length,
+      s"need 1 <= gridDims <= ${comps.length}, got $gridDims")
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val cuts = pcaGridCutoffs(e, mean, comps, gridDims, bins)
+    cachedPcaGrid = Some((cuts, bins))
     val projCol = org.apache.spark.sql.GraftBridge.column(
       graft.functions.PcaProjectE12(
         org.apache.spark.sql.GraftBridge.expression(e("embedding")), mean, comps))
     val b = e.withColumn("proj", projCol)
-      .withColumn("bucket", reducedBucketCol(rp))
+      .withColumn("bucket", gridBucketCol(cuts, bins))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
     val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
@@ -433,6 +467,10 @@ object SimilarityQueries {
     e.join(broadcast(drop), Seq("vec_id"), "left_anti")
       .select(col("vec_id"))
   }
+
+  /** Grid (cutoffs, bins) of the last [[semdedupPca]] run, for the
+    * oracle builder (the cached-literal pattern). */
+  @volatile private[graft] var cachedPcaGrid: Option[(Array[Array[Long]], Int)] = None
 
   /** Bucket-local near-duplicate pairs at exact cosine >= `threshold` —
     * candidate generation is the sign-LSH bucket equi-join (never
@@ -476,24 +514,27 @@ object SimilarityQueries {
     * the queries trained — the cached-literal pattern ([[ivfOracles]]). */
   private def pcaOracles: Map[String, String] = Pca.cachedModel match {
     case None             => Map.empty
-    case Some((mu, comps)) => Map(
-      "emb_pca" -> Pca.projectSql(mu, comps),
-      "emb_semdedup_pca" -> semdedupPcaSql(mu, comps))
+    case Some((mu, comps)) =>
+      Map("emb_pca" -> Pca.projectSql(mu, comps)) ++
+        (cachedPcaGrid match {
+          case None => Map.empty[String, String]
+          case Some((cuts, bins)) =>
+            Map("emb_semdedup_pca" -> semdedupPcaSql(mu, comps, cuts, bins))
+        })
   }
 
   /** DuckDB twin of [[semdedupPca]]: literal PCA projection (with the
-    * original vector carried through), literal reduced-plane integer
+    * original vector carried through), literal quantile-grid integer
     * bucket, exact quantized cosine on originals, recursive-CTE
     * components, min-id survivors — the emb_semdedup oracle tail over
     * the reduced-space candidate generation. */
   private def semdedupPcaSql(mu: Array[Double], comps: Array[Array[Double]],
-                             planes: Int = PLANES,
+                             cuts: Array[Array[Long]], bins: Int,
                              threshold: Double = 0.25): String = {
-    val k = comps.length
-    val rp = reducedPlanes(planes, k)
-    val bucketSql = rp.indices.map { p =>
-      val s = (0 until k).map(j => s"pc${j + 1}_e12 * ${rp(p)(j)}").mkString(" + ")
-      s"CASE WHEN ($s) > 0 THEN ${1L << p} ELSE 0 END"
+    val bucketSql = cuts.indices.map { j =>
+      val bin = cuts(j).map(c => s"CASE WHEN pc${j + 1}_e12 > $c THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"($bin) * ${math.pow(bins.toDouble, j.toDouble).toLong}"
     }.mkString(" + ")
     val pairsSql =
       s"""WITH prj AS (${Pca.projectSql(mu, comps, withEmbedding = true)}),

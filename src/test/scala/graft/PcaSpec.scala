@@ -97,20 +97,26 @@ class PcaSpec extends AnyFunSuite {
     val (mu, comps) = Pca.train(spark, sfDir, k = 4)
     val got = SimilarityQueries.semdedupPca(e, mu, comps)
       .collect().map(_.getLong(0)).toSet
-    // driver reference: project + bucket + exact-cosine pairs + union-find
-    val rp = SimilarityQueries.reducedPlanes(8, 4)
+    // driver reference: project + grid bucket + exact-cosine pairs + union-find
+    val (cuts, bins) = SimilarityQueries.cachedPcaGrid.get
     val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def proj(x: Array[Float]): Array[Long] = comps.map { p =>
       x.indices.map(d => QuantKernels.qround((x(d).toDouble - mu(d)) * p(d) * 1e12)).sum
     }
     def bucket(pc: Array[Long]): Long =
-      rp.indices.map { p =>
-        val s = pc.indices.map(j => rp(p)(j) * pc(j)).sum
-        if (s > 0) 1L << p else 0L
+      cuts.indices.map { j =>
+        cuts(j).count(c => pc(j) > c).toLong * math.pow(bins.toDouble, j.toDouble).toLong
       }.sum
     def qdotD(a: Array[Float], b: Array[Float]): Long =
       a.indices.map(d => QuantKernels.qround(a(d).toDouble * b(d).toDouble * 1e12)).sum
+    // equi-depth buckets must actually be balanced on the sample it
+    // trained from: no bucket may hold more than a small multiple of
+    // the expected occupancy (the anti-quadratic property the grid
+    // exists for)
     val byBucket = vecs.toSeq.groupBy { case (_, x) => bucket(proj(x)) }
+    val expOcc = vecs.size.toDouble / math.pow(bins.toDouble, cuts.length.toDouble)
+    assert(byBucket.values.map(_.size).max <= math.max(8.0, 8 * expOcc),
+      s"grid occupancy skewed: max=${byBucket.values.map(_.size).max} expected≈$expOcc")
     val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
     def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
     for ((_, members) <- byBucket; Seq((i1, x1), (i2, x2)) <- members.sortBy(_._1).combinations(2)) {
