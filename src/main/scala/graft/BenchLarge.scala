@@ -443,6 +443,41 @@ object BenchLarge {
         k = 8, portableHash = false)
         .filter(col("n_removed") > 0).count()
     }
+    // keep-one twin (Lee et al.'s other mode): the counting aggregate
+    // gains the min(struct) argmin and pass 2 becomes an inner join
+    // carrying the winner struct — committed so the cost of keep-one
+    // over remove-all stays measured
+    timed("substr_dedup_keep", clearAfter = true) {
+      graft.text.TextQueries.exactSubstringDedupKeep(docs(spark, nDocs, template),
+        k = 8, portableHash = false)
+        .filter(col("n_removed") > 0).count()
+    }
+    // gear-CDC fingerprints at the full corpus: map-only byte-loop
+    // kernel (~150-byte docs -> 1-3 chunks); the check sums chunk
+    // counts AND forces the sorted-hash md5 column
+    timed("cdc_chunks", clearAfter = true) {
+      graft.text.TextQueries.cdcFingerprints(docs(spark, nDocs, template))
+        .agg((sum("n_chunks") + sum(length(col("cdc_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // CDC pair matching: chunk-hash equi-join buckets through the
+    // salted self-join (the template clique shares ALL its chunks — the
+    // hot-bucket path), then per-doc counts re-attach for containment
+    timed("cdc_pairs", clearAfter = true) {
+      graft.text.TextQueries.cdcPairs(docs(spark, nDocs, template)).count()
+    }
+    // token-budget temperature mixing: the (lang, score) cutoff
+    // aggregate collects (8 langs x ~dozens of distinct lengths), the
+    // above-cutoff keep is map-only, and only the cutoff-score tie
+    // groups pay the stitched cumsum — no per-language window over the
+    // corpus
+    timed("corpus_mix_tokens", clearAfter = true) {
+      val withLang = docs(spark, nDocs, template).select(col("doc_id"), col("text"),
+        concat(lit("l"), pmod(hash(col("doc_id"), lit(41)), lit(8))).as("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      graft.text.TextQueries.corpusMixTokens(withLang, alpha = 0.5,
+        tokenBudget = nDocs * 9).agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
     // BPE tokenizer training at a production-shaped merge count: ONE
     // corpus-sized pass (the word-frequency aggregate), then the
     // ~90k-word vocabulary collects and 1000 merge rounds run

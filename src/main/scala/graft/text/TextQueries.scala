@@ -744,6 +744,125 @@ object TextQueries {
            |WHERE mix_rank <= CASE lang $cases ELSE 0 END""".stripMargin)
   }
 
+  /** Per-language TOKEN budgets + cutoff state computed by the last
+    * [[corpusMixTokens]] run, cached so the oracle compares the SAME
+    * integer literals (the [[cachedTempBudgets]] pattern). */
+  @volatile private[graft] var cachedTokenBudgets: Option[Seq[(String, Long)]] = None
+
+  /** Token-budget temperature mixing — [[corpusMixTemp]] in the units
+    * training mixtures are actually specified in. mT5 (Xue et al. 2021
+    * §3.2) and XLM-R (Conneau et al. 2020 §3.1) sample language l with
+    * p_l ∝ n_l^alpha where n_l is the language's TOKEN mass, and a
+    * training run buys `tokenBudget` tokens, not documents; this
+    * operator allocates floor(tokenBudget × p_l) tokens per language
+    * and keeps best-score documents (ties to the smaller doc_id) while
+    * the language's running token count stays inside its budget —
+    * i.e. keep doc ⇔ inclusive cumsum(n_tokens) over (score DESC,
+    * doc_id) ≤ B_l. Emits (doc_id, lang, n_tokens).
+    *
+    * Scale shape (100 TB): [[corpusMix]]'s per-language window would
+    * drag a whole language's documents through ONE task; this plan
+    * never runs a per-language window over the corpus:
+    *  1. a (lang, score) aggregate — bounded by |langs| × |distinct
+    *     score values|, which is why `score` must be DISCRETE (a
+    *     length, a quantized quality score; default n_chars) — collects
+    *     to the driver, which walks each language's scores descending
+    *     to find the cutoff score s*_l: every doc scoring above s*_l is
+    *     kept outright, and R_l = B_l − (token mass above s*_l) tokens
+    *     remain for the tie group AT s*_l;
+    *  2. the above-cutoff keep is a map-only literal-CASE filter;
+    *  3. only the tie rows (docs scoring exactly s*_l) pay an ordered
+    *     pass, and that runs partition-and-stitch
+    *     ([[graft.ops.Stitch.globalCumsum]] under a (langIdx, doc_id)
+    *     monotone chunk key) — the driver subtracts each language's
+    *     incoming base from the stitched global cumsum via literals it
+    *     already knows, so even a fully-degenerate score distribution
+    *     (every doc the same score) parallelizes.
+    */
+  def corpusMixTokens(docs: DataFrame, alpha: Double = 0.5,
+                      tokenBudget: Long = 20000L,
+                      score: Column = col("n_chars")): DataFrame = {
+    require(tokenBudget >= 0, s"token budget must be >= 0, got $tokenBudget")
+    val base = docs.select(col("doc_id"), col("lang"),
+      wsTokenCount("text").cast("long").as("n_tokens"),
+      score.cast("long").as("s"))
+    // bounded driver table: one row per (lang, distinct score value)
+    val hist: Array[(String, Long, Long)] = base.groupBy("lang", "s")
+      .agg(sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val langs = hist.map(_._1).distinct.sorted
+    val totals = langs.map(l => l -> hist.filter(_._1 == l).map(_._3).sum)
+    val pows = totals.map { case (l, n) => l -> math.pow(n.toDouble, alpha) }
+    val z = pows.map(_._2).sum
+    val budgets = pows.map { case (l, p) =>
+      l -> math.floor(tokenBudget * p / z).toLong }
+    cachedTokenBudgets = Some(budgets.toSeq)
+    val bmap = budgets.toMap
+    // cutoff walk: s*_l = the first (descending) score whose token mass
+    // overflows the budget; None = the whole language fits
+    case class Cut(sStar: Option[Long], rem: Long, tieTok: Long)
+    val cuts: Map[String, Cut] = langs.map { l =>
+      val rows = hist.filter(_._1 == l).sortBy(-_._2)
+      var acc = 0L
+      var res: Option[Cut] = None
+      for ((_, sv, tok) <- rows if res.isEmpty) {
+        if (acc + tok > bmap(l)) res = Some(Cut(Some(sv), bmap(l) - acc, tok))
+        else acc += tok
+      }
+      l -> res.getOrElse(Cut(None, 0L, 0L))
+    }.toMap
+    def caseOver(f: String => Column): Column =
+      langs.foldLeft(lit(null).cast("long")) { (acc, l) =>
+        when(col("lang") === l, f(l)).otherwise(acc) }
+    // stage 2: above-cutoff docs keep outright (s* None → keep all)
+    val cutCol = caseOver(l => lit(cuts(l).sStar.getOrElse(Long.MinValue)))
+    val full = base.filter(col("s") > cutCol)
+    // stage 3: tie rows at s*_l — stitched cumsum in (langIdx, doc_id)
+    // order; per-language incoming base subtracted via driver literals
+    val tieLangs = langs.filter(l => cuts(l).sStar.isDefined)
+    val tied = if (tieLangs.isEmpty) full.limit(0) else {
+      val tieCol = caseOver(l => cuts(l).sStar.map(lit(_).cast("long"))
+        .getOrElse(lit(null).cast("long")))
+      val idxCol = tieLangs.zipWithIndex.foldLeft(lit(-1L)) {
+        case (acc, (l, i)) => when(col("lang") === l, lit(i.toLong)).otherwise(acc) }
+      val ties = base.filter(col("s") === tieCol)
+        .withColumn("_lidx", idxCol)
+      val chunk = col("_lidx") * lit(1L << 42) + (col("doc_id") / lit(1L << 20)).cast("long")
+      val cum = graft.ops.Stitch.globalCumsum(ties, chunk,
+        Seq(col("doc_id")), col("n_tokens"), "cum")
+      val tieBase: Map[String, Long] = {
+        var run = 0L
+        tieLangs.map { l => val b = run; run += cuts(l).tieTok; l -> b }.toMap
+      }
+      val baseCol = caseOver(l => lit(tieBase.getOrElse(l, 0L)))
+      val remCol = caseOver(l => lit(cuts(l).rem))
+      cum.filter(col("cum") - baseCol <= remCol)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("s"))
+    }
+    full.unionByName(tied)
+      .select(col("doc_id"), col("lang"), col("n_tokens").cast("int").as("n_tokens"))
+  }
+
+  /** corpus_mix_tokens oracle, rendered from the driver-computed
+    * integer token budgets of the last run: the reference semantics is
+    * the plain per-language window cumsum the engine's cutoff plan
+    * refuses to run at scale — keep while inclusive running tokens over
+    * (n_chars DESC, doc_id) fit the language's budget. */
+  private def tokenMixOracles: Map[String, String] = cachedTokenBudgets match {
+    case None => Map.empty
+    case Some(ks) =>
+      val cases = ks.map { case (l, k) => s"WHEN '${l.replace("'", "''")}' THEN $k" }
+        .mkString(" ")
+      Map("corpus_mix_tokens" ->
+        s"""WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens, n_chars
+           |  FROM documents),
+           |c AS (SELECT doc_id, lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS cum
+           |  FROM t)
+           |SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens FROM c
+           |WHERE cum <= CASE lang $cases ELSE 0 END""".stripMargin)
+  }
+
   /** The full training-corpus cleaning pipeline as ONE composed plan —
     * the query a user of this engine actually ships:
     *
@@ -1696,6 +1815,78 @@ object TextQueries {
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"), col("n_shared"))
   }
 
+  /** Content-defined-chunking fingerprints ([[graft.functions.CdcChunks]]
+    * — gear-CDC in the FastCDC family, Xia et al. 2016): per-document
+    * chunk identity hashes over the raw bytes. The byte-level member of
+    * the dedup family — tokenizer-free, so the same operator fingerprints
+    * the multimodal BINARY payloads ([[cdcFingerprintsCol]]). Emits
+    * (doc_id, n_bytes, n_chunks, cdc_hash) with cdc_hash the md5 of the
+    * sorted chunk-hash stream (the [[winnowFingerprints]] contract).
+    *
+    * Map-only, zero exchanges; rows-only at the driver gate (the gear
+    * table lookup is not expressible in DuckDB SQL — the deflate
+    * precedent), determinism + boundary-locality pinned in CdcSpec. */
+  def cdcFingerprints(docs: DataFrame, maskBits: Int = 6, minSize: Int = 16,
+                      maxSize: Int = 256): DataFrame =
+    cdcFingerprintsCol(docs, encode(col("text"), "UTF-8"), maskBits, minSize, maxSize)
+
+  /** [[cdcFingerprints]] over an arbitrary byte-bearing column (string
+    * or binary) — the multimodal-payload entry point. */
+  def cdcFingerprintsCol(df: DataFrame, payload: Column, maskBits: Int = 6,
+                         minSize: Int = 16, maxSize: Int = 256): DataFrame =
+    df
+      .withColumn("chunks", cdcChunksCol(payload, maskBits, minSize, maxSize))
+      .select(col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        md5(expr("concat_ws(' ', transform(array_sort(chunks), x -> cast(x as string)))"))
+          .as("cdc_hash"))
+
+  /** The `cdc_chunks` expression as a Column. */
+  def cdcChunksCol(payload: Column, maskBits: Int = 6, minSize: Int = 16,
+                   maxSize: Int = 256): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CdcChunks(
+        org.apache.spark.sql.GraftBridge.expression(payload),
+        maskBits, minSize, maxSize))
+
+  /** Cross-document CDC match: candidate near-identical pairs sharing
+    * at least `minShared` distinct chunk hashes, with the shared-chunk
+    * containment fraction n_shared / min(n1, n2) — the storage-dedup
+    * signal (two blobs assembled largely from the same byte runs),
+    * position-robust because CDC boundaries move with the content.
+    * Emits (d1, d2, n_shared, containment), d1 < d2.
+    *
+    * Scale shape: the [[winnowPairs]] plan — fingerprint arrays
+    * checkpoint ONCE (multi-consumer guard), candidates meet in
+    * [[graft.ops.Scale.selfPairs]] equi-join buckets with hot-key
+    * salting, only compact (hash, doc_id) longs shuffle; the per-doc
+    * distinct-chunk counts re-attach onto the (much smaller) pair
+    * aggregate by doc_id join. */
+  def cdcPairs(docs: DataFrame, maskBits: Int = 6, minSize: Int = 16,
+               maxSize: Int = 256, minShared: Int = 2): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        array_distinct(cdcChunksCol(encode(col("text"), "UTF-8"),
+          maskBits, minSize, maxSize)).as("chunks"))
+      .localCheckpoint()
+    val sizes = fps.select(col("doc_id"), size(col("chunks")).as("n"))
+    val exploded = fps.select(col("doc_id"), explode(col("chunks")).as("ch"))
+    graft.ops.Scale.selfPairs(exploded, Seq("ch"), "doc_id")
+      .groupBy("doc_id_1", "doc_id_2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      // per-doc counts attach per side — auto-broadcast at test scale,
+      // doc_id-keyed sort-merge at corpus scale (counts are one row per
+      // doc: NOT broadcastable by construction at 100 TB)
+      .join(sizes.as("s1"), col("doc_id_1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("doc_id_2") === col("s2.doc_id"))
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("s1.n"), col("s2.n")).cast("double"), 6).as("containment"))
+  }
+
   /** The unigram LM folded into ONE row: (uni_map MAP<STRING,BIGINT>,
     * tot DOUBLE) — the broadcastable artifact a stateless streaming
     * perplexity gate scores per-row against
@@ -1838,6 +2029,62 @@ object TextQueries {
       .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
       .join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    pre.join(starts, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${k - 1}))))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("covered")).as("n_removed"),
+        size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
+        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
+          .as("clean_hash"))
+  }
+
+  /** [[exactSubstringDedup]] with keep-one semantics — the OTHER mode
+    * of Lee et al. 2021's dedup tool ("remove all but one occurrence"):
+    * a duplicated k-token window is scrubbed everywhere EXCEPT its
+    * corpus-wide first occurrence, the occurrence with the
+    * lexicographically smallest (doc_id, pos). The remove-all form
+    * ([[exactSubstringDedup]]) destroys every copy of boilerplate; this
+    * form preserves exactly one so the corpus keeps the content once —
+    * the configuration most production pipelines run. Output contract
+    * is the remove-all shape: (doc_id, n_tokens, n_removed, n_spans,
+    * clean_hash).
+    *
+    * Scale shape (100 TB): one positional window derivation feeds both
+    * branches (recomputed per consumer exactly like the remove-all
+    * form's two window derivations — window strings never leave their
+    * partition, only (h, doc_id, pos) rows shuffle):
+    *  - the dup table adds an argmin to the count aggregate:
+    *    min(struct(doc_id, pos)) per hash, partially aggregated
+    *    map-side next to the count — same compact shuffle as the
+    *    remove-all counting pass, 16 extra bytes per hash;
+    *  - pass 2 is the same h-keyed semi-join shape, now an inner join
+    *    carrying the 2-field `first` struct so each occurrence can test
+    *    itself against the winner row-locally; a hyper-duplicated
+    *    window still emits each occurrence exactly once;
+    *  - pass 3 (rebuild) is unchanged.
+    */
+  def exactSubstringDedupKeep(docs: DataFrame, k: Int = 50,
+                              portableHash: Boolean = true): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
+    val pre = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    def occ = pre
+      .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+    val dup = occ
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("first"))
+    val starts = occ.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     pre.join(starts, Seq("doc_id"), "left")
       .withColumn("covered", expr(
@@ -2770,11 +3017,16 @@ object TextQueries {
     },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
+    "dedup_substring_keep" -> { (s, dir) => exactSubstringDedupKeep(Tables.documents(s, dir)) },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     // DEFLATE is not SQL-expressible → rows-only; CompressSpec pins it
     "txt_compress" -> { (s, dir) => compressionRatio(Tables.documents(s, dir)) },
     "txt_winnow" -> { (s, dir) => winnowFingerprints(Tables.documents(s, dir)) },
     "dedup_winnow_pairs" -> { (s, dir) => winnowPairs(Tables.documents(s, dir)) },
+    // rows-only (no SQL oracle: gear-table rolling hash not expressible
+    // in DuckDB — the deflate precedent); CdcSpec pins semantics
+    "txt_cdc" -> { (s, dir) => cdcFingerprints(Tables.documents(s, dir)) },
+    "dedup_cdc_pairs" -> { (s, dir) => cdcPairs(Tables.documents(s, dir)) },
     "txt_normalize" -> { (s, dir) => normalizeText(Tables.documents(s, dir)) },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
@@ -2891,6 +3143,7 @@ object TextQueries {
     },
 
     // ---- token counting + quality scoring ----
+    "corpus_mix_tokens" -> { (s, dir) => corpusMixTokens(Tables.documents(s, dir)) },
     "corpus_mix_temp" -> { (s, dir) =>
       corpusMixTemp(Tables.documents(s, dir))
     },
@@ -3131,6 +3384,32 @@ object TextQueries {
        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
        |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
        |  FROM (SELECT doc_id, range(pos, pos + $k) AS span FROM w JOIN dup USING (h))
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS INT) AS n_tokens,
+       |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+       |  CAST(coalesce(len(list_filter(h.covered,
+       |    c -> NOT list_contains(h.covered, c - 1))), 0) AS INT) AS n_spans,
+       |  md5(coalesce(array_to_string(list_filter(t.toks,
+       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j - 1)), ' '), '')) AS clean_hash
+       |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** dedup_substring_keep oracle: the [[substringDedupOracle]] shape
+    * with keep-one semantics — an occurrence is scrubbed iff its hash
+    * repeats corpus-wide AND it is not the lexicographically-first
+    * (doc_id, pos) occurrence (row_number twin of the Spark side's
+    * min(struct) argmin). */
+  private def substringDedupKeepOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id, i - 1 AS pos,
+       |        ${phashSql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+       |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - ${k - 1}, 0) + 1)) AS i)),
+       |d AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY h) AS c,
+       |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |      FROM w),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $k) AS span FROM d WHERE c >= 2 AND rn > 1)
        |  GROUP BY doc_id)
        |SELECT t.doc_id,
        |  CAST(len(t.toks) AS INT) AS n_tokens,
@@ -3393,7 +3672,7 @@ object TextQueries {
   def oracles: Map[String, String] =
     staticOracles ++ bpeEncodeOracles ++ unigramEncodeOracles ++
       wordpieceEncodeOracles ++ corpusTokenizeOracles ++
-      tempMixOracles ++ qcOracles
+      tempMixOracles ++ tokenMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
@@ -3780,6 +4059,7 @@ object TextQueries {
 
     "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
     "dedup_substring" -> substringDedupOracle(k = 50),
+    "dedup_substring_keep" -> substringDedupKeepOracle(k = 50),
 
     "bpe_pairs" ->
       """WITH wf AS (

@@ -488,6 +488,101 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(base == snap(TextQueries.exactSubstringDedup(docs, k = 10, portableHash = false)))
   }
 
+  test("exactSubstringDedupKeep: first occurrence survives, all later copies scrub") {
+    import spark.implicits._
+    // same fixture as the remove-all test: docs 1/2 share a 7-token
+    // run — doc 1 (smaller doc_id) KEEPS it, doc 2 loses it; doc 4's
+    // within-doc repeat keeps the first (pos 0) window and scrubs the
+    // second (pos 6)
+    val a = "a0 a1 s0 s1 s2 s3 s4 s5 s6 a2 a3"
+    val b = "b0 s0 s1 s2 s3 s4 s5 s6 b1 b2"
+    val c = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val d = "r0 r1 r2 r3 r4 d0 r0 r1 r2 r3 r4"
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedupKeep(df, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((11, 0, 0, md5hex(a))))
+    assert(got(2L) == ((10, 7, 1, md5hex("b0 b1 b2"))))
+    assert(got(3L) == ((10, 0, 0, md5hex(c))))
+    assert(got(4L) == ((11, 5, 1, md5hex("r0 r1 r2 r3 r4 d0"))))
+  }
+
+  test("exactSubstringDedupKeep: invariance, hash parity, and keeps >= remove-all") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val base = snap(TextQueries.exactSubstringDedupKeep(docs, k = 10))
+    assert(base.exists(_._3 > 0), "fixture must scrub some later copies")
+    assert(base == snap(TextQueries.exactSubstringDedupKeep(docs.repartition(7), k = 10)))
+    assert(base == snap(TextQueries.exactSubstringDedupKeep(docs, k = 10, portableHash = false)))
+    // keep-one never removes more than remove-all, and removes strictly
+    // less overall (every duplicated hash retains one occurrence)
+    val all = TextQueries.exactSubstringDedup(docs, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val keep = base.map(t => t._1 -> t._3).toMap
+    assert(keep.forall { case (id, n) => n <= all(id) })
+    assert(keep.values.sum < all.values.sum)
+  }
+
+  // ---- token-budget temperature mixing ----
+
+  /** Driver-side window-cumsum reference for [[TextQueries.corpusMixTokens]]:
+    * per lang order by (n_chars desc, doc_id), keep while inclusive
+    * token cumsum fits the budget the engine cached for the run. */
+  private def tokenMixReference(rows: Seq[(Long, String, Int, Int)],
+                                budgets: Map[String, Long]): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (l, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (-d._4, d._1)).flatMap { case (id, _, ntok, _) =>
+        cum += ntok
+        if (cum <= budgets.getOrElse(l, 0L)) Some(id) else None
+      }
+    }.toSet
+
+  test("corpusMixTokens: cutoff + stitched tie pass match the window-cumsum reference") {
+    import spark.implicits._
+    // lang a: scores force a cutoff INSIDE a tie group (three docs at
+    // n_chars=50 competing for the remaining budget); lang b fits
+    // entirely; lang c has its very first score group overflow
+    val rows = Seq(
+      (1L, "a", 4, 90), (2L, "a", 4, 50), (3L, "a", 4, 50), (4L, "a", 4, 50),
+      (5L, "b", 2, 10), (6L, "b", 3, 5),
+      (7L, "c", 30, 70), (8L, "c", 30, 70))
+    val df = rows.map { case (id, l, ntok, nc) =>
+      (id, Seq.fill(ntok)("w").mkString(" "), l, "src", nc.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextQueries.corpusMixTokens(df, alpha = 0.5, tokenBudget = 40L)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val budgets = TextQueries.cachedTokenBudgets.get.toMap
+    assert(ids == tokenMixReference(rows, budgets))
+    // the fixture must actually exercise a partial tie group: some but
+    // not all of lang a's 50-char docs survive
+    val aTies = ids.intersect(Set(2L, 3L, 4L))
+    assert(aTies.nonEmpty && aTies.size < 3, s"partial tie expected, got $aTies")
+    // n_tokens column carries the whitespace token count
+    val n = got.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(n.forall { case (id, t) => t == rows.find(_._1 == id).get._3 })
+  }
+
+  test("corpusMixTokens: fully-degenerate scores run entirely through the tie path") {
+    import spark.implicits._
+    // every doc the same score — the per-language window would be one
+    // task; here the stitched cumsum must still produce the exact
+    // doc_id-ordered prefix
+    val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) "e" else "o", 3, 7))
+    val df = rows.map { case (id, l, ntok, nc) =>
+      (id, Seq.fill(ntok)("w").mkString(" "), l, "src", nc.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = TextQueries.corpusMixTokens(df, alpha = 1.0, tokenBudget = 33L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val budgets = TextQueries.cachedTokenBudgets.get.toMap
+    assert(base == tokenMixReference(rows, budgets))
+    assert(base.nonEmpty && base.size < 40, "budget must bind")
+    // invariance under input partitioning (tie groups split arbitrarily)
+    val rep = TextQueries.corpusMixTokens(df.repartition(7), alpha = 1.0, tokenBudget = 33L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep == base)
+  }
+
   // ---- BPE tokenizer training ----
 
   /** Driver-side reference BPE (Sennrich et al. 2016 Algorithm 1):
