@@ -376,6 +376,21 @@ object BenchLarge {
         .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
       graft.text.TextQueries.lshPairsAgainst(batch, corpus).count()
     }
+    // full k-means over the 2M-vector corpus: bounded-sample init + 5
+    // distributed Lloyd passes (codegen'd quantized argmin, per-(cell,
+    // dim) map-side-combined sums, k x dim rows to the driver per
+    // pass), then the final assignment — the SemDeDup clustering shape
+    timed("emb_kmeans", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val init = graft.sim.Ivf.kmeans(sample, 8)
+      val cents = graft.sim.Ivf.lloydRefine(emb, init, iters = 5)
+      graft.sim.Ivf.withCell(emb, cents)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(col("cell") * col("n"))).collect()(0).getLong(0)
+    }
     timed("ivf_topk") {
       val emb = embeddings(spark, nVecs)
       // bounded deterministic training, as in Ivf.trainCentroids

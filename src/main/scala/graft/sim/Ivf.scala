@@ -211,4 +211,70 @@ object Ivf {
     lastKey = Some((dir, k))
     cents
   }
+
+  /** Distributed Lloyd refinement of a centroid set over the FULL
+    * corpus — full k-means (the SemDeDup paper's actual clustering
+    * step, Abbas et al. 2023 §3) as opposed to the sample-only IVF
+    * training above. Each iteration is ONE corpus pass: cells assign
+    * through the codegen'd quantized argmin ([[withCell]] — the
+    * centroids ride into the kernel as literals, no join), per-(cell,
+    * dim) partial sums combine map-side, and only k × dim tiny rows
+    * reach the driver, which recomputes the means. Empty cells keep
+    * their previous centroid (deterministic, no respawn heuristic).
+    *
+    * Determinism: the assignment arithmetic is the quantized-integer
+    * kernel (exact), and the recomputed means are rounded to a 1e-9
+    * quantum so partition-order float summation cannot leak into the
+    * published centroids (the repo's cross-row float discipline) —
+    * refinement is repartition-invariant, spec-pinned in KmeansSpec.
+    */
+  def lloydRefine(df: DataFrame, init: Array[Array[Double]],
+                  iters: Int = 5): Array[Array[Double]] = {
+    require(init.nonEmpty && iters >= 0)
+    val dim = init.head.length
+    var cents = init
+    for (_ <- 0 until iters) {
+      val stats = withCell(df.select(col("embedding")), cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Long](cents.length)
+      stats.foreach { r =>
+        sums(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        counts(r.getInt(0)) = r.getLong(3)
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(d => math.rint(sums(c)(d) / counts(c) * 1e9) / 1e9)
+      }
+    }
+    cents
+  }
+
+  private val refinedCache =
+    scala.collection.mutable.Map.empty[(String, Int), Array[Array[Double]]]
+  @volatile private var lastRefinedKey: Option[(String, Int)] = None
+
+  /** Refined centroids of the last [[refineCentroids]] run — the oracle
+    * builder's literals, with the [[cachedCentroids]] fail-loud
+    * ambiguity rule. */
+  def cachedRefinedCentroids: Option[Array[Array[Double]]] = lastRefinedKey.map { lk =>
+    require(refinedCache.size == 1,
+      s"k-means oracle ambiguity: refined centroids exist for ${refinedCache.keys.mkString(", ")} " +
+        "in this session; oracle SQL can only be emitted for a single (dir, k)")
+    refinedCache(lk)
+  }
+
+  /** Sample-train + corpus-refine in one call (the emb_kmeans query
+    * path); records the refined centroids for the oracle builder. */
+  def refineCentroids(spark: SparkSession, dir: String, k: Int,
+                      iters: Int = 5): Array[Array[Double]] = {
+    val init = trainCentroids(spark, dir, k)
+    val cents = lloydRefine(graft.Tables.embeddings(spark, dir), init, iters)
+    refinedCache((dir, k)) = cents
+    lastRefinedKey = Some((dir, k))
+    cents
+  }
 }

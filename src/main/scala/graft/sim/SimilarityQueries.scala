@@ -244,6 +244,16 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cell"))
     },
 
+    // full k-means over the corpus (the SemDeDup paper's clustering
+    // step): bounded-sample init, then 5 distributed Lloyd iterations —
+    // one corpus pass each, k x dim tiny rows to the driver per pass —
+    // and the REFINED centroids bake into the same codegen'd argmin
+    "emb_kmeans" -> { (s, dir) =>
+      val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
+      Ivf.withCell(Tables.embeddings(s, dir), cents)
+        .select(col("vec_id"), col("cell"))
+    },
+
     // IVF top-k: candidates restricted to the query's cell, exact cosine
     // re-rank within the cell
     "emb_ivf_topk" -> { (s, dir) =>
@@ -508,7 +518,17 @@ object SimilarityQueries {
     * queries never ran, the entries are simply omitted → the driver
     * records its weaker rows-only check, same as before.
     */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracles ++ pcaOracles
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles
+
+  /** emb_kmeans oracle: the refined centroids of the last run as
+    * literals through the same quantized-argmin assignment SQL. */
+  private def kmeansOracles: Map[String, String] =
+    Ivf.cachedRefinedCentroids match {
+      case None => Map.empty
+      case Some(c) =>
+        Map("emb_kmeans" -> s"SELECT vec_id, cell FROM (${Ivf.assignSql(c)}) t")
+    }
 
   /** emb_pca / emb_semdedup_pca oracles from the (mean, components)
     * the queries trained — the cached-literal pattern ([[ivfOracles]]). */
