@@ -1449,6 +1449,13 @@ object TextQueries {
     require(n >= 3, s"kneserNeyScoreN is the order >= 3 family (got $n); order 2 is kneserNeyScore")
     require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
     def wc(from: Int, to: Int): Seq[String] = (from to to).map(i => s"w$i")
+    // NOTE (measured, r9): an alternative that carries the n-gram as a
+    // STRUCT of words end to end (no concat_ws in the counting pass, no
+    // re-splits in the scoring pass) benched 2.5-5x SLOWER at 1M docs
+    // (interleaved min-of-6: 19.8 s string-key vs 50.4 s struct-key) —
+    // one compact concatenated string key beats n variable-length
+    // string fields in both the aggregate and the broadcast-join
+    // hashing. The concat/split round trip stays on purpose.
     val tcFull = docs
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(ngramArrayExpr(n))).as("g"))

@@ -35,6 +35,30 @@ class PiiSpec extends AnyFunSuite {
     assert(again.forall(r => r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0))
   }
 
+  test("cardStats: Luhn separates valid from invalid candidates; grouped form matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),        // valid, contiguous
+      (2L, "pay 4111-1111-1111-1111 now"),     // valid, 4x4 grouped
+      (3L, "ref 4532015112830367 now"),        // candidate, Luhn-INVALID
+      (4L, "amex 378282246310005 ok"),         // valid, 15 digits (odd length)
+      (5L, "short 123456789012 nope"),         // 12 digits: below the shape
+      (6L, "two 4532015112830366 and 4532015112830367")
+    ).toDF("doc_id", "text")
+    val got = PiiQueries.cardStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((1, 1)))
+    assert(got(2L) == ((1, 1)))
+    assert(got(3L) == ((1, 0)))
+    assert(got(4L) == ((1, 1)))
+    assert(got(5L) == ((0, 0)))
+    assert(got(6L) == ((2, 1)))
+    // redaction removes every candidate (valid or not): re-scan is clean
+    val red = df.select(col("doc_id"),
+      regexp_replace(col("text"), lit(PiiQueries.CardRe), lit("<CARD>")).as("text"))
+    assert(PiiQueries.cardStats(red).collect().forall(_.getInt(1) == 0))
+  }
+
   test("the planted-span driver query finds its category on every planted doc") {
     val got = PiiQueries.queries("txt_pii")(spark, sfDir).collect()
     assert(got.nonEmpty)
