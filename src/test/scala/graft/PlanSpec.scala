@@ -334,6 +334,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_mix_tokens never windows per language: every window keys on the stitch chunk") {
+    val exec = SparkEntry.queries("corpus_mix_tokens")(spark, sfDir)
+      .queryExecution.executedPlan
+    // the above-cutoff keep is a filter; only the cutoff-tie rows pass
+    // through windows, and those windows must partition on the chunk
+    // key, never on lang alone (a whole language through one task)
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "no global (single-partition) window allowed")
+    assert(windows.forall(_.partitionSpec.exists(_.toString.contains("_chunk"))),
+      s"tie windows must key on the stitch chunk:\n${windows.map(_.partitionSpec).mkString("\n")}")
+  }
+
+  test("emb_kmeans final assignment is map-only: centroids ride as literals, no join") {
+    val p = plan("emb_kmeans")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must be a map-only literal-centroid pass:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "assignment must stay a native expression")
+  }
+
+  test("txt_pii_cc is map-only with no UDF (nested HOF Luhn fold)") {
+    val p = plan("txt_pii_cc")
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"card detection must be a per-row native pass:\n${p.take(1500)}")
+  }
+
   test("ANN top-k queries broadcast the small query side") {
     Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk",
         "emb_incremental").foreach { q =>
