@@ -467,6 +467,18 @@ object BenchLarge {
         k = 8, portableHash = false)
         .filter(col("n_removed") > 0).count()
     }
+    // incremental form: a 20k-doc batch (the incr_dedup slice, every
+    // doc an exact corpus dup) scrubbed at window granularity against
+    // the full corpus's hash index — the corpus contributes one
+    // explode+distinct, the batch pays the positional pass
+    timed("substr_dedup_incr", clearAfter = true) {
+      val corpus = docs(spark, nDocs, template)
+      val batch = corpus.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      graft.text.TextQueries.exactSubstringDedupAgainst(batch, corpus,
+        k = 8, portableHash = false)
+        .filter(col("n_removed") > 0).count()
+    }
     // gear-CDC fingerprints at the full corpus: map-only byte-loop
     // kernel (~150-byte docs -> 1-3 chunks); the check sums chunk
     // counts AND forces the sorted-hash md5 column

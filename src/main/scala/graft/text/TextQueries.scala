@@ -2037,6 +2037,14 @@ object TextQueries {
       .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
       .join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    scrubSpans(pre, starts, k)
+  }
+
+  /** The span-scrub rebuild all three substring-dedup forms share:
+    * per-doc removed-window start lists expand to covered token
+    * indices, maximal spans count where a covered index's predecessor
+    * is uncovered, and the clean text hashes filtered-by-index. */
+  private def scrubSpans(pre: DataFrame, starts: DataFrame, k: Int): DataFrame =
     pre.join(starts, Seq("doc_id"), "left")
       .withColumn("covered", expr(
         s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${k - 1}))))"))
@@ -2047,6 +2055,52 @@ object TextQueries {
         size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
         md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
           .as("clean_hash"))
+
+  /** The persistable side of incremental exact-substring dedup: the
+    * DISTINCT window-hash set of the existing corpus — compact 8-byte
+    * rows, one explode + map-side-combined distinct, materialized once
+    * and unioned as the corpus grows (the [[corpusIndex]] discipline;
+    * persist it BUCKETED by h and the per-batch probe join's static
+    * side carries no exchange). */
+  def substringIndex(corpus: DataFrame, k: Int = 50,
+                     portableHash: Boolean = true): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
+    corpus
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(ngramArrayExpr(k))).as("win"))
+      .select(h(col("win")).as("h"))
+      .distinct()
+  }
+
+  /** Incremental exact-substring dedup: scrub every k-token window of
+    * a NEW batch that already appears in the existing corpus — the
+    * span-level member of the incremental family (exact-doc =
+    * [[bloomProbe]], fuzzy-doc = [[lshPairsAgainst]], embedding =
+    * [[graft.sim.SimilarityQueries]] incremental ANN). A fresh crawl
+    * snapshot dedupes against the training corpus at Lee et al.'s
+    * granularity without re-counting the corpus: the corpus
+    * contributes only its [[substringIndex]] (pre-materialized in
+    * production), the batch pays one positional window pass, and the
+    * probe is a left-semi equi-join on the compact hash key — batch
+    * windows shuffle, the bucketed index does not. Within-batch
+    * duplication is deliberately NOT scrubbed here (run
+    * [[exactSubstringDedup]] on the batch for that); the two compose.
+    * Output is the [[exactSubstringDedup]] contract over batch docs.
+    */
+  def exactSubstringDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                                 k: Int = 50,
+                                 portableHash: Boolean = true): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
+    val pre = batch.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val starts = pre
+      .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
+      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+      .join(substringIndex(corpus, k, portableHash), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    scrubSpans(pre, starts, k)
   }
 
   /** [[exactSubstringDedup]] with keep-one semantics — the OTHER mode
@@ -2093,16 +2147,7 @@ object TextQueries {
       .filter(!(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
-    pre.join(starts, Seq("doc_id"), "left")
-      .withColumn("covered", expr(
-        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${k - 1}))))"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(col("covered")).as("n_removed"),
-        size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
-        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
-          .as("clean_hash"))
+    scrubSpans(pre, starts, k)
   }
 
   /** (word, freq) vocabulary table from the corpus — the relation BPE
@@ -3025,6 +3070,14 @@ object TextQueries {
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
     "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
     "dedup_substring_keep" -> { (s, dir) => exactSubstringDedupKeep(Tables.documents(s, dir)) },
+    // incremental form: odd docs (the "new batch") scrubbed of windows
+    // already present in the even-doc corpus (the dedup_incremental
+    // split — the planted %100==1 dups cross it)
+    "dedup_substring_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      exactSubstringDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     // DEFLATE is not SQL-expressible → rows-only; CompressSpec pins it
     "txt_compress" -> { (s, dir) => compressionRatio(Tables.documents(s, dir)) },
@@ -3417,6 +3470,30 @@ object TextQueries {
        |      FROM w),
        |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
        |  FROM (SELECT doc_id, range(pos, pos + $k) AS span FROM d WHERE c >= 2 AND rn > 1)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS INT) AS n_tokens,
+       |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+       |  CAST(coalesce(len(list_filter(h.covered,
+       |    c -> NOT list_contains(h.covered, c - 1))), 0) AS INT) AS n_spans,
+       |  md5(coalesce(array_to_string(list_filter(t.toks,
+       |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j - 1)), ' '), '')) AS clean_hash
+       |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** dedup_substring_incr oracle: batch = odd docs, corpus index = the
+    * distinct window hashes of even docs; a batch occurrence is
+    * scrubbed iff its hash appears in the index. */
+  private def substringDedupIncrOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |           WHERE doc_id % 2 = 1),
+       |idx AS (SELECT DISTINCT ${phashSql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+       |      FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 2 = 0),
+       |           LATERAL (SELECT unnest(range(1, greatest(len(toks) - ${k - 1}, 0) + 1)) AS i)),
+       |w AS (SELECT doc_id, i - 1 AS pos,
+       |        ${phashSql(s"array_to_string(toks[i:i+${k - 1}], ' ')")} AS h
+       |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - ${k - 1}, 0) + 1)) AS i)),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $k) AS span FROM w JOIN idx USING (h))
        |  GROUP BY doc_id)
        |SELECT t.doc_id,
        |  CAST(len(t.toks) AS INT) AS n_tokens,
@@ -4067,6 +4144,7 @@ object TextQueries {
     "txt_scrub_ngrams" -> scrubNgramsOracle(n = 3, maxDf = 5),
     "dedup_substring" -> substringDedupOracle(k = 50),
     "dedup_substring_keep" -> substringDedupKeepOracle(k = 50),
+    "dedup_substring_incr" -> substringDedupIncrOracle(k = 50),
 
     "bpe_pairs" ->
       """WITH wf AS (

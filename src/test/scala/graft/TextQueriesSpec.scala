@@ -523,6 +523,44 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keep.values.sum < all.values.sum)
   }
 
+  test("exactSubstringDedupAgainst: corpus spans scrub, batch-internal dups do not") {
+    import spark.implicits._
+    // corpus holds one 7-token run; batch doc 11 contains it (scrubs),
+    // batch docs 12/13 share a run with EACH OTHER only (stays — the
+    // incremental form scrubs against the corpus index, not the batch)
+    val corpus = Seq((2L, "x0 s0 s1 s2 s3 s4 s5 s6 x1")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "a0 s0 s1 s2 s3 s4 s5 s6 a1"),
+      (12L, "b0 q0 q1 q2 q3 q4 b1"),
+      (13L, "c0 q0 q1 q2 q3 q4 c1")).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(11L) == ((9, 7, 1, md5hex("a0 a1"))))
+    assert(got(12L)._2 == 0 && got(13L)._2 == 0,
+      "batch-internal duplication must NOT scrub in the incremental form")
+    assert(got.keySet == Set(11L, 12L, 13L), "output covers batch docs only")
+  }
+
+  test("exactSubstringDedupAgainst == full dedup restricted to cross-split spans on the fixture") {
+    // on the odd/even driver split, a batch doc whose every duplicated
+    // window comes from the corpus side must scrub identically to the
+    // full remove-all run restricted to odd docs — pinned on the
+    // planted %100==1 dups (odd copy of an even doc)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val incr = TextQueries.exactSubstringDedupAgainst(odd, even, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr.exists(_._2 > 0), "fixture must scrub some cross-split spans")
+    // and it is invariant under batch partitioning
+    val rep = TextQueries.exactSubstringDedupAgainst(odd.repartition(7), even, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(rep == incr)
+    // cross-check: no incremental scrub can exceed the full-corpus scrub
+    val full = TextQueries.exactSubstringDedup(docs, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr.forall { case (id, n) => n <= full(id) })
+  }
+
   // ---- token-budget temperature mixing ----
 
   /** Driver-side window-cumsum reference for [[TextQueries.corpusMixTokens]]:
