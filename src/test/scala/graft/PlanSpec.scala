@@ -277,6 +277,20 @@ class PlanSpec extends AnyFunSuite {
       "shingle counts must combine map-side below their exchange")
   }
 
+  test("dedup_substring_incr: probe is a compact-key semi-join, no window string shuffles") {
+    val p = plan("dedup_substring_incr")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    // the probe joins the batch's positional hashes against the corpus
+    // index on h — a semi-join on compact keys
+    assert(p.contains("LeftSemi"), s"expected the index semi-join:\n${p.take(2000)}")
+    // every positional explode sits above a doc_id exchange (windows
+    // generated partition-locally after the shuffle), and no exchange
+    // partitions on a window-string column
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(win")),
+      s"window strings must never key a shuffle:\n${p.take(2000)}")
+  }
+
   test("dedup_substring: window fan-out partition-local; hash counts combine map-side") {
     val p = plan("dedup_substring")
     assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
