@@ -187,6 +187,95 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Minimum quantized squared distance to any centroid — the companion
+  * of [[IvfCellE12]] (identical loop, identical arithmetic and null
+  * rules; it returns `best` where the cell kernel returns `bestC`).
+  * Because the assignment rule is "argmin with ties to the lowest
+  * cell", this IS the distance to the assigned centroid, which is what
+  * prototype-based pruning (Sorscher et al. 2022) ranks by and what
+  * the kmeans‖ oversampling rounds (Bahmani et al. 2011) sample
+  * proportionally to — both per-row map-only, no join against a
+  * centroid table. Equals `array_min` of the HOF distance list
+  * (parity pinned in EmbeddingKernelSpec). */
+case class IvfMinDistE12(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_min_dist_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_min_dist_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      var best = Long.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          val diff = a.getFloat(d).toDouble - cent(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        if (acc < best) best = acc
+        c += 1
+      }
+      best
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val p = ctx.freshName("p")
+      val dim = centroids(0).length
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $best = Long.MAX_VALUE;
+         |    for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |        final double $p = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(p)};
+         |      }
+         |      if ($acc < $best) { $best = $acc; }
+         |    }
+         |    ${ev.value} = $best;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfMinDistE12 =
+    copy(child = newChild)
+}
+
 /** Sign-random-projection (SimHash-LSH) bucket: bit p of the result is
   * set iff Σ_d planes[p][d] · round(x_d·1e6) > 0 — the codegen,
   * per-row form of the explode + 8-way-sum aggregate the similarity

@@ -103,6 +103,23 @@ object Ivf {
       graft.functions.IvfCellE12(
         org.apache.spark.sql.GraftBridge.expression(df("embedding")), centroids)))
 
+  /** Append `dist_e12`: the MINIMUM quantized squared distance to any
+    * centroid — i.e. the distance to the assigned cell's centroid
+    * (argmin ties share the min value). Codegen'd
+    * ([[graft.functions.IvfMinDistE12]]), map-only: prototype pruning
+    * ranks by it and kmeans‖ samples proportionally to it without any
+    * join against a centroid table. */
+  def withMinDist(df: DataFrame, centroids: Array[Array[Double]],
+                  colName: String = "dist_e12"): DataFrame =
+    df.withColumn(colName, org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IvfMinDistE12(
+        org.apache.spark.sql.GraftBridge.expression(df("embedding")), centroids)))
+
+  /** The HOF form of [[withMinDist]], retained for parity testing. */
+  def withMinDistHof(df: DataFrame, centroids: Array[Array[Double]],
+                     colName: String = "dist_e12"): DataFrame =
+    df.withColumn(colName, expr(s"array_min(${distsSpark(centroids)})"))
+
   /** The nested-HOF argmin form, retained for parity testing. */
   def withCellHof(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val dists = distsSpark(centroids)
@@ -148,6 +165,19 @@ object Ivf {
        |  FROM $table CROSS JOIN cents)
        |SELECT vec_id, embedding,
        |  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+       |FROM dists""".stripMargin
+
+  /** [[assignSql]] plus the min distance itself (`dist_e12` — the
+    * distance to the assigned centroid, [[withMinDist]]'s oracle twin):
+    * `SELECT vec_id, embedding, cell, dist_e12 FROM ...`. */
+  def assignDistSql(centroids: Array[Array[Double]], table: String = "embeddings"): String =
+    s"""WITH cents AS (SELECT ${centsDuck(centroids)} AS cc),
+       |dists AS (
+       |  SELECT vec_id, embedding, ${distsDuck(centroids.length)} AS ds
+       |  FROM $table CROSS JOIN cents)
+       |SELECT vec_id, embedding,
+       |  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell,
+       |  list_min(ds) AS dist_e12
        |FROM dists""".stripMargin
 
   /** DuckDB per-vector probe list (nprobe nearest cells), matching
@@ -275,6 +305,160 @@ object Ivf {
     val cents = lloydRefine(graft.Tables.embeddings(spark, dir), init, iters)
     refinedCache((dir, k)) = cents
     lastRefinedKey = Some((dir, k))
+    cents
+  }
+
+  // ---- kmeans‖ (Bahmani et al. 2011, "Scalable k-means++") ----
+
+  /** Deterministic distributed kmeans‖ initialization: `rounds` passes
+    * of D²-proportional OVERSAMPLING (expected `l` new candidates per
+    * round, the paper's l ≈ 2k), then a driver-side weighted Lloyd over
+    * the ~`rounds·l` candidates. This removes [[trainCentroids]]'s
+    * structural cap (a SAMPLE_N-row driver sample can never seed more
+    * than SAMPLE_N clusters, and sees none of the corpus's tail
+    * structure) — the init quality of kmeans++ at corpus scale with
+    * O(rounds) passes and only candidate-sized driver state.
+    *
+    * Determinism (repartition-invariant, spec-pinned in KmeansSpec):
+    * the per-row acceptance draw is a salted xxhash64 of (round,
+    * vec_id) — no RNG; distances are the quantized-integer kernel
+    * ([[withMinDist]], incremental `least` against each round's NEW
+    * candidates only); the round cost Σ md sums in DECIMAL(38,0), so
+    * partition order cannot flip an acceptance threshold; candidates
+    * append in vec_id order; the weighted refit is sequential driver
+    * code from a deterministic (weight desc, arrival order) init.
+    *
+    * Scale: each round is one corpus pass over a persisted (vec_id,
+    * embedding, md) frame (the standard kmeans‖ shape — md is
+    * incremental, so round r costs O(l·dim) per row, not O(|C|·dim));
+    * the acceptance collect is expected-l rows and HARD-bounded
+    * (fail-loud) at 40·l, and the final per-candidate weight pass is
+    * one codegen'd assignment + a |C|-row aggregate. */
+  def kmeansParInit(df: DataFrame, k: Int, l: Int, rounds: Int,
+                    seed: String = "kmpp"): Array[Array[Double]] = {
+    require(k >= 1 && l >= 1 && rounds >= 1)
+    def vecOf(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+      r.getSeq[Float](i).map(_.toDouble).toArray
+    val first = df.orderBy("vec_id").select("vec_id", "embedding").head()
+    val cands = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])](
+      (first.getLong(0), vecOf(first, 1)))
+    var cur = withMinDist(df.select(col("vec_id"), col("embedding")),
+        Array(cands.head._2), "md")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (r <- 1 to rounds) {
+        val costDec = cur.agg(sum(col("md").cast("decimal(38,0)"))).head().getDecimal(0)
+        val cost = if (costDec == null) 0.0 else costDec.doubleValue()
+        if (cost > 0) {
+          // accept iff u < l·md/cost with u = (h mod 1e9 + 0.5)/1e9 — a
+          // per-row pure function of (seed, round, vec_id)
+          val u = (pmod(xxhash64(concat_ws("_", lit(seed), lit(r), col("vec_id"))),
+            lit(1000000000L)).cast("double") + lit(0.5)) / lit(1e9)
+          val accepted = cur
+            .filter(u < col("md").cast("double") * lit(l.toDouble) / lit(cost))
+            .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+          require(cands.size + accepted.length <= math.max(64, 40 * l),
+            s"kmeans‖ round $r accepted ${accepted.length} candidates — far above " +
+              s"the expected $l; refusing to collect an unbounded set")
+          val seen = cands.map(_._1).toSet
+          val fresh = accepted.iterator
+            .map(row => (row.getLong(0), vecOf(row, 1)))
+            .filterNot(c => seen(c._1)).toArray
+          if (fresh.nonEmpty) {
+            cands ++= fresh
+            val nxt = withMinDist(
+                cur.select(col("vec_id"), col("embedding"), col("md")),
+                fresh.map(_._2), "nd")
+              .withColumn("md", least(col("md"), col("nd"))).drop("nd")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+          }
+        }
+      }
+    } finally cur.unpersist()
+    require(cands.size >= k,
+      s"kmeans‖ produced ${cands.size} candidates < k=$k — raise l/rounds " +
+        "(expected candidates ≈ rounds·l + 1)")
+    // weight = corpus mass captured by each candidate (one codegen'd
+    // assignment pass; |C| tiny rows to the driver)
+    val cmat = cands.map(_._2).toArray
+    val weights = new Array[Long](cmat.length)
+    withCell(df.select(col("embedding")), cmat).groupBy("cell").count()
+      .collect().foreach(r => weights(r.getInt(0)) = r.getLong(1))
+    weightedKmeans(cmat, weights, k)
+  }
+
+  /** Deterministic weighted Lloyd on the driver (the kmeans‖ refit):
+    * init = the k heaviest candidates (ties → arrival order), quantized
+    * assignment ties → lowest index, means rounded to the 1e-9 quantum
+    * ([[lloydRefine]]'s literal discipline), empty clusters keep their
+    * centroid. */
+  def weightedKmeans(pts: Array[Array[Double]], w: Array[Long], k: Int,
+                     iters: Int = 10): Array[Array[Double]] = {
+    require(pts.length >= k && pts.length == w.length)
+    val dim = pts.head.length
+    val order = pts.indices.sortBy(i => (-w(i), i)).take(k)
+    var cents = order.map(i => pts(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        if (w(i) > 0) {
+          var best = Long.MaxValue
+          var bestC = 0
+          var c = 0
+          while (c < k) {
+            var acc = 0L
+            var d = 0
+            while (d < dim) {
+              val diff = pts(i)(d) - cents(c)(d)
+              acc += graft.functions.QuantKernels.qround(diff * diff * 1e12)
+              d += 1
+            }
+            if (acc < best) { best = acc; bestC = c }
+            c += 1
+          }
+          counts(bestC) += w(i)
+          var d = 0
+          while (d < dim) { sums(bestC)(d) += pts(i)(d) * w(i); d += 1 }
+        }
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(d => math.rint(sums(c)(d) / counts(c) * 1e9) / 1e9)
+      }
+    }
+    cents
+  }
+
+  private val parCache =
+    scala.collection.mutable.Map.empty[(String, Int), Array[Array[Double]]]
+  @volatile private var lastParKey: Option[(String, Int)] = None
+
+  /** Centroids of the last [[parRefineCentroids]] run — the oracle
+    * builder's literals, with the [[cachedCentroids]] fail-loud rule. */
+  def cachedParCentroids: Option[Array[Array[Double]]] = lastParKey.map { lk =>
+    require(parCache.size == 1,
+      s"kmeans‖ oracle ambiguity: centroids exist for ${parCache.keys.mkString(", ")} " +
+        "in this session; oracle SQL can only be emitted for a single (dir, k)")
+    parCache(lk)
+  }
+
+  /** kmeans‖ init + distributed Lloyd refinement in one call (the
+    * emb_kmeans_pp query path); records the centroids for the oracle
+    * builder. */
+  def parRefineCentroids(spark: SparkSession, dir: String, k: Int,
+                         l: Int = 16, rounds: Int = 3,
+                         iters: Int = 2): Array[Array[Double]] = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val init = kmeansParInit(emb, k, l, rounds)
+    val cents = lloydRefine(emb, init, iters)
+    parCache((dir, k)) = cents
+    lastParKey = Some((dir, k))
     cents
   }
 }

@@ -382,8 +382,103 @@ object SimilarityQueries {
       // 81 buckets over the 500-vector fixture (occupancy ~6) so the
       // pair graph the oracle closes transitively is non-trivial
       semdedupPca(Tables.embeddings(s, dir), mu, comps, gridDims = 4, bins = 3)
+    },
+
+    // ---- SemDeDup in the PAPER's form (Abbas et al. 2023 §3): k-means
+    // CLUSTERS as the candidate buckets. Same tail as emb_semdedup /
+    // emb_semdedup_pca (exact cosine within bucket → CC → min-id
+    // representative); only the partition of the space differs — the
+    // corpus-refined Lloyd centroids of emb_kmeans (same k, so the two
+    // queries share one cached literal set). The %4 slice bounds the
+    // k=8 oracle's within-cell pair count; at corpus scale k is tens of
+    // thousands (the paper's 50k at 100M) and occupancy n/k stays put.
+    "emb_semdedup_km" -> { (s, dir) =>
+      val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val drop = semdedupCellsDrop(e, cents)
+      e.join(broadcast(drop), Seq("vec_id"), "left_anti").select(col("vec_id"))
+    },
+
+    // ---- SSL-prototype pruning (Sorscher et al. 2022): per-cluster
+    // rank by distance to the assigned centroid, keep the HARDEST
+    // keepFrac (farthest from the prototype — the regime the paper
+    // prescribes for big datasets) ----
+    "emb_prototypes" -> { (s, dir) =>
+      val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
+      prototypesKeep(Tables.embeddings(s, dir), cents, keepFrac = 0.5)
+    },
+
+    // ---- D4 (Tirumala et al. 2023): SemDeDup, then prototype pruning
+    // of the survivors — the composed embedding-curation pipeline, with
+    // both stages on the same refined centroids ----
+    "emb_d4" -> { (s, dir) =>
+      val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val drop = semdedupCellsDrop(e, cents)
+      val kept = e.join(broadcast(drop), Seq("vec_id"), "left_anti")
+      prototypesKeep(kept, cents, keepFrac = 0.5)
+    },
+
+    // ---- exact embedding dedup: byte-identical vectors (after the 1e6
+    // integer quantization every query scores with) keep their min
+    // vec_id. Grouping is on the 16-byte md5 of the canonical integer
+    // string, so only compact digests shuffle, never the vectors ----
+    "emb_dedup_exact" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("k", md5(concat_ws(",", expr(
+          "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS STRING))"))))
+        .groupBy("k")
+        .agg(min("vec_id").as("vec_id"), count(lit(1)).as("n_copies"))
+        .select(col("vec_id"), col("n_copies"))
+    },
+
+    // ---- kmeans‖ (Bahmani et al. 2011): distributed D²-oversampling
+    // init + corpus Lloyd refinement — k-means init past the bounded
+    // driver sample's structural k ≤ SAMPLE_N cap ----
+    "emb_kmeans_pp" -> { (s, dir) =>
+      val cents = Ivf.parRefineCentroids(s, dir, k = 8, l = 16, rounds = 3, iters = 2)
+      Ivf.withCell(Tables.embeddings(s, dir), cents)
+        .select(col("vec_id"), col("cell"))
     }
   )
+
+  /** The SemDeDup drop set with k-means cells as buckets: within-cell
+    * exact-cosine pairs → connected components → everything except the
+    * min-id representative. Identical tail to [[semdedupPca]]; candidate
+    * generation cost is quadratic in occupancy n/k, so k (the paper's
+    * cluster count) is the anti-quadratic knob, exactly like `planes`
+    * in the sign-LSH form. */
+  private[graft] def semdedupCellsDrop(e: DataFrame, cents: Array[Array[Double]],
+                                       threshold: Double = 0.25): DataFrame = {
+    val b = Ivf.withCell(e, cents).select(col("vec_id"), col("embedding"), col("cell"))
+    val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell"))
+    val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell"))
+    val pairs = a.join(c, Seq("cell")).filter(col("v1") < col("v2"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("v1"), col("v2"))
+    graft.ops.Components.connectedComponents(pairs, "v1", "v2")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("vec_id"))
+  }
+
+  /** Prototype-based pruning (Sorscher et al. 2022): assign each vector
+    * to its k-means prototype, rank within the cluster by the quantized
+    * distance to it (both codegen'd map-only kernels — no join against
+    * a centroid table), keep the hardest ceil(keepFrac·|cluster|). The
+    * per-cluster window shuffles on `cell`, so parallelism = k: at
+    * corpus scale k is tens of thousands (occupancy n/k bounded), the
+    * same knob that bounds SemDeDup's pair cost. */
+  private[graft] def prototypesKeep(e: DataFrame, cents: Array[Array[Double]],
+                                    keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1], got $keepFrac")
+    val d = Ivf.withMinDist(Ivf.withCell(e, cents), cents)
+    val w = Window.partitionBy("cell").orderBy(col("dist_e12").desc, col("vec_id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("n_c", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("rn") <= ceil(lit(keepFrac) * col("n_c")).cast("long"))
+      .select(col("vec_id"), col("cell"), col("dist_e12"))
+  }
 
   /** Equi-depth grid cutoffs over the first `gridDims` QUANTIZED PCA
     * coordinates, from the bounded deterministic sample (the
@@ -519,16 +614,96 @@ object SimilarityQueries {
     * records its weaker rows-only check, same as before.
     */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles
+    staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles ++ parOracles
 
-  /** emb_kmeans oracle: the refined centroids of the last run as
-    * literals through the same quantized-argmin assignment SQL. */
+  /** emb_kmeans + the SemDeDup/prototype/D4 family: all five queries
+    * train the same (k=8, iters=5) corpus-refined centroids, so one
+    * cached literal set serves every oracle. */
   private def kmeansOracles: Map[String, String] =
     Ivf.cachedRefinedCentroids match {
       case None => Map.empty
       case Some(c) =>
-        Map("emb_kmeans" -> s"SELECT vec_id, cell FROM (${Ivf.assignSql(c)}) t")
+        Map(
+          "emb_kmeans" -> s"SELECT vec_id, cell FROM (${Ivf.assignSql(c)}) t",
+          "emb_semdedup_km" -> semdedupCellsSql(c),
+          "emb_prototypes" ->
+            s"""WITH asg AS (SELECT * FROM (${Ivf.assignDistSql(c)}) t),
+               |r AS (
+               |  SELECT vec_id, cell, dist_e12,
+               |    row_number() OVER (PARTITION BY cell ORDER BY dist_e12 DESC, vec_id) AS rn,
+               |    count(*) OVER (PARTITION BY cell) AS n_c
+               |  FROM asg)
+               |SELECT vec_id, cell, dist_e12 FROM r
+               |WHERE rn <= CAST(ceil(0.5 * n_c) AS BIGINT)""".stripMargin,
+          "emb_d4" -> d4Sql(c))
     }
+
+  /** emb_kmeans_pp oracle: the kmeans‖-initialized, corpus-refined
+    * centroids as literals through the same assignment SQL. */
+  private def parOracles: Map[String, String] =
+    Ivf.cachedParCentroids match {
+      case None => Map.empty
+      case Some(c) =>
+        Map("emb_kmeans_pp" -> s"SELECT vec_id, cell FROM (${Ivf.assignSql(c)}) t")
+    }
+
+  /** Within-cell cosine pairs on the %4 slice, with the literal refined
+    * centroids assigning cells — the candidate stage of the k-means
+    * SemDeDup oracle. */
+  private def cellPairsSql(c: Array[Array[Double]], threshold: Double = 0.25): String =
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, cell AS bucket
+       |  FROM (${Ivf.assignSql(c, "(SELECT * FROM embeddings WHERE vec_id % 4 = 0) sub")}) t),
+       |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
+       |cc2 AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
+       |scored AS (
+       |  SELECT v1, v2,
+       |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+       |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+       |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+       |  FROM a JOIN cc2 USING (bucket) WHERE v1 < v2)
+       |SELECT v1, v2 FROM scored WHERE cosine >= $threshold""".stripMargin
+
+  /** DuckDB twin of emb_semdedup_km: cell-bucket pairs, recursive-CTE
+    * components, min-id survivors over the %4 slice. */
+  private def semdedupCellsSql(c: Array[Array[Double]]): String =
+    s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM (${cellPairsSql(c)}) np),
+       |nodes AS (SELECT v1 AS n FROM pairs UNION SELECT v2 FROM pairs),
+       |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+       |          UNION SELECT v2 AS a, v1 AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT n AS a, n AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+       |SELECT e.vec_id FROM embeddings e
+       |LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |WHERE e.vec_id % 4 = 0 AND (c.component IS NULL OR c.component = e.vec_id)""".stripMargin
+
+  /** DuckDB twin of emb_d4: the semdedup keep set, then the prototype
+    * window over the survivors (same literal centroids end to end). */
+  private def d4Sql(c: Array[Array[Double]]): String =
+    s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM (${cellPairsSql(c)}) np),
+       |nodes AS (SELECT v1 AS n FROM pairs UNION SELECT v2 FROM pairs),
+       |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+       |          UNION SELECT v2 AS a, v1 AS b FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT n AS a, n AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a),
+       |keep AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  LEFT JOIN comp c ON e.vec_id = c.vec_id
+       |  WHERE e.vec_id % 4 = 0 AND (c.component IS NULL OR c.component = e.vec_id)),
+       |asg AS (SELECT * FROM (${Ivf.assignDistSql(c, "keep")}) t),
+       |r AS (
+       |  SELECT vec_id, cell, dist_e12,
+       |    row_number() OVER (PARTITION BY cell ORDER BY dist_e12 DESC, vec_id) AS rn,
+       |    count(*) OVER (PARTITION BY cell) AS n_c
+       |  FROM asg)
+       |SELECT vec_id, cell, dist_e12 FROM r
+       |WHERE rn <= CAST(ceil(0.5 * n_c) AS BIGINT)""".stripMargin
 
   /** emb_pca / emb_semdedup_pca oracles from the (mean, components)
     * the queries trained — the cached-literal pattern ([[ivfOracles]]). */
@@ -684,6 +859,15 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin,
 
     "emb_neardup_pairs" -> neardupPairsSql,
+
+    "emb_dedup_exact" ->
+      """SELECT min(vec_id) AS vec_id, count(*) AS n_copies
+        |FROM (
+        |  SELECT vec_id,
+        |    md5(array_to_string(list_transform(embedding,
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS VARCHAR)), ',')) AS k
+        |  FROM embeddings) t
+        |GROUP BY k""".stripMargin,
 
     "emb_decontaminate" ->
       s"""WITH bk AS ($bucketSql),

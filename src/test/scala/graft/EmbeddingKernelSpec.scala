@@ -88,6 +88,33 @@ class EmbeddingKernelSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("IvfMinDistE12 == array_min of the HOF distance list, inside codegen") {
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = graft.sim.Ivf.withMinDist(e, cents).select("vec_id", "dist_e12")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.sim.Ivf.withMinDistHof(e, cents).select("vec_id", "dist_e12")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val plan = graft.sim.Ivf.withMinDist(e, cents).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("ivf_min_dist_e12") && l.trim.startsWith("*(")),
+      plan.take(800))
+    // and it really is the distance to the ASSIGNED cell (argmin value)
+    val cell = graft.sim.Ivf.withCell(e, cents).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def qd(v: Array[Double], c: Array[Double]): Long = {
+      var acc = 0L; var d = 0
+      while (d < v.length) {
+        val diff = v(d) - c(d)
+        acc += graft.functions.QuantKernels.qround(diff * diff * 1e12); d += 1
+      }
+      acc
+    }
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, v) => assert(a(id) == qd(v, cents(cell(id)))) }
+  }
+
   test("SignLshBucketE12 == the explode + 8-way-sum aggregate form it replaced") {
     import graft.sim.SimilarityQueries
     val e = Tables.embeddings(spark, sfDir)

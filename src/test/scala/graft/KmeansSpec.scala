@@ -89,6 +89,43 @@ class KmeansSpec extends AnyFunSuite {
     assert(inertia(refined) < inertia(init) * 0.9)
   }
 
+  test("kmeans‖ init is deterministic and repartition-invariant") {
+    val vecs = fixture(400, 8)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val a = Ivf.kmeansParInit(df, k = 4, l = 8, rounds = 3)
+    val b = Ivf.kmeansParInit(df.repartition(7), k = 4, l = 8, rounds = 3)
+    val c = Ivf.kmeansParInit(df, k = 4, l = 8, rounds = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "partitioning must not change the selected candidates or the refit")
+    assert(a.map(_.toSeq).toSeq == c.map(_.toSeq).toSeq, "rerun must be identical")
+    assert(a.length == 4)
+  }
+
+  test("kmeans‖ + refine lands within 1.2x of full driver k-means inertia on blobs") {
+    val vecs = fixture(400, 8)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val par = Ivf.lloydRefine(df, Ivf.kmeansParInit(df, k = 3, l = 6, rounds = 3), iters = 2)
+    val full = Ivf.kmeans(vecs, k = 3, iters = 10)
+    def inertia(cents: Array[Array[Double]]): Double =
+      vecs.map(v => qdist(v, cents(qassign(v, cents))).toDouble).sum
+    assert(inertia(par) <= inertia(full) * 1.2,
+      s"kmeans‖ init must be competitive: par=${inertia(par)} full=${inertia(full)}")
+  }
+
+  test("weighted refit respects weights: zero-weight candidates never seed or pull") {
+    // 3 heavy points + 1 zero-weight outlier: init = the 2 heaviest, and
+    // the outlier must not move any mean
+    val pts = Array(Array(1.0, 0.0), Array(-1.0, 0.0), Array(0.9, 0.1), Array(50.0, 50.0))
+    val w = Array(10L, 10L, 5L, 0L)
+    val got = Ivf.weightedKmeans(pts, w, k = 2, iters = 5)
+    assert(got.forall(c => math.abs(c(0)) <= 1.5 && math.abs(c(1)) <= 1.5),
+      s"zero-weight outlier leaked into the centroids: ${got.map(_.toSeq).toSeq}")
+  }
+
   test("cells that lose every vector keep their previous centroid") {
     // 2 distinct points, k=4: two cells stay empty through every pass
     val vecs = Array.fill(20)(Array(1.0, 1.0)) ++ Array.fill(20)(Array(-1.0, -1.0))

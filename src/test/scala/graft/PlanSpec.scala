@@ -376,6 +376,42 @@ class PlanSpec extends AnyFunSuite {
       s"card detection must be a per-row native pass:\n${p.take(1500)}")
   }
 
+  test("emb_kmeans_pp final assignment is map-only (kmeans‖ centroids as literals)") {
+    val p = plan("emb_kmeans_pp")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must be a map-only literal-centroid pass:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"), "assignment must stay a native expression")
+  }
+
+  test("emb_prototypes: codegen'd cell+distance kernels, one exchange on the cluster key") {
+    val p = plan("emb_prototypes")
+    assert(!p.contains("Join"),
+      s"no centroid-table join — centroids ride as literals:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF"))
+    assert(p.contains("ivf_cell_e12") && p.contains("ivf_min_dist_e12"),
+      s"both kernels must be native expressions:\n${p.take(1500)}")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly the cell-window exchange, got $n:\n${p.take(2000)}")
+  }
+
+  test("emb_semdedup_km survivors materialize through a broadcast anti-join") {
+    val p = plan("emb_semdedup_km")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop set must broadcast into the anti-join:\n${p.take(1500)}")
+  }
+
+  test("emb_dedup_exact shuffles the compact digest with map-side combine") {
+    val p = plan("emb_dedup_exact")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.lastIndexOf("partial_min")
+    assert(exchange >= 0 && partial > exchange,
+      s"partial (min, count) must combine below the digest exchange:\n${p.take(2000)}")
+    // grouping key is the md5 digest, never the raw embedding array
+    val keyLine = p.linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(keyLine.contains("k#") && !keyLine.contains("embedding"),
+      s"shuffle key must be the digest: $keyLine")
+  }
+
   test("ANN top-k queries broadcast the small query side") {
     Seq("emb_ann_topk", "emb_ivf_topk", "emb_ivf_topk_p2", "emb_cosine_topk",
         "emb_incremental").foreach { q =>
