@@ -276,6 +276,135 @@ case class IvfMinDistE12(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Two-level residual-VQ cell (coarse-then-fine, both argmin with ties
+  * to the lowest index): c = argmin over `coarse` of the quantized
+  * squared distance, then j = argmin over `fine` of
+  * Σ_d round((x_d − coarse_c_d − fine_j_d)²·1e12) — the fine stage
+  * quantizes the RESIDUAL x − coarse_c without materializing it (the
+  * distance to coarse_c + fine_j is algebraically the residual's
+  * distance to fine_j). Result = c·|fine| + j: |coarse|·|fine|
+  * effective cells at (|coarse| + |fine|)·dim cost per row — the
+  * anti-quadratic knob for cluster-bucketed SemDeDup/ANN past the flat
+  * argmin's k·dim wall (k=50k flat is 3.2M ops/row; 224×224 RVQ covers
+  * the same cell count at 28k). One self-contained expression so
+  * CollapseProject cannot duplicate the two-stage loop across
+  * self-joins. Null rules identical to [[IvfCellE12]]. */
+case class RvqCellE12(child: Expression, coarse: Array[Array[Double]],
+                      fine: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rvq_cell_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rvq_cell_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = coarse(0).length
+    if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < coarse.length) {
+        val cent = coarse(c)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          val diff = a.getFloat(d).toDouble - cent(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        if (acc < best) { best = acc; bestC = c }
+        c += 1
+      }
+      val cc = coarse(bestC)
+      var bestF = Long.MaxValue
+      var bestJ = 0
+      var j = 0
+      while (j < fine.length) {
+        val f = fine(j)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          val diff = a.getFloat(d).toDouble - cc(d) - f(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        if (acc < bestF) { bestF = acc; bestJ = j }
+        j += 1
+      }
+      bestC * fine.length + bestJ
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("rvqCoarse", coarse, "double[][]")
+    val fi = ctx.addReferenceObj("rvqFine", fine, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val bestF = ctx.freshName("bestF")
+      val bestJ = ctx.freshName("bestJ")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val p = ctx.freshName("p")
+      val cc = ctx.freshName("cc")
+      val dim = coarse(0).length
+      val hasNull = ctx.freshName("hasNull")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long $best = Long.MAX_VALUE;
+         |    int $bestC = 0;
+         |    for (int $c = 0; $c < ${coarse.length}; $c++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $co[$c][$d];
+         |        final double $p = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(p)};
+         |      }
+         |      if ($acc < $best) { $best = $acc; $bestC = $c; }
+         |    }
+         |    final double[] $cc = $co[$bestC];
+         |    long $bestF = Long.MAX_VALUE;
+         |    int $bestJ = 0;
+         |    for (int $j = 0; $j < ${fine.length}; $j++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $cc[$d] - $fi[$j][$d];
+         |        final double $p = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(p)};
+         |      }
+         |      if ($acc < $bestF) { $bestF = $acc; $bestJ = $j; }
+         |    }
+         |    ${ev.value} = $bestC * ${fine.length} + $bestJ;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RvqCellE12 =
+    copy(child = newChild)
+}
+
 /** Sign-random-projection (SimHash-LSH) bucket: bit p of the result is
   * set iff Σ_d planes[p][d] · round(x_d·1e6) > 0 — the codegen,
   * per-row form of the explode + 8-way-sum aggregate the similarity

@@ -461,4 +461,99 @@ object Ivf {
     lastParKey = Some((dir, k))
     cents
   }
+
+  // ---- two-level residual VQ (coarse + shared fine residual codebook) ----
+
+  /** Quantized-integer assignment (the kernel's exact rule: ties →
+    * lowest index) on the driver, for residual training. */
+  private def quantAssign(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      var acc = 0L
+      var d = 0
+      while (d < v.length) {
+        val diff = v(d) - cents(c)(d)
+        acc += graft.functions.QuantKernels.qround(diff * diff * 1e12)
+        d += 1
+      }
+      if (acc < best) { best = acc; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  /** Train the two-level residual quantizer: coarse = the bounded-sample
+    * k-means ([[trainCentroids]]), fine = k-means over the SAMPLE's
+    * coarse residuals (one shared residual codebook for all coarse
+    * cells — the classic RVQ layout, so fine training is as bounded as
+    * coarse). k1·k2 effective cells at (k1+k2)·dim assignment cost —
+    * the scale path past the flat argmin when cluster-bucketed
+    * SemDeDup/ANN needs tens of thousands of cells. */
+  def trainRvq(spark: SparkSession, dir: String, k1: Int,
+               k2: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val coarse = trainCentroids(spark, dir, k1)
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < SAMPLE_N)
+      .orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val residuals = vecs.map { v =>
+      val c = coarse(quantAssign(v, coarse))
+      Array.tabulate(v.length)(d => v(d) - c(d))
+    }
+    val fine = kmeans(residuals, k2)
+    rvqCache((dir, k1, k2)) = (coarse, fine)
+    lastRvqKey = Some((dir, k1, k2))
+    (coarse, fine)
+  }
+
+  private val rvqCache = scala.collection.mutable.Map
+    .empty[(String, Int, Int), (Array[Array[Double]], Array[Array[Double]])]
+  @volatile private var lastRvqKey: Option[(String, Int, Int)] = None
+
+  /** (coarse, fine) of the last [[trainRvq]] run — the oracle builder's
+    * literals, with the [[cachedCentroids]] fail-loud rule. */
+  def cachedRvq: Option[(Array[Array[Double]], Array[Array[Double]])] =
+    lastRvqKey.map { lk =>
+      require(rvqCache.size == 1,
+        s"RVQ oracle ambiguity: codebooks exist for ${rvqCache.keys.mkString(", ")} " +
+          "in this session; oracle SQL can only be emitted for a single (dir, k1, k2)")
+      rvqCache(lk)
+    }
+
+  /** Append `cell2` = coarse·|fine| + fine via the codegen'd two-stage
+    * kernel ([[graft.functions.RvqCellE12]]) — map-only, one expression. */
+  def withRvqCell(df: DataFrame, coarse: Array[Array[Double]],
+                  fine: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell2", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RvqCellE12(
+        org.apache.spark.sql.GraftBridge.expression(df("embedding")), coarse, fine)))
+
+  /** DuckDB twin of [[withRvqCell]]: coarse argmin, then the fine argmin
+    * on Σ round((x − cc − f)²·1e12) from the same literal codebooks —
+    * `SELECT vec_id, embedding, cell2 FROM ...`. */
+  def rvqAssignSql(coarse: Array[Array[Double]], fine: Array[Array[Double]],
+                   table: String = "embeddings"): String = {
+    val k2 = fine.length
+    s"""WITH cents AS (SELECT ${centsDuck(coarse)} AS cc, ${centsDuck(fine)} AS ff),
+       |d1 AS (
+       |  SELECT vec_id, embedding, ${distsDuck(coarse.length)} AS ds
+       |  FROM $table CROSS JOIN cents),
+       |a1 AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+       |  FROM d1),
+       |d2 AS (
+       |  SELECT vec_id, embedding, cell,
+       |    list_transform(range(1, ${k2 + 1}), j ->
+       |      list_sum(list_transform(range(1, len(embedding) + 1), i ->
+       |        CAST(round((CAST(embedding[i] AS DOUBLE) - cc[cell + 1][i] - ff[j][i])
+       |          * (CAST(embedding[i] AS DOUBLE) - cc[cell + 1][i] - ff[j][i]) * 1e12) AS BIGINT)))) AS ds2
+       |  FROM a1 CROSS JOIN cents)
+       |SELECT vec_id, embedding,
+       |  CAST(cell * $k2 + list_position(ds2, list_min(ds2)) - 1 AS INT) AS cell2
+       |FROM d2""".stripMargin
+  }
 }

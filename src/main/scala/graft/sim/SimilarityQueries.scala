@@ -439,21 +439,41 @@ object SimilarityQueries {
       val cents = Ivf.parRefineCentroids(s, dir, k = 8, l = 16, rounds = 3, iters = 2)
       Ivf.withCell(Tables.embeddings(s, dir), cents)
         .select(col("vec_id"), col("cell"))
+    },
+
+    // ---- two-level residual-VQ cell assignment: k1·k2 effective cells
+    // at (k1+k2)·dim per-row cost — the bucketing that keeps paper-form
+    // SemDeDup affordable when the cell count needs to be 10k+ ----
+    "emb_rvq_assign" -> { (s, dir) =>
+      val (co, fi) = Ivf.trainRvq(s, dir, k1 = 8, k2 = 8)
+      Ivf.withRvqCell(Tables.embeddings(s, dir), co, fi)
+        .select(col("vec_id"), col("cell2"))
+    },
+
+    // ---- SemDeDup over the RVQ cells (64 buckets on the 500-vector
+    // fixture, occupancy ~8): the corpus-scale configuration of the
+    // k-means form — same exact-cosine/CC/min-id tail, candidate
+    // buckets from the two-stage kernel ----
+    "emb_semdedup_rvq" -> { (s, dir) =>
+      val (co, fi) = Ivf.trainRvq(s, dir, k1 = 8, k2 = 8)
+      val e = Tables.embeddings(s, dir)
+      val b = Ivf.withRvqCell(e, co, fi)
+        .select(col("vec_id"), col("embedding"), col("cell2").as("bucket"))
+      val drop = semdedupDropFromBuckets(b, threshold = 0.25)
+      e.join(broadcast(drop), Seq("vec_id"), "left_anti").select(col("vec_id"))
     }
   )
 
-  /** The SemDeDup drop set with k-means cells as buckets: within-cell
-    * exact-cosine pairs → connected components → everything except the
-    * min-id representative. Identical tail to [[semdedupPca]]; candidate
-    * generation cost is quadratic in occupancy n/k, so k (the paper's
-    * cluster count) is the anti-quadratic knob, exactly like `planes`
-    * in the sign-LSH form. */
-  private[graft] def semdedupCellsDrop(e: DataFrame, cents: Array[Array[Double]],
-                                       threshold: Double = 0.25): DataFrame = {
-    val b = Ivf.withCell(e, cents).select(col("vec_id"), col("embedding"), col("cell"))
-    val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("cell"))
-    val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("cell"))
-    val pairs = a.join(c, Seq("cell")).filter(col("v1") < col("v2"))
+  /** The SemDeDup drop tail shared by every bucketing (k-means cells,
+    * RVQ cells, sign-LSH, PCA grid): within-bucket exact-cosine pairs →
+    * connected components → everything except the min-id
+    * representative. Candidate cost is quadratic in bucket occupancy,
+    * so the bucket count is the anti-quadratic knob in every form. */
+  private[graft] def semdedupDropFromBuckets(b: DataFrame,
+                                             threshold: Double): DataFrame = {
+    val a = b.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("bucket"))
+    val c = b.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("bucket"))
+    val pairs = a.join(c, Seq("bucket")).filter(col("v1") < col("v2"))
       .withColumn("cosine", cosineE12(col("e1"), col("e2")))
       .filter(col("cosine") >= threshold)
       .select(col("v1"), col("v2"))
@@ -461,6 +481,15 @@ object SimilarityQueries {
       .filter(col("node") =!= col("component"))
       .select(col("node").as("vec_id"))
   }
+
+  /** The SemDeDup drop set with k-means cells as buckets (Abbas et al.
+    * 2023's own partition of the space). */
+  private[graft] def semdedupCellsDrop(e: DataFrame, cents: Array[Array[Double]],
+                                       threshold: Double = 0.25): DataFrame =
+    semdedupDropFromBuckets(
+      Ivf.withCell(e, cents)
+        .select(col("vec_id"), col("embedding"), col("cell").as("bucket")),
+      threshold)
 
   /** Prototype-based pruning (Sorscher et al. 2022): assign each vector
     * to its k-means prototype, rank within the cluster by the quantized
@@ -614,7 +643,44 @@ object SimilarityQueries {
     * records its weaker rows-only check, same as before.
     */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles ++ parOracles
+    staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles ++ parOracles ++
+      rvqOracles
+
+  /** emb_rvq_assign / emb_semdedup_rvq oracles from the trained
+    * (coarse, fine) literals — the cached-literal pattern. */
+  private def rvqOracles: Map[String, String] = Ivf.cachedRvq match {
+    case None => Map.empty
+    case Some((co, fi)) =>
+      val pairsSql =
+        s"""WITH bk AS (
+           |  SELECT vec_id, embedding, cell2 AS bucket
+           |  FROM (${Ivf.rvqAssignSql(co, fi)}) t),
+           |a AS (SELECT vec_id AS v1, embedding AS e1, bucket FROM bk),
+           |cc2 AS (SELECT vec_id AS v2, embedding AS e2, bucket FROM bk),
+           |scored AS (
+           |  SELECT v1, v2,
+           |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+           |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+           |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+           |  FROM a JOIN cc2 USING (bucket) WHERE v1 < v2)
+           |SELECT v1, v2 FROM scored WHERE cosine >= 0.25""".stripMargin
+      Map(
+        "emb_rvq_assign" ->
+          s"SELECT vec_id, cell2 FROM (${Ivf.rvqAssignSql(co, fi)}) t",
+        "emb_semdedup_rvq" ->
+          s"""WITH RECURSIVE pairs AS (SELECT v1, v2 FROM ($pairsSql) np),
+             |nodes AS (SELECT v1 AS n FROM pairs UNION SELECT v2 FROM pairs),
+             |edges AS (SELECT v1 AS a, v2 AS b FROM pairs
+             |          UNION SELECT v2 AS a, v1 AS b FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT n AS a, n AS b FROM nodes
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+             |SELECT e.vec_id FROM embeddings e
+             |LEFT JOIN comp c ON e.vec_id = c.vec_id
+             |WHERE c.component IS NULL OR c.component = e.vec_id""".stripMargin)
+  }
 
   /** emb_kmeans + the SemDeDup/prototype/D4 family: all five queries
     * train the same (k=8, iters=5) corpus-refined centroids, so one

@@ -115,6 +115,37 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     vecs.foreach { case (id, v) => assert(a(id) == qd(v, cents(cell(id)))) }
   }
 
+  test("RvqCellE12 == coarse-then-fine driver reference on the embeddings table") {
+    // hand-built codebooks (NOT trainRvq: the trained-literal caches are
+    // fail-loud on a second (dir, k) and belong to the query oracles)
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") < 4).orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val co = base
+    val fi = Array.tabulate(4)(j => base(j).map(x => (x - base((j + 1) % 4)(0)) * 0.25))
+    val got = graft.sim.Ivf.withRvqCell(e, co, fi).select("vec_id", "cell2")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def qd(v: Array[Double], c: Array[Double]): Long = {
+      var acc = 0L; var d = 0
+      while (d < v.length) {
+        val diff = v(d) - c(d)
+        acc += graft.functions.QuantKernels.qround(diff * diff * 1e12); d += 1
+      }
+      acc
+    }
+    e.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val c = co.indices.minBy(i => (qd(v, co(i)), i))
+      // fine distance == the residual's distance to the fine centroid
+      val res = Array.tabulate(v.length)(d => v(d) - co(c)(d))
+      val j = fi.indices.minBy(i => (qd(res, fi(i)), i))
+      assert(got(r.getLong(0)) == c * fi.length + j)
+    }
+    val plan = graft.sim.Ivf.withRvqCell(e, co, fi).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("rvq_cell_e12") && l.trim.startsWith("*(")),
+      plan.take(800))
+  }
+
   test("SignLshBucketE12 == the explode + 8-way-sum aggregate form it replaced") {
     import graft.sim.SimilarityQueries
     val e = Tables.embeddings(spark, sfDir)

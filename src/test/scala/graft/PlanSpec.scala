@@ -400,6 +400,20 @@ class PlanSpec extends AnyFunSuite {
       s"drop set must broadcast into the anti-join:\n${p.take(1500)}")
   }
 
+  test("emb_rvq_assign is map-only: both codebooks ride in one codegen'd expression") {
+    val p = plan("emb_rvq_assign")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"two-level assignment must be a map-only pass:\n${p.take(1500)}")
+    assert(p.contains("rvq_cell_e12") && !p.contains("ScalaUDF"),
+      s"native two-stage kernel missing:\n${p.take(1500)}")
+  }
+
+  test("emb_semdedup_rvq survivors materialize through a broadcast anti-join") {
+    val p = plan("emb_semdedup_rvq")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop set must broadcast into the anti-join:\n${p.take(1500)}")
+  }
+
   test("emb_dedup_exact shuffles the compact digest with map-side combine") {
     val p = plan("emb_dedup_exact")
     val exchange = p.indexOf("Exchange hashpartitioning")
