@@ -773,6 +773,49 @@ object BenchLarge {
       graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps,
         gridDims = 4, bins = 16).count()
     }
+    // prototype pruning at the full corpus: k=64 sample-trained
+    // prototypes, codegen'd cell+min-dist kernels (map-only), then the
+    // per-cluster rank window — parallelism = k (64 cells × ~31k rows
+    // at 2M; production k is tens of thousands, same knob as SemDeDup)
+    timed("emb_prototypes", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.sim.Ivf.kmeans(sample, 64)
+      graft.sim.SimilarityQueries.prototypesKeep(emb, cents, keepFrac = 0.5).count()
+    }
+    // kmeans‖ init at the full corpus: 3 D²-oversampling rounds (l=128,
+    // one corpus pass each over the persisted min-dist frame) + the
+    // per-candidate weight pass + the driver refit to k=64 — init past
+    // the bounded sample's k ≤ SAMPLE_N cap. Check = assignment
+    // checksum (parInit is deterministic, so passes must agree).
+    timed("kmeans_par_init", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val cents = graft.sim.Ivf.kmeansParInit(emb, k = 64, l = 128, rounds = 3)
+      graft.sim.Ivf.withCell(emb, cents)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(col("cell") * col("n"))).collect()(0).getLong(0)
+    }
+    // SemDeDup over two-level RVQ cells at the full corpus: 128×128 =
+    // 16k effective cells at (128+128)·dim per row — a flat 16k-cell
+    // argmin would cost 16k·dim (64× more); occupancy ~122, exact
+    // cosine within cells, CC + min-id survivors. Threshold 0.5 keeps
+    // the hash-uniform corpus's edge set sparse so the measurement is
+    // the candidate scoring (the real cost), not a degenerate clique.
+    // sampleN = 128·k1: the 256-row default measured 6.5k/16k occupied
+    // cells, 64k max occupancy, and an 8.7e9-pair blowup (70× the
+    // balanced 1.26e8 this sample size restores) — a codebook is only
+    // as balanced as its training sample supports.
+    timed("emb_semdedup_rvq", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val (co, fi) = graft.sim.Ivf.trainRvqOn(emb, k1 = 128, k2 = 128,
+        sampleN = 16384)
+      val b = graft.sim.Ivf.withRvqCell(emb, co, fi)
+        .select(col("vec_id"), col("embedding"), col("cell2").as("bucket"))
+      val drop = graft.sim.SimilarityQueries.semdedupDropFromBuckets(b, threshold = 0.5)
+      emb.join(broadcast(drop), Seq("vec_id"), "left_anti").count()
+    }
     // compression-ratio signal at the full corpus: per-row DEFLATE
     // (thread-local Deflater), map-only. The check forces all columns.
     timed("txt_compress", clearAfter = true) {

@@ -493,19 +493,37 @@ object Ivf {
     * SemDeDup/ANN needs tens of thousands of cells. */
   def trainRvq(spark: SparkSession, dir: String, k1: Int,
                k2: Int): (Array[Array[Double]], Array[Array[Double]]) = {
-    val coarse = trainCentroids(spark, dir, k1)
-    val vecs = graft.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < SAMPLE_N)
+    val cbs = trainRvqOn(graft.Tables.embeddings(spark, dir), k1, k2)
+    trained((dir, k1)) = cbs._1
+    lastKey = Some((dir, k1))
+    rvqCache((dir, k1, k2)) = cbs
+    lastRvqKey = Some((dir, k1, k2))
+    cbs
+  }
+
+  /** [[trainRvq]] on an arbitrary (vec_id, embedding) frame, without
+    * the oracle-literal caches (bench / library use).
+    *
+    * `sampleN` sizes the bounded deterministic training sample. The
+    * 256-row default matches [[trainCentroids]], but a codebook can
+    * only be as balanced as its sample supports: 128 coarse cells
+    * trained from 256 rows measured 6.5k/16k occupied cells with a 64k
+    * max occupancy at 2M uniform vectors — an 8.7e9 candidate-pair
+    * blowup (70× balanced) in the bucket-local SemDeDup self-join.
+    * Size sampleN ≈ 100·k1 (the FAISS IVF training rule); driver
+    * k-means cost is O(iters·sampleN·k·dim), seconds at 16k×128. */
+  def trainRvqOn(df: DataFrame, k1: Int, k2: Int,
+                 sampleN: Int = SAMPLE_N): (Array[Array[Double]], Array[Array[Double]]) = {
+    val vecs = df.filter(col("vec_id") < sampleN)
       .orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val coarse = kmeans(vecs, k1)
     val residuals = vecs.map { v =>
       val c = coarse(quantAssign(v, coarse))
       Array.tabulate(v.length)(d => v(d) - c(d))
     }
     val fine = kmeans(residuals, k2)
-    rvqCache((dir, k1, k2)) = (coarse, fine)
-    lastRvqKey = Some((dir, k1, k2))
     (coarse, fine)
   }
 
