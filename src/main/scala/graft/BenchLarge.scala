@@ -773,6 +773,14 @@ object BenchLarge {
       graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps,
         gridDims = 4, bins = 16).count()
     }
+    // SimHash hamming<=3 pair search at the full corpus: one 60-bit
+    // fingerprint aggregate, DISTINCT hashes through the 4×15-bit band
+    // buckets (the 1% planted dups and the 1100-doc template clique
+    // collapse to one row each before the quadratic stage, re-expanding
+    // only in the final compact hash→doc joins)
+    timed("simhash_pairs", clearAfter = true) {
+      graft.text.TextQueries.simhashPairs(docs(spark, nDocs, template)).count()
+    }
     // prototype pruning at the full corpus: k=64 sample-trained
     // prototypes, codegen'd cell+min-dist kernels (map-only), then the
     // per-cluster rank window — parallelism = k (64 cells × ~31k rows

@@ -3357,20 +3357,139 @@ object TextQueries {
     },
 
     // ---- SimHash (32-bit, distinct-token features) ----
-    "dedup_simhash" -> { (s, dir) =>
-      // one pass, 32 parallel bit-weight aggregates (no ×32 row explode)
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", phash(col("tok")) % lit(4294967296L))
-      val ws = (0 until 32).map { b =>
-        sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"w$b")
-      }
-      val fold = (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      tok.groupBy("doc_id").agg(ws.head, ws.tail: _*)
-        .select(col("doc_id"), fold.as("simhash"))
+    "dedup_simhash" -> { (s, dir) => simhashFrame(Tables.documents(s, dir)) },
+
+    // ---- SimHash near-dup pairs at hamming <= 3 (Manku et al. 2007):
+    // 4 bands of 8 bits — by pigeonhole any pair within hamming 3
+    // shares at least one band, so candidates meet in band equi-join
+    // buckets (skew-salted), never all-pairs; exact hamming verifies ----
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      simhashPairs(Tables.documents(s, dir))
+    },
+
+    // ---- BM25 ranked retrieval (Robertson/Sparck Jones; k1=1.2,
+    // b=0.75) for a literal term query: ONE one-row stats aggregate
+    // (N, total length, per-term df) broadcasts onto a map-only scoring
+    // pass, top-k = distributed TakeOrdered ----
+    "txt_bm25" -> { (s, dir) =>
+      bm25(Tables.documents(s, dir), Seq("spark", "join", "data"))
     }
   )
+
+  /** 32-bit SimHash fingerprints — one pass, 32 parallel bit-weight
+    * aggregates (no ×32 row explode). */
+  def simhashFrame(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", phash(col("tok")) % lit(4294967296L))
+    val ws = (0 until 32).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"w$b")
+    }
+    val fold = (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(ws.head, ws.tail: _*)
+      .select(col("doc_id"), fold.as("simhash"))
+  }
+
+  /** 60-bit SimHash fingerprints (the full 60-bit phash as the
+    * per-token feature hash) — the WIDE twin of [[simhashFrame]]: a
+    * 32-bit fingerprint's 8-bit bands cap the pair search at 4·2^8 =
+    * 1024 buckets (occupancy n/256 → a quadratic wall by ~100k docs);
+    * 60 bits give 4 bands of 15 with 131k buckets. Same one-pass
+    * 60-parallel-bit-weight aggregate, no ×60 explode. */
+  def simhashFrameWide(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", phash(col("tok")))
+    val ws = (0 until 60).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1L, 1).otherwise(-1)).as(s"w$b")
+    }
+    val fold = (0 until 60).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(ws.head, ws.tail: _*)
+      .select(col("doc_id"), fold.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs at hamming distance <= `maxHamming`
+    * (Manku et al. 2007, "Detecting near-duplicates for web crawling"):
+    * the 60-bit fingerprint splits into 4 bands of 15 bits — a pair
+    * within hamming 3 shares >= 1 band verbatim (pigeonhole), so
+    * banding is LOSSLESS at hamming <= 3 (spec-pinned against the
+    * quadratic reference) while candidates meet in compact band-key
+    * equi-join buckets ([[graft.ops.Scale.selfPairs]], hot bands
+    * triangle-salted).
+    *
+    * Scale shape: fingerprints collapse to DISTINCT hashes before the
+    * quadratic stage — exact-duplicate texts (the dominant duplication
+    * mode) cost one row each there, and a 1000-doc identical-text
+    * clique re-expands only in the final hash→doc joins, which shuffle
+    * compact (hash, doc_id) longs. Within-group (hamming-0) pairs come
+    * from the same salted selfPairs machinery keyed on the hash. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands over 60 bits guarantee recall only to hamming 3, got $maxHamming")
+    // multi-consumer guard: selfPairs reads its input from 5 subtrees
+    // (skew detection + cold/hot sides) — checkpoint the aggregate once
+    val sh = simhashFrameWide(docs).localCheckpoint()
+    val hs = sh.select(col("simhash").as("h")).distinct()
+    val banded = hs
+      .select(col("h"), explode(expr("sequence(0, 3)")).as("b"))
+      .select(expr("b * 32768 + ((h >> (15 * b)) & 32767)").as("bk"), col("h"))
+    val hPairs = graft.ops.Scale.selfPairs(banded, Seq("bk"), "h")
+      .select(col("h_1"), col("h_2")).distinct()
+      .withColumn("hamming", expr("CAST(bit_count(h_1 ^ h_2) AS INT)"))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+    val cross = hPairs
+      .join(sh.select(col("simhash").as("h_1"), col("doc_id").as("da")), Seq("h_1"))
+      .join(sh.select(col("simhash").as("h_2"), col("doc_id").as("db")), Seq("h_2"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("hamming"))
+    val same = graft.ops.Scale.selfPairs(
+        sh.select(col("simhash").as("h"), col("doc_id")), Seq("h"), "doc_id")
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"),
+        lit(0).as("hamming"))
+    cross.union(same)
+  }
+
+  /** BM25 (Robertson/Sparck Jones probabilistic retrieval; the Okapi
+    * k1/b form) of a LITERAL term query against the corpus. All corpus
+    * statistics the formula needs — N, total token length (for avgdl),
+    * and per-term document frequencies — compute in ONE one-row
+    * aggregate that broadcasts onto a map-only scoring pass (the token
+    * array binds once per row; per-term tf is a HOF count over it), so
+    * the whole query costs two corpus scans and zero data shuffles;
+    * top-k plans as a distributed TakeOrdered. ln() is 1-ulp across
+    * libms → the score quantizes at 1e-6 (the tfidf discipline).
+    * avgdl never materializes as a divided double: dl/avgdl evaluates
+    * as dl·N/total_len from exact integer inputs. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t =>
+      t.nonEmpty && t.forall(c => c.isLetterOrDigit || c == '_')),
+      s"terms must be plain identifiers, got $terms")
+    val withToks = docs.withColumn("toks", split(col("text"), " "))
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("total_len")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val base = withToks.crossJoin(broadcast(stats))
+      .withColumn("dl", size(col("toks")))
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl") * col("n_docs") / col("total_len")))
+    }
+    base.withColumn("score", round(contribs.reduce(_ + _), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("score"))
+  }
 
   /** The dedup_lsh_pairs oracle, shared with dedup_components (which
     * computes the transitive closure over its pair output), over any
@@ -4216,18 +4335,74 @@ object TextQueries {
         |  round(quantile_cont(l_discount, 0.5), 6)
         |FROM lineitem""".stripMargin,
 
-    "dedup_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, ${phashSql("tok")} % 4294967296 AS h
-         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-         |        FROM documents)),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS w
-         |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b)
-         |  GROUP BY doc_id, b)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin
+    "dedup_simhash" -> simhashOracleSql,
+
+    // the pair oracle states the SEMANTICS (all doc pairs within
+    // hamming 3 of each other), not the banded plan: brute force is
+    // fine at oracle scale, and pinning the definition rather than the
+    // implementation is the point of an oracle
+    "dedup_simhash_pairs" ->
+      s"""WITH sh AS ($simhashWideOracleSql),
+         |a AS (SELECT doc_id AS d1, simhash AS h1 FROM sh),
+         |b AS (SELECT doc_id AS d2, simhash AS h2 FROM sh)
+         |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM a JOIN b ON d1 < d2
+         |WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
+
+    "txt_bm25" -> {
+      val terms = Seq("spark", "join", "data")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df$i"
+      }.mkString(",\n  ")
+      val contribs = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)"
+        // (1.2 + 1.0), not 2.2: the engine computes k1+1 from the same
+        // two doubles, and 2.2 parses to a DIFFERENT double than their sum
+        s"""ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * ($tf * (1.2 + 1.0)) /
+           |    ($tf + 1.2 * (1.0 - 0.75 + 0.75 * len(toks) * n_docs / total_len))""".stripMargin
+      }.mkString("\n  + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |st AS (
+         |  SELECT count(*) AS n_docs, sum(len(toks)) AS total_len,
+         |  $dfCols
+         |  FROM d),
+         |sc AS (
+         |  SELECT doc_id, round(
+         |  $contribs, 6) AS score
+         |  FROM d CROSS JOIN st)
+         |SELECT doc_id, score FROM sc WHERE score > 0
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    }
   )
+
+  /** The 60-bit SimHash fingerprint oracle (the [[simhashFrameWide]]
+    * twin: full phash feature hashes, 60 bit-weight sums). */
+  private lazy val simhashWideOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${phashSql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |        FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS w
+       |  FROM tok CROSS JOIN (SELECT unnest(range(60)) AS b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  /** The 32-bit SimHash fingerprint oracle (dedup_simhash). */
+  private lazy val simhashOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${phashSql("tok")} % 4294967296 AS h
+       |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |        FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS w
+       |  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
 }

@@ -414,6 +414,26 @@ class PlanSpec extends AnyFunSuite {
       s"drop set must broadcast into the anti-join:\n${p.take(1500)}")
   }
 
+  test("dedup_simhash_pairs: candidates meet in band buckets, never cartesian") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates must equi-join:\n${p.take(1500)}")
+    // the pair join moves ONE packed long per row (id = doc_id·2^32 + hash)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected an equi-join:\n${p.take(1500)}")
+  }
+
+  test("txt_bm25: one-row stats broadcast, top-k as TakeOrdered, token array bound once") {
+    val p = plan("txt_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row stats frame must broadcast:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as a distributed TakeOrdered, not a global sort:\n${p.take(1500)}")
+    val splits = "split\\(text".r.findAllIn(p).size
+    assert(splits <= 2, // one in the stats aggregate, one in the scoring pass
+      s"token array must bind once per pass, found $splits splits:\n${p.take(2000)}")
+  }
+
   test("emb_dedup_exact shuffles the compact digest with map-side combine") {
     val p = plan("emb_dedup_exact")
     val exchange = p.indexOf("Exchange hashpartitioning")

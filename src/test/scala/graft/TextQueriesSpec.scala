@@ -1338,6 +1338,34 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(epoch2 != base, "a fresh salt must permute differently")
     assert(epoch2.map(_._1) == base.map(_._1), "same documents either way")
   }
+
+  test("simhashPairs == brute-force hamming<=3 over all pairs (banding is lossless)") {
+    // Manku's pigeonhole: 4 bands over 60 bits lose NOTHING at hamming
+    // <= 3 — pin the banded + distinct-hash-collapsed output against
+    // the quadratic reference
+    val fps = TextQueries.simhashFrameWide(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, h1) <- fps; (d2, h2) <- fps if d1 < d2
+      hd = java.lang.Long.bitCount(h1 ^ h2) if hd <= 3
+    } yield (d1, d2, hd)).toSet
+    val got = TextQueries.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"banded=${got.size} brute=${brute.size}; diff=${(got diff brute).take(3)} ${(brute diff got).take(3)}")
+  }
+
+  test("bm25 ranks a doc with more query-term mass above one with less; absent terms score 0") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "spark join data spark join data spark"),
+      (1L, "spark table scan merge window batch row"),
+      (2L, "key value store merge window batch row")).toDF("doc_id", "text")
+    val got = TextQueries.bm25(tiny, Seq("spark", "join", "data"), topK = 5).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L),
+      s"doc 2 has no query term and must not appear: ${got.mkString(",")}")
+    assert(got(0).getDouble(1) > got(1).getDouble(1))
+  }
 }
 
 /** Harness-integrity pins for the driver-contract dump main. */
