@@ -773,6 +773,14 @@ object BenchLarge {
       graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps,
         gridDims = 4, bins = 16).count()
     }
+    // exact heavy hitters at the full corpus (~36M tokens): Misra-Gries
+    // sketch pass (k=511 entries per partition over the wire) + exact
+    // verify of the bounded candidate set — against a full-vocabulary
+    // groupBy this shuffles k keys instead of the token inventory
+    timed("heavy_hitters", clearAfter = true) {
+      graft.text.TextQueries.heavyHitters(docs(spark, nDocs, template), denom = 256)
+        .agg(sum("freq")).collect()(0).getLong(0)
+    }
     // SimHash hamming<=3 pair search at the full corpus: one 60-bit
     // fingerprint aggregate, DISTINCT hashes through the 4×15-bit band
     // buckets (the 1% planted dups and the 1100-doc template clique

@@ -3373,8 +3373,43 @@ object TextQueries {
     // pass, top-k = distributed TakeOrdered ----
     "txt_bm25" -> { (s, dir) =>
       bm25(Tables.documents(s, dir), Seq("spark", "join", "data"))
+    },
+
+    // ---- exact heavy hitters through a Misra-Gries sketch: candidates
+    // from a k-bounded mergeable summary (one pass, k entries per
+    // partition over the wire), exact counts from a candidate-filtered
+    // second pass — never a full-vocabulary shuffle ----
+    "txt_heavy_hitters" -> { (s, dir) =>
+      heavyHitters(Tables.documents(s, dir), denom = 256)
     }
   )
+
+  /** Exact heavy hitters — every token with frequency > n/`denom` over
+    * the corpus token stream, with exact counts — WITHOUT a
+    * full-vocabulary groupBy: pass 1 runs the [[MisraGriesAgg]] sketch
+    * (k-bounded state, the Misra-Gries guarantee covers every token
+    * above n/(k+1) ⊇ the n/denom targets since k+1 >= denom) plus the
+    * stream length in one aggregate; the bounded candidate array
+    * collects to the driver (the cached-literal discipline) and pass 2
+    * counts ONLY candidate tokens (an InSet filter at the scan, so the
+    * verify shuffle is k keys, not the vocabulary). Sketch counts are
+    * merge-order-dependent; the published counts are the exact pass-2
+    * values — deterministic under any partitioning, spec-pinned. */
+  def heavyHitters(docs: DataFrame, denom: Int, k: Int = 511): DataFrame = {
+    require(denom >= 2 && k + 1 >= denom,
+      s"Misra-Gries guarantee needs k+1 >= denom, got k=$k denom=$denom")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val summary = toks
+      .agg(MisraGriesAgg.mgCandidates(col("tok"), k).as("cands"),
+        count(lit(1)).as("n")).head()
+    val cands = summary.getSeq[String](0)
+    val n = summary.getLong(1)
+    if (cands.isEmpty) return toks.select(col("tok"), lit(0L).as("freq")).limit(0)
+    toks.filter(col("tok").isin(cands: _*))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      // integer comparison, never a divided threshold: freq·denom > n
+      .filter(col("freq") * lit(denom.toLong) > lit(n))
+  }
 
   /** 32-bit SimHash fingerprints — one pass, 32 parallel bit-weight
     * aggregates (no ×32 row explode). */
@@ -4336,6 +4371,16 @@ object TextQueries {
         |FROM lineitem""".stripMargin,
 
     "dedup_simhash" -> simhashOracleSql,
+
+    // semantics, not plan: every token above the frequency threshold,
+    // exact counts — the engine's sketch+verify must land on exactly this
+    "txt_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT tok, count(*) AS freq
+        |FROM tok CROSS JOIN n
+        |GROUP BY tok, n
+        |HAVING count(*) * 256 > n""".stripMargin,
 
     // the pair oracle states the SEMANTICS (all doc pairs within
     // hamming 3 of each other), not the banded plan: brute force is

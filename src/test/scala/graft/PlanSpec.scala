@@ -434,6 +434,19 @@ class PlanSpec extends AnyFunSuite {
       s"token array must bind once per pass, found $splits splits:\n${p.take(2000)}")
   }
 
+  test("txt_heavy_hitters verify pass filters to the bounded candidate set at the scan") {
+    val p = plan("txt_heavy_hitters")
+    // the published plan is the exact-verify pass: an InSet candidate
+    // filter below the (candidates-only) aggregation — never an
+    // unfiltered full-vocabulary groupBy
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      s"candidate InSet filter missing:\n${p.take(2000)}")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val filterPos = math.max(p.indexOf("INSET"), p.indexOf(" IN ("))
+    assert(exchange >= 0 && filterPos > exchange,
+      "the candidate filter must run below the aggregation exchange")
+  }
+
   test("emb_dedup_exact shuffles the compact digest with map-side combine") {
     val p = plan("emb_dedup_exact")
     val exchange = p.indexOf("Exchange hashpartitioning")

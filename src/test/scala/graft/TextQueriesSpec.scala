@@ -1355,6 +1355,31 @@ class TextQueriesSpec extends AnyFunSuite {
       s"banded=${got.size} brute=${brute.size}; diff=${(got diff brute).take(3)} ${(brute diff got).take(3)}")
   }
 
+  test("heavyHitters == the exact full-groupBy reference, under any partitioning") {
+    val ref = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val n = ref.agg(sum("freq")).collect()(0).getLong(0)
+    val exact = ref.filter(col("freq") * lit(256L) > lit(n)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextQueries.heavyHitters(docs, denom = 256).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"got=${got.size} exact=${exact.size}")
+    // the sketch's merge order is partition-dependent; the published
+    // exact counts must not be
+    val rep = TextQueries.heavyHitters(docs.repartition(13), denom = 256).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == exact)
+  }
+
+  test("heavyHitters on a uniform stream (no heavy hitter) is empty; guarantee precondition enforced") {
+    import spark.implicits._
+    val uniform = (0 until 2000).map(i => (i.toLong, s"u$i")).toDF("doc_id", "text")
+    assert(TextQueries.heavyHitters(uniform, denom = 256).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      TextQueries.heavyHitters(docs, denom = 256, k = 100) // k+1 < denom
+    }
+  }
+
   test("bm25 ranks a doc with more query-term mass above one with less; absent terms score 0") {
     import spark.implicits._
     val tiny = Seq(
