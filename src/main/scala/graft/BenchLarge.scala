@@ -773,13 +773,17 @@ object BenchLarge {
       graft.sim.SimilarityQueries.semdedupPca(emb, mu, comps,
         gridDims = 4, bins = 16).count()
     }
-    // exact heavy hitters at the full corpus (~36M tokens): Misra-Gries
+    // exact heavy hitters at the full corpus (~56M tokens): Misra-Gries
     // sketch pass (k=511 entries per partition over the wire) + exact
     // verify of the bounded candidate set — against a full-vocabulary
-    // groupBy this shuffles k keys instead of the token inventory
+    // groupBy this shuffles k keys instead of the token inventory. The
+    // cleanDocs corpus, not docs: its four interleaved stopwords are
+    // genuine heavy hitters (~7M+ occurrences each against a 140k
+    // threshold), where docs' ~90k uniform hash tokens have none (an
+    // empty result turned the first refresh's sum(freq) checksum NULL)
     timed("heavy_hitters", clearAfter = true) {
-      graft.text.TextQueries.heavyHitters(docs(spark, nDocs, template), denom = 256)
-        .agg(sum("freq")).collect()(0).getLong(0)
+      graft.text.TextQueries.heavyHitters(cleanDocs(spark, nDocs, template), denom = 256)
+        .agg(coalesce(sum("freq"), lit(0L))).collect()(0).getLong(0)
     }
     // SimHash hamming<=3 pair search at the full corpus: one 60-bit
     // fingerprint aggregate, DISTINCT hashes through the 4×15-bit band

@@ -3466,7 +3466,9 @@ object TextQueries {
     // multi-consumer guard: selfPairs reads its input from 5 subtrees
     // (skew detection + cold/hot sides) — checkpoint the aggregate once
     val sh = simhashFrameWide(docs).localCheckpoint()
-    val hs = sh.select(col("simhash").as("h")).distinct()
+    // checkpointed for the same reason: selfPairs consumes its input
+    // from five subtrees, which would re-run the distinct aggregate
+    val hs = sh.select(col("simhash").as("h")).distinct().localCheckpoint()
     val banded = hs
       .select(col("h"), explode(expr("sequence(0, 3)")).as("b"))
       .select(expr("b * 32768 + ((h >> (15 * b)) & 32767)").as("bk"), col("h"))

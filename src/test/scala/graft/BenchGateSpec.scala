@@ -28,6 +28,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b.queries("hist_3d_shard") === 2.12)
   }
 
+  test("the committed BENCH_LARGE.json itself parses (merges must not break the gate)") {
+    val p = java.nio.file.Paths.get("BENCH_LARGE.json")
+    assume(java.nio.file.Files.exists(p))
+    val b = BenchLarge.parseBaseline(new String(
+      java.nio.file.Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+    assert(b.queries.nonEmpty && b.rows > 0 && b.docs > 0 && b.vecs > 0)
+    assert(b.calib.nonEmpty && b.calibStr.nonEmpty,
+      "the calibrated gate needs both kernel times in the committed baseline")
+    assert(b.queries.values.forall(_ > 0))
+  }
+
   test("a seeded slowdown past tolerance fails the gate, naming the query") {
     val base = Map("hist_3d_rel" -> 3.0, "lsh_pairs" -> 30.0)
     val fresh = Map("hist_3d_rel" -> 3.2, "lsh_pairs" -> 60.0) // 2x seeded
