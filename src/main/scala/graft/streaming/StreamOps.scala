@@ -413,6 +413,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static SIMHASH dedup gate — the hamming-distance member of
+    * the incremental ingest family, against a static pre-materialized
+    * [[graft.text.TextQueries.simhashIndex]] ((bk, h, dup_of) rows,
+    * bucketed by bk at write time → Exchange-free static side). The
+    * 60-bit fingerprint evaluates PER ROW as a nested HOF over the
+    * distinct-token hash array (bit-identical to the batch
+    * explode+groupBy aggregate — a sum's sign doesn't depend on order;
+    * parity spec-pinned), so the stream side stays stateless: four
+    * exploded band keys per doc meet the index in an equi-join
+    * (lossless at hamming <= 3 by pigeonhole), the exact hamming
+    * verifies from the two fingerprints alone, and the only state is
+    * the watermark-scoped (batch_id, dup_of) dedup.
+    *
+    * Output (append mode): (batch_id, ts, dup_of, hamming) — the
+    * streaming analogue of
+    * [[graft.text.TextQueries.simhashMatchesAgainst]] (parity-tested).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingSimhashGate(docs: DataFrame, corpusIndex: DataFrame,
+                           maxHamming: Int = 3,
+                           watermark: String = "10 minutes"): DataFrame = {
+    import graft.text.TextQueries
+    val enriched = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        expr(TextQueries.simhashHashesExpr).as("hs"))
+      .select(col("batch_id"), col("ts"),
+        expr(TextQueries.simhashWideOfHs).as("bh"))
+      .select(col("batch_id"), col("ts"), col("bh"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(col("batch_id"), col("ts"), col("bh"),
+        expr("b * 32768 + ((bh >> (15 * b)) & 32767)").as("bk"))
+    enriched.join(corpusIndex.select(col("bk"), col("h"), col("dup_of")), Seq("bk"))
+      .withColumn("hamming", expr("CAST(bit_count(bh ^ h) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("ts"), col("dup_of"), col("hamming"))
+      .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+  }
+
   /** Stateless streaming ingest gate — the per-row stages of
     * corpus_clean for a document stream: the Gopher/C4 quality
     * predicate ([[graft.text.TextQueries.qualityKeep]]) plus benchmark

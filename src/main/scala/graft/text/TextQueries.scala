@@ -3375,6 +3375,15 @@ object TextQueries {
       bm25(Tables.documents(s, dir), Seq("spark", "join", "data"))
     },
 
+    // ---- incremental simhash dedup: odd docs arrive as the batch, even
+    // docs are the existing corpus (its persistable banded index) —
+    // best corpus near-duplicate per batch doc at hamming <= 3 ----
+    "dedup_simhash_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      simhashDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
+
     // ---- exact heavy hitters through a Misra-Gries sketch: candidates
     // from a k-bounded mergeable summary (one pass, k entries per
     // partition over the wire), exact counts from a candidate-filtered
@@ -3486,6 +3495,75 @@ object TextQueries {
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"),
         lit(0).as("hamming"))
     cross.union(same)
+  }
+
+  /** Per-row HOF twin of [[simhashFrameWide]] over a bound `hs` column
+    * (the distinct-token 60-bit hashes): bit b of the result is set iff
+    * Σ ±1 over the hashes' bit b is positive — identical fingerprints
+    * to the explode+groupBy aggregate (sum order is irrelevant to a
+    * sign; parity spec-pinned). The per-row form is what a streaming
+    * micro-batch evaluates (no explode/groupBy before a stateful op);
+    * the batch aggregate form stays the corpus-scale path. */
+  private[graft] val simhashWideOfHs: String =
+    """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+      |  acc + IF(aggregate(hs, 0, (a, h) -> a + IF((h >> b) & 1 = 1, 1, -1)) > 0,
+      |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin
+
+  /** The distinct-token 60-bit hash array of `text` (binds the `hs`
+    * column [[simhashWideOfHs]] folds over). */
+  private[graft] val simhashHashesExpr: String =
+    s"transform(array_distinct(split(text, ' ')), t -> ${phashFrag("t")})"
+
+  /** Persistable banded fingerprint index of a corpus — the simhash
+    * member of the incremental-dedup index family (next to
+    * `bandSignatures`, `bloomBuild`, `substringIndex`, `corpusIndex`):
+    * (bk, h, dup_of) rows, 4 per document. Write it bucketed by `bk`
+    * (the sorted/bucketed corpus-writer discipline) and the per-batch
+    * probe join's static side carries no Exchange. */
+  def simhashIndex(corpus: DataFrame): DataFrame =
+    simhashFrameWide(corpus)
+      .select(col("doc_id").as("dup_of"), col("simhash").as("h"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(expr("b * 32768 + ((h >> (15 * b)) & 32767)").as("bk"),
+        col("h"), col("dup_of"))
+
+  /** ALL batch-vs-corpus matches at hamming <= `maxHamming` —
+    * (batch_id, dup_of, hamming). Candidates meet in the banded index
+    * buckets (lossless at hamming <= 3, the [[simhashPairs]]
+    * pigeonhole); the corpus contributes only its compact (bk, h,
+    * dup_of) index, never text. Public so the streaming gate has a
+    * batch-parity reference. */
+  def simhashMatchesAgainst(batch: DataFrame, corpus: DataFrame,
+                            maxHamming: Int = 3,
+                            corpusIndex: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands over 60 bits guarantee recall only to hamming 3, got $maxHamming")
+    val cIdx = corpusIndex.getOrElse(simhashIndex(corpus))
+    val b = simhashFrameWide(batch).localCheckpoint()
+      .select(col("doc_id").as("batch_id"), col("simhash").as("bh"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .select(expr("b * 32768 + ((bh >> (15 * b)) & 32767)").as("bk"),
+        col("batch_id"), col("bh"))
+    b.join(cIdx, Seq("bk"))
+      .withColumn("hamming", expr("CAST(bit_count(bh ^ h) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("dup_of"), col("hamming"))
+      .distinct()
+  }
+
+  /** Incremental simhash dedup verdicts: each batch document's BEST
+    * corpus near-duplicate (min hamming, ties -> min dup_of) — the
+    * fuzzy-fingerprint member of the incremental family, mirroring
+    * [[lshPairsAgainst]]'s (batch_id, dup_of, score) contract. */
+  def simhashDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                          maxHamming: Int = 3,
+                          corpusIndex: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("hamming"), col("dup_of"))
+    simhashMatchesAgainst(batch, corpus, maxHamming, corpusIndex)
+      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("dup_of"), col("hamming"))
   }
 
   /** BM25 (Robertson/Sparck Jones probabilistic retrieval; the Okapi
@@ -4383,6 +4461,19 @@ object TextQueries {
         |FROM tok CROSS JOIN n
         |GROUP BY tok, n
         |HAVING count(*) * 256 > n""".stripMargin,
+
+    "dedup_simhash_incr" ->
+      s"""WITH sh AS ($simhashWideOracleSql),
+         |b AS (SELECT doc_id AS batch_id, simhash AS bh FROM sh WHERE doc_id % 2 = 1),
+         |c AS (SELECT doc_id AS dup_of, simhash AS ch FROM sh WHERE doc_id % 2 = 0),
+         |m AS (
+         |  SELECT batch_id, dup_of, CAST(bit_count(xor(bh, ch)) AS INT) AS hamming
+         |  FROM b JOIN c ON bit_count(xor(bh, ch)) <= 3),
+         |r AS (
+         |  SELECT batch_id, dup_of, hamming,
+         |    row_number() OVER (PARTITION BY batch_id ORDER BY hamming, dup_of) AS rn
+         |  FROM m)
+         |SELECT batch_id, dup_of, hamming FROM r WHERE rn = 1""".stripMargin,
 
     // the pair oracle states the SEMANTICS (all doc pairs within
     // hamming 3 of each other), not the banded plan: brute force is

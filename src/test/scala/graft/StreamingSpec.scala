@@ -408,6 +408,49 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash gate == batch simhashMatchesAgainst on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.simhashIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_simhash_replay")
+    batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingSimhashGate(in, idx)
+      .writeStream.format("memory").queryName("simhash_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("simhash_replay").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"))
+          -> r.getAs[Int]("hamming")).toMap
+      val want = graft.text.TextQueries.simhashMatchesAgainst(batchDocs, corpus)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(want.nonEmpty, "fixture must produce simhash matches")
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+      // EXACT hamming parity: the per-row HOF fingerprint must be
+      // bit-identical to the batch explode+groupBy aggregate
+      want.foreach { case (k, v) => assert(got(k) == v, s"pair $k: ${got(k)} vs $v") }
+      // multi-band collisions must emit once per (batch, corpus) pair
+      val raw = spark.table("simhash_replay").count()
+      assert(raw == got.size, s"duplicate emissions: $raw rows for ${got.size} pairs")
+    } finally q.stop()
+  }
+
+  test("per-row HOF simhash fingerprint == the batch aggregate on every document") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaAgg = graft.text.TextQueries.simhashFrameWide(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaRow = docs
+      .select(col("doc_id"), expr(graft.text.TextQueries.simhashHashesExpr).as("hs"))
+      .select(col("doc_id"), expr(graft.text.TextQueries.simhashWideOfHs).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRow == viaAgg)
+  }
+
   test("stateless ingest gate == decontamination + quality stages on replay") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
