@@ -441,6 +441,30 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cell"))
     },
 
+    // ---- approximate kNN GRAPH: every vector's top-k bucket-local
+    // neighbors (directed; kNN is asymmetric) — the self-join form of
+    // emb_ann_topk and the building block for graph-based curation ----
+    "emb_knn_join" -> { (s, dir) =>
+      val b = bucketed(s, dir)
+      val a = b.select(col("vec_id"), col("embedding").as("e1"), col("bucket"))
+      val c = b.select(col("vec_id").as("nbr"), col("embedding").as("e2"), col("bucket"))
+      val scored = a.join(c, Seq("bucket")).filter(col("vec_id") =!= col("nbr"))
+        .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
+    },
+
+    // ---- per-cluster inertia report (the k-means quality/elbow
+    // observable): one map-only min-dist pass, k tiny output rows ----
+    "emb_kmeans_inertia" -> { (s, dir) =>
+      val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
+      Ivf.withMinDist(Ivf.withCell(Tables.embeddings(s, dir), cents), cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("dist_e12").as("inertia_e12"))
+        .select(col("cell"), col("n"), col("inertia_e12"))
+    },
+
     // ---- two-level residual-VQ cell assignment: k1·k2 effective cells
     // at (k1+k2)·dim per-row cost — the bucketing that keeps paper-form
     // SemDeDup affordable when the cell count needs to be 10k+ ----
@@ -701,7 +725,10 @@ object SimilarityQueries {
                |  FROM asg)
                |SELECT vec_id, cell, dist_e12 FROM r
                |WHERE rn <= CAST(ceil(0.5 * n_c) AS BIGINT)""".stripMargin,
-          "emb_d4" -> d4Sql(c))
+          "emb_d4" -> d4Sql(c),
+          "emb_kmeans_inertia" ->
+            s"""SELECT cell, count(*) AS n, sum(dist_e12) AS inertia_e12
+               |FROM (${Ivf.assignDistSql(c)}) t GROUP BY cell""".stripMargin)
     }
 
   /** emb_kmeans_pp oracle: the kmeans‖-initialized, corpus-refined
@@ -925,6 +952,22 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin,
 
     "emb_neardup_pairs" -> neardupPairsSql,
+
+    "emb_knn_join" ->
+      s"""WITH bk AS ($bucketSql),
+         |q AS (SELECT vec_id, embedding AS e1, bucket FROM bk),
+         |c AS (SELECT vec_id AS nbr, embedding AS e2, bucket FROM bk),
+         |scored AS (
+         |  SELECT q.vec_id, nbr,
+         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+         |  FROM q JOIN c USING (bucket) WHERE q.vec_id != nbr)
+         |SELECT vec_id, rank, nbr, cosine FROM (
+         |  SELECT vec_id, nbr, cosine,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr) AS INT) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
 
     "emb_dedup_exact" ->
       """SELECT min(vec_id) AS vec_id, count(*) AS n_copies

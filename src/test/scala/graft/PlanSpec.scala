@@ -400,6 +400,22 @@ class PlanSpec extends AnyFunSuite {
       s"drop set must broadcast into the anti-join:\n${p.take(1500)}")
   }
 
+  test("emb_knn_join candidates meet in LSH buckets, never cartesian") {
+    val p = plan("emb_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the kNN self-join must be bucket-local:\n${p.take(1500)}")
+    assert(p.contains("sign_lsh_bucket_e12"), "bucket assignment must be the codegen'd kernel")
+  }
+
+  test("emb_kmeans_inertia is one map-only kernel pass into a k-row aggregate") {
+    val p = plan("emb_kmeans_inertia")
+    assert(!p.contains("Join"), "centroids ride as literals, no join")
+    assert(p.contains("ivf_min_dist_e12") && p.contains("ivf_cell_e12"))
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.lastIndexOf("partial_count")
+    assert(exchange >= 0 && partial > exchange, "partial agg must combine map-side")
+  }
+
   test("emb_rvq_assign is map-only: both codebooks ride in one codegen'd expression") {
     val p = plan("emb_rvq_assign")
     assert(!p.contains("Exchange") && !p.contains("Join"),
