@@ -376,6 +376,17 @@ object BenchLarge {
         .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
       graft.text.TextQueries.lshPairsAgainst(batch, corpus).count()
     }
+    // incremental SIMHASH dedup at the same 20k-batch-vs-2M-corpus
+    // shape: the 60-bit fingerprint index costs one corpus aggregate
+    // (4 compact rows/doc), the batch meets it in the lossless 15-bit
+    // band buckets — the fuzzy-fingerprint member next to incr_dedup's
+    // MinHash form
+    timed("simhash_incr", clearBetween = true, clearAfter = true) {
+      val corpus = docs(spark, nDocs, template)
+      val batch = corpus.filter(col("doc_id") % 100 === 7)
+        .select((col("doc_id") + nDocs).as("doc_id"), col("text"))
+      graft.text.TextQueries.simhashDedupAgainst(batch, corpus).count()
+    }
     // full k-means over the 2M-vector corpus: bounded-sample init + 5
     // distributed Lloyd passes (codegen'd quantized argmin, per-(cell,
     // dim) map-side-combined sums, k x dim rows to the driver per

@@ -3274,6 +3274,16 @@ object TextQueries {
         .select(col("node").as("doc_id"), col("component"))
     },
 
+    // ---- dedup observability: the cluster-size histogram (how much
+    // duplication, in what shape — pairs vs cliques) from the same
+    // component labels; cluster sizes aggregate to k tiny rows ----
+    "dedup_stats" -> { (s, dir) =>
+      val pairs = lshPairs(Tables.documents(s, dir)).select(col("d1"), col("d2"))
+      graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+
     // ---- clusters → the deduplicated CORPUS itself ([[dedupKeep]]):
     // survivor = cluster-min doc_id (default policy), everything else
     // dropped, docs never emitted as a pair (singletons) kept ----
@@ -4313,6 +4323,11 @@ object TextQueries {
     "dedup_lsh_pairs" -> lshPairsOracle,
 
     "dedup_components" -> componentsOracle,
+
+    "dedup_stats" ->
+      s"""WITH comp AS ($componentsOracle),
+         |sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""".stripMargin,
 
     "dedup_keep" -> dedupKeepSqlFor("documents"),
 
