@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.ndHistogramDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
+    ext.injectFunction(GraftExtensions.mgDescriptor)
   }
 }
 
@@ -85,6 +86,21 @@ object GraftExtensions {
     buildQdot
   )
 
+  private def buildMg(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "mg_candidates(string_col, k_integer_literal)")
+    graft.text.MisraGriesAgg(args(0), litInt(args(1)))
+      .toAggregateExpression(isDistinct = false)
+  }
+
+  /** `mg_candidates(col, k)`: the Misra-Gries heavy-hitter candidate
+    * summary (sorted token array, k-bounded state) — candidates only;
+    * verify with an exact pass as `TextQueries.heavyHitters` does. */
+  val mgDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_candidates"),
+    new ExpressionInfo(classOf[graft.text.MisraGriesAgg].getName, "mg_candidates"),
+    buildMg
+  )
+
   /** Runtime registration on an existing session (alternative to
     * `withExtensions` for sessions the caller does not construct). */
   def register(spark: SparkSession): Unit = {
@@ -92,5 +108,7 @@ object GraftExtensions {
       "nd_histogram", buildNdHistogram, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qdot_e12", buildQdot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_candidates", buildMg, "built-in")
   }
 }

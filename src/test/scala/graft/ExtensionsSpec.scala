@@ -36,6 +36,28 @@ class ExtensionsSpec extends AnyFunSuite {
     (0 until 40).foreach(i => assert(dense(i) == rel.getOrElse(i, 0L), s"bin $i"))
   }
 
+  test("mg_candidates on the SQL surface covers every true heavy hitter") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .createOrReplaceTempView("mg_toks")
+    val cands = spark.sql("SELECT mg_candidates(tok, 511) AS c FROM mg_toks")
+      .collect()(0).getSeq[String](0).toSet
+    val freqs = spark.table("mg_toks").groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = freqs.map(_._2).sum
+    val heavy = freqs.filter(_._2 * 512 > n).map(_._1).toSet
+    assert(heavy.nonEmpty, "fixture must have heavy tokens")
+    assert(heavy.subsetOf(cands),
+      s"MG guarantee violated: missing ${heavy -- cands}")
+    // the sketch is k-bounded
+    assert(cands.size <= 511)
+    // malformed arg lists fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT mg_candidates(tok) FROM mg_toks").collect()
+    }
+  }
+
   test("qdot_e12 registered on the SQL surface equals the Scala kernel") {
     GraftExtensions.register(spark)
     val got = spark.sql(
