@@ -126,6 +126,32 @@ class KmeansSpec extends AnyFunSuite {
       s"zero-weight outlier leaked into the centroids: ${got.map(_.toSeq).toSeq}")
   }
 
+  test("prototypesKeep: keepFrac=1 keeps everything; 0.5 keeps ceil(n_c/2) of each cluster, hardest first") {
+    val vecs = fixture(300, 8)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val cents = Ivf.kmeans(vecs, 4)
+    val all = graft.sim.SimilarityQueries.prototypesKeep(df, cents, keepFrac = 1.0)
+    assert(all.count() == 300, "keepFrac=1 must keep every vector")
+    val half = graft.sim.SimilarityQueries.prototypesKeep(df, cents, keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = all.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      val kept = half.filter(_._2 == cell)
+      assert(kept.length == math.ceil(members.length / 2.0).toInt,
+        s"cell $cell: ${kept.length} of ${members.length}")
+      // the kept set is exactly the farthest-from-prototype half
+      // (ties by vec_id): every kept distance >= every dropped distance
+      val keptIds = kept.map(_._1).toSet
+      val dropped = members.filterNot(m => keptIds(m._1))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max,
+          s"cell $cell kept a nearer vector over a farther one")
+    }
+  }
+
   test("cells that lose every vector keep their previous centroid") {
     // 2 distinct points, k=4: two cells stay empty through every pass
     val vecs = Array.fill(20)(Array(1.0, 1.0)) ++ Array.fill(20)(Array(-1.0, -1.0))
