@@ -607,6 +607,43 @@ object StreamOps {
       .drop("toks", "uni_map", "tot")
   }
 
+  /** Streaming Kneser-Ney perplexity gate — the bigram-KN form of
+    * [[streamingPerplexityGate]] (CCNet's actual filter is a KN LM,
+    * Wenzek et al. 2020 §4.3; the unigram gate is its cheapest
+    * approximation): the four model tables
+    * ([[graft.text.TextQueries.kneserNeyScore]]'s bigram counts, left
+    * context counts, left/right continuation types — every one
+    * topV-bounded BY CONSTRUCTION) fold into ONE static row of maps
+    * ([[graft.text.TextQueries.knModelRow]], persisted session-owned),
+    * and each micro-batch pays one one-row broadcast and a per-row
+    * index-fold over its token array. Zero state.
+    *
+    * Batch parity (StreamingSpec-pinned): `nll_kn` matches
+    * [[graft.text.TextQueries.kneserNeyScore]] up to the 1e-6
+    * quantization boundary (the unigram gate's fold-order convention).
+    * Only documents with >= 2 tokens are scored/emitted — the batch
+    * side's own composition convention.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    * Output (append mode): the input row + `nll_kn`.
+    */
+  def streamingKnGate(docs: DataFrame, corpus: DataFrame,
+                      minNll: Double = 0.0,
+                      maxNll: Double = Double.MaxValue,
+                      topV: Option[Int] = None,
+                      discount: Double = 0.75): DataFrame = {
+    import graft.text.TextQueries
+    val model = TextQueries.knModelRow(corpus, topV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .crossJoin(broadcast(model))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("nll_kn", TextQueries.knScoreExpr(discount))
+      .filter(col("nll_kn") >= minNll && col("nll_kn") <= maxNll)
+      .drop("toks", "bg_map", "lc_map", "cl_map", "cr_map", "n_types")
+  }
+
   /** The full stateless curation gate — quality + benchmark
     * decontamination + DSIR target-affinity + CCNet perplexity band as
     * ONE micro-batch plan. A production ingest pipeline chains all four

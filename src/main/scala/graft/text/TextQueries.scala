@@ -1908,6 +1908,60 @@ object TextQueries {
         .as("uni_map"))
       .crossJoin(broadcast(unigramNormalizer(docs)))
 
+  /** The interpolated-bigram-Kneser-Ney model folded into ONE row for
+    * streaming broadcast: `bg_map` (bigram counts), `lc_map` (left
+    * context counts c(w'·)), `cl_map` (left continuation types
+    * N1+(w'·)), `cr_map` (right continuation types N1+(·w)), `n_types`
+    * — the exact tables [[kneserNeyScore]] derives, each from the same
+    * ONE counting pass, collapsed to maps. `topV` bounds every map by
+    * construction and is REQUIRED at web scale (the bigram type
+    * inventory is ~corpus-token-count rows unpruned). */
+  def knModelRow(corpus: DataFrame, topV: Option[Int] = None): DataFrame = {
+    val bc = truncTop(bigramCounts(corpus), topV, "bcnt", "bg")
+    val sided = bc.select(col("bg"), col("bcnt"),
+      element_at(split(col("bg"), " "), 1).as("lw"),
+      element_at(split(col("bg"), " "), 2).as("rw"))
+    val bgMap = bc.agg(map_from_arrays(
+      collect_list(col("bg")), collect_list(col("bcnt"))).as("bg_map"))
+    val lwMaps = sided.groupBy("lw")
+      .agg(sum(col("bcnt")).as("lcnt"), count(lit(1)).as("cont_l"))
+      .agg(
+        map_from_arrays(collect_list(col("lw")), collect_list(col("lcnt"))).as("lc_map"),
+        map_from_arrays(collect_list(col("lw")), collect_list(col("cont_l"))).as("cl_map"))
+    val crMap = sided.groupBy("rw").agg(count(lit(1)).as("cont_r"))
+      .agg(map_from_arrays(
+        collect_list(col("rw")), collect_list(col("cont_r"))).as("cr_map"))
+    val types = bc.agg(count(lit(1)).cast("double").as("n_types"))
+    bgMap.crossJoin(lwMaps).crossJoin(crMap).crossJoin(types)
+  }
+
+  /** Per-row bigram-KN NLL under the one-row broadcast
+    * [[knModelRow]] (`toks` + the five model columns must be bound) —
+    * the fold-order twin of [[kneserNeyScore]]'s aggregate, term-for-
+    * term identical arithmetic (the coalesce/greatest fallback chain
+    * incl. the lambda=1 pruned-context backoff and the 0.5 unseen-word
+    * pseudo-type). Parity with the batch aggregate holds up to the
+    * 1e-6 quantization boundary (the [[unigramScoreExpr]] convention:
+    * partition-order vs document-order partial sums). Only documents
+    * with >= 2 tokens score (the batch side's composition convention). */
+  def knScoreExpr(discount: Double = 0.75): Column = {
+    require(discount > 0 && discount < 1, s"KN discount must be in (0,1), got $discount")
+    val lw = "element_at(toks, CAST(i AS INT))"
+    val rw = "element_at(toks, CAST(i AS INT) + 1)"
+    round(expr(
+      s"""aggregate(sequence(1, size(toks) - 1), CAST(0.0 AS DOUBLE), (acc, i) ->
+         |  acc - ln(
+         |    coalesce(
+         |      greatest(coalesce(CAST(element_at(bg_map, concat($lw, ' ', $rw)) AS DOUBLE), CAST(0.0 AS DOUBLE)) - $discount,
+         |        CAST(0.0 AS DOUBLE))
+         |        / CAST(element_at(lc_map, $lw) AS DOUBLE),
+         |      CAST(0.0 AS DOUBLE))
+         |    + coalesce($discount * element_at(cl_map, $lw) / CAST(element_at(lc_map, $lw) AS DOUBLE),
+         |        CAST(1.0 AS DOUBLE))
+         |      * (coalesce(CAST(element_at(cr_map, $rw) AS DOUBLE), CAST(0.5 AS DOUBLE)) / n_types)))
+         |  / CAST(size(toks) - 1 AS DOUBLE)""".stripMargin), 6)
+  }
+
   /** Per-row unigram NLL under a one-row broadcast model (`toks`,
     * `uni_map`, `tot` must be bound) — the fold-order twin of
     * [[unigramScore]]'s aggregate. Parity with the batch aggregate

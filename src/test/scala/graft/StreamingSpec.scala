@@ -552,6 +552,57 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Kneser-Ney gate: batch-parity NLL, band filter per row") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_kn_replay")
+    all.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingKnGate(in, all)
+      .writeStream.format("memory").queryName("kn_replay").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kn_replay").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll_kn")).toMap
+      val want = graft.text.TextQueries.kneserNeyScore(all)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(want.nonEmpty)
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+      // the unigram gate's fold-order convention: parity up to the
+      // 1e-6 quantization boundary
+      val off = got.filter { case (id, v) => math.abs(v - want(id)) > 1.001e-6 }
+      assert(off.isEmpty, s"KN NLL drift vs batch: ${off.take(5)}")
+      // band arm: keep the middle half by the batch quartiles
+      val sorted = want.values.toSeq.sorted
+      val (lo, hi) = (sorted(sorted.size / 4), sorted(3 * sorted.size / 4))
+      val q2 = graft.streaming.StreamOps.streamingKnGate(in, all, lo, hi)
+        .writeStream.format("memory").queryName("kn_band").outputMode("append").start()
+      try {
+        q2.processAllAvailable()
+        val kept = spark.table("kn_band").collect().map(_.getAs[Long]("doc_id")).toSet
+        val wantKept = want.filter { case (_, v) => v >= lo && v <= hi }.keySet
+        assert(kept == wantKept, s"extra=${kept -- wantKept} missing=${wantKept -- kept}")
+        assert(kept.nonEmpty && kept.size < want.size)
+      } finally q2.stop()
+      // a pruned model (topV) still gates: pruned contexts back off
+      // through the lambda=1 arm instead of erroring or dropping rows
+      val q3 = graft.streaming.StreamOps.streamingKnGate(in, all, topV = Some(64))
+        .writeStream.format("memory").queryName("kn_pruned").outputMode("append").start()
+      try {
+        q3.processAllAvailable()
+        val prunedGot = spark.table("kn_pruned").collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll_kn")).toMap
+        val prunedWant = graft.text.TextQueries.kneserNeyScore(all, topV = Some(64))
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        assert(prunedGot.keySet == prunedWant.keySet)
+        val offP = prunedGot.filter { case (id, v) => math.abs(v - prunedWant(id)) > 1.001e-6 }
+        assert(offP.isEmpty, s"pruned KN NLL drift: ${offP.take(5)}")
+      } finally q3.stop()
+    } finally q.stop()
+  }
+
   test("DSIR gate per-micro-batch plan: cached one-row model, zero shuffles") {
     // the gate's cost model says each micro-batch pays ONE broadcast of
     // the persisted ratio row and a per-row fold — prove it on the
