@@ -22,10 +22,10 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Portable 60-bit hash of a string expression. */
-  private def phash(c: Column): Column =
+  private[text] def phash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  private def phashSql(c: String): String =
+  private[text] def phashSql(c: String): String =
     s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
 
   // MinHash parameters: k permutations in b bands of r rows
