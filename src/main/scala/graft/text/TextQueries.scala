@@ -2575,6 +2575,38 @@ object TextQueries {
           s => s.getField("syms"))))).as("stream_hash"))
   }
 
+  /** Merge table learned by the tok_fertility driver query — its own
+    * cache so the fertility oracle can never silently cross with the
+    * bpe_encode oracle's merges (the cachedTokenizeMerges discipline). */
+  @volatile private[text] var cachedFertilityMerges: Option[Seq[(Int, String, String)]] = None
+
+  /** Tokenizer fertility report: per-language subwords-per-word
+    * (fertility) and characters-per-subword under a learned BPE merge
+    * table — the standard multilingual tokenizer-quality observable
+    * (a language with fertility ≫ 1.5 is being over-fragmented and
+    * under-represented per training FLOP; the metric XLM-R/mT5-style
+    * mixtures are tuned against). Emits one row per language:
+    * (lang, n_docs, n_words, n_tokens, fertility, chars_per_token).
+    *
+    * Scale shape: rides [[bpeEncode]]'s audited plan (broadcast
+    * vocabulary, doc_id-clustered fan-out) and joins its per-doc
+    * aggregate back to the docs frame on doc_id; the final aggregate is
+    * languages-sized. Both ratios divide exact integer sums, so the
+    * doubles are partition-order-independent.
+    */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[(Int, String, String)]): DataFrame = {
+    val enc = bpeEncode(docs, merges).select("doc_id", "n_words", "n_tokens")
+    docs.select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("n_tokens")).cast("double") / sum(col("n_words"))).as("fertility"),
+        (sum(col("n_chars")).cast("double") / sum(col("n_tokens"))).as("chars_per_token"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a document iff
     * the salted portable hash of its doc_id falls under its stratum's
     * rate. No RNG state — the decision is reproducible across engines,
@@ -3089,6 +3121,12 @@ object TextQueries {
       val merges = bpeTrain(docs, numMerges = 20)
       cachedMerges = Some(merges)
       bpeEncode(docs, merges)
+    },
+    "tok_fertility" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = bpeTrain(docs, numMerges = 20)
+      cachedFertilityMerges = Some(merges)
+      tokenizerFertility(docs, merges)
     },
 
     // ---- unigram-LM tokenizer (Kudo 2018; SentencePiece unigram) ----
@@ -4004,6 +4042,24 @@ object TextQueries {
       Map("bpe_encode" -> bpeEncodeSqlFor(merges, "documents"))
   }
 
+  /** tok_fertility oracle: the merge-fold encode aggregated per
+    * language (exact integer sums; DuckDB sums promote to HUGEINT,
+    * hence the explicit BIGINT casts). */
+  private def fertilityOracles: Map[String, String] = cachedFertilityMerges match {
+    case None => Map.empty
+    case Some(merges) =>
+      val enc = bpeEncodeSqlFor(merges, "documents")
+      Map("tok_fertility" ->
+        s"""SELECT d.lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(e.n_tokens) AS DOUBLE) / CAST(sum(e.n_words) AS DOUBLE) AS fertility,
+           |  CAST(sum(length(d.text)) AS DOUBLE) / CAST(sum(e.n_tokens) AS DOUBLE) AS chars_per_token
+           |FROM documents d JOIN ($enc) e USING (doc_id)
+           |GROUP BY d.lang""".stripMargin)
+  }
+
   /** corpus_tokenize oracle: the corpus_clean survivor set feeds the
     * merge-fold encode (over the merges THIS run learned on the
     * survivors), whose per-doc n_tokens feed the txt_pack cumsum — the
@@ -4052,9 +4108,9 @@ object TextQueries {
     }
 
   def oracles: Map[String, String] =
-    staticOracles ++ bpeEncodeOracles ++ unigramEncodeOracles ++
-      wordpieceEncodeOracles ++ corpusTokenizeOracles ++
-      tempMixOracles ++ tokenMixOracles ++ qcOracles
+    staticOracles ++ bpeEncodeOracles ++ fertilityOracles ++
+      unigramEncodeOracles ++ wordpieceEncodeOracles ++
+      corpusTokenizeOracles ++ tempMixOracles ++ tokenMixOracles ++ qcOracles
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,

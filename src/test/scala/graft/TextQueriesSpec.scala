@@ -1566,4 +1566,22 @@ class ChunkBloomSpec extends AnyFunSuite {
     assert(got(11L) == ((4L, 0L, 0.0)))
     assert(got(12L) == ((6L, 1L, 0.166667)))
   }
+
+  test("tokenizer fertility is exact on a constructed bilingual corpus") {
+    import spark.implicits._
+    val fx = Seq(
+      (0L, "ab ab", "aa"),  // 2 words, 4 chars + 2 </w> = 6 subwords pre-merge
+      (1L, "abc", "bb")     // 1 word, 3 chars + 1 </w> = 4 subwords pre-merge
+    ).toDF("doc_id", "text", "lang")
+    // no merges: every word encodes to |chars| + 1 symbols
+    val none = TextQueries.tokenizerFertility(fx, Seq.empty).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(none("aa") == ((2L, 6L, 3.0)))
+    assert(none("bb") == ((1L, 4L, 4.0)))
+    // one merge (a,b): 'ab</w>' = [ab, </w>] (2), 'abc</w>' = [ab, c, </w>] (3)
+    val m = TextQueries.tokenizerFertility(fx, Seq((0, "a", "b"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(m("aa") == ((4L, 2.0)), "merged fertility drops for the covered language")
+    assert(m("bb") == ((3L, 3.0)))
+  }
 }
