@@ -1761,6 +1761,31 @@ object TextQueries {
           .otherwise(size(split(col("norm"), " ")).cast("long")).as("n_tokens_norm"),
         md5(col("norm")).as("norm_hash"))
 
+  /** Multi-phrase blocklist scan (the C4/Gopher badword gate at
+    * production list sizes): per document, the total (overlapping)
+    * occurrence count of any blocklist phrase, the number of distinct
+    * phrases present, and the keep verdict — via ONE Aho-Corasick pass
+    * per row ([[graft.functions.BlocklistStats]], codegen'd) instead of
+    * per-phrase `contains` (O(|list| × |text|) per row; C4's real list
+    * is ~400 phrases, where the automaton is ~400× fewer text scans).
+    * Matching is case-insensitive substring over the lowercased text.
+    *
+    * Scale shape: pure map-only — the automaton ships once per executor
+    * as a codegen reference object (a few MB for a 1k-phrase list),
+    * zero exchanges, zero joins; at 100 TB this is scan-bound by
+    * construction (PlanSpec-pinned via BlocklistSpec).
+    */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BlocklistStats(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), phrases))
+    docs.select(col("doc_id"), stats.as("bl"))
+      .select(col("doc_id"),
+        col("bl").getItem(0).as("n_hits"),
+        col("bl").getItem(1).as("n_phrases_hit"),
+        (col("bl").getItem(0) === 0).as("kept"))
+  }
+
   /** (doc_id, n_grams, fps) winnowed-fingerprint frame both winnow
     * queries derive from. */
   private def winnowFrame(docs: DataFrame, k: Int, w: Int): DataFrame = {
@@ -3180,6 +3205,12 @@ object TextQueries {
     "txt_cdc" -> { (s, dir) => cdcFingerprints(Tables.documents(s, dir)) },
     "dedup_cdc_pairs" -> { (s, dir) => cdcPairs(Tables.documents(s, dir)) },
     "txt_normalize" -> { (s, dir) => normalizeText(Tables.documents(s, dir)) },
+    // 'a a' exercises OVERLAPPING occurrence counting ('a a a' hits
+    // twice); 'dup' is the rare planted marker
+    "txt_blocklist" -> { (s, dir) =>
+      blocklistFilter(Tables.documents(s, dir),
+        Seq("dup", "slow query", "big data", "a a"))
+    },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -4308,6 +4339,22 @@ object TextQueries {
         |       ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens_norm,
         |  md5(norm) AS norm_hash
         |FROM n""".stripMargin,
+
+    // position scan, not replace-counting: the automaton counts
+    // OVERLAPPING occurrences ('a a' in 'a a a' = 2) and replace would
+    // merge them (the bpe_encode-oracle lesson)
+    "txt_blocklist" ->
+      """WITH p AS (SELECT unnest(['dup', 'slow query', 'big data', 'a a']) AS ph),
+        |t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        |m AS (SELECT doc_id, ph,
+        |        len(list_filter(range(1, len(tl) - len(ph) + 2),
+        |          i -> substr(tl, CAST(i AS INT), len(ph)) = ph)) AS c
+        |      FROM t, p)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS INT) AS n_hits,
+        |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS n_phrases_hit,
+        |  (sum(c) = 0) AS kept
+        |FROM m GROUP BY doc_id""".stripMargin,
 
     "dedup_winnow_pairs" -> {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
