@@ -24,7 +24,7 @@ object SparkEntry {
     RelationalQueries.queries ++ EventQueries.queries ++
       TemporalQueries.queries ++ WarpQueries.queries ++ PipelineQueries.queries ++
       graft.text.TextQueries.queries ++ graft.text.PiiQueries.queries ++
-      graft.text.ParagraphQueries.queries ++
+      graft.text.ParagraphQueries.queries ++ graft.text.BinPack.queries ++
       graft.sim.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ EventQueries.oracles ++
       TemporalQueries.oracles ++ WarpQueries.oracles ++ PipelineQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.text.PiiQueries.oracles ++
-      graft.text.ParagraphQueries.oracles ++
+      graft.text.ParagraphQueries.oracles ++ graft.text.BinPack.oracles ++
       graft.sim.SimilarityQueries.oracles
 }

