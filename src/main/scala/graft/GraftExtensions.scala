@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ndHistogramDescriptor)
     ext.injectFunction(GraftExtensions.qdotDescriptor)
     ext.injectFunction(GraftExtensions.mgDescriptor)
+    ext.injectFunction(GraftExtensions.blocklistDescriptor)
   }
 }
 
@@ -101,6 +102,27 @@ object GraftExtensions {
     buildMg
   )
 
+  private def litString(e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"blocklist_stats: expected string literal phrase, got $other")
+  }
+
+  private def buildBlocklist(args: Seq[Expression]): Expression = {
+    require(args.length >= 2,
+      "blocklist_stats(text_col, 'phrase1' [, 'phrase2', ...])")
+    graft.functions.BlocklistStats(args.head, args.tail.map(litString))
+  }
+
+  /** `blocklist_stats(text, 'p1', 'p2', ...)`: the Aho-Corasick
+    * multi-phrase scanner — [total overlapping occurrences, distinct
+    * phrases hit] over the lowercased text in one pass. */
+  val blocklistDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("blocklist_stats"),
+    new ExpressionInfo(classOf[graft.functions.BlocklistStats].getName, "blocklist_stats"),
+    buildBlocklist
+  )
+
   /** Runtime registration on an existing session (alternative to
     * `withExtensions` for sessions the caller does not construct). */
   def register(spark: SparkSession): Unit = {
@@ -110,5 +132,7 @@ object GraftExtensions {
       "qdot_e12", buildQdot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_candidates", buildMg, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "blocklist_stats", buildBlocklist, "built-in")
   }
 }

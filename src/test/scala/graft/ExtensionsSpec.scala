@@ -75,6 +75,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sqlNorms == apiNorms)
   }
 
+  test("blocklist_stats registered on the SQL surface equals the Scala path") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("bl_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, blocklist_stats(text, 'dup', 'slow query', 'big data', 'a a') AS s FROM bl_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val api = graft.text.TextQueries.blocklistFilter(
+      Tables.documents(spark, sfDir), Seq("dup", "slow query", "big data", "a a"))
+      .collect().map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2))).toMap
+    assert(sql == api)
+    // non-literal phrase args fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT blocklist_stats(text, text) FROM bl_docs").collect()
+    }
+  }
+
   test("nd_histogram rejects malformed argument lists") {
     GraftExtensions.register(spark)
     Tables.events(spark, sfDir).createOrReplaceTempView("ev")
