@@ -690,7 +690,8 @@ object StreamOps {
                             redactPii: Boolean = false,
                             classifier: Option[(Double, Array[Double])] = None,
                             minProb: Double = 0.0,
-                            maxCompressRatio: Option[Double] = None): DataFrame = {
+                            maxCompressRatio: Option[Double] = None,
+                            blocklist: Option[Seq[String]] = None): DataFrame = {
     import graft.text.TextQueries
     val spark = docs.sparkSession
     import spark.implicits._
@@ -711,8 +712,17 @@ object StreamOps {
     // the compression-ratio stage is stateless per-row arithmetic (no
     // model artifact), so it rides the same micro-batch plan for free
     val preQ = docs.filter(TextQueries.qualityKeep())
-    val pre = maxCompressRatio.fold(preQ)(thr =>
+    val preC = maxCompressRatio.fold(preQ)(thr =>
       preQ.filter(TextQueries.compressRatioExpr(col("text")) <= thr))
+    // the blocklist stage is likewise stateless: the Aho-Corasick
+    // automaton is a plan literal (codegen reference object), so it
+    // rides the micro-batch plan with zero extra broadcast or state
+    // and is bit-identical to the batch blocklistFilter keep verdict
+    val pre = blocklist.fold(preC)(ps =>
+      preC.filter(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BlocklistStats(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), ps))
+        .getItem(0) === 0))
     val scored0 = pre
       .crossJoin(broadcast(staticRow))
       .filter(size(array_intersect(

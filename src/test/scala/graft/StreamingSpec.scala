@@ -1021,6 +1021,42 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate blocklist stage: exact batch parity, phrases bite") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val phrases = Seq("dup", "slow query")
+    val blKeep = graft.text.TextQueries.blocklistFilter(corpus, phrases)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_bl")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      blocklist = Some(phrases))
+      .writeStream.format("memory").queryName("cur_bl").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_bl").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // automaton hit counts are integers -> EXACT parity with the
+      // batch keep verdict, no quantization band
+      val want = quality & decon & blKeep
+      assert(blKeep.size < corpus.count(),
+        "the blocklist must filter something on the fixture")
+      assert(want.nonEmpty && got == want,
+        s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   /** Stage `df` as one more file into a streaming drop-folder (file
     * sources monitor directories; each new file is the next batch). */
   private def stageFile(df: org.apache.spark.sql.DataFrame,
