@@ -162,6 +162,47 @@ object Pca {
     trained(lk)
   }
 
+  /** PCA-whitening models keyed by (dir, k) — separate cache from the
+    * plain projection so emb_pca and emb_whiten oracles can coexist in
+    * one session without tripping each other's ambiguity guard. */
+  private val trainedWhiten = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Array[Double], Array[Array[Double]])]
+  @volatile private var lastWhitenKey: Option[(String, Int)] = None
+
+  def cachedWhiten: Option[(Array[Double], Array[Array[Double]])] =
+    lastWhitenKey.map { lk =>
+      require(trainedWhiten.size == 1,
+        s"whitening oracle ambiguity: models trained for " +
+          s"${trainedWhiten.keys.mkString(", ")} in this session")
+      trainedWhiten(lk)
+    }
+
+  /** PCA whitening (Su et al. 2021, arXiv:2103.15316 — the standard
+    * embedding post-processing before cosine retrieval/dedup):
+    * decorrelate and scale each principal coordinate to unit variance.
+    * The 1/sqrt(eigenvalue + eps) scale FOLDS INTO the component
+    * literals, so the apply pass is the same codegen'd
+    * [[graft.functions.PcaProjectE12]] kernel and the same
+    * [[projectSql]] oracle as plain projection — zero new kernels,
+    * map-only, zero shuffle. Trains on the bounded deterministic
+    * sample (the [[Ivf]] discipline). */
+  def trainWhiten(spark: SparkSession, dir: String, k: Int,
+                  eps: Double = 1e-9): (Array[Double], Array[Array[Double]]) = {
+    val sample = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < SAMPLE_N)
+      .orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val (mean, comps, evals) = fit(sample, k)
+    val w = comps.zip(evals).map { case (v, ev) =>
+      val s = 1.0 / math.sqrt(ev + eps)
+      v.map(_ * s)
+    }
+    trainedWhiten((dir, k)) = (mean, w)
+    lastWhitenKey = Some((dir, k))
+    (mean, w)
+  }
+
   /** Train on the bounded deterministic sample of `vectors` (needs
     * vec_id + embedding columns); no oracle-literal caching — the
     * corpus-scale bench path. */

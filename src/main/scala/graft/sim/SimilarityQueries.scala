@@ -364,6 +364,14 @@ object SimilarityQueries {
       Pca.project(Tables.embeddings(s, dir), mean, comps)
     },
 
+    // ---- PCA whitening: decorrelated unit-variance coordinates ----
+    "emb_whiten" -> { (s, dir) =>
+      val (mean, w) = Pca.trainWhiten(s, dir, k = 4)
+      Pca.project(Tables.embeddings(s, dir), mean, w)
+        .select(col("vec_id") +: (1 to 4).map(i =>
+          col(s"pc${i}_e12").as(s"w${i}_e12")): _*)
+    },
+
     // ---- SemDeDup: semantic near-dup REMOVAL over the embedding space ----
     "emb_semdedup" -> { (s, dir) =>
       val pairs = neardupPairsOf(Tables.embeddings(s, dir)).select(col("v1"), col("v2"))
@@ -668,7 +676,16 @@ object SimilarityQueries {
     */
   def oracles: Map[String, String] =
     staticOracles ++ ivfOracles ++ kmeansOracles ++ pcaOracles ++ parOracles ++
-      rvqOracles
+      rvqOracles ++ whitenOracles
+
+  /** emb_whiten oracle from the whitening-scaled (mean, components)
+    * literals — [[Pca.projectSql]] unchanged, columns re-aliased. */
+  private def whitenOracles: Map[String, String] = Pca.cachedWhiten match {
+    case None => Map.empty
+    case Some((mu, w)) =>
+      val aliases = w.indices.map(i => s"pc${i + 1}_e12 AS w${i + 1}_e12").mkString(", ")
+      Map("emb_whiten" -> s"SELECT vec_id, $aliases FROM (${Pca.projectSql(mu, w)})")
+  }
 
   /** emb_rvq_assign / emb_semdedup_rvq oracles from the trained
     * (coarse, fine) literals — the cached-literal pattern. */

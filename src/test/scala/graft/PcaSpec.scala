@@ -130,6 +130,40 @@ class PcaSpec extends AnyFunSuite {
     assert(want.size < vecs.size, "fixture must contain reduced-space duplicates")
   }
 
+  test("whitening: training-sample coordinates decorrelate to unit variance") {
+    val (mean, w) = Pca.trainWhiten(spark, sfDir, k = 4)
+    assert(w.length == 4 && mean.nonEmpty)
+    // apply the whitened projection to the SAME bounded training sample
+    // the model fit on; its empirical per-coordinate variance must be
+    // ~1 and cross-correlations ~0 (exact up to eps + e12 quantization)
+    val sample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < Pca.SAMPLE_N).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val coords = sample.map { x =>
+      w.map { v => v.indices.map(i => (x(i) - mean(i)) * v(i)).sum }
+    }
+    val n = coords.length
+    for (a <- 0 until 4; b <- a until 4) {
+      val cov = coords.map(c => c(a) * c(b)).sum / n -
+        (coords.map(_(a)).sum / n) * (coords.map(_(b)).sum / n)
+      if (a == b) assert(math.abs(cov - 1.0) < 1e-6, s"var($a)=$cov")
+      else assert(math.abs(cov) < 1e-6, s"cov($a,$b)=$cov")
+    }
+    // the engine query output matches the driver fold on the sample rows
+    val got = graft.sim.SimilarityQueries.queries("emb_whiten")(spark, sfDir)
+      .filter(col("vec_id") < Pca.SAMPLE_N).orderBy("vec_id")
+      .collect().map(r => (1 to 4).map(i => r.getLong(i)).toArray)
+    val want = sample.map { x =>
+      w.map { v =>
+        v.indices.map(i =>
+          QuantKernels.qround((x(i) - mean(i)) * v(i) * 1e12)).sum
+      }
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) => assert(g.sameElements(e)) }
+  }
+
   test("projection nulls on dimension mismatch and null elements") {
     val mean = Array(0.0, 0.0)
     val comps = Array(Array(1.0, 0.0))
