@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Aho-Corasick multi-phrase scanner (Aho & Corasick 1975) — the scale
@@ -35,6 +35,21 @@ final class AcAutomaton(phrasesRaw: Array[String]) extends Serializable {
   require(phrasesRaw.forall(_.nonEmpty), "blocklist phrases must be non-empty")
 
   val nPhrases: Int = phrasesRaw.length
+
+  /** Code-point length of each LOWERCASED phrase — span starts are
+    * reported in code-point positions of the lowercased text (what
+    * `substr` addresses in both engines). */
+  private val phCharLen: Array[Int] = phrasesRaw.map { p =>
+    val b = UTF8String.fromString(p).toLowerCase.getBytes
+    var n = 0; var i = 0
+    while (i < b.length) { if ((b(i) & 0xc0) != 0x80) n += 1; i += 1 }
+    n
+  }
+
+  /** Byte length of each lowercased phrase — a DFA match ends at byte
+    * i having consumed exactly these bytes of the lowercased text. */
+  private val phByteLen: Array[Int] =
+    phrasesRaw.map(p => UTF8String.fromString(p).toLowerCase.getBytes.length)
 
   // dense DFA built eagerly at construction (driver side, once)
   private val (next: Array[Array[Int]], cnt: Array[Int],
@@ -120,6 +135,87 @@ final class AcAutomaton(phrasesRaw: Array[String]) extends Serializable {
     new GenericArrayData(Array[Any](
       math.min(hits, Int.MaxValue).toInt, distinct))
   }
+
+  /** One pass emitting every (phrase index, 1-based code-point start
+    * position) match occurrence — overlapping included — over the
+    * lowercased text, in scan order. The span-level form Dolma-style
+    * attribute taggers emit. */
+  def spans(s: UTF8String): ArrayData = {
+    val b = s.toLowerCase.getBytes
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var st = 0
+    var charIdx = 0
+    var i = 0
+    while (i < b.length) {
+      if ((b(i) & 0xc0) != 0x80) charIdx += 1
+      st = next(st)(b(i) & 0xff)
+      if (cnt(st) > 0) {
+        var node = if (endIds(st).length > 0) st else dict(st)
+        while (node != 0) {
+          val ids = endIds(node)
+          var j = 0
+          while (j < ids.length) {
+            out += org.apache.spark.sql.catalyst.InternalRow(
+              ids(j), charIdx - phCharLen(ids(j)) + 1)
+            j += 1
+          }
+          node = dict(node)
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Redact the LOWERCASED text: every maximal run of bytes covered by
+    * any match (overlapping and abutting matches merge into one run)
+    * is replaced by `placeholder`. Output is lowercase by construction
+    * — matching happens on the lowercased bytes, and İ-style case
+    * folds change byte offsets, so redacting the original casing would
+    * need a byte-remap pass the semantics don't justify (curation
+    * pipelines lowercase before hashing anyway). */
+  def redact(s: UTF8String, placeholder: Array[Byte]): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    // coverEnd(j) = exclusive end of a match starting at byte j (max
+    // over matches), or 0 — one int array pass instead of interval sort
+    var st = 0
+    var anyHit = false
+    val coverEnd = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) {
+      st = next(st)(b(i) & 0xff)
+      if (cnt(st) > 0) {
+        anyHit = true
+        var node = if (endIds(st).length > 0) st else dict(st)
+        while (node != 0) {
+          val ids = endIds(node)
+          var j = 0
+          while (j < ids.length) {
+            val start = i + 1 - phByteLen(ids(j))
+            if (i + 1 > coverEnd(start)) coverEnd(start) = i + 1
+            j += 1
+          }
+          node = dict(node)
+        }
+      }
+      i += 1
+    }
+    if (!anyHit) return UTF8String.fromBytes(b)
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    i = 0
+    var end = 0                      // exclusive end of the current covered run
+    while (i < b.length) {
+      if (coverEnd(i) > end) {
+        // placeholder only at a run START — abutting matches (i == end
+        // with prior coverage) extend the run without a second one
+        if (i > end || end == 0) out.write(placeholder)
+        end = coverEnd(i)
+      } else if (i >= end) out.write(b(i).toInt)
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
 }
 
 /** `blocklist_stats(text)` :: array<int> — [0] total (overlapping)
@@ -151,5 +247,74 @@ case class BlocklistStats(child: Expression, phrases: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BlocklistStats =
+    copy(child = newChild)
+}
+
+/** `blocklist_spans(text)` :: array<struct<ph:int, pos:int>> — every
+  * (phrase index, 1-based code-point start) match occurrence of any
+  * blocklist phrase over the lowercased text, overlaps included, in
+  * scan order. The span-level attribute form (Dolma-style taggers);
+  * same shared automaton, codegen'd, null propagates. */
+case class BlocklistSpans(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val ac = new AcAutomaton(phrases.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"blocklist_spans expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ph", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "blocklist_spans"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.spans(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trie = ctx.addReferenceObj("acTrie", ac, "graft.functions.AcAutomaton")
+    defineCodeGen(ctx, ev, s => s"$trie.spans($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistSpans =
+    copy(child = newChild)
+}
+
+/** `blocklist_redact(text)` :: string — the lowercased text with every
+  * maximal run of match-covered bytes replaced by `placeholder`
+  * (overlapping and abutting matches collapse to ONE placeholder).
+  * Same shared automaton, codegen'd, null propagates. */
+case class BlocklistRedact(child: Expression, phrases: Seq[String],
+                           placeholder: String)
+    extends UnaryExpression {
+
+  @transient private lazy val ac = new AcAutomaton(phrases.toArray)
+  @transient private lazy val phBytes =
+    placeholder.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"blocklist_redact expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "blocklist_redact"
+
+  override def nullSafeEval(input: Any): Any =
+    ac.redact(input.asInstanceOf[UTF8String], phBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trie = ctx.addReferenceObj("acTrie", ac, "graft.functions.AcAutomaton")
+    val ph = ctx.addReferenceObj("phBytes", phBytes, "byte[]")
+    defineCodeGen(ctx, ev, s => s"$trie.redact($s, $ph)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistRedact =
     copy(child = newChild)
 }

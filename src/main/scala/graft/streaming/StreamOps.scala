@@ -719,10 +719,7 @@ object StreamOps {
     // rides the micro-batch plan with zero extra broadcast or state
     // and is bit-identical to the batch blocklistFilter keep verdict
     val pre = blocklist.fold(preC)(ps =>
-      preC.filter(org.apache.spark.sql.GraftBridge.column(
-        graft.functions.BlocklistStats(
-          org.apache.spark.sql.GraftBridge.expression(col("text")), ps))
-        .getItem(0) === 0))
+      preC.filter(TextQueries.blocklistKeep(ps)))
     val scored0 = pre
       .crossJoin(broadcast(staticRow))
       .filter(size(array_intersect(

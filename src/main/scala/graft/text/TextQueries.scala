@@ -1786,6 +1786,51 @@ object TextQueries {
         (col("bl").getItem(0) === 0).as("kept"))
   }
 
+  /** The blocklist keep verdict as a composable Column over `text` —
+    * plugs into [[corpusClean]]'s `extraFilter` (and any filter chain)
+    * so the batch pipeline gains the badword gate without a new stage;
+    * bit-identical to [[blocklistFilter]]'s `kept` and the streaming
+    * gate's verdict (one shared automaton expression). */
+  def blocklistKeep(phrases: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BlocklistStats(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), phrases))
+      .getItem(0) === 0
+
+  /** Span-level blocklist matches — (doc_id, phrase, pos) for EVERY
+    * (overlapping) occurrence, pos the 1-based code-point start in the
+    * lowercased text: the attribute-span form Dolma-style taggers emit
+    * (match positions recorded next to the doc, verdicts applied
+    * downstream) rather than [[blocklistFilter]]'s per-doc verdict.
+    * Same one-pass automaton ([[graft.functions.BlocklistSpans]]),
+    * map-only + a row-local explode bounded by the per-doc hit count —
+    * zero exchanges (BlocklistSpec pins the plan). */
+  def blocklistSpans(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val spansCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BlocklistSpans(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), phrases))
+    val phArr = array(phrases.map(lit): _*)
+    docs.select(col("doc_id"), explode(spansCol).as("m"))
+      .select(col("doc_id"),
+        element_at(phArr, col("m.ph") + 1).as("phrase"),
+        col("m.pos").as("pos"))
+  }
+
+  /** Blocklist redaction — the lowercased text with every maximal run
+    * of match-covered characters replaced by ONE `placeholder`
+    * (overlapping/abutting matches merge; the PiiQueries redaction
+    * discipline, at phrase-list scale). Output is lowercase by
+    * construction: matching runs on the lowercased bytes, where İ-style
+    * case folds shift offsets against the original. Map-only, one
+    * automaton pass per row ([[graft.functions.BlocklistRedact]]). */
+  def blocklistRedact(docs: DataFrame, phrases: Seq[String],
+                      placeholder: String = "<blocked>"): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BlocklistRedact(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          phrases, placeholder)).as("clean_text"))
+
   /** (doc_id, n_grams, fps) winnowed-fingerprint frame both winnow
     * queries derive from. */
   private def winnowFrame(docs: DataFrame, k: Int, w: Int): DataFrame = {
@@ -3211,6 +3256,14 @@ object TextQueries {
       blocklistFilter(Tables.documents(s, dir),
         Seq("dup", "slow query", "big data", "a a"))
     },
+    "txt_blocklist_spans" -> { (s, dir) =>
+      blocklistSpans(Tables.documents(s, dir),
+        Seq("dup", "slow query", "big data", "a a"))
+    },
+    "txt_blocklist_redact" -> { (s, dir) =>
+      blocklistRedact(Tables.documents(s, dir),
+        Seq("dup", "slow query", "big data", "a a"))
+    },
     // graded twin of txt_decontaminate: same bench/corpus split
     "txt_contain_frac" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
@@ -4355,6 +4408,44 @@ object TextQueries {
         |  CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS INT) AS n_phrases_hit,
         |  (sum(c) = 0) AS kept
         |FROM m GROUP BY doc_id""".stripMargin,
+
+    // the span oracle addresses code points in the lowercased text —
+    // DuckDB substr/len and the automaton's lead-byte counting agree
+    "txt_blocklist_spans" ->
+      """WITH p AS (SELECT unnest(['dup', 'slow query', 'big data', 'a a']) AS ph),
+        |t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        |m AS (SELECT doc_id, ph,
+        |        unnest(list_filter(range(1, len(tl) - len(ph) + 2),
+        |          i -> substr(tl, CAST(i AS INT), len(ph)) = ph)) AS pos
+        |      FROM t, p)
+        |SELECT doc_id, ph AS phrase, CAST(pos AS INT) AS pos FROM m""".stripMargin,
+
+    // redaction replayed positionally: covered code points from the
+    // span scan, runs detected via lag, one placeholder per run start
+    "txt_blocklist_redact" ->
+      """WITH p AS (SELECT unnest(['dup', 'slow query', 'big data', 'a a']) AS ph),
+        |t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        |m AS (SELECT doc_id, ph,
+        |        unnest(list_filter(range(1, len(tl) - len(ph) + 2),
+        |          i -> substr(tl, CAST(i AS INT), len(ph)) = ph)) AS pos
+        |      FROM t, p),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS cp
+        |        FROM (SELECT doc_id, pos, unnest(range(0, len(ph))) AS u FROM m)),
+        |c AS (SELECT doc_id, unnest(range(1, len(tl) + 1)) AS i, tl FROM t),
+        |g AS (SELECT c.doc_id, c.i,
+        |        substr(c.tl, CAST(c.i AS INT), 1) AS ch,
+        |        cov.cp IS NOT NULL AS covd
+        |      FROM c LEFT JOIN cov ON c.doc_id = cov.doc_id AND c.i = cov.cp),
+        |r AS (SELECT doc_id, i, ch, covd,
+        |        lag(covd, 1, false) OVER (PARTITION BY doc_id ORDER BY i) AS pcovd
+        |      FROM g),
+        |agg AS (SELECT doc_id,
+        |        string_agg(CASE WHEN covd AND NOT pcovd THEN '<blocked>'
+        |                        WHEN covd THEN ''
+        |                        ELSE ch END, '' ORDER BY i) AS clean_text
+        |      FROM r GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin,
 
     "dedup_winnow_pairs" -> {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
