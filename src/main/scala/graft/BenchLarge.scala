@@ -433,6 +433,24 @@ object BenchLarge {
       graft.text.TextQueries.packChunks(docs(spark, nDocs, template),
         budget = 2048L).count()
     }
+    // best-fit-decreasing packing at the full corpus: ONE histogram
+    // aggregate (≤ budget rows to the driver), the batched BFD recipe
+    // loop, then the stitched per-class rank pass + two broadcast
+    // joins. The check sums bin ids (forces the recipe join), and the
+    // stats pass pins efficiency > 0.
+    timed("pack_bfd", clearAfter = true) {
+      graft.text.BinPack.bfdPack(docs(spark, nDocs, template), budget = 2048L)
+        .agg(sum("bin_id")).collect()(0).getLong(0)
+    }
+    // multi-phrase blocklist scan at the full corpus: one Aho-Corasick
+    // pass per row over a 200-phrase list (the production C4 shape),
+    // map-only — the check counts total hits so the automaton walk and
+    // the dict-suffix chain both execute.
+    timed("txt_blocklist", clearAfter = true) {
+      val phrases = (0 until 200).map(i => s"tok${i % 18}_${i * 25 % 5000}")
+      graft.text.TextQueries.blocklistFilter(docs(spark, nDocs, template), phrases)
+        .agg(sum("n_hits")).collect()(0).getLong(0)
+    }
     // corpus-trained unigram LM scoring at the full corpus: the
     // vocabulary (~70k distinct tokens here) aggregates map-side and
     // BROADCASTS; the exploded tokens re-aggregate on the pre-explode
@@ -767,6 +785,19 @@ object BenchLarge {
       val emb = embeddings(spark, nVecs)
       val (mu, comps) = graft.sim.Pca.trainOn(emb, k = 8)
       graft.sim.Pca.project(emb, mu, comps)
+        .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // PCA whitening at the full vector corpus: same bounded-sample
+    // train + map-only projection as emb_pca, with the 1/sqrt(eig)
+    // scale folded into the component literals — measures that the
+    // whitened kernel pays nothing over the plain projection.
+    timed("emb_whiten", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val (mu, comps, evals) = graft.sim.Pca.fitOn(emb, k = 8)
+      val w = comps.zip(evals).map { case (v, ev) =>
+        val s = 1.0 / math.sqrt(ev + 1e-9); v.map(_ * s) }
+      graft.sim.Pca.project(emb, mu, w)
         .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
         .collect()(0).getLong(0)
     }

@@ -207,13 +207,19 @@ object Pca {
     * vec_id + embedding columns); no oracle-literal caching — the
     * corpus-scale bench path. */
   def trainOn(vectors: DataFrame, k: Int): (Array[Double], Array[Array[Double]]) = {
+    val (mean, comps, _) = fitOn(vectors, k)
+    (mean, comps)
+  }
+
+  /** [[trainOn]] with the eigenvalues exposed (for whitening scales);
+    * no oracle-literal caching — the corpus-scale bench path. */
+  def fitOn(vectors: DataFrame, k: Int): (Array[Double], Array[Array[Double]], Array[Double]) = {
     val sample = vectors
       .filter(col("vec_id") < SAMPLE_N)
       .orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val (mean, comps, _) = fit(sample, k)
-    (mean, comps)
+    fit(sample, k)
   }
 
   /** Train on the bounded deterministic sample of the embeddings at
