@@ -453,6 +453,30 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static winnow gate: incoming documents probe the persisted
+    * winnow-fingerprint index ([[graft.text.TextQueries.winnowIndex]],
+    * write it bucketed by `fp`); emits one (batch_id, ts, dup_of) match
+    * event per corpus document sharing ≥ 1 selected fingerprint — by
+    * the winnowing guarantee that surfaces every ≥ w+k−1-token shared
+    * run. The local-fingerprinting member of the streaming gate family
+    * (the simhash-gate shape): per-row fingerprints are a pure
+    * expression, state is the watermark-bounded match dedup only, and
+    * shared-COUNT quantification stays the batch
+    * `winnowDedupAgainst`'s job because a per-pair count is a join
+    * aggregate, not a per-row predicate.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingWinnowGate(docs: DataFrame, corpusIndex: DataFrame,
+                          k: Int = 3, w: Int = 4,
+                          watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        explode(graft.text.TextQueries.winnowFpsExpr(k, w)).as("fp"))
+      .join(corpusIndex.select(col("fp"), col("dup_of")), Seq("fp"))
+      .select(col("batch_id"), col("ts"), col("dup_of"))
+      .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+
   /** Stateless streaming ingest gate — the per-row stages of
     * corpus_clean for a document stream: the Gopher/C4 quality
     * predicate ([[graft.text.TextQueries.qualityKeep]]) plus benchmark

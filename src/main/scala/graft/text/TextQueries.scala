@@ -1000,7 +1000,11 @@ object TextQueries {
     * keep flag evaluate inside one `inline(transform(array(split(...`
     * generator, so the split is bound as a lambda variable the
     * optimizer cannot duplicate (the [[bandSigsExpr]] idiom; PlanSpec
-    * pins one split per row). */
+    * pins one split per row).
+    *
+    * [[qualityOutliers]] is the data-driven complement: instead of the
+    * fixed Gopher/C4 thresholds it trims by the corpus's OWN
+    * distribution (Tukey IQR fences). */
   def qualityStats(docs: DataFrame,
                    minWords: Int = 20,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 8.0,
@@ -1028,6 +1032,44 @@ object TextQueries {
                   minStopDistinct: Int = 1): Column = expr(
     s"""element_at(transform(array(split(text, ' ')), toks ->
        |  ${keepSql(minWords, minMeanLen, maxMeanLen, minFracDistinct, minStopDistinct)}), 1)""".stripMargin)
+
+  /** IQR fences (lo, hi) per signal of the last [[qualityOutliers]]
+    * run, cached for the oracle (the cachedMerges pattern). */
+  @volatile private[text] var cachedOutlierFences:
+    Option[(Double, Double, Double, Double)] = None
+
+  /** Data-driven robust outlier trim (Tukey fences): flag documents
+    * whose token count or mean word length falls outside
+    * [q1 − k·IQR, q3 + k·IQR] of the CORPUS'S OWN distribution — the
+    * robust-statistics complement to [[qualityKeep]]'s fixed
+    * Gopher/C4 thresholds, for corpora whose healthy range the fixed
+    * bounds misjudge (code, non-Latin scripts).
+    *
+    * Scale shape: quantiles are EXACT at bounded driver memory
+    * ([[graft.ops.Scale.exactQuantiles]] — sketch-bracket then count,
+    * never a full sort or collect; the two signals share each pass),
+    * and the fences come back as driver literals, so the flagging pass
+    * is map-only. Emits (doc_id, n_tokens, mean_word_len, len_outlier,
+    * wl_outlier, kept). */
+  def qualityOutliers(docs: DataFrame, k: Double = 1.5): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      wsTokenCount("text").cast("long").as("n_tokens"),
+      round((length(col("text")) - (wsTokenCount("text") - 1)).cast("double") /
+        wsTokenCount("text"), 6).as("mean_word_len"))
+    val cs = Seq("n_tokens", "mean_word_len")
+    val q1 = graft.ops.Scale.exactQuantiles(sig, cs, 0.25)
+    val q3 = graft.ops.Scale.exactQuantiles(sig, cs, 0.75)
+    def fences(c: String): (Double, Double) = {
+      val iqr = q3(c) - q1(c); (q1(c) - k * iqr, q3(c) + k * iqr)
+    }
+    val (tl, th) = fences("n_tokens")
+    val (wl, wh) = fences("mean_word_len")
+    cachedOutlierFences = Some((tl, th, wl, wh))
+    sig.select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+      (col("n_tokens") < tl || col("n_tokens") > th).as("len_outlier"),
+      (col("mean_word_len") < wl || col("mean_word_len") > wh).as("wl_outlier"))
+      .withColumn("kept", !col("len_outlier") && !col("wl_outlier"))
+  }
 
   /** The Gopher duplicate-n-gram-fraction trio in ONE per-row pass
     * (Rae et al. 2021 §A1.1 applies the repetition filters for several
@@ -1831,6 +1873,23 @@ object TextQueries {
           org.apache.spark.sql.GraftBridge.expression(col("text")),
           phrases, placeholder)).as("clean_text"))
 
+  /** (doc_id, n_grams, fps) winnow CTE chain shared by the winnow
+    * oracles (word-3-gram hashes, window 4 — the query defaults);
+    * terminal CTE `f` exposes (doc_id, n_grams, fps). */
+  private def winnowFpsOracleCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(
+       |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])),
+       |        g -> ${phashSql("g")}) AS hashes
+       |      FROM t),
+       |f AS (SELECT doc_id, len(hashes) AS n_grams,
+       |        CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+       |        ELSE list_distinct(list_transform(
+       |          range(1, greatest(len(hashes) - 3, 1) + 1),
+       |          i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))) END AS fps
+       |      FROM h)""".stripMargin
+
   /** (doc_id, n_grams, fps) winnowed-fingerprint frame both winnow
     * queries derive from. */
   private def winnowFrame(docs: DataFrame, k: Int, w: Int): DataFrame = {
@@ -1890,6 +1949,69 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"), col("n_shared"))
+  }
+
+  /** Per-row winnow fingerprint array over `text` alone — the
+    * streaming-safe single-expression form of [[winnowFrame]] (toks and
+    * hashes each bind ONCE via the one-element-transform idiom, so
+    * nothing re-evaluates per lambda element). Bit-identical to the
+    * batch frame's fps — StreamingSpec pins the parity. */
+  private[graft] def winnowFpsExpr(k: Int, w: Int): Column = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1, got k=$k w=$w")
+    expr(
+      s"""element_at(transform(array(split(text, ' ')), toks ->
+         |  element_at(transform(array(transform(${ngramArrayExpr(k)},
+         |      g -> ${phashFrag("g")})), hashes ->
+         |    CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+         |    ELSE array_distinct(transform(
+         |      sequence(1, greatest(size(hashes) - $w + 1, 1)),
+         |      i -> array_min(slice(hashes, i, $w)))) END), 1)), 1)""".stripMargin)
+  }
+
+  /** Persistable winnow-fingerprint index of a corpus — the winnowing
+    * member of the incremental-dedup index family (next to
+    * `bandSignatures`, `bloomBuild`, `substringIndex`, `simhashIndex`,
+    * `corpusIndex`): compact (fp, dup_of) rows, one per selected
+    * fingerprint (array_distinct per doc, so rows are unique). Write
+    * bucketed by `fp` and the per-batch probe join's static side
+    * carries no Exchange (the sorted/bucketed corpus-writer
+    * discipline). */
+  def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    winnowFrame(corpus, k, w)
+      .select(col("doc_id").as("dup_of"), explode(col("fps")).as("fp"))
+
+  /** Incremental winnow dedup: each batch document's BEST corpus match
+    * by shared selected-fingerprint count (ties → min dup_of) —
+    * (batch_id, dup_of, n_shared, n_fps), the local-fingerprinting
+    * member of the incremental family, mirroring `simhashDedupAgainst`'s
+    * contract. By the winnowing guarantee (Schleimer et al. 2003 §4) a
+    * batch doc sharing a ≥ w+k−1-token run with a corpus doc always
+    * surfaces with n_shared ≥ 1; `minShared` is the precision knob and
+    * n_shared/n_fps the caller's containment score.
+    *
+    * Scale shape: the corpus contributes only its compact index, never
+    * text; candidates meet on the `fp` equi-join, so per-batch-doc
+    * fan-out is bounded by the document frequency of its fingerprints
+    * (window-min hashes of k-grams — far rarer than raw tokens; a
+    * corpus-wide boilerplate fingerprint is exactly what
+    * [[scrubFrequentNgrams]] removes upstream). */
+  def winnowDedupAgainst(batch: DataFrame, corpus: DataFrame,
+                         k: Int = 3, w: Int = 4, minShared: Long = 1,
+                         corpusIndex: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cIdx = corpusIndex.getOrElse(winnowIndex(corpus, k, w))
+    val bf = winnowFrame(batch, k, w)
+      .select(col("doc_id"), col("fps")).localCheckpoint()
+      .select(col("doc_id").as("batch_id"),
+        size(col("fps")).cast("long").as("n_fps"), explode(col("fps")).as("fp"))
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("n_shared").desc, col("dup_of"))
+    bf.join(cIdx, Seq("fp"))
+      .groupBy("batch_id", "dup_of")
+      .agg(count(lit(1)).as("n_shared"), max(col("n_fps")).as("n_fps"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("dup_of"), col("n_shared"), col("n_fps"))
   }
 
   /** Content-defined-chunking fingerprints ([[graft.functions.CdcChunks]]
@@ -3570,12 +3692,26 @@ object TextQueries {
         docs.filter(col("doc_id") % 2 === 0))
     },
 
+    // ---- incremental winnow dedup: same batch/corpus split, best
+    // corpus match by shared selected fingerprints ----
+    "dedup_winnow_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      winnowDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
+
     // ---- exact heavy hitters through a Misra-Gries sketch: candidates
     // from a k-bounded mergeable summary (one pass, k entries per
     // partition over the wire), exact counts from a candidate-filtered
     // second pass — never a full-vocabulary shuffle ----
     "txt_heavy_hitters" -> { (s, dir) =>
       heavyHitters(Tables.documents(s, dir), denom = 256)
+    },
+
+    // ---- robust IQR outlier trim: data-driven fences over the
+    // corpus's own signal distribution ----
+    "quality_outliers" -> { (s, dir) =>
+      qualityOutliers(Tables.documents(s, dir))
     }
   )
 
@@ -4194,7 +4330,27 @@ object TextQueries {
   def oracles: Map[String, String] =
     staticOracles ++ bpeEncodeOracles ++ fertilityOracles ++
       unigramEncodeOracles ++ wordpieceEncodeOracles ++
-      corpusTokenizeOracles ++ tempMixOracles ++ tokenMixOracles ++ qcOracles
+      corpusTokenizeOracles ++ tempMixOracles ++ tokenMixOracles ++ qcOracles ++
+      outlierOracles
+
+  /** quality_outliers oracle from the driver-computed fence literals
+    * (absent until the query runs). */
+  private def outlierOracles: Map[String, String] = cachedOutlierFences match {
+    case None => Map.empty
+    case Some((tl, th, wl, wh)) =>
+      Map("quality_outliers" ->
+        s"""WITH s AS (SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+           |    / len(string_split(text, ' ')), 6) AS mean_word_len
+           |FROM documents)
+           |SELECT doc_id, n_tokens, mean_word_len,
+           |  (n_tokens < $tl OR n_tokens > $th) AS len_outlier,
+           |  (mean_word_len < $wl OR mean_word_len > $wh) AS wl_outlier,
+           |  (NOT (n_tokens < $tl OR n_tokens > $th)
+           |   AND NOT (mean_word_len < $wl OR mean_word_len > $wh)) AS kept
+           |FROM s""".stripMargin)
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracle,
@@ -4363,25 +4519,27 @@ object TextQueries {
         |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
         |FROM g GROUP BY doc_id""".stripMargin,
 
-    "txt_winnow" -> {
-      // word-3-gram hashes, window w=4, min per window, distinct set
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(
-         |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-         |          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])),
-         |        g -> ${phashSql("g")}) AS hashes
-         |      FROM t),
-         |f AS (SELECT doc_id, len(hashes) AS n_grams,
-         |        CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
-         |        ELSE list_distinct(list_transform(
-         |          range(1, greatest(len(hashes) - 3, 1) + 1),
-         |          i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))) END AS fps
-         |      FROM h)
+    "txt_winnow" ->
+      s"""WITH $winnowFpsOracleCtes
          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
          |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
          |  md5(array_to_string(list_transform(list_sort(fps), x -> CAST(x AS VARCHAR)), ' ')) AS fp_hash
-         |FROM f""".stripMargin
-    },
+         |FROM f""".stripMargin,
+
+    "dedup_winnow_incr" ->
+      s"""WITH $winnowFpsOracleCtes,
+         |bx AS (SELECT doc_id AS batch_id, len(fps) AS n_fps, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 1),
+         |cx AS (SELECT doc_id AS dup_of, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 0),
+         |m AS (SELECT batch_id, dup_of, max(n_fps) AS n_fps, count(*) AS n_shared
+         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |r AS (SELECT batch_id, dup_of, n_shared, n_fps,
+         |        row_number() OVER (PARTITION BY batch_id ORDER BY n_shared DESC, dup_of) AS rn
+         |      FROM m)
+         |SELECT batch_id, dup_of, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(n_fps AS BIGINT) AS n_fps
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "txt_normalize" ->
       """WITH n AS (SELECT doc_id,

@@ -605,6 +605,18 @@ class PlanSpec extends AnyFunSuite {
       s"the match step must equi-join on the fingerprint key:\n${p.take(2000)}")
   }
 
+  test("dedup_winnow_incr equi-joins the compact index: no cartesian, no text in shuffles") {
+    val p = plan("dedup_winnow_incr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch and index must meet on the fp equi-key:\n${p.take(2000)}")
+    // every hash exchange keys on the compact fp / batch_id columns —
+    // text never crosses the network
+    val exchanged = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanged.subsetOf(Set("fp", "batch_id")),
+      s"only compact keys may shuffle, got $exchanged:\n${p.take(2000)}")
+  }
+
   test("txt_contain_frac broadcasts the benchmark shingles onto the corpus pass") {
     val p = plan("txt_contain_frac")
     // the corpus side fans out in place; the only hash exchanges belong

@@ -440,6 +440,44 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow gate == batch winnow matches on replay, fps expr parity") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    // the per-row expression must be bit-identical to the batch frame
+    val viaExpr = batchDocs.select(col("doc_id"),
+      graft.text.TextQueries.winnowFpsExpr(3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaFrame = graft.text.TextQueries.winnowIndex(batchDocs)
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    viaFrame.foreach { case (d, fps) =>
+      assert(viaExpr(d).toSet == fps && viaExpr(d).size == fps.size, s"doc $d") }
+    val idx = graft.text.TextQueries.winnowIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_winnow_replay")
+    batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingWinnowGate(in, idx)
+      .writeStream.format("memory").queryName("winnow_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("winnow_replay").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"))).toSet
+      val want = graft.text.TextQueries.winnowDedupAgainst(batchDocs, corpus)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      // the gate emits EVERY matching pair; the batch query keeps the
+      // best per batch doc — every batch verdict must appear in the
+      // gate's event stream, and shared-fp events dedup to one per pair
+      assert(want.nonEmpty, "fixture must produce winnow matches")
+      assert(want.forall(got.contains), s"missing ${want.filterNot(got.contains).take(3)}")
+      val raw = spark.table("winnow_replay").count()
+      assert(raw == got.size, s"duplicate emissions: $raw rows for ${got.size} pairs")
+    } finally q.stop()
+  }
+
   test("per-row HOF simhash fingerprint == the batch aggregate on every document") {
     val docs = Tables.documents(spark, sfDir)
     val viaAgg = graft.text.TextQueries.simhashFrameWide(docs).collect()

@@ -1550,6 +1550,35 @@ class ChunkBloomSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs.keySet == Set((0L, 1L)), s"got $pairs")
     assert(pairs((0L, 1L)) == (sets(0L) & sets(1L)).size)
+    // the incremental matcher finds the corpus twin through the index
+    // alone (batch = doc 1, corpus = docs 0 and 2) with the same
+    // shared-fingerprint count, and a pre-built index is equivalent
+    val batch = d.filter(col("doc_id") === 1L)
+    val corp = d.filter(col("doc_id") =!= 1L)
+    val incr = TextQueries.winnowDedupAgainst(batch, corp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(incr.toSeq == Seq((1L, 0L, (sets(0L) & sets(1L)).size.toLong,
+      sets(1L).size.toLong)), s"got ${incr.toSeq}")
+    val viaIdx = TextQueries.winnowDedupAgainst(batch, corp,
+      corpusIndex = Some(TextQueries.winnowIndex(corp))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaIdx.toSeq == incr.toSeq)
+  }
+
+  test("quality outliers: Tukey fences flag the planted extremes only") {
+    import spark.implicits._
+    val docs = ((1 to 20).map(i => (i.toLong, Array.fill(30)("w").mkString(" "))) :+
+      (21L, Array.fill(500)("w").mkString(" ")) :+          // length outlier
+      (22L, "w" + "a" * 38)                                 // mean-word-len outlier
+      ).toDF("doc_id", "text")
+    val out = TextQueries.qualityOutliers(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    // 20 identical docs pin q1 = q3 -> zero-width fences: only the
+    // planted extremes flag
+    assert(out(21L)._1 && !out(21L)._2 && !out(21L)._3)
+    assert(out(22L)._2 && !out(22L)._3)
+    assert((1 to 20).forall(i => out(i.toLong)._3), "bulk must keep")
   }
 
   test("containment fraction is exact on constructed overlap") {
