@@ -259,8 +259,21 @@ object BenchLarge {
     // "regressed" 18x purely from the eviction pressure. lsh_pairs
     // deliberately does NOT clear after: cc_clusters times CC over its
     // cached pair graph by design (explicitly unpersisted right after).
+    // isolated re-measure mode: run ONLY the named queries (comma
+    // list). The loud-host adjudication workflow in one env var — a
+    // flagged query re-measures on a quiet window without paying the
+    // full suite. Queries consuming an earlier block's learned state
+    // (bpe_encode/wordpiece_encode/unigram_encode, cc_clusters) need
+    // their producer named too; the producer vars fail loudly if not.
+    // The gate is skipped in this mode (partial coverage would flag
+    // every unnamed baseline query as missing).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_LARGE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
     def timed(name: String, clearBetween: Boolean = false, passes: Int = 2,
               clearAfter: Boolean = false)(f: => Long): Unit = {
+      if (only.nonEmpty && !only(name)) return
       def pass(): (Double, Long) = {
         System.gc()
         val t0 = System.nanoTime()
@@ -355,7 +368,7 @@ object BenchLarge {
     // drop the native chain's session-owned lineage caches + the pair
     // graph before timing the md5 twin: leaving them resident turns the
     // second chain into a storage-eviction benchmark, not a hash one
-    pairs.unpersist(blocking = true)
+    if (pairs != null) pairs.unpersist(blocking = true)  // null in ONLY mode
     spark.catalog.clearCache()
     timed("lsh_pairs_md5", clearBetween = true, passes = 3, clearAfter = true) {
       // the portable-hash twin: md5-hex → 60-bit int shingle hashing,
@@ -752,6 +765,15 @@ object BenchLarge {
     timed("winnow_pairs", clearAfter = true) {
       graft.text.TextQueries.winnowPairs(docs(spark, nDocs, template)).count()
     }
+    // incremental winnow dedup: a 5% batch probes the 95% corpus's
+    // compact (fp, dup_of) index — the local-fingerprinting member of
+    // the incremental family. The check counts matched batch docs.
+    timed("winnow_incr", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      graft.text.TextQueries.winnowDedupAgainst(
+        all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0))
+        .count()
+    }
     // dedup-normalization at the full corpus: two RE2 regex passes +
     // md5 per row, map-only. The check forces both output columns.
     timed("txt_normalize", clearAfter = true) {
@@ -929,12 +951,18 @@ object BenchLarge {
     val cs = checks.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val evPerSec = (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
+    // ONLY mode may not have measured the histogram pair
+    val evPerSec =
+      if (results.contains("hist_3d_rel") && results.contains("hist_3d_shard"))
+        (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
+      else 0L
     println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)},"queries":$qs,"outputs":$cs}""")
     spark.stop()
 
     // ---- regression gate against the committed baseline -------------
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
+    val baselinePath =
+      if (only.nonEmpty) ""  // partial coverage would flag every unnamed query
+      else sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
     val tol = sys.env.getOrElse("SPARK_GRAFT_LARGE_TOL", "1.5").toDouble
     if (baselinePath.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))) {
       val base = parseBaseline(new String(
