@@ -1035,7 +1035,7 @@ object TextQueries {
 
   /** IQR fences (lo, hi) per signal of the last [[qualityOutliers]]
     * run, cached for the oracle (the cachedMerges pattern). */
-  @volatile private[text] var cachedOutlierFences:
+  @volatile private[graft] var cachedOutlierFences:
     Option[(Double, Double, Double, Double)] = None
 
   /** Data-driven robust outlier trim (Tukey fences): flag documents
@@ -1977,7 +1977,12 @@ object TextQueries {
     * carries no Exchange (the sorted/bucketed corpus-writer
     * discipline). */
   def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    // checkpoint BEFORE the explode: fps referenced once lets
+    // CollapseProject inline the whole window-min/hash chain per
+    // element (~60× per-row cost — the winnowPairs lesson; this path
+    // measured >10 min vs seconds at 2M docs without it)
     winnowFrame(corpus, k, w)
+      .select(col("doc_id"), col("fps")).localCheckpoint()
       .select(col("doc_id").as("dup_of"), explode(col("fps")).as("fp"))
 
   /** Incremental winnow dedup: each batch document's BEST corpus match

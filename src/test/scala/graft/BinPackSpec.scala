@@ -50,6 +50,23 @@ class BinPackSpec extends AnyFunSuite {
       assert(engineAssign(items, budget) == referenceBfd(items, budget),
         s"divergence at budget=$budget n=${items.length}")
     }
+    // randomized sweep: the recipe must match item-by-item BFD for any
+    // histogram shape (skewed Zipf-ish, uniform, near-budget lengths)
+    (1 to 12).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val budget = 5L + r.nextInt(60)
+      val n = 50 + r.nextInt(150)
+      val items = (1 to n).map { i =>
+        val l = r.nextInt(3) match {
+          case 0 => 1L + r.nextInt(budget.toInt)                 // uniform
+          case 1 => 1L + math.min(budget - 1, r.nextInt(4)).toLong // heads
+          case _ => math.max(1L, budget - r.nextInt(3))          // near-full
+        }
+        (i.toLong, l)
+      }
+      assert(engineAssign(items, budget) == referenceBfd(items, budget),
+        s"divergence at seed=$seed budget=$budget")
+    }
   }
 
   test("capacity, contiguity, and clamping invariants hold") {
