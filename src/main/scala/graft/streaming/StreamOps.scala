@@ -715,7 +715,9 @@ object StreamOps {
                             classifier: Option[(Double, Array[Double])] = None,
                             minProb: Double = 0.0,
                             maxCompressRatio: Option[Double] = None,
-                            blocklist: Option[Seq[String]] = None): DataFrame = {
+                            blocklist: Option[Seq[String]] = None,
+                            outlierFences: Option[(Double, Double, Double, Double)] =
+                              None): DataFrame = {
     import graft.text.TextQueries
     val spark = docs.sparkSession
     import spark.implicits._
@@ -742,8 +744,17 @@ object StreamOps {
     // automaton is a plan literal (codegen reference object), so it
     // rides the micro-batch plan with zero extra broadcast or state
     // and is bit-identical to the batch blocklistFilter keep verdict
-    val pre = blocklist.fold(preC)(ps =>
+    val preB = blocklist.fold(preC)(ps =>
       preC.filter(TextQueries.blocklistKeep(ps)))
+    // Tukey-fence outlier trim: the fences are OFFLINE literals (a
+    // batch qualityOutliers run computes them — quantiles are not a
+    // per-row predicate), so the online stage is a stateless filter
+    // bit-identical to the batch `kept` verdict
+    val pre = outlierFences.fold(preB) { case (tl, th, wl, wh) =>
+      val nToks = TextQueries.wsTokenCount("text").cast("long")
+      val meanWl = round((length(col("text")) - (nToks - 1)).cast("double") / nToks, 6)
+      preB.filter(!(nToks < tl || nToks > th) && !(meanWl < wl || meanWl > wh))
+    }
     val scored0 = pre
       .crossJoin(broadcast(staticRow))
       .filter(size(array_intersect(

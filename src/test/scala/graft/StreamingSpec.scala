@@ -1095,6 +1095,43 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate outlier stage: literal fences match the batch verdict") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    // batch run computes the fences AND the reference keep verdicts
+    val outRows = graft.text.TextQueries.qualityOutliers(corpus).collect()
+    val fenceKeep = outRows.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val fences = graft.text.TextQueries.cachedOutlierFences.get
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_out")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      outlierFences = Some(fences))
+      .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // integer token counts and the SAME round-6 mean expression →
+      // exact parity with the batch kept verdict
+      val want = quality & decon & fenceKeep
+      assert(fenceKeep.size < corpus.count(),
+        "the fences must trim something on the fixture")
+      assert(want.nonEmpty && got == want,
+        s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   /** Stage `df` as one more file into a streaming drop-folder (file
     * sources monitor directories; each new file is the next batch). */
   private def stageFile(df: org.apache.spark.sql.DataFrame,
