@@ -765,6 +765,12 @@ object BenchLarge {
     timed("winnow_pairs", clearAfter = true) {
       graft.text.TextQueries.winnowPairs(docs(spark, nDocs, template)).count()
     }
+    // corpus Zipf profile: one map-side-combined vocabulary aggregate
+    // + a 1000-row bounded regression — the distribution sanity report.
+    timed("txt_zipf", clearAfter = true) {
+      graft.text.TextQueries.zipfProfile(docs(spark, nDocs, template))
+        .collect()(0).getLong(1)
+    }
     // incremental winnow dedup: a 5% batch probes the 95% corpus's
     // compact (fp, dup_of) index — the local-fingerprinting member of
     // the incremental family. The check counts matched batch docs.

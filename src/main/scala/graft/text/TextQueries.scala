@@ -1828,6 +1828,58 @@ object TextQueries {
         (col("bl").getItem(0) === 0).as("kept"))
   }
 
+  /** Corpus-level Zipf profile: the least-squares slope/intercept of
+    * log(frequency) against log(rank) over the top-`topV` vocabulary —
+    * the standard sanity report on a corpus's token distribution
+    * (natural text runs slope ≈ −1, Zipf 1935; templated or synthetic
+    * corpora flatten it), plus vocabulary size, token total, and the
+    * top-V coverage fraction. One row out.
+    *
+    * Scale shape: ONE vocabulary aggregate (map-side combined,
+    * output bounded by vocab size — the txt_vocab_topk shape); the
+    * rank window runs over the `topV`-row LIMIT frame, bounded BY
+    * CONSTRUCTION, so its single partition is a non-issue. Cross-engine
+    * exactness: ln(rank)/ln(freq) quantize to integer micro-units
+    * per term and sum as longs (associative, partition-order-free);
+    * the slope divides the exact sums once at the end and rounds 1e-6
+    * (the tfidf discipline). */
+  def zipfProfile(docs: DataFrame, topV: Int = 1000): DataFrame = {
+    require(topV >= 2, s"need >= 2 ranks for a slope, got $topV")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val totals = vocab.agg(
+      count(lit(1)).as("vocab_size"), sum(col("freq")).as("total_tokens"))
+    val top = vocab.orderBy(col("freq").desc, col("tok")).limit(topV)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("yq"),
+        col("freq"))
+    val sums = top.agg(
+      count(lit(1)).as("n"), sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+      sum(col("xq") * col("yq")).as("sxy"), sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("freq")).as("top_freq"))
+    // combine the EXACT long sums in doubles (n·Σxy overflows a long at
+    // production token totals; the expression shape is identical in the
+    // oracle so the IEEE result matches bit-for-bit before the round)
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    sums.crossJoin(totals).select(
+      col("vocab_size"), col("total_tokens"),
+      // double ratio, not long·1e6 (which wraps past ~9.2e12 tokens);
+      // same IEEE expression shape in the oracle
+      floor(col("top_freq").cast("double") /
+        col("total_tokens").cast("double") * lit(1e6)).cast("long")
+        .as("topv_coverage_ppm"),
+      round(slope, 6).as("zipf_slope"),
+      round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
+  }
+
   /** The blocklist keep verdict as a composable Column over `text` —
     * plugs into [[corpusClean]]'s `extraFilter` (and any filter chain)
     * so the batch pipeline gains the badword gate without a new stage;
@@ -3717,7 +3769,10 @@ object TextQueries {
     // corpus's own signal distribution ----
     "quality_outliers" -> { (s, dir) =>
       qualityOutliers(Tables.documents(s, dir))
-    }
+    },
+
+    // ---- corpus Zipf profile: token-distribution sanity report ----
+    "txt_zipf" -> { (s, dir) => zipfProfile(Tables.documents(s, dir)) }
   )
 
   /** Exact heavy hitters — every token with frequency > n/`denom` over
@@ -4790,6 +4845,33 @@ object TextQueries {
       """SELECT tok, count(*) AS freq
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+    // exact long sums of micro-unit quantized logs; doubles only in the
+    // final combine (same expression shape as the engine — n*sxy would
+    // overflow BIGINT at production token totals)
+    "txt_zipf" ->
+      """WITH v AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |      GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |               CAST(sum(freq) AS BIGINT) AS total_tokens FROM v),
+        |top AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+        |        FROM v ORDER BY freq DESC, tok LIMIT 1000),
+        |q AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+        |             CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS yq,
+        |             freq FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+        |             CAST(sum(yq) AS BIGINT) AS sy, CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        |             CAST(sum(xq * xq) AS BIGINT) AS sxx,
+        |             CAST(sum(freq) AS BIGINT) AS top_freq FROM q)
+        |SELECT vocab_size, total_tokens,
+        |  CAST(floor(CAST(top_freq AS DOUBLE) / CAST(total_tokens AS DOUBLE) * 1e6) AS BIGINT) AS topv_coverage_ppm,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1e6, 6) AS zipf_intercept
+        |FROM s CROSS JOIN tot""".stripMargin,
 
     "txt_unigram_lm" -> unigramLmSql,
 

@@ -1565,6 +1565,23 @@ class ChunkBloomSpec extends AnyFunSuite {
     assert(viaIdx.toSeq == incr.toSeq)
   }
 
+  test("zipf profile recovers the planted power-law slope") {
+    import spark.implicits._
+    // token r repeated floor(240/r) times, r = 1..40 -> log-log slope ~ -1
+    val text = (1 to 40).flatMap(r => Seq.fill(240 / r)(s"t$r")).mkString(" ")
+    val d = Seq((0L, text)).toDF("doc_id", "text")
+    val row = TextQueries.zipfProfile(d, topV = 40).collect()(0)
+    assert(row.getLong(0) == 40, "vocab size")
+    assert(row.getLong(2) == 1000000L, "topV covers the whole corpus")
+    val slope = row.getDouble(3)
+    assert(math.abs(slope + 1.0) < 0.08, s"slope $slope must be ~ -1")
+    // flat (uniform) corpus -> slope ~ 0
+    val flat = Seq((0L, (1 to 40).flatMap(r => Seq.fill(6)(s"t$r")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fs = TextQueries.zipfProfile(flat, topV = 40).collect()(0).getDouble(3)
+    assert(math.abs(fs) < 1e-6, s"uniform corpus slope $fs must be 0")
+  }
+
   test("quality outliers: Tukey fences flag the planted extremes only") {
     import spark.implicits._
     val docs = ((1 to 20).map(i => (i.toLong, Array.fill(30)("w").mkString(" "))) :+
