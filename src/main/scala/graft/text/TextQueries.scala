@@ -913,6 +913,30 @@ object TextQueries {
     dedupKeep(clean, threshold, persistLineage = persistLineage, keepText = keepText)
   }
 
+  /** Stage-survivor funnel of the cleaning pipeline — the observability
+    * report every production curation job publishes next to its output:
+    * how many documents entered, survived benchmark decontamination,
+    * survived the quality gate, and survived near-dup removal. One row
+    * (n_input, n_decontaminated, n_quality, n_dedup).
+    *
+    * Each count is a one-row aggregate; the four cross-join (the
+    * one-row-frame idiom), so the report is one query. The dedup count
+    * re-runs the [[corpusClean]] stages rather than sharing a cache —
+    * a report should not take ownership of pipeline caches; callers
+    * running both pass `persistIntermediate` through corpusClean
+    * itself. */
+  def corpusFunnel(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                   threshold: Double = 0.5): DataFrame = {
+    val decon = corpus.join(
+      broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
+    val qual = decon.filter(qualityKeep())
+    corpus.agg(count(lit(1)).as("n_input"))
+      .crossJoin(decon.agg(count(lit(1)).as("n_decontaminated")))
+      .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
+      .crossJoin(corpusClean(corpus, benchmark, n, threshold,
+        persistIntermediate = false).agg(count(lit(1)).as("n_dedup")))
+  }
+
   /** Merge table learned by the last [[corpusTokenize]] run, cached for
     * oracle rendering (its OWN slot — `bpe_encode` trains on the raw
     * corpus, this pipeline on the cleaned survivors; sharing
@@ -3533,6 +3557,12 @@ object TextQueries {
       corpusClean(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10))
     },
+    // the per-stage survivor report over the same fixture split
+    "corpus_funnel" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      corpusFunnel(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10))
+    },
 
     // ---- the end-to-end curate-tokenize-pack pipeline: corpus_clean
     // survivors train + encode a BPE tokenizer, the encoded counts pack
@@ -4187,26 +4217,35 @@ object TextQueries {
   /** corpus_clean: decontamination + quality predicate folded into ONE
     * source relation, then the dedup_keep chain over it. The quality
     * predicate mirrors [[qualityKeep]] defaults term for term. */
-  private val corpusCleanOracle: String = {
+  /** Decontamination-survivor SELECT of the corpus_clean fixture split
+    * (corpus = doc_id >= 10, bench = doc_id < 10) — shared by the
+    * corpus_clean oracle and the funnel stage counts. */
+  private val cleanDeconSql: String = {
     val benchSrc = "(SELECT * FROM documents WHERE doc_id < 10)"
-    def toks(ref: String) = s"string_split($ref, ' ')"
-    val quality =
-      s"""len(${toks("d.text")}) >= 20
-         | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) >= 3.0
-         | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) <= 8.0
-         | AND CAST(len(list_distinct(${toks("d.text")})) AS DOUBLE) / len(${toks("d.text")}) >= 0.35
-         | AND len(list_filter(['the','a','of','and'], s -> list_contains(${toks("d.text")}, s))) >= 1""".stripMargin
-    val src =
-      s"""(SELECT d.* FROM documents d
-         | WHERE d.doc_id >= 10
-         |  AND d.doc_id NOT IN (
-         |   SELECT DISTINCT c.doc_id
-         |   FROM (${ngramShinglesSqlFor("(SELECT * FROM documents WHERE doc_id >= 10)", 5)}) c
-         |   JOIN (SELECT DISTINCT shingle FROM (${ngramShinglesSqlFor(benchSrc, 5)})) b
-         |     USING (shingle))
-         |  AND $quality)""".stripMargin
-    dedupKeepSqlFor(src)
+    s"""(SELECT d.* FROM documents d
+       | WHERE d.doc_id >= 10
+       |  AND d.doc_id NOT IN (
+       |   SELECT DISTINCT c.doc_id
+       |   FROM (${ngramShinglesSqlFor("(SELECT * FROM documents WHERE doc_id >= 10)", 5)}) c
+       |   JOIN (SELECT DISTINCT shingle FROM (${ngramShinglesSqlFor(benchSrc, 5)})) b
+       |     USING (shingle)))""".stripMargin
   }
+
+  /** The Gopher/C4 quality predicate over alias `d` (oracle form). */
+  private val cleanQualitySql: String = {
+    def toks(ref: String) = s"string_split($ref, ' ')"
+    s"""len(${toks("d.text")}) >= 20
+       | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) >= 3.0
+       | AND CAST(length(d.text) - (len(${toks("d.text")}) - 1) AS DOUBLE) / len(${toks("d.text")}) <= 8.0
+       | AND CAST(len(list_distinct(${toks("d.text")})) AS DOUBLE) / len(${toks("d.text")}) >= 0.35
+       | AND len(list_filter(['the','a','of','and'], s -> list_contains(${toks("d.text")}, s))) >= 1""".stripMargin
+  }
+
+  /** Decon + quality survivors (corpus_clean's dedup input). */
+  private val cleanSrcSql: String =
+    s"(SELECT d.* FROM $cleanDeconSql d WHERE $cleanQualitySql)"
+
+  private val corpusCleanOracle: String = dedupKeepSqlFor(cleanSrcSql)
 
   /** dedup_incremental oracle: the same band join + candidate-only
     * verification + best-match ranking, over the parity split. */
@@ -4826,6 +4865,13 @@ object TextQueries {
          |FROM documents""".stripMargin,
 
     "corpus_clean" -> corpusCleanOracle,
+
+    "corpus_funnel" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM documents WHERE doc_id >= 10) AS n_input,
+         |  (SELECT count(*) FROM $cleanDeconSql x) AS n_decontaminated,
+         |  (SELECT count(*) FROM $cleanSrcSql y) AS n_quality,
+         |  (SELECT count(*) FROM ($corpusCleanOracle) z) AS n_dedup""".stripMargin,
 
     "dedup_jaccard_brute" ->
       s"""WITH sh AS (SELECT * FROM ($shinglesSql) WHERE doc_id < 200),

@@ -1565,6 +1565,18 @@ class ChunkBloomSpec extends AnyFunSuite {
     assert(viaIdx.toSeq == incr.toSeq)
   }
 
+  test("corpus funnel counts are monotone and consistent with the pipeline") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+    val r = TextQueries.corpusFunnel(corpus, bench).collect()(0)
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(a >= b && b >= c && c >= d && d > 0, s"funnel $a >= $b >= $c >= $d")
+    assert(a == corpus.count())
+    assert(d == TextQueries.corpusClean(corpus, bench,
+      persistIntermediate = false).count())
+  }
+
   test("zipf profile recovers the planted power-law slope") {
     import spark.implicits._
     // token r repeated floor(240/r) times, r = 1..40 -> log-log slope ~ -1
