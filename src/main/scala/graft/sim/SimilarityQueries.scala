@@ -340,6 +340,9 @@ object SimilarityQueries {
 
     // embedding-cosine near-duplicate pairs above a threshold, pruned by
     // shared LSH bucket before the exact check
+    // ---- ANN recall audit: IVF nprobe=2 top-k vs brute-force top-k ----
+    "emb_ann_recall" -> { (s, dir) => annRecall(s, dir) },
+
     "emb_neardup_pairs" -> { (s, dir) => neardupPairsOf(Tables.embeddings(s, dir)) },
 
     // ---- embedding-space benchmark decontamination ----
@@ -634,6 +637,47 @@ object SimilarityQueries {
       .select(col("vec_id"))
   }
 
+  /** ANN recall audit — recall@k, THE published ANN quality metric and
+    * the observable nprobe/planes budget against: per query vector, how
+    * many of the EXACT brute-force top-k cosine neighbors the IVF
+    * nprobe=2 probe recovered. Emits (qid, n_hit, recall_ppm).
+    *
+    * Scale shape: the exact side is brute force over the corpus for the
+    * BOUNDED query sample only (nQ rows broadcast, corpus streams once
+    * — the standard recall-audit shape at any corpus size, never
+    * all-pairs); the ANN side is the same probe-cell equi-join as
+    * emb_ivf_topk_p2; the compare is a left-semi on (qid, cid) over two
+    * nQ·k-row frames. All integer dots/ranks — exact cross-engine. */
+  def annRecall(s: SparkSession, dir: String, nQ: Int = 10, k: Int = 5,
+                nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select(col("qid"), col("cid"))
+    }
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
+    val exact = topk(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
+    val cents = Ivf.trainCentroids(s, dir, k = 8)
+    val assigned = Ivf.withCell(e, cents)
+      .select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
+    val qp = Ivf.withProbes(e.filter(col("vec_id") < nQ), cents, nprobe = nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+        explode(col("probes")).as("cell"))
+    val ann = topk(broadcast(qp).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
+    val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** Grid (cutoffs, bins) of the last [[semdedupPca]] run, for the
     * oracle builder (the cached-literal pattern). */
   @volatile private[graft] var cachedPcaGrid: Option[(Array[Array[Long]], Int)] = None
@@ -913,7 +957,32 @@ object SimilarityQueries {
         "emb_ivf_topk" -> rerank(
           "SELECT vec_id AS qid, embedding AS e1, cell FROM asg WHERE vec_id < 10"),
         "emb_ivf_topk_p2" -> rerank(
-          s"SELECT vec_id AS qid, embedding AS e1, unnest(probes) AS cell FROM ($prb) p WHERE vec_id < 10")
+          s"SELECT vec_id AS qid, embedding AS e1, unnest(probes) AS cell FROM ($prb) p WHERE vec_id < 10"),
+
+        // brute-force top-5 vs the probe top-5, compared on (qid, cid)
+        "emb_ann_recall" ->
+          s"""WITH ex AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT qid, cid,
+             |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+             |    FROM (
+             |      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |        CAST(${dotE12Sql("q.embedding", "c.embedding")} AS DOUBLE) /
+             |          (sqrt(CAST(${norm2e12Sql.replace("embedding", "q.embedding")} AS DOUBLE)) *
+             |           sqrt(CAST(${norm2e12Sql.replace("embedding", "c.embedding")} AS DOUBLE))) AS cosine
+             |      FROM embeddings q JOIN embeddings c
+             |        ON q.vec_id < 10 AND q.vec_id != c.vec_id) s0) t0
+             |  WHERE rank <= 5),
+             |an AS (SELECT qid, cid FROM (${rerank(
+                 s"SELECT vec_id AS qid, embedding AS e1, unnest(probes) AS cell FROM ($prb) p WHERE vec_id < 10")}) r),
+             |h AS (SELECT ex.qid, count(*) AS n_hit
+             |      FROM ex JOIN an ON ex.qid = an.qid AND ex.cid = an.cid
+             |      GROUP BY ex.qid)
+             |SELECT q.vec_id AS qid,
+             |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             |  CAST(coalesce(h.n_hit, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+             |FROM embeddings q LEFT JOIN h ON q.vec_id = h.qid
+             |WHERE q.vec_id < 10""".stripMargin
       ) ++ pq
   }
 

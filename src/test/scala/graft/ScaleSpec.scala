@@ -228,6 +228,18 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("ann recall report: probing every cell recovers the full exact top-k") {
+    // the audit's own sanity bound: nprobe == k cells turns the ANN
+    // side into brute force, so recall must read exactly 1000000 ppm
+    val full = graft.sim.SimilarityQueries.annRecall(spark, sfDir, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full.size == 10 && full.values.forall(_ == 1000000L), s"got $full")
+    // and the default 2-probe recall is sane: within [0, 1e6], not all 0
+    val p2 = graft.sim.SimilarityQueries.annRecall(spark, sfDir)
+      .collect().map(_.getLong(2))
+    assert(p2.forall(v => v >= 0 && v <= 1000000L) && p2.sum > 0)
+  }
+
   test("IVF top-k returns within-cell neighbors ranked by exact cosine") {
     val res = graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect()
     assert(res.nonEmpty)
