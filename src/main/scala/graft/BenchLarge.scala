@@ -816,6 +816,20 @@ object BenchLarge {
         .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
         .collect()(0).getLong(0)
     }
+    // ANN recall audit at the full vector corpus: 10 query vectors
+    // brute-force over 2M (one broadcast stream) vs the nprobe=2 cell
+    // join — the recall-vs-cost observable, measured at the scale the
+    // knobs are tuned at. The check sums recovered neighbors.
+    timed("ann_recall", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      // bounded deterministic training, as in Ivf.trainCentroids
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.sim.Ivf.kmeans(sample, 8)
+      graft.sim.SimilarityQueries.annRecallOn(emb, cents)
+        .agg(sum("n_hit")).collect()(0).getLong(0)
+    }
     // PCA whitening at the full vector corpus: same bounded-sample
     // train + map-only projection as emb_pca, with the 1/sqrt(eig)
     // scale folded into the component literals — measures that the

@@ -649,8 +649,14 @@ object SimilarityQueries {
     * emb_ivf_topk_p2; the compare is a left-semi on (qid, cid) over two
     * nQ·k-row frames. All integer dots/ranks — exact cross-engine. */
   def annRecall(s: SparkSession, dir: String, nQ: Int = 10, k: Int = 5,
-                nprobe: Int = 2): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+                nprobe: Int = 2): DataFrame =
+    annRecallOn(Tables.embeddings(s, dir),
+      Ivf.trainCentroids(s, dir, k = 8), nQ, k, nprobe)
+
+  /** [[annRecall]] over a precomputed frame + centroids — the
+    * corpus-scale bench path (no oracle-literal caching). */
+  def annRecallOn(e: DataFrame, cents: Array[Array[Double]],
+                  nQ: Int = 10, k: Int = 5, nprobe: Int = 2): DataFrame = {
     def topk(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
       scored.withColumn("rank", row_number().over(w))
@@ -661,7 +667,6 @@ object SimilarityQueries {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
     val exact = topk(broadcast(q).join(c, col("qid") =!= col("cid"))
       .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
-    val cents = Ivf.trainCentroids(s, dir, k = 8)
     val assigned = Ivf.withCell(e, cents)
       .select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
     val qp = Ivf.withProbes(e.filter(col("vec_id") < nQ), cents, nprobe = nprobe)
