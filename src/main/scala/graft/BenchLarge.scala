@@ -837,8 +837,7 @@ object BenchLarge {
     timed("emb_whiten", clearAfter = true) {
       val emb = embeddings(spark, nVecs)
       val (mu, comps, evals) = graft.sim.Pca.fitOn(emb, k = 8)
-      val w = comps.zip(evals).map { case (v, ev) =>
-        val s = 1.0 / math.sqrt(ev + 1e-9); v.map(_ * s) }
+      val w = graft.sim.Pca.whitenScales(comps, evals)
       graft.sim.Pca.project(emb, mu, w)
         .agg((sum("pc1_e12") + sum("pc8_e12")).as("chk"))
         .collect()(0).getLong(0)

@@ -194,14 +194,21 @@ object Pca {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val (mean, comps, evals) = fit(sample, k)
-    val w = comps.zip(evals).map { case (v, ev) =>
-      val s = 1.0 / math.sqrt(ev + eps)
-      v.map(_ * s)
-    }
+    val w = whitenScales(comps, evals, eps)
     trainedWhiten((dir, k)) = (mean, w)
     lastWhitenKey = Some((dir, k))
     (mean, w)
   }
+
+  /** The whitening fold itself — components scaled by
+    * 1/sqrt(eigenvalue + eps) — shared by [[trainWhiten]] and the
+    * corpus-scale bench path so the scale formula has ONE definition. */
+  def whitenScales(comps: Array[Array[Double]], evals: Array[Double],
+                   eps: Double = 1e-9): Array[Array[Double]] =
+    comps.zip(evals).map { case (v, ev) =>
+      val s = 1.0 / math.sqrt(ev + eps)
+      v.map(_ * s)
+    }
 
   /** Train on the bounded deterministic sample of `vectors` (needs
     * vec_id + embedding columns); no oracle-literal caching — the

@@ -338,11 +338,11 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
     },
 
-    // embedding-cosine near-duplicate pairs above a threshold, pruned by
-    // shared LSH bucket before the exact check
     // ---- ANN recall audit: IVF nprobe=2 top-k vs brute-force top-k ----
     "emb_ann_recall" -> { (s, dir) => annRecall(s, dir) },
 
+    // embedding-cosine near-duplicate pairs above a threshold, pruned by
+    // shared LSH bucket before the exact check
     "emb_neardup_pairs" -> { (s, dir) => neardupPairsOf(Tables.embeddings(s, dir)) },
 
     // ---- embedding-space benchmark decontamination ----

@@ -167,14 +167,18 @@ object BinPack {
 
   /** Packing report over a [[bfdPackCounts]] assignment: bin count,
     * doc count, packed token total, and efficiency (packed tokens /
-    * window capacity) in exact ppm. */
+    * window capacity) in ppm — as a double ratio, not long·1e6 (which
+    * wraps past ~9.2e12 tokens; the zipfProfile discipline), with the
+    * identical IEEE expression shape in the oracle. */
   def packStats(assign: DataFrame, budget: Long): DataFrame =
     assign.agg(
       (max(col("bin_id")) + 1L).as("n_bins"),
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"))
       .select(col("n_bins"), col("n_docs"), col("total_tokens"),
-        expr(s"(total_tokens * 1000000) div (n_bins * $budget)").as("eff_ppm"))
+        floor(col("total_tokens").cast("double") /
+          (col("n_bins") * lit(budget)).cast("double") * lit(1e6))
+          .cast("long").as("eff_ppm"))
 
   private val Budget = 512L
 
@@ -212,7 +216,8 @@ object BinPack {
           s"""$assign
              |SELECT max(bin_id) + 1 AS n_bins, count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-             |  CAST((sum(n_tokens) * 1000000) // ((max(bin_id) + 1) * $budget) AS BIGINT) AS eff_ppm
+             |  CAST(floor(CAST(sum(n_tokens) AS DOUBLE)
+             |    / CAST((max(bin_id) + 1) * $budget AS DOUBLE) * 1e6) AS BIGINT) AS eff_ppm
              |FROM a""".stripMargin)
   }
 }

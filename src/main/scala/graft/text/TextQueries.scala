@@ -1071,10 +1071,12 @@ object TextQueries {
     *
     * Scale shape: quantiles are EXACT at bounded driver memory
     * ([[graft.ops.Scale.exactQuantiles]] — sketch-bracket then count,
-    * never a full sort or collect; the two signals share each pass),
-    * and the fences come back as driver literals, so the flagging pass
-    * is map-only. Emits (doc_id, n_tokens, mean_word_len, len_outlier,
-    * wl_outlier, kept). */
+    * never a full sort or collect). The two SIGNALS share each pass,
+    * but q1 and q3 are two separate pass sequences — a multi-q
+    * extension of exactQuantiles would halve the fence cost and is the
+    * known improvement here. The fences come back as driver literals,
+    * so the flagging pass is map-only. Emits (doc_id, n_tokens,
+    * mean_word_len, len_outlier, wl_outlier, kept). */
   def qualityOutliers(docs: DataFrame, k: Double = 1.5): DataFrame = {
     val sig = docs.select(col("doc_id"),
       wsTokenCount("text").cast("long").as("n_tokens"),
