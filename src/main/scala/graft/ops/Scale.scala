@@ -151,37 +151,66 @@ object Scale {
     * per round, one combined bracket-count aggregate per round — so
     * profiling k columns costs ~3 scans total, not ~4k. */
   def exactQuantiles(df: DataFrame, cols: Seq[String], q: Double,
-                     maxBandRows: Long = 4000000L): Map[String, Double] = {
+                     maxBandRows: Long = 4000000L): Map[String, Double] =
+    exactQuantileGrid(df, cols, Seq(q), maxBandRows)
+      .map { case ((c, _), v) => c -> v }
+
+  /** Full (column × quantile) grid, still at ~3 scans total: the count
+    * aggregate, the sketch (one `approxQuantile` call carries every
+    * cell's bracket probabilities for every open column), and the
+    * bracket-count aggregate (4 sums per open cell) are each ONE
+    * distributed pass per round regardless of how many quantiles are
+    * asked for — so Tukey fences (q1 AND q3 over k signals) cost the
+    * same scans as a single median. Only the capped interior collects
+    * are per-cell, and cells of the same column whose brackets coincide
+    * share one collect. */
+  def exactQuantileGrid(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+                        maxBandRows: Long = 4000000L): Map[(String, Double), Double] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
     val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
     // per-column non-null counts in ONE pass (percentile ignores nulls)
     val nAggs = cols.map(c => count(col(c)).as(s"_n_$c"))
     val nRow = d.agg(nAggs.head, nAggs.tail: _*).collect()(0)
-    val n = cols.indices.map(i => nRow.getLong(i))
-    cols.indices.foreach(i => require(n(i) > 0, s"exactQuantile(${cols(i)}): no rows"))
-    val pos = n.map(ni => q * (ni - 1))
-    val loRank = pos.map(p => math.floor(p).toLong)
-    val hiRank = pos.map(p => math.ceil(p).toLong)
+    val n = cols.zipWithIndex.map { case (c, i) => c -> nRow.getLong(i) }.toMap
+    cols.foreach(c => require(n(c) > 0, s"exactQuantile($c): no rows"))
+    val cells: Seq[(String, Double)] = for (c <- cols; q <- qs.distinct) yield (c, q)
+    val pos = cells.map { case cell @ (c, q) => cell -> q * (n(c) - 1) }.toMap
+    val loRank = pos.map { case (cell, p) => cell -> math.floor(p).toLong }
+    val hiRank = pos.map { case (cell, p) => cell -> math.ceil(p).toLong }
     // Spark Percentile's exact interpolation form (NOT lo+(hi-lo)*f,
     // which differs in the last ulp): integral rank returns the key
-    def interp(i: Int, lo: Double, hi: Double): Double =
-      if (loRank(i) == hiRank(i)) lo
-      else (hiRank(i) - pos(i)) * lo + (pos(i) - loRank(i)) * hi
+    def interp(cell: (String, Double), lo: Double, hi: Double): Double =
+      if (loRank(cell) == hiRank(cell)) lo
+      else (hiRank(cell) - pos(cell)) * lo + (pos(cell) - loRank(cell)) * hi
 
-    val resolved = scala.collection.mutable.Map.empty[String, Double]
+    val resolved = scala.collection.mutable.Map.empty[(String, Double), Double]
     var eps = 0.002
     var attempt = 0
-    while (resolved.size < cols.length && attempt < 10) {
-      val open = cols.filterNot(resolved.contains)
-      val brackets = d.stat.approxQuantile(open.toArray,
-        Array(math.max(0.0, q - eps), math.min(1.0, q + eps)), eps / 4)
-      val ab = open.zip(brackets.map(bs => (bs(0), bs(1)))).toMap
+    while (resolved.size < cells.length && attempt < 10) {
+      val open = cells.filterNot(resolved.contains)
+      val openCols = open.map(_._1).distinct
+      // one sketch pass: every open quantile's two bracket probabilities,
+      // applied to every open column (a column ignores probs belonging to
+      // its already-resolved cells — extra probs cost nothing extra)
+      val openQs = open.map(_._2).distinct
+      val probs = openQs.flatMap(q =>
+        Seq(math.max(0.0, q - eps), math.min(1.0, q + eps))).distinct.sorted
+      val probIdx = probs.zipWithIndex.toMap
+      val brackets = d.stat.approxQuantile(openCols.toArray, probs.toArray, eps / 4)
+      val colBr = openCols.zip(brackets).toMap
+      def ab(cell: (String, Double)): (Double, Double) = {
+        val (c, q) = cell
+        (colBr(c)(probIdx(math.max(0.0, q - eps))),
+          colBr(c)(probIdx(math.min(1.0, q + eps))))
+      }
       // resolve rank→value at the band EDGES by counts alone, so runs of
       // duplicated values (however huge) never need collecting; only the
       // strict interior (a, b) — ~2·eps·n rows minus the edge runs — is
-      // pulled, and it is capped. All columns' 4 bracket counts ride one
+      // pulled, and it is capped. All cells' 4 bracket counts ride one
       // aggregate pass.
-      val cntAggs = open.flatMap { c =>
-        val (a, b) = ab(c)
+      val cntAggs = open.flatMap { cell =>
+        val c = cell._1
+        val (a, b) = ab(cell)
         Seq(sum(when(col(c) < a, 1L).otherwise(0L)),
           sum(when(col(c) <= a, 1L).otherwise(0L)),
           sum(when(col(c) < b, 1L).otherwise(0L)),
@@ -190,32 +219,36 @@ object Scale {
       val cnts = d.agg(cntAggs.head, cntAggs.tail: _*).collect()(0)
       var missed = false
       var tooWide = false
-      open.zipWithIndex.foreach { case (c, k) =>
-        val i = cols.indexOf(c)
-        val (a, b) = ab(c)
+      // interior collects keyed by (column, bracket): adjacent quantiles
+      // of one column whose sketch brackets coincide pull one band
+      val interiorCache = scala.collection.mutable.Map.empty[(String, Double, Double), Array[Double]]
+      open.zipWithIndex.foreach { case (cell, k) =>
+        val c = cell._1
+        val (a, b) = ab(cell)
         val below = cnts.getLong(4 * k)
         val leA = cnts.getLong(4 * k + 1)
         val ltB = cnts.getLong(4 * k + 2)
         val leB = cnts.getLong(4 * k + 3)
-        if (below <= loRank(i) && hiRank(i) < leB) {
+        if (below <= loRank(cell) && hiRank(cell) < leB) {
           if (ltB - leA <= maxBandRows) {
-            lazy val interior = d.filter(col(c) > a && col(c) < b)
-              .select(col(c)).collect().map(_.getDouble(0)).sorted
+            lazy val interior = interiorCache.getOrElseUpdate((c, a, b),
+              d.filter(col(c) > a && col(c) < b)
+                .select(col(c)).collect().map(_.getDouble(0)).sorted)
             def valueAt(r: Long): Double =
               if (r < leA) a
               else if (r < ltB) interior((r - leA).toInt)
               else b
-            resolved(c) = interp(i, valueAt(loRank(i)), valueAt(hiRank(i)))
+            resolved(cell) = interp(cell, valueAt(loRank(cell)), valueAt(hiRank(cell)))
           } else tooWide = true // covers the ranks but interior too big
         } else missed = true // sketch bracket missed the rank
       }
       // shared eps: fixing misses first (widen) dominates; once nothing
-      // misses, tighten for the too-wide columns
+      // misses, tighten for the too-wide cells
       if (missed) eps *= 4 else if (tooWide) eps /= 4
       attempt += 1
     }
-    require(resolved.size == cols.length,
-      s"exactQuantile: bracket did not converge for ${cols.filterNot(resolved.contains).mkString(", ")}")
+    require(resolved.size == cells.length,
+      s"exactQuantile: bracket did not converge for ${cells.filterNot(resolved.contains).mkString(", ")}")
     resolved.toMap
   }
 

@@ -1070,23 +1070,22 @@ object TextQueries {
     * bounds misjudge (code, non-Latin scripts).
     *
     * Scale shape: quantiles are EXACT at bounded driver memory
-    * ([[graft.ops.Scale.exactQuantiles]] — sketch-bracket then count,
-    * never a full sort or collect). The two SIGNALS share each pass,
-    * but q1 and q3 are two separate pass sequences — a multi-q
-    * extension of exactQuantiles would halve the fence cost and is the
-    * known improvement here. The fences come back as driver literals,
-    * so the flagging pass is map-only. Emits (doc_id, n_tokens,
-    * mean_word_len, len_outlier, wl_outlier, kept). */
+    * ([[graft.ops.Scale.exactQuantileGrid]] — sketch-bracket then
+    * count, never a full sort or collect; both SIGNALS and both
+    * QUANTILES share every distributed pass, so the fences cost the
+    * same three scans as a single median). The fences come back as
+    * driver literals, so the flagging pass is map-only. Emits (doc_id,
+    * n_tokens, mean_word_len, len_outlier, wl_outlier, kept). */
   def qualityOutliers(docs: DataFrame, k: Double = 1.5): DataFrame = {
     val sig = docs.select(col("doc_id"),
       wsTokenCount("text").cast("long").as("n_tokens"),
       round((length(col("text")) - (wsTokenCount("text") - 1)).cast("double") /
         wsTokenCount("text"), 6).as("mean_word_len"))
     val cs = Seq("n_tokens", "mean_word_len")
-    val q1 = graft.ops.Scale.exactQuantiles(sig, cs, 0.25)
-    val q3 = graft.ops.Scale.exactQuantiles(sig, cs, 0.75)
+    val grid = graft.ops.Scale.exactQuantileGrid(sig, cs, Seq(0.25, 0.75))
     def fences(c: String): (Double, Double) = {
-      val iqr = q3(c) - q1(c); (q1(c) - k * iqr, q3(c) + k * iqr)
+      val (q1, q3) = (grid((c, 0.25)), grid((c, 0.75)))
+      val iqr = q3 - q1; (q1 - k * iqr, q3 + k * iqr)
     }
     val (tl, th) = fences("n_tokens")
     val (wl, wh) = fences("mean_word_len")

@@ -82,6 +82,28 @@ class ScaleSpec extends AnyFunSuite {
       edge.selectExpr("percentile(v, 0.45)").collect()(0).getDouble(0))
   }
 
+  test("exactQuantileGrid == percentile aggregate cell-by-cell") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val grid = Scale.exactQuantileGrid(li, cs, qs)
+    assert(grid.size == cs.length * qs.length)
+    for (c <- cs; q <- qs) {
+      val want = li.selectExpr(s"percentile($c, $q)").collect()(0).getDouble(0)
+      assert(grid((c, q)) == want, s"$c q=$q: ${grid((c, q))} != $want")
+    }
+    // grid agrees with the single-q path it generalizes
+    for (c <- cs)
+      assert(grid((c, 0.5)) == Scale.exactQuantile(li, c, 0.5))
+    // duplicate-heavy column under a tight band cap: both fences exact
+    import spark.implicits._
+    val heavy = ((1 to 30000).map(_ => 5.0) ++ (1 to 10000).map(i => i / 100.0)).toDF("v")
+    val g2 = Scale.exactQuantileGrid(heavy, Seq("v"), Seq(0.25, 0.75), maxBandRows = 500)
+    for (q <- Seq(0.25, 0.75))
+      assert(g2(("v", q)) ==
+        heavy.selectExpr(s"percentile(v, $q)").collect()(0).getDouble(0))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s2 = spark
     val prevThreshold = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
