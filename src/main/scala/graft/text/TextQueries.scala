@@ -1905,6 +1905,120 @@ object TextQueries {
       round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
   }
 
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * every adjacent word pair occurring ≥ `minCount` times, scored
+    * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) ) with p from corpus counts —
+    * the standard collocation/phrase-mining report (word2vec's phrase
+    * pass, Mikolov et al. 2013 §4, is this signal with a discount).
+    * Emits every qualifying pair (w1, w2, n_pair, pmi) with NO top-k
+    * cut: a LIMIT ordered by the float score would make the boundary
+    * rank engine-sensitive, while the ≥ minCount set is exact (the
+    * Zipf tail bounds it — pairs repeating ≥ 5× are rare).
+    *
+    * Scale shape: ONE bigram aggregate (map-side combined, output
+    * bounded by the distinct-bigram vocabulary) filtered to ≥ minCount
+    * BEFORE anything joins — the qualifying set is small by Zipf, so
+    * it broadcasts onto the unigram vocabulary for both count lookups
+    * (the corpus-side vocab never shuffles on a pair key); N and B come
+    * from one cheap per-doc aggregate. Cross-engine exactness: counts
+    * are exact longs; the PMI ratio is built with one fixed
+    * double-expression shape (identical in the oracle) and rounded
+    * 1e-6 — the zipfProfile discipline. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1)
+    val toks = docs.select(split(col("text"), " ").as("toks"))
+    // N (token instances) and B (bigram instances) in one scan, no shuffle
+    val totals = toks.agg(
+      sum(size(col("toks"))).cast("long").as("n_toks"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("long").as("n_bigrams"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // CASE-guarded: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+    // would index past the array (the dupFracSql guard)
+    val pairs = toks.select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))
+          |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END"""
+          .stripMargin)).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // the ≥ minCount pair set is Zipf-bounded: broadcast it through both
+    // vocabulary lookups so the (large) vocab table never re-shuffles
+    val withC1 = broadcast(pairs)
+      .join(vocab.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+    val withC2 = broadcast(withC1)
+      .join(vocab.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+    withC2.crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("n_toks").cast("double") *
+            col("n_toks").cast("double")) /
+          (col("n_bigrams").cast("double") * col("c1").cast("double") *
+            col("c2").cast("double"))), 6).as("pmi"))
+  }
+
+  /** Heaps-law vocabulary-growth profile (Heaps 1978): the OLS fit of
+    * ln(cumulative vocabulary) against ln(cumulative tokens) sampled at
+    * every document boundary in doc_id order — natural corpora run
+    * V(n) ≈ K·n^β with β ≈ 0.4–0.6; a flattening β flags a corpus that
+    * has stopped contributing new types (heavy duplication), the
+    * companion sanity report to [[zipfProfile]]. One row out:
+    * (total_tokens, vocab_size, heaps_beta, heaps_logk).
+    *
+    * Scale shape: a token's contribution point is its corpus-FIRST
+    * document — `min(doc_id)` per type (one map-side-combined
+    * aggregate; no global position numbering needed since doc_id order
+    * IS the corpus order) — then new-type counts roll up per document
+    * and the two cumulative series run as ONE partition-parallel
+    * prefix-sum pass ([[graft.ops.Stitch]]-style chunked cumsum over
+    * the compact per-doc frame, no single-partition window); the OLS
+    * sums are micro-unit integer logs combined in doubles (the
+    * zipfProfile overflow discipline). */
+  def heapsProfile(docs: DataFrame): DataFrame = {
+    // every doc contributes ≥1 "token" under the split contract (an
+    // empty text splits to one empty-string type), matching the explode
+    // side exactly so the two series stay consistent
+    val perDoc = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+    val series = perDoc.join(firstDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("new_types"))
+    val chunk = (col("doc_id") / 256L).cast("long")
+    val ord = Seq(col("doc_id"))
+    val points = graft.ops.Stitch.globalCumsum(
+        graft.ops.Stitch.globalCumsum(series, chunk, ord, col("n_toks"), "ct"),
+        chunk, ord, col("new_types"), "cv")
+      .filter(col("ct") >= 1L && col("cv") >= 1L)
+      .select(
+        round(log(col("ct").cast("double")) * 1e6).cast("long").as("xq"),
+        round(log(col("cv").cast("double")) * 1e6).cast("long").as("yq"))
+    // unlike zipfProfile's topV-bounded sums, these run over EVERY doc
+    // point: micro-log products summed as longs wrap around ~1e4 docs
+    // short of nothing but around 1e9 docs for real — DECIMAL(38,0)
+    // keeps the sums exact and partition-order-free (the kmeans‖ cost
+    // discipline); DuckDB's HUGEINT sums are the exact mirror
+    val sums = points.agg(
+      count(lit(1)).as("n"),
+      sum(col("xq").cast("decimal(38,0)")).as("sx"),
+      sum(col("yq").cast("decimal(38,0)")).as("sy"),
+      sum((col("xq") * col("yq")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("xq") * col("xq")).cast("decimal(38,0)")).as("sxx"))
+    val totals = perDoc.agg(sum(col("n_toks")).as("total_tokens"))
+      .crossJoin(firstDoc.agg(sum(col("new_types")).as("vocab_size")))
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    sums.crossJoin(totals).select(
+      col("total_tokens"), col("vocab_size"),
+      round(slope, 6).as("heaps_beta"),
+      round((syD - slope * sxD) / nD / 1e6, 6).as("heaps_logk"))
+  }
+
   /** The blocklist keep verdict as a composable Column over `text` —
     * plugs into [[corpusClean]]'s `extraFilter` (and any filter chain)
     * so the batch pipeline gains the badword gate without a new stage;
@@ -2026,6 +2140,38 @@ object TextQueries {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2"), col("n_shared"))
+  }
+
+  /** Edit-distance-verified near-duplicate pairs — the candidate-then-
+    * verify fuzzy-dedup shape with EXACT Levenshtein similarity as the
+    * verifier (the verification stage MOSS-style fingerprint matchers
+    * hand off to; cf. Schleimer et al. 2003 §5's "confirm matches").
+    * Candidates come from [[winnowPairs]] (every pair sharing a run of
+    * ≥ w+k−1 tokens is guaranteed present); each candidate then pays
+    * one exact `levenshtein` over the two texts, and pairs keep when
+    * sim_ppm = (maxlen − dist)·1e6 div maxlen ≥ `minSimPpm`. All
+    * arithmetic is exact integers — no float drift against the oracle.
+    *
+    * Scale shape: the quadratic edit-distance cost is paid ONLY on the
+    * candidate pairs (bounded by the fingerprint buckets, skew-salted
+    * via [[graft.ops.Scale.selfPairs]]), never all-pairs; the two text
+    * lookups are equi-joins on doc_id, shuffling only candidate-side
+    * rows against the corpus. Emits (d1, d2, n_shared, dist, sim_ppm).
+    */
+  def editDistPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    minShared: Int = 2, minSimPpm: Long = 500000L): DataFrame = {
+    val cand = winnowPairs(docs, k, w, minShared)
+    val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
+    val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    cand.join(t1, "d1").join(t2, "d2")
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .select(col("d1"), col("d2"), col("n_shared"), col("dist"),
+        when(col("max_len") === 0L, 1000000L)
+          .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
+          .as("sim_ppm"))
+      .filter(col("sim_ppm") >= minSimPpm)
   }
 
   /** Per-row winnow fingerprint array over `text` alone — the
@@ -3803,7 +3949,19 @@ object TextQueries {
     },
 
     // ---- corpus Zipf profile: token-distribution sanity report ----
-    "txt_zipf" -> { (s, dir) => zipfProfile(Tables.documents(s, dir)) }
+    "txt_zipf" -> { (s, dir) => zipfProfile(Tables.documents(s, dir)) },
+
+    // ---- Heaps-law vocabulary growth: the companion sanity report ----
+    "txt_heaps" -> { (s, dir) => heapsProfile(Tables.documents(s, dir)) },
+
+    // ---- PMI collocations (Church & Hanks 1990) ----
+    "txt_pmi" -> { (s, dir) => pmiCollocations(Tables.documents(s, dir)) },
+
+    // ---- edit-distance-verified near-dup pairs: winnow candidates,
+    // exact Levenshtein verdict ----
+    "dedup_editdist_pairs" -> { (s, dir) =>
+      editDistPairs(Tables.documents(s, dir))
+    }
   )
 
   /** Exact heavy hitters — every token with frequency > n/`denom` over
@@ -4919,6 +5077,77 @@ object TextQueries {
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1e6, 6) AS zipf_intercept
         |FROM s CROSS JOIN tot""".stripMargin,
+
+    "txt_heaps" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+        |fw AS (SELECT w, min(doc_id) AS doc_id
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |       GROUP BY w),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types FROM fw GROUP BY doc_id),
+        |c AS (SELECT sum(pd.n_toks) OVER (ORDER BY pd.doc_id) AS ct,
+        |             sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pd.doc_id) AS cv
+        |      FROM pd LEFT JOIN nt ON pd.doc_id = nt.doc_id),
+        |q AS (SELECT CAST(round(ln(CAST(ct AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+        |             CAST(round(ln(CAST(cv AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+        |      FROM c WHERE ct >= 1 AND cv >= 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |             sum(xq * yq) AS sxy, sum(xq * xq) AS sxx FROM q),
+        |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM t),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM fw)
+        |SELECT total_tokens, vocab_size,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
+        |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1e6, 6) AS heaps_logk
+        |FROM s CROSS JOIN tot CROSS JOIN vs""".stripMargin,
+
+    "txt_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_toks,
+        |               CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bigrams FROM t),
+        |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |       GROUP BY w),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i)),
+        |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM bg GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT pc.w1, pc.w2, pc.n_pair,
+        |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_toks AS DOUBLE) * CAST(tot.n_toks AS DOUBLE))
+        |    / (CAST(tot.n_bigrams AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
+        |FROM pc JOIN vc c1 ON pc.w1 = c1.w JOIN vc c2 ON pc.w2 = c2.w CROSS JOIN tot""".stripMargin,
+
+    "dedup_editdist_pairs" -> {
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(
+         |        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         |          i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])),
+         |        g -> ${phashSql("g")}) AS hashes
+         |      FROM t),
+         |f AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         |        ELSE list_distinct(list_transform(
+         |          range(1, greatest(len(hashes) - 3, 1) + 1),
+         |          i -> list_min(list_slice(hashes, CAST(i AS INT), CAST(i + 3 AS INT))))) END) AS fp
+         |      FROM h),
+         |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+         |         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id
+         |         HAVING count(*) >= 2),
+         |v AS (SELECT c.d1, c.d2, c.n_shared,
+         |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+         |        CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+         |      FROM cand c JOIN documents x ON c.d1 = x.doc_id
+         |                  JOIN documents y ON c.d2 = y.doc_id)
+         |SELECT d1, d2, n_shared, dist,
+         |  CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE (max_len - dist) * 1000000 // max_len END AS sim_ppm
+         |FROM v
+         |WHERE (CASE WHEN max_len = 0 THEN 1000000
+         |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin
+    },
 
     "txt_unigram_lm" -> unigramLmSql,
 

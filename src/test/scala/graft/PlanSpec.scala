@@ -605,6 +605,41 @@ class PlanSpec extends AnyFunSuite {
       s"the match step must equi-join on the fingerprint key:\n${p.take(2000)}")
   }
 
+  test("dedup_editdist_pairs pays levenshtein only on equi-joined candidates") {
+    val p = plan("dedup_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"verification must ride equi-joins (candidates x texts), never all-pairs:\n${p.take(2000)}")
+  }
+
+  test("txt_pmi broadcasts the qualifying-pair set onto the vocabulary") {
+    val p = plan("txt_pmi")
+    // the >= minCount pair table is Zipf-bounded and broadcasts through
+    // both count lookups; the corpus-sized vocab must never re-shuffle
+    // on a pair key
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair set must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocab must not shuffle against the pair table:\n${p.take(2000)}")
+  }
+
+  test("txt_heaps cumulative series stays partition-parallel") {
+    val p = plan("txt_heaps")
+    // every window keys on the stitch chunk; the only SinglePartition
+    // exchange allowed is the one-row scalar-aggregate finalize (its
+    // parent is a HashAggregate combining map-side partials) — never a
+    // Sort/Window funneling the doc series through one task
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val parent = lines.take(i).reverse.find(l =>
+          l.contains("HashAggregate") || l.contains("Window") || l.contains("Sort"))
+        assert(parent.exists(_.contains("HashAggregate")),
+          s"SinglePartition exchange must feed only the scalar finalize:\n${p.take(2500)}")
+    }
+    assert(p.contains("windowspecdefinition(_chunk"),
+      s"prefix sums must window on the chunk key:\n${p.take(2000)}")
+  }
+
   test("dedup_winnow_incr equi-joins the compact index: no cartesian, no text in shuffles") {
     val p = plan("dedup_winnow_incr")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -133,6 +133,87 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("heapsProfile: distinct-everywhere corpus reads beta exactly 1, saturated corpus exactly 0") {
+    // every token globally unique → cv == ct at every boundary → the OLS
+    // numerator and denominator are the same doubles → slope 1.0 exactly
+    val uniq = (0 until 30).map(d =>
+        (d.toLong, (0 until 5).map(j => s"w${d}_$j").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextQueries.heapsProfile(uniq).collect()(0)
+    assert(r.getAs[Long]("total_tokens") == 150 && r.getAs[Long]("vocab_size") == 150)
+    assert(r.getAs[Double]("heaps_beta") == 1.0)
+    assert(math.abs(r.getAs[Double]("heaps_logk")) < 1e-9)
+    // vocabulary saturates in doc 0 → constant cv → slope exactly 0
+    val rep = (0 until 30).map(d => (d.toLong, "a b c a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r2 = TextQueries.heapsProfile(rep).collect()(0)
+    assert(r2.getAs[Long]("vocab_size") == 3)
+    assert(math.abs(r2.getAs[Double]("heaps_beta")) < 1e-9)
+    // pure function of content: partitioning must not move the result
+    val r3 = TextQueries.heapsProfile(uniq.repartition(7)).collect()(0)
+    assert(r3 == r)
+  }
+
+  test("pmiCollocations == driver-side PMI reference on random corpora") {
+    for (i <- 0 until 3) {
+      val rows = corpus(i)
+      val d = rows.toDF("doc_id", "text", "lang").repartition(5)
+      val toks = rows.map(_._2.split(" ").toSeq)
+      val n = toks.map(_.size).sum.toDouble
+      val b = toks.map(t => math.max(t.size - 1, 0)).sum.toDouble
+      val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toDouble }
+      val bi = toks.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      val want = bi.filter(_._2 >= 2).map { case ((w1, w2), c) =>
+        val pmi = math.log((c.toDouble * n * n) / (b * uni(w1) * uni(w2)))
+        (w1, w2) -> (c, BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val got = TextQueries.pmiCollocations(d, minCount = 2L).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == want, s"sample $i")
+    }
+  }
+
+  test("editDistPairs: exact Levenshtein verdict over every winnow candidate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val rows = Seq(
+      (0L, base, "en"),
+      (1L, base, "en"),
+      (2L, base.replace("quick", "slow"), "en"),
+      (3L, "completely different content words entirely unrelated text here", "en"))
+    val texts = rows.map(r => r._1 -> r._2).toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (ii <- 1 to a.length) {
+        var prev = dp(0); dp(0) = ii
+        for (jj <- 1 to b.length) {
+          val cur = dp(jj)
+          dp(jj) = math.min(math.min(dp(jj) + 1, dp(jj - 1) + 1),
+            prev + (if (a(ii - 1) == b(jj - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = TextQueries.editDistPairs(d, minSimPpm = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((d1, d2), (dist, sim)) =>
+      val (ta, tb) = (texts(d1), texts(d2))
+      assert(dist == lev(ta, tb), s"($d1,$d2)")
+      val ml = math.max(ta.length, tb.length).toLong
+      assert(sim == (ml - dist) * 1000000L / ml, s"($d1,$d2)")
+    }
+    // the identical pair verifies at similarity 1.0; the one-word edit
+    // survives; the threshold then cuts by sim_ppm exactly
+    assert(got((0L, 1L)) == ((0L, 1000000L)))
+    assert(got.contains((0L, 2L)) && got((0L, 2L))._1 > 0L)
+    val strict = TextQueries.editDistPairs(d, minSimPpm = 999999L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == got.keySet.filter(k => got(k)._2 >= 999999L))
+  }
+
   test("tokenEntropy: bounded by [0, ln n], zero iff one distinct token") {
     for (i <- 0 until 3) {
       val d = corpus(i).toDF("doc_id", "text", "lang")
