@@ -145,6 +145,48 @@ object SimilarityQueries {
       Seq("vec_id"), "left_anti")
   }
 
+  /** kNN-edge CTE chain shared by the emb_knn_join and emb_pagerank
+    * oracles; terminal CTE `knn` exposes (vec_id, rank, nbr, cosine)
+    * at the query default k=3. */
+  private def knnCtesSql: String =
+    s"""bk AS ($bucketSql),
+       |q AS (SELECT vec_id, embedding AS e1, bucket FROM bk),
+       |c AS (SELECT vec_id AS nbr, embedding AS e2, bucket FROM bk),
+       |scored AS (
+       |  SELECT q.vec_id, nbr,
+       |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
+       |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
+       |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
+       |  FROM q JOIN c USING (bucket) WHERE q.vec_id != nbr),
+       |knn AS (SELECT vec_id, rank, nbr, cosine FROM (
+       |  SELECT vec_id, nbr, cosine,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr) AS INT) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 3)""".stripMargin
+
+  /** The emb_pagerank oracle: the kNN CTEs plus `iters` unrolled
+    * integer power-iteration rounds — the same ppb `//` arithmetic the
+    * engine runs, so the match is exact. */
+  private def pageRankSql(iters: Int, dampPct: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""p$i AS (SELECT v.vec_id,
+         |  CAST((CAST(100 - $dampPct AS BIGINT) * 1000000000) // (100 * nn.n) + coalesce(s.m, 0) AS BIGINT) AS pr
+         |  FROM embeddings v CROSS JOIN nn LEFT JOIN (
+         |    SELECT dst, sum((p.pr * $dampPct) // (100 * od.od)) AS m
+         |    FROM e JOIN od USING (src) JOIN p${i - 1} p ON e.src = p.vec_id
+         |    GROUP BY dst) s
+         |  ON v.vec_id = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnCtesSql,
+       |e AS (SELECT vec_id AS src, nbr AS dst FROM knn),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |p0 AS (SELECT vec_id, CAST(1000000000 // nn.n AS BIGINT) AS pr
+       |       FROM embeddings CROSS JOIN nn),
+       |$rounds
+       |SELECT vec_id, pr AS pr_ppb FROM p$iters""".stripMargin
+  }
+
   private val bucketSql: String =
     s"""SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN (
        |  WITH expl AS (
@@ -455,16 +497,12 @@ object SimilarityQueries {
     // ---- approximate kNN GRAPH: every vector's top-k bucket-local
     // neighbors (directed; kNN is asymmetric) — the self-join form of
     // emb_ann_topk and the building block for graph-based curation ----
-    "emb_knn_join" -> { (s, dir) =>
-      val b = bucketed(s, dir)
-      val a = b.select(col("vec_id"), col("embedding").as("e1"), col("bucket"))
-      val c = b.select(col("vec_id").as("nbr"), col("embedding").as("e2"), col("bucket"))
-      val scored = a.join(c, Seq("bucket")).filter(col("vec_id") =!= col("nbr"))
-        .withColumn("cosine", cosineE12(col("e1"), col("e2")))
-      val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
-    },
+    "emb_knn_join" -> { (s, dir) => knnEdges(s, dir) },
+
+    // ---- PageRank centrality over the kNN graph: the graph-quality
+    // signal of web-curation pipelines, on the corpus's own
+    // similarity structure ----
+    "emb_pagerank" -> { (s, dir) => knnPageRank(s, dir) },
 
     // ---- per-cluster inertia report (the k-means quality/elbow
     // observable): one map-only min-dist pass, k tiny output rows ----
@@ -498,6 +536,64 @@ object SimilarityQueries {
       e.join(broadcast(drop), Seq("vec_id"), "left_anti").select(col("vec_id"))
     }
   )
+
+  /** Directed approximate kNN edges — every vector's top-`k`
+    * bucket-local cosine neighbors (the emb_knn_join frame): candidates
+    * meet in sign-LSH buckets, never all-pairs; the per-vector top-k is
+    * a WindowGroupLimit on the vec_id key. */
+  private def knnEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val b = bucketed(s, dir)
+    val a = b.select(col("vec_id"), col("embedding").as("e1"), col("bucket"))
+    val c = b.select(col("vec_id").as("nbr"), col("embedding").as("e2"), col("bucket"))
+    val scored = a.join(c, Seq("bucket")).filter(col("vec_id") =!= col("nbr"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
+  }
+
+  /** PageRank centrality over the approximate kNN graph (Page et al.
+    * 1999) — the graph-centrality quality signal of web-scale curation
+    * (CommonCrawl's own crawl ordering ranks hosts by centrality;
+    * within a corpus, high-centrality vectors sit in dense semantic
+    * neighborhoods, isolated ones are outliers). Power iteration in
+    * EXACT integer parts-per-billion: rank_0 = 1e9 div n; each round
+    * every edge carries (pr·damp) div (100·outdeg) to its target and
+    * every node restarts from ((100−damp)·1e9) div (100·n) — all-long
+    * arithmetic, so sums are associative and the result is
+    * partition-order-free and oracle-exact (the `div`-truncated mass
+    * leaks, as does mass reaching dangling bucket-singletons: this is
+    * the documented "PageRank with leaks" variant — fine for a
+    * RANKING signal, and exactly replayed by the oracle).
+    *
+    * Scale shape: the kNN join runs ONCE and checkpoints to a compact
+    * (src, dst, outdeg) edge list (ids only — embeddings never enter
+    * the iteration); each of the `iters` rounds is one src-keyed
+    * equi-join plus one dst-keyed map-side-combined aggregate —
+    * 2·iters shuffles of 24-byte rows, the canonical distributed
+    * power-iteration shape. Emits (vec_id, pr_ppb). */
+  def knnPageRank(s: SparkSession, dir: String, iters: Int = 3,
+                  dampPct: Int = 85, k: Int = 3): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val n = nodes.count()
+    require(n > 0, "pagerank over an empty vector table")
+    val edges = knnEdges(s, dir, k)
+      .select(col("vec_id").as("src"), col("nbr").as("dst"))
+    val ewd = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint() // one kNN pass; rounds re-scan compact ids
+    val base = ((100L - dampPct) * 1000000000L) / (100L * n)
+    var p = nodes.withColumn("pr", lit(1000000000L / n))
+    for (_ <- 1 to iters) {
+      val contrib = ewd.join(p.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr(s"(pr * $dampPct) div (100 * od)").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("m"))
+      p = nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
+        .select(nodes("vec_id"), (lit(base) + coalesce(col("m"), lit(0L))).as("pr"))
+    }
+    p.select(col("vec_id"), col("pr").as("pr_ppb"))
+  }
 
   /** The SemDeDup drop tail shared by every bucketing (k-means cells,
     * RVQ cells, sign-LSH, PCA grid): within-bucket exact-cosine pairs →
@@ -1045,20 +1141,10 @@ object SimilarityQueries {
     "emb_neardup_pairs" -> neardupPairsSql,
 
     "emb_knn_join" ->
-      s"""WITH bk AS ($bucketSql),
-         |q AS (SELECT vec_id, embedding AS e1, bucket FROM bk),
-         |c AS (SELECT vec_id AS nbr, embedding AS e2, bucket FROM bk),
-         |scored AS (
-         |  SELECT q.vec_id, nbr,
-         |    CAST(${dotE12Sql("e1", "e2")} AS DOUBLE) /
-         |      (sqrt(CAST(${norm2e12Sql.replace("embedding", "e1")} AS DOUBLE)) *
-         |       sqrt(CAST(${norm2e12Sql.replace("embedding", "e2")} AS DOUBLE))) AS cosine
-         |  FROM q JOIN c USING (bucket) WHERE q.vec_id != nbr)
-         |SELECT vec_id, rank, nbr, cosine FROM (
-         |  SELECT vec_id, nbr, cosine,
-         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr) AS INT) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 3""".stripMargin,
+      s"""WITH $knnCtesSql
+         |SELECT vec_id, rank, nbr, cosine FROM knn""".stripMargin,
+
+    "emb_pagerank" -> pageRankSql(iters = 3, dampPct = 85),
 
     "emb_dedup_exact" ->
       """SELECT min(vec_id) AS vec_id, count(*) AS n_copies

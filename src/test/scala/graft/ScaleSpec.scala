@@ -262,6 +262,30 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p2.forall(v => v >= 0 && v <= 1000000L) && p2.sum > 0)
   }
 
+  test("emb_pagerank == driver-side integer power iteration; leak-only mass") {
+    val edges = graft.sim.SimilarityQueries.queries("emb_knn_join")(spark, sfDir)
+      .select("vec_id", "nbr").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nodes = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0))
+    val n = nodes.length.toLong
+    val od = edges.groupBy(_._1).map { case (s2, es) => s2 -> es.length.toLong }
+    val base = (15L * 1000000000L) / (100L * n)
+    var pr = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s2, d) => in(d) += (pr(s2) * 85L) / (100L * od(s2)) }
+      pr = nodes.map(v => v -> (base + in(v))).toMap
+    }
+    val got = graft.sim.SimilarityQueries.queries("emb_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    // div truncation and dangling nodes only LEAK mass — never create it
+    assert(got.values.sum <= 1000000000L)
+    assert(got.values.forall(_ >= base), "every node keeps at least the restart mass")
+    // dense neighborhoods outrank the restart floor somewhere
+    assert(got.values.max > base)
+  }
+
   test("IVF top-k returns within-cell neighbors ranked by exact cosine") {
     val res = graft.sim.SimilarityQueries.queries("emb_ivf_topk")(spark, sfDir).collect()
     assert(res.nonEmpty)
