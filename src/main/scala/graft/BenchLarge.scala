@@ -771,6 +771,25 @@ object BenchLarge {
       graft.text.TextQueries.zipfProfile(docs(spark, nDocs, template))
         .collect()(0).getLong(1)
     }
+    // PMI collocations at the full corpus: one bigram aggregate
+    // (map-side combined), the >= minCount pair set broadcast through
+    // both vocabulary lookups — the vocab never re-shuffles.
+    timed("txt_pmi", clearAfter = true) {
+      graft.text.TextQueries.pmiCollocations(docs(spark, nDocs, template)).count()
+    }
+    // Heaps-law growth at the full corpus: first-doc-per-type
+    // aggregate, two stitched prefix sums, DECIMAL(38,0) OLS.
+    timed("txt_heaps", clearAfter = true) {
+      graft.text.TextQueries.heapsProfile(docs(spark, nDocs, template))
+        .collect()(0).getLong(0)
+    }
+    // edit-distance verification over the winnow candidates: the
+    // 1100-doc template clique and the 1% planted dups carry IDENTICAL
+    // text, so they settle on the equality short-circuit; only
+    // hash-collision candidates pay the O(len²) DP.
+    timed("editdist_pairs", clearAfter = true) {
+      graft.text.TextQueries.editDistPairs(docs(spark, nDocs, template)).count()
+    }
     // incremental winnow dedup: a 5% batch probes the 95% corpus's
     // compact (fp, dup_of) index — the local-fingerprinting member of
     // the incremental family. The check counts matched batch docs.
@@ -829,6 +848,16 @@ object BenchLarge {
       val cents = graft.sim.Ivf.kmeans(sample, 8)
       graft.sim.SimilarityQueries.annRecallOn(emb, cents)
         .agg(sum("n_hit")).collect()(0).getLong(0)
+    }
+    // PageRank over the kNN graph at the full vector corpus: ONE
+    // 16-plane kNN join checkpointed to a compact id edge list, then 3
+    // integer ppb power-iteration rounds (2 shuffles of 24-byte rows
+    // each). The check sums final ranks (deterministic long
+    // arithmetic, so passes must agree).
+    timed("emb_pagerank", clearAfter = true) {
+      graft.sim.SimilarityQueries.knnPageRankOn(embeddings(spark, nVecs),
+          planes = 16)
+        .agg(sum("pr_ppb")).collect()(0).getLong(0)
     }
     // PCA whitening at the full vector corpus: same bounded-sample
     // train + map-only projection as emb_pca, with the 1/sqrt(eig)

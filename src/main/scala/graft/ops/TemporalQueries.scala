@@ -100,8 +100,43 @@ object TemporalQueries {
     "stream_hist_batch" -> { (s, dir) =>
       graft.streaming.StreamOps.batchHistogram(
         Tables.events(s, dir), BinAxis("value", 20, 0.0, 500.0), "1 minute")
+    },
+
+    // first-touch conversion funnel (view → click → purchase): per
+    // user, the FIRST timestamp of each step; the user reaches step k
+    // while the first-touch chain stays strictly increasing. stage =
+    // the deepest step reached (0 = never viewed). One map-side-
+    // combined user aggregate (min-per-type rides the groupBy) into a
+    // 4-row stage count — no window, no self-join, two compact
+    // shuffles at any scale.
+    "event_funnel" -> { (s, dir) =>
+      firstTouchFunnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
     }
   )
+
+  /** First-touch funnel over an ordered `steps` sequence: per user the
+    * FIRST timestamp of each step (one map-side-combined aggregate),
+    * stage = the deepest step whose first-touch chain stays strictly
+    * increasing (0 = never did step 1), then a steps-sized stage
+    * count — no window, no self-join, two compact shuffles. */
+  def firstTouchFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val firsts = events.groupBy("user_id")
+      .agg(steps.zipWithIndex.map { case (st, i) =>
+        min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
+      }.head, steps.zipWithIndex.tail.map { case (st, i) =>
+        min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
+      }: _*)
+    val stage = steps.indices.foldLeft(when(col("t1").isNull, 0)) {
+      case (acc, i) if i > 0 =>
+        acc.when(col(s"t${i + 1}").isNull ||
+          col(s"t${i + 1}") <= col(s"t$i"), i)
+      case (acc, _) => acc
+    }.otherwise(steps.length)
+    firsts.select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
 
   val oracles: Map[String, String] = Map(
     "asof_join" ->
@@ -148,6 +183,19 @@ object TemporalQueries {
         |  FROM (SELECT event_id, user_id, ts,
         |          lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events) t1) t2""".stripMargin,
+
+    "event_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |FROM events GROUP BY user_id)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CASE WHEN t1 IS NULL THEN 0
+        |              WHEN t2 IS NULL OR t2 <= t1 THEN 1
+        |              WHEN t3 IS NULL OR t3 <= t2 THEN 2
+        |              ELSE 3 END AS stage FROM f) t
+        |GROUP BY stage""".stripMargin,
 
     "stream_hist_batch" -> {
       val ax = BinAxis("value", 20, 0.0, 500.0)

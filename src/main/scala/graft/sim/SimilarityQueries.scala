@@ -541,8 +541,11 @@ object SimilarityQueries {
     * bucket-local cosine neighbors (the emb_knn_join frame): candidates
     * meet in sign-LSH buckets, never all-pairs; the per-vector top-k is
     * a WindowGroupLimit on the vec_id key. */
-  private def knnEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val b = bucketed(s, dir)
+  private def knnEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnEdgesOf(Tables.embeddings(s, dir), k)
+
+  private def knnEdgesOf(e: DataFrame, k: Int, planes: Int = PLANES): DataFrame = {
+    val b = bucketedOf(e, planes)
     val a = b.select(col("vec_id"), col("embedding").as("e1"), col("bucket"))
     val c = b.select(col("vec_id").as("nbr"), col("embedding").as("e2"), col("bucket"))
     val scored = a.join(c, Seq("bucket")).filter(col("vec_id") =!= col("nbr"))
@@ -573,12 +576,19 @@ object SimilarityQueries {
     * 2·iters shuffles of 24-byte rows, the canonical distributed
     * power-iteration shape. Emits (vec_id, pr_ppb). */
   def knnPageRank(s: SparkSession, dir: String, iters: Int = 3,
-                  dampPct: Int = 85, k: Int = 3): DataFrame = {
+                  dampPct: Int = 85, k: Int = 3): DataFrame =
+    knnPageRankOn(Tables.embeddings(s, dir), iters, dampPct, k)
+
+  /** Frame-parametric form of [[knnPageRank]] (the corpus-scale bench
+    * path). */
+  def knnPageRankOn(e: DataFrame, iters: Int = 3,
+                    dampPct: Int = 85, k: Int = 3,
+                    planes: Int = PLANES): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
-    val nodes = Tables.embeddings(s, dir).select(col("vec_id"))
+    val nodes = e.select(col("vec_id"))
     val n = nodes.count()
     require(n > 0, "pagerank over an empty vector table")
-    val edges = knnEdges(s, dir, k)
+    val edges = knnEdgesOf(e, k, planes)
       .select(col("vec_id").as("src"), col("nbr").as("dst"))
     val ewd = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")

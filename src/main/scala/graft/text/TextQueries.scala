@@ -2164,7 +2164,12 @@ object TextQueries {
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
     cand.join(t1, "d1").join(t2, "d2")
-      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("long"))
+      // equality short-circuit: exact-duplicate cliques (the common
+      // candidate bulk — a template shared by n docs yields n²/2
+      // candidate pairs of IDENTICAL text) settle on a byte compare
+      // instead of an O(len²) DP; semantically a no-op (lev(x,x) = 0)
+      .withColumn("dist", when(col("t1") === col("t2"), 0L)
+        .otherwise(levenshtein(col("t1"), col("t2")).cast("long")))
       .withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
       .select(col("d1"), col("d2"), col("n_shared"), col("dist"),
@@ -2240,6 +2245,33 @@ object TextQueries {
       .filter(col("n_shared") >= minShared)
       .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
       .select(col("batch_id"), col("dup_of"), col("n_shared"), col("n_fps"))
+  }
+
+  /** Incremental edit-distance dedup: [[winnowDedupAgainst]]'s best
+    * corpus match per batch document, VERIFIED by exact Levenshtein —
+    * the candidate-then-verify shape of [[editDistPairs]] under the
+    * incremental contract (the corpus contributes its compact winnow
+    * index for candidate generation; only the ≤1-per-batch-doc matched
+    * rows ever join corpus TEXT, one doc_id equi-join). Same integer
+    * sim_ppm verdict and identical-text short-circuit. Emits
+    * (batch_id, dup_of, n_shared, dist, sim_ppm) for verified matches.
+    */
+  def editDistAgainst(batch: DataFrame, corpus: DataFrame,
+                      k: Int = 3, w: Int = 4, minSimPpm: Long = 500000L,
+                      corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val cand = winnowDedupAgainst(batch, corpus, k, w, corpusIndex = corpusIndex)
+    val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
+    val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
+    cand.join(bt, "batch_id").join(ct, "dup_of")
+      .withColumn("dist", when(col("t1") === col("t2"), 0L)
+        .otherwise(levenshtein(col("t1"), col("t2")).cast("long")))
+      .withColumn("max_len",
+        greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      .select(col("batch_id"), col("dup_of"), col("n_shared"), col("dist"),
+        when(col("max_len") === 0L, 1000000L)
+          .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
+          .as("sim_ppm"))
+      .filter(col("sim_ppm") >= minSimPpm)
   }
 
   /** Content-defined-chunking fingerprints ([[graft.functions.CdcChunks]]
@@ -3961,6 +3993,14 @@ object TextQueries {
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
       editDistPairs(Tables.documents(s, dir))
+    },
+
+    // ---- incremental edit-distance dedup: winnow-index candidates,
+    // Levenshtein verification of the best match only ----
+    "dedup_editdist_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      editDistAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
     }
   )
 
@@ -4798,6 +4838,30 @@ object TextQueries {
          |SELECT batch_id, dup_of, CAST(n_shared AS BIGINT) AS n_shared,
          |  CAST(n_fps AS BIGINT) AS n_fps
          |FROM r WHERE rn = 1""".stripMargin,
+
+    "dedup_editdist_incr" ->
+      s"""WITH $winnowFpsOracleCtes,
+         |bx AS (SELECT doc_id AS batch_id, len(fps) AS n_fps, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 1),
+         |cx AS (SELECT doc_id AS dup_of, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 0),
+         |m AS (SELECT batch_id, dup_of, count(*) AS n_shared
+         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |r AS (SELECT batch_id, dup_of, n_shared,
+         |        row_number() OVER (PARTITION BY batch_id ORDER BY n_shared DESC, dup_of) AS rn
+         |      FROM m),
+         |v AS (SELECT b.batch_id, b.dup_of, CAST(b.n_shared AS BIGINT) AS n_shared,
+         |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+         |        CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+         |      FROM r b JOIN documents x ON b.batch_id = x.doc_id
+         |               JOIN documents y ON b.dup_of = y.doc_id
+         |      WHERE b.rn = 1)
+         |SELECT batch_id, dup_of, n_shared, dist,
+         |  CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE (max_len - dist) * 1000000 // max_len END AS sim_ppm
+         |FROM v
+         |WHERE (CASE WHEN max_len = 0 THEN 1000000
+         |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
 
     "txt_normalize" ->
       """WITH n AS (SELECT doc_id,

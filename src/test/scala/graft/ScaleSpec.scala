@@ -182,6 +182,40 @@ class StitchSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("firstTouchFunnel: constructed stages, strict ordering, out-of-order demotion") {
+    def ev(u: Long, t: Long, ty: String) =
+      (u * 1000 + t, new java.sql.Timestamp(t * 1000), u, ty, 1.0, "")
+    val rows = Seq(
+      // user 1: full ordered chain → stage 3
+      ev(1, 10, "view"), ev(1, 20, "click"), ev(1, 30, "purchase"),
+      // user 2: view then click, no purchase → stage 2
+      ev(2, 10, "view"), ev(2, 20, "click"),
+      // user 3: click BEFORE first view → stage 1 (first-touch is strict)
+      ev(3, 20, "view"), ev(3, 10, "click"), ev(3, 30, "purchase"),
+      // user 4: never viewed → stage 0
+      ev(4, 10, "click"), ev(4, 20, "purchase"),
+      // user 5: purchase at the SAME instant as click → demoted to 2
+      ev(5, 10, "view"), ev(5, 20, "click"), ev(5, 20, "purchase"),
+      // user 6: view only → stage 1
+      ev(6, 10, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.TemporalQueries.firstTouchFunnel(
+        rows, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> 1L, 1 -> 2L, 2 -> 2L, 3 -> 1L))
+    // partition-invariant (pure aggregate of first-touch minima)
+    val rep = graft.ops.TemporalQueries.firstTouchFunnel(
+        rows.repartition(7), Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
+}
+
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._

@@ -214,6 +214,52 @@ class TextPropertySpec extends AnyFunSuite {
     assert(strict == got.keySet.filter(k => got(k)._2 >= 999999L))
   }
 
+  test("editDistAgainst: verified best matches agree with the winnow candidates + driver DP") {
+    // template corpus: even docs are the corpus, odd docs the batch;
+    // batch docs copy (or slightly edit) their even neighbor
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = (0 until 20).map { i =>
+      val t =
+        if (i % 2 == 0) base + s" tail$i"
+        else if (i % 4 == 1) base + s" tail${i - 1}"        // exact copy of i-1
+        else base.replace("gamma", "gamme") + s" tail${i - 1}" // 1-char edit
+      (i.toLong, t, "en")
+    }
+    val d = rows.toDF("doc_id", "text", "lang")
+    val batch = d.filter($"doc_id" % 2 === 1)
+    val corpus = d.filter($"doc_id" % 2 === 0)
+    val cand = TextQueries.winnowDedupAgainst(batch, corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = TextQueries.editDistAgainst(batch, corpus, minSimPpm = 0L).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == cand.keySet, "verification must not add or drop candidates at sim>=0")
+    val texts = rows.map(r => r._1 -> r._2).toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (ii <- 1 to a.length) {
+        var prev = dp(0); dp(0) = ii
+        for (jj <- 1 to b.length) {
+          val cur = dp(jj)
+          dp(jj) = math.min(math.min(dp(jj) + 1, dp(jj - 1) + 1),
+            prev + (if (a(ii - 1) == b(jj - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    got.foreach { case (b, (c, dist, sim)) =>
+      assert(c == cand(b), s"batch $b pairs with the winnow best match")
+      assert(dist == lev(texts(b), texts(c)), s"batch $b")
+      val ml = math.max(texts(b).length, texts(c).length).toLong
+      assert(sim == (ml - dist) * 1000000L / ml)
+    }
+    assert(got.nonEmpty)
+    // the threshold form is exactly the sim_ppm cut of the unfiltered run
+    val thr = TextQueries.editDistAgainst(batch, corpus).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(thr == got.filter(_._2._3 >= 500000L).keySet)
+  }
+
   test("tokenEntropy: bounded by [0, ln n], zero iff one distinct token") {
     for (i <- 0 until 3) {
       val d = corpus(i).toDF("doc_id", "text", "lang")
