@@ -112,8 +112,31 @@ object TemporalQueries {
     "event_funnel" -> { (s, dir) =>
       firstTouchFunnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"))
+    },
+
+    // weekly cohort retention: users bucket into their first active
+    // epoch-week (cohort) and count as retained in every later week
+    // they reappear — the (cohort_week, week_offset, n_users)
+    // triangle. One distinct on compact (user, week) pairs, one
+    // min-per-user aggregate, one cohort count — all map-side
+    // combinable, no window, no self-join.
+    "event_retention" -> { (s, dir) =>
+      cohortRetention(Tables.events(s, dir))
     }
   )
+
+  /** Weekly cohort-retention triangle over an event stream: distinct
+    * (user, epoch-week) activity, each user's first week is the
+    * cohort, and every active week counts at its offset. Emits
+    * (cohort_week, week_offset, n_users). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      expr("unix_timestamp(ts) div 604800").as("week")).distinct()
+    val fw = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(fw, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 
   /** First-touch funnel over an ordered `steps` sequence: per user the
     * FIRST timestamp of each step (one map-side-combined aggregate),
@@ -196,6 +219,17 @@ object TemporalQueries {
         |              WHEN t3 IS NULL OR t3 <= t2 THEN 2
         |              ELSE 3 END AS stage FROM f) t
         |GROUP BY stage""".stripMargin,
+
+    // Spark unix_timestamp floors to the second → floor(epoch(ts));
+    // both engines then floor-divide the nonnegative epoch by 604800
+    "event_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT fw.cohort_week, uw.week - fw.cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN fw USING (user_id)
+        |GROUP BY fw.cohort_week, uw.week - fw.cohort_week""".stripMargin,
 
     "stream_hist_batch" -> {
       val ax = BinAxis("value", 20, 0.0, 500.0)

@@ -1905,6 +1905,35 @@ object TextQueries {
       round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
   }
 
+  /** Flesch readability signals (Flesch 1948; Kincaid et al. 1975) —
+    * the classic surface-statistics quality scores many curation
+    * stacks report next to the Gopher/C4 heuristics: reading ease
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) and
+    * the FK grade 0.39·(w/s) + 11.8·(sy/w) − 15.59. Sentences count
+    * as terminal-punctuation runs ([.!?]+, min 1); syllables as vowel
+    * runs ([aeiouy]+ over the lowercased text, min 1) — the standard
+    * dictionary-free approximation (a vowel run cannot span the
+    * non-vowel space, so the whole-text count equals the per-word
+    * sum). Both regexes are RE2-portable; the ratio expressions keep
+    * one fixed double shape mirrored by the oracle, rounded 1e-6.
+    * Map-only, zero exchanges. */
+  def readability(docs: DataFrame): DataFrame = {
+    val w = col("n_words").cast("double")
+    val s = col("n_sentences").cast("double")
+    val sy = col("n_syllables").cast("double")
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).cast("long")
+          .as("n_sentences"),
+        greatest(expr("regexp_count(lower(text), '[aeiouy]+')"), lit(1)).cast("long")
+          .as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59), 6)
+          .as("fk_grade"))
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990):
     * every adjacent word pair occurring ≥ `minCount` times, scored
     * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) ) with p from corpus counts —
@@ -3989,6 +4018,9 @@ object TextQueries {
     // ---- PMI collocations (Church & Hanks 1990) ----
     "txt_pmi" -> { (s, dir) => pmiCollocations(Tables.documents(s, dir)) },
 
+    // ---- Flesch/FK readability signals ----
+    "txt_readability" -> { (s, dir) => readability(Tables.documents(s, dir)) },
+
     // ---- edit-distance-verified near-dup pairs: winnow candidates,
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
@@ -5182,6 +5214,19 @@ object TextQueries {
         |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_toks AS DOUBLE) * CAST(tot.n_toks AS DOUBLE))
         |    / (CAST(tot.n_bigrams AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
         |FROM pc JOIN vc c1 ON pc.w1 = c1.w JOIN vc c2 ON pc.w2 = c2.w CROSS JOIN tot""".stripMargin,
+
+    "txt_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+        |FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch_ease,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
+        |FROM c""".stripMargin,
 
     "dedup_editdist_pairs" -> {
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

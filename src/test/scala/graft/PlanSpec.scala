@@ -611,6 +611,12 @@ class PlanSpec extends AnyFunSuite {
       s"verification must ride equi-joins (candidates x texts), never all-pairs:\n${p.take(2000)}")
   }
 
+  test("txt_readability is a map-only pass: no exchange, no UDF") {
+    val p = plan("txt_readability")
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"readability signals must not shuffle:\n${p.take(1500)}")
+  }
+
   test("txt_pmi broadcasts the qualifying-pair set onto the vocabulary") {
     val p = plan("txt_pmi")
     // the >= minCount pair table is Zipf-bounded and broadcasts through

@@ -214,6 +214,27 @@ class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rep == got)
   }
+
+  test("cohortRetention: constructed weekly triangle, distinct within-week activity") {
+    val wk = 604800L
+    def ev(u: Long, week: Long, k: Long) =
+      (u * 100 + week * 10 + k, new java.sql.Timestamp((week * wk + k * 60) * 1000),
+        u, "view", 1.0, "")
+    val rows = Seq(
+      // user 1: weeks 0, 1, 3 (two events in week 0 — distinct'd)
+      ev(1, 0, 1), ev(1, 0, 2), ev(1, 1, 1), ev(1, 3, 1),
+      // user 2: weeks 0, 1
+      ev(2, 0, 1), ev(2, 1, 1),
+      // user 3: cohort week 1 only
+      ev(3, 1, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.TemporalQueries.cohortRetention(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L, (1L, 0L) -> 1L))
+    val rep = graft.ops.TemporalQueries.cohortRetention(rows.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep == got)
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -260,6 +260,25 @@ class TextPropertySpec extends AnyFunSuite {
     assert(thr == got.filter(_._2._3 >= 500000L).keySet)
   }
 
+  test("readability: hand-counted fixture, vowel-less and unpunctuated floors") {
+    val rows = Seq(
+      (0L, "The cat sat. It ran away!", "en"), // 6 words, 2 sentences, 7 vowel runs
+      (1L, "zzz zz", "en"),                    // no vowels, no punctuation → both floor to 1
+      (2L, "why", "en"))                       // y is a vowel here: 1 run
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = TextQueries.readability(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)),
+        (r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0L)._1 == ((6L, 2L, 7L)))
+    assert(got(1L)._1 == ((2L, 1L, 1L)))
+    assert(got(2L)._1 == ((1L, 1L, 1L)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (_, ((w, s2, sy), (ease, grade))) =>
+      assert(ease == r6(206.835 - 1.015 * (w.toDouble / s2) - 84.6 * (sy.toDouble / w)))
+      assert(grade == r6(0.39 * (w.toDouble / s2) + 11.8 * (sy.toDouble / w) - 15.59))
+    }
+  }
+
   test("tokenEntropy: bounded by [0, ln n], zero iff one distinct token") {
     for (i <- 0 until 3) {
       val d = corpus(i).toDF("doc_id", "text", "lang")
