@@ -177,6 +177,18 @@ object BenchLarge {
       pmod(hash(col("id"), lit(2)), lit(200)).cast("double").as("user"),
       pmod(hash(col("id"), lit(3)), lit(24)).cast("double").as("hour"))
 
+  /** Typed event stream for the analytics pair (funnel/retention):
+    * 2M users, five event types, timestamps spread across 12
+    * epoch-weeks — all hash arithmetic inside codegen, like [[events]]. */
+  private def typedEvents(spark: SparkSession, rows: Long): DataFrame =
+    spark.range(rows).select(
+      pmod(hash(col("id"), lit(11)), lit(2000000)).cast("long").as("user_id"),
+      element_at(
+        typedLit(Seq("view", "click", "purchase", "error", "signup")),
+        (pmod(hash(col("id"), lit(12)), lit(5)) + 1).cast("int")).as("event_type"),
+      timestamp_seconds(lit(1700000000L) +
+        pmod(hash(col("id"), lit(13)), lit(12 * 604800))).as("ts"))
+
   /** Synthetic corpus: ~1% of docs duplicate their predecessor (pair
     * hits), and doc_ids < 1100 all share ONE template — a degenerate
     * band bucket just above Scale.selfPairs' hot threshold (1000), so
@@ -770,6 +782,42 @@ object BenchLarge {
     timed("txt_zipf", clearAfter = true) {
       graft.text.TextQueries.zipfProfile(docs(spark, nDocs, template))
         .collect()(0).getLong(1)
+    }
+    // first-touch funnel over 100M typed events / 2M users: one
+    // map-side-combined min-per-type user aggregate + a 4-row stage
+    // count — the no-window, no-self-join analytics shape.
+    timed("event_funnel", clearAfter = true) {
+      graft.ops.TemporalQueries.firstTouchFunnel(typedEvents(spark, rows),
+          Seq("view", "click", "purchase"))
+        .agg(sum(col("stage") * col("n_users"))).collect()(0).getLong(0)
+    }
+    // weekly cohort retention over the same stream: distinct compact
+    // (user, week) pairs, min-week cohort, triangle counts.
+    timed("event_retention", clearAfter = true) {
+      graft.ops.TemporalQueries.cohortRetention(typedEvents(spark, rows))
+        .agg(sum(col("n_users"))).collect()(0).getLong(0)
+    }
+    // Flesch/FK readability at the full corpus: two regexp counts +
+    // ratio arithmetic per row, map-only.
+    timed("txt_readability", clearAfter = true) {
+      graft.text.TextQueries.readability(docs(spark, nDocs, template))
+        .agg((sum("n_words") + sum("n_syllables") +
+          sum(round(col("fk_grade") * 1e6).cast("long"))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // percentile report at the full corpus: ten exact quantile cells
+    // through ONE grid call — three distributed scans total.
+    timed("corpus_percentiles", clearAfter = true) {
+      graft.text.TextQueries.corpusPercentiles(docs(spark, nDocs, template))
+        .agg(sum(round(col("value") * 1e6).cast("long"))).collect()(0).getLong(0)
+    }
+    // incremental edit-distance dedup: 5% batch vs 95% corpus winnow
+    // index, Levenshtein verification of best matches only.
+    timed("editdist_incr", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      graft.text.TextQueries.editDistAgainst(
+        all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0))
+        .count()
     }
     // PMI collocations at the full corpus: one bigram aggregate
     // (map-side combined), the >= minCount pair set broadcast through

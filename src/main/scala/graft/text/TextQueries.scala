@@ -1905,6 +1905,33 @@ object TextQueries {
       round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
   }
 
+  /** Corpus percentile report: p5/p25/p50/p75/p95 of the token-count
+    * and mean-word-length signals in long (signal, q_pct, value) form —
+    * the distribution readout data-quality dashboards publish next to
+    * the funnel. All TEN cells ride ONE
+    * [[graft.ops.Scale.exactQuantileGrid]] call: exact quantiles at
+    * bounded driver memory, every cell sharing the same three
+    * distributed scans (count, sketch, bracket-count). Values quantize
+    * 1e-6 — both engines convex-combine the same two neighboring
+    * order statistics, but the interpolation's last-ulp shape differs
+    * (Spark percentile's two-product form vs quantile_cont), the
+    * established cross-engine discipline. */
+  def corpusPercentiles(docs: DataFrame): DataFrame = {
+    val sig = docs.select(
+      wsTokenCount("text").cast("long").as("n_tokens"),
+      round((length(col("text")) - (wsTokenCount("text") - 1)).cast("double") /
+        wsTokenCount("text"), 6).as("mean_word_len"))
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val grid = graft.ops.Scale.exactQuantileGrid(
+      sig, Seq("n_tokens", "mean_word_len"), qs)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    grid.toSeq.map { case ((c, q), v) =>
+      (c, math.round(q * 100).toInt,
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(x => (x._1, x._2)).toDF("signal", "q_pct", "value")
+  }
+
   /** Flesch readability signals (Flesch 1948; Kincaid et al. 1975) —
     * the classic surface-statistics quality scores many curation
     * stacks report next to the Gopher/C4 heuristics: reading ease
@@ -4021,6 +4048,11 @@ object TextQueries {
     // ---- Flesch/FK readability signals ----
     "txt_readability" -> { (s, dir) => readability(Tables.documents(s, dir)) },
 
+    // ---- percentile report over the quantile grid ----
+    "corpus_percentiles" -> { (s, dir) =>
+      corpusPercentiles(Tables.documents(s, dir))
+    },
+
     // ---- edit-distance-verified near-dup pairs: winnow candidates,
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
@@ -5214,6 +5246,19 @@ object TextQueries {
         |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_toks AS DOUBLE) * CAST(tot.n_toks AS DOUBLE))
         |    / (CAST(tot.n_bigrams AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
         |FROM pc JOIN vc c1 ON pc.w1 = c1.w JOIN vc c2 ON pc.w2 = c2.w CROSS JOIN tot""".stripMargin,
+
+    "corpus_percentiles" -> {
+      val sigSql =
+        """SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          |    / len(string_split(text, ' ')), 6) AS mean_word_len FROM documents""".stripMargin
+      val cells = for {
+        c <- Seq("n_tokens", "mean_word_len")
+        (pct, q) <- Seq((5, "0.05"), (25, "0.25"), (50, "0.5"), (75, "0.75"), (95, "0.95"))
+      } yield
+        s"SELECT '$c' AS signal, $pct AS q_pct, round(quantile_cont($c, $q), 6) AS value FROM s"
+      s"WITH s AS ($sigSql)\n" + cells.mkString("\nUNION ALL\n")
+    },
 
     "txt_readability" ->
       """WITH c AS (SELECT doc_id,
