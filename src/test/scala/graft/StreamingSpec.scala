@@ -106,6 +106,78 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class StreamingFunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming funnel final stages == batch funnel counts (single-batch replay)") {
+    import org.apache.spark.sql.functions._
+    val batch = ops.TemporalQueries.queries("event_funnel")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sfDir)
+    val users = ev.select("user_id").distinct().count()
+    val perUser = graft.streaming.StreamOps.streamingFunnel(ev)
+      .groupBy("user_id").agg(max(col("stage")).as("stage"))
+      .groupBy("stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // users that never reach stage 1 emit nothing — they are batch stage 0
+    val streamed = perUser + (0 -> (users - perUser.values.sum))
+    assert(streamed.filter(_._2 > 0) == batch.filter(_._2 > 0))
+  }
+
+  test("funnel emits exactly one row per stage advance, in order") {
+    import spark.implicits._
+    def ev(u: Long, t: Long, ty: String) =
+      (u * 100 + t, new java.sql.Timestamp(t * 1000), u, ty, 1.0, "")
+    val rows = Seq(
+      ev(1, 1, "view"), ev(1, 2, "click"), ev(1, 3, "click"), ev(1, 4, "purchase"),
+      // user 2: click precedes view → capped at stage 1, one emission
+      ev(2, 1, "click"), ev(2, 2, "view"), ev(2, 3, "purchase"),
+      // user 3: no view → nothing emitted
+      ev(3, 1, "click"), ev(3, 2, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.streaming.StreamOps.streamingFunnel(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.filter(_._1 == 1).toSeq.sortBy(_._2) ==
+      Seq((1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 4000000L)))
+    assert(out.filter(_._1 == 2).toSeq == Seq((2L, 1, 2000000L)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("funnel first-touch state persists across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5)").collect()(0).getDouble(0).toLong
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    val raw = ev.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val streamIn = graft.streaming.StreamOps.readEvents(spark, dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingFunnel(streamIn)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      dump(raw.filter(expr("ts div 1000") <= cut), "batch1.parquet")
+      q.processAllAvailable()
+      dump(raw.filter(expr("ts div 1000") > cut), "batch2.parquet")
+      q.processAllAvailable()
+      val perUser = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(col("stage")).as("stage"))
+        .groupBy("stage").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val users = ev.select("user_id").distinct().count()
+      val streamed = perUser + (0 -> (users - perUser.values.sum))
+      val batch = ops.TemporalQueries.queries("event_funnel")(spark, sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(streamed.filter(_._2 > 0) == batch.filter(_._2 > 0))
+    } finally q.stop()
+  }
+}
+
 class StreamingAsofSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
 
