@@ -1905,6 +1905,45 @@ object TextQueries {
       round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
   }
 
+  /** Per-document character-class profile — the script/charset signal
+    * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
+    * share collapses, route by digit/punctuation density): fractions of
+    * ASCII letters, digits, whitespace, ASCII punctuation, and
+    * everything else, in exact ppm over the code-point count. Character
+    * CLASSES (one code point each), not runs, so the per-class counts
+    * sum to length exactly (spec-pinned); the explicit ASCII classes
+    * are spelled identically in Java regex and RE2, so the oracle
+    * replays them verbatim. Map-only, zero exchanges. */
+  /** The four explicit ASCII character classes, spelled identically in
+    * Java regex and RE2 (classes of single code points, not runs, so
+    * the counts sum to length exactly). */
+  private val charClasses = Seq(
+    "letter" -> "[A-Za-z]", "digit" -> "[0-9]",
+    "space" -> "[ \\t\\n\\r]", "punct" -> "[!-/:-@\\[-`{-~]")
+
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    // patterns ride as lit() columns, NOT SQL string literals — the
+    // SQL parser strips the \[ escape Java's class syntax requires,
+    // while DuckDB's literal keeps it (standard SQL): one Scala string
+    // serves both engines only if it bypasses Spark's SQL parser.
+    // Counts promote to BIGINT before the ppm multiply (an int count
+    // times 1e6 wraps at ~2k-char documents under ANSI); the division
+    // runs over NAMED count columns so the exact `div` form applies.
+    val counted = docs.select(Seq(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars")) ++
+      charClasses.map { case (name, cls) =>
+        regexp_count(col("text"), lit(cls)).cast("long").as(s"${name}_cnt")
+      }: _*)
+    def ppm(c: String) =
+      s"CASE WHEN n_chars = 0 THEN 0L ELSE ($c * 1000000) div n_chars END"
+    val otherCnt =
+      s"(n_chars - ${charClasses.map(c => s"${c._1}_cnt").mkString(" - ")})"
+    counted.select(Seq(col("doc_id"), col("n_chars")) ++
+      charClasses.map { case (name, _) =>
+        expr(ppm(s"${name}_cnt")).as(s"${name}_ppm")
+      } :+ expr(ppm(otherCnt)).as("other_ppm"): _*)
+  }
+
   /** Corpus percentile report: p5/p25/p50/p75/p95 of the token-count
     * and mean-word-length signals in long (signal, q_pct, value) form —
     * the distribution readout data-quality dashboards publish next to
@@ -4053,6 +4092,9 @@ object TextQueries {
       corpusPercentiles(Tables.documents(s, dir))
     },
 
+    // ---- character-class profile (script/charset signal) ----
+    "txt_charclass" -> { (s, dir) => charClassProfile(Tables.documents(s, dir)) },
+
     // ---- edit-distance-verified near-dup pairs: winnow candidates,
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
@@ -5246,6 +5288,17 @@ object TextQueries {
         |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_toks AS DOUBLE) * CAST(tot.n_toks AS DOUBLE))
         |    / (CAST(tot.n_bigrams AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
         |FROM pc JOIN vc c1 ON pc.w1 = c1.w JOIN vc c2 ON pc.w2 = c2.w CROSS JOIN tot""".stripMargin,
+
+    "txt_charclass" -> {
+      def cnt(c: String) = s"CAST(len(regexp_extract_all(text, '$c')) AS BIGINT)"
+      def ppm(c: String) =
+        s"CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ($c * 1000000) // length(text) END AS BIGINT)"
+      val other = s"(length(text) - ${charClasses.map(c => cnt(c._2)).mkString(" - ")})"
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  ${charClasses.map { case (n, c) => ppm(cnt(c)) + s" AS ${n}_ppm" }.mkString(",\n  ")},
+         |  ${ppm(other)} AS other_ppm
+         |FROM documents""".stripMargin
+    },
 
     "corpus_percentiles" -> {
       val sigSql =

@@ -611,6 +611,21 @@ class PlanSpec extends AnyFunSuite {
       s"verification must ride equi-joins (candidates x texts), never all-pairs:\n${p.take(2000)}")
   }
 
+  test("txt_charclass is a map-only pass: no exchange, no UDF") {
+    val p = plan("txt_charclass")
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"the class profile must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("emb_pagerank iterations run over the checkpointed id edges, not the kNN join") {
+    val p = plan("emb_pagerank")
+    // the kNN candidate join (bucket equi-join + per-vector top-k
+    // window) ran ONCE at plan-build time and checkpointed; the
+    // iterated plan must not re-contain it
+    assert(!p.contains("WindowGroupLimit") && !p.contains("hashpartitioning(bucket"),
+      s"power iterations must reuse the compact edge list:\n${p.take(2000)}")
+  }
+
   test("txt_readability is a map-only pass: no exchange, no UDF") {
     val p = plan("txt_readability")
     assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),

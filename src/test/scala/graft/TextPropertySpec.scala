@@ -260,6 +260,34 @@ class TextPropertySpec extends AnyFunSuite {
     assert(thr == got.filter(_._2._3 >= 500000L).keySet)
   }
 
+  test("charClassProfile: classes partition every code point; bracket/tab fixtures exact") {
+    val rows = Seq(
+      (0L, "abc XYZ 123!", "en"),        // 6 letters, 3 digits, 2 spaces, 1 punct
+      (1L, "[a-b]\t{c}~`", "en"),        // brackets/backtick/tilde are punct; tab is space
+      (2L, "", "en"),                    // empty → all ppm 0
+      (3L, "é世界 ok", "en")) // non-ASCII → other
+    val d = rows.toDF("doc_id", "text", "lang")
+    val got = TextQueries.charClassProfile(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def ppm(c: Long, n: Long) = if (n == 0) 0L else c * 1000000L / n
+    assert(got(0L) == ((12L, ppm(6, 12), ppm(3, 12), ppm(2, 12), ppm(1, 12), 0L)))
+    assert(got(1L) == ((11L, ppm(3, 11), 0L, ppm(1, 11), ppm(7, 11), 0L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((6L, ppm(2, 6), 0L, ppm(1, 6), 0L, ppm(3, 6))))
+    // the partition invariant on random corpora: raw class counts sum
+    // to the code-point count exactly (classes are disjoint singletons)
+    for (i <- 0 until 3) {
+      val c = corpus(i).toDF("doc_id", "text", "lang")
+      val bad = TextQueries.charClassProfile(c)
+        .filter(!(col("letter_ppm") + col("digit_ppm") + col("space_ppm") +
+          col("punct_ppm") + col("other_ppm")).between(999996, 1000000) &&
+          col("n_chars") > 0)
+        .count()
+      assert(bad == 0, s"sample $i: ppm shares must sum to ~1e6 (div truncation only)")
+    }
+  }
+
   test("readability: hand-counted fixture, vowel-less and unpunctuated floors") {
     val rows = Seq(
       (0L, "The cat sat. It ran away!", "en"), // 6 words, 2 sentences, 7 vowel runs
