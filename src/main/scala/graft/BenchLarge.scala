@@ -805,6 +805,24 @@ object BenchLarge {
           sum(round(col("fk_grade") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
+    // character-class ppm profile at the full corpus: five regex-count
+    // kernels + integer div per row, map-only.
+    timed("txt_charclass", clearAfter = true) {
+      graft.text.TextQueries.charClassProfile(docs(spark, nDocs, template))
+        .agg((sum("letter_ppm") + sum("digit_ppm") + sum("other_ppm")).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // corpus snapshot diff at the full corpus: full-outer digest join
+    // on doc_id + 4-row status rollup.
+    timed("corpus_diff", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      graft.text.TextQueries.corpusDiff(
+        all.filter(col("doc_id") % 10 =!= 9),
+        all.filter(col("doc_id") % 10 =!= 4).withColumn("text",
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+        .agg(sum("n_docs")).collect()(0).getLong(0)
+    }
     // percentile report at the full corpus: ten exact quantile cells
     // through ONE grid call — three distributed scans total.
     timed("corpus_percentiles", clearAfter = true) {

@@ -1905,6 +1905,24 @@ object TextQueries {
       round((syD - slope * sxD) / nD / 1e6, 6).as("zipf_intercept"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning report (what changed
+    * between two corpus builds): per doc_id, `added` (new only),
+    * `removed` (old only), `changed` (both, different content hash),
+    * `unchanged` — rolled up to (status, n_docs) counts. One full-outer
+    * equi-join on doc_id comparing 16-byte md5 digests (text never
+    * shuffles beyond its own doc_id move), then a 4-row aggregate —
+    * two compact shuffles at any scale. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") =!= col("h_new"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-document character-class profile — the script/charset signal
     * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
     * share collapses, route by digit/punctuation density): fractions of
@@ -4095,6 +4113,17 @@ object TextQueries {
     // ---- character-class profile (script/charset signal) ----
     "txt_charclass" -> { (s, dir) => charClassProfile(Tables.documents(s, dir)) },
 
+    // ---- corpus snapshot diff: old = ids not ending in 9, new = all
+    // ids with every 10th text rewritten — exercises all four statuses
+    "corpus_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+      val neu = docs.filter(col("doc_id") % 10 =!= 4).withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      corpusDiff(old, neu)
+    },
+
     // ---- edit-distance-verified near-dup pairs: winnow candidates,
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
@@ -5288,6 +5317,20 @@ object TextQueries {
         |  round(ln((CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_toks AS DOUBLE) * CAST(tot.n_toks AS DOUBLE))
         |    / (CAST(tot.n_bigrams AS DOUBLE) * CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
         |FROM pc JOIN vc c1 ON pc.w1 = c1.w JOIN vc c2 ON pc.w2 = c2.w CROSS JOIN tot""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents
+        |           WHERE doc_id % 10 <> 9),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END) AS h_new
+        |      FROM documents WHERE doc_id % 10 <> 4)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |              WHEN h_new IS NULL THEN 'removed'
+        |              WHEN h_old <> h_new THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id)) t
+        |GROUP BY status""".stripMargin,
 
     "txt_charclass" -> {
       def cnt(c: String) = s"CAST(len(regexp_extract_all(text, '$c')) AS BIGINT)"
