@@ -919,22 +919,26 @@ object TextQueries {
     * survived the quality gate, and survived near-dup removal. One row
     * (n_input, n_decontaminated, n_quality, n_dedup).
     *
-    * Each count is a one-row aggregate; the four cross-join (the
-    * one-row-frame idiom), so the report is one query. The dedup count
-    * re-runs the [[corpusClean]] stages rather than sharing a cache —
-    * a report should not take ownership of pipeline caches; callers
-    * running both pass `persistIntermediate` through corpusClean
-    * itself. */
+    * The first three stage counts fuse into ONE corpus pass: the
+    * contaminated-id set joins as a broadcast FLAG (left join, not
+    * anti), so input/decontaminated/quality are conditional sums of
+    * the same scan — the decontamination subtree (broadcast build +
+    * corpus scan) evaluates once here instead of three times. The
+    * dedup count re-runs the
+    * [[corpusClean]] stages rather than sharing a cache — a report
+    * should not take ownership of pipeline caches; callers running
+    * both pass `persistIntermediate` through corpusClean itself. */
   def corpusFunnel(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                    threshold: Double = 0.5): DataFrame = {
-    val decon = corpus.join(
-      broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
-    val qual = decon.filter(qualityKeep())
-    corpus.agg(count(lit(1)).as("n_input"))
-      .crossJoin(decon.agg(count(lit(1)).as("n_decontaminated")))
-      .crossJoin(qual.agg(count(lit(1)).as("n_quality")))
-      .crossJoin(corpusClean(corpus, benchmark, n, threshold,
-        persistIntermediate = false).agg(count(lit(1)).as("n_dedup")))
+    val flagged = corpus.join(
+      broadcast(contaminatedIds(corpus, benchmark, n).withColumn("_contam", lit(true))),
+      Seq("doc_id"), "left")
+    val stages = flagged.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(col("_contam").isNull, 1L).otherwise(0L)).as("n_decontaminated"),
+      sum(when(col("_contam").isNull && qualityKeep(), 1L).otherwise(0L)).as("n_quality"))
+    stages.crossJoin(corpusClean(corpus, benchmark, n, threshold,
+      persistIntermediate = false).agg(count(lit(1)).as("n_dedup")))
   }
 
   /** Merge table learned by the last [[corpusTokenize]] run, cached for
