@@ -2281,14 +2281,22 @@ object TextQueries {
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
     cand.join(t1, "d1").join(t2, "d2")
-      // equality short-circuit: exact-duplicate cliques (the common
-      // candidate bulk — a template shared by n docs yields n²/2
-      // candidate pairs of IDENTICAL text) settle on a byte compare
-      // instead of an O(len²) DP; semantically a no-op (lev(x,x) = 0)
-      .withColumn("dist", when(col("t1") === col("t2"), 0L)
-        .otherwise(levenshtein(col("t1"), col("t2")).cast("long")))
       .withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      // two verifier cost levers, both semantically no-ops:
+      //  - equality short-circuit: exact-duplicate cliques (the common
+      //    candidate bulk — a template shared by n docs yields n²/2
+      //    pairs of IDENTICAL text) settle on a byte compare;
+      //  - banded DP: sim_ppm ≥ m ⟺ dist ≤ L − ceil(m·L/1e6) =: thr,
+      //    so the 3-arg levenshtein explores only the |i−j| ≤ thr
+      //    band (O(L·thr), returns −1 past it) and still yields the
+      //    EXACT distance for every pair that can pass the filter.
+      .withColumn("dist", when(col("t1") === col("t2"), 0L)
+        .otherwise(expr(
+          s"""CAST(levenshtein(t1, t2, CAST(max_len -
+             |  (($minSimPpm * max_len + 999999) div 1000000) AS INT)) AS BIGINT)"""
+            .stripMargin)))
+      .filter(col("dist") >= 0L)
       .select(col("d1"), col("d2"), col("n_shared"), col("dist"),
         when(col("max_len") === 0L, 1000000L)
           .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
@@ -2380,10 +2388,15 @@ object TextQueries {
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
     cand.join(bt, "batch_id").join(ct, "dup_of")
-      .withColumn("dist", when(col("t1") === col("t2"), 0L)
-        .otherwise(levenshtein(col("t1"), col("t2")).cast("long")))
       .withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      // same equality short-circuit + banded DP as [[editDistPairs]]
+      .withColumn("dist", when(col("t1") === col("t2"), 0L)
+        .otherwise(expr(
+          s"""CAST(levenshtein(t1, t2, CAST(max_len -
+             |  (($minSimPpm * max_len + 999999) div 1000000) AS INT)) AS BIGINT)"""
+            .stripMargin)))
+      .filter(col("dist") >= 0L)
       .select(col("batch_id"), col("dup_of"), col("n_shared"), col("dist"),
         when(col("max_len") === 0L, 1000000L)
           .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
