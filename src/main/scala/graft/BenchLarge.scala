@@ -823,6 +823,18 @@ object BenchLarge {
             .otherwise(col("text"))))
         .agg(sum("n_docs")).collect()(0).getLong(0)
     }
+    // token-distribution drift at the full corpus: two vocabulary
+    // aggregates + one vocab-keyed full-outer join, bounded top frame,
+    // nano-quantized KL terms.
+    timed("vocab_drift", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      graft.text.TextQueries.vocabDrift(
+        all.filter(col("doc_id") % 10 =!= 9),
+        all.filter(col("doc_id") % 10 =!= 4).withColumn("text",
+          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))))
+        .collect()(0).getLong(4)
+    }
     // percentile report at the full corpus: ten exact quantile cells
     // through ONE grid call — three distributed scans total.
     timed("corpus_percentiles", clearAfter = true) {

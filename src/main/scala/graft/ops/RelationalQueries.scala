@@ -170,6 +170,23 @@ object RelationalQueries {
           col("cnt"), col("sum_cents"))
     },
 
+    // wide pivot: order counts and cent totals per status, one column
+    // pair per priority — Spark's pivot() with the pivot values given
+    // EXPLICITLY (an implicit pivot pays a distinct-values collect
+    // first and is non-deterministic in column order; at scale the
+    // value list is a driver literal, as here)
+    "pivot_agg" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("cents"))
+        .select(Seq(col("status")) ++ prios.zipWithIndex.flatMap { case (p, i) =>
+          Seq(coalesce(col(s"$p" + "_cnt"), lit(0L)).as(s"p${i + 1}_cnt"),
+            coalesce(col(s"$p" + "_cents"), lit(0L)).as(s"p${i + 1}_cents"))
+        }: _*)
+    },
+
     // correlated scalar subquery: orders above their customer's average
     "scalar_subquery" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
@@ -250,6 +267,19 @@ object RelationalQueries {
     "sort_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "pivot_agg" -> {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val cols = prios.zipWithIndex.flatMap { case (p, i) =>
+        Seq(
+          s"CAST(count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS BIGINT) AS p${i + 1}_cnt",
+          s"CAST(coalesce(sum(CASE WHEN o_orderpriority = '$p' " +
+            s"THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) AS p${i + 1}_cents")
+      }
+      s"""SELECT o_orderstatus AS status,
+         |  ${cols.mkString(",\n  ")}
+         |FROM orders GROUP BY o_orderstatus""".stripMargin
+    },
 
     "set_ops" ->
       """SELECT 'union' AS tag, nk FROM (

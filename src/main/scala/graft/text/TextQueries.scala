@@ -1927,6 +1927,51 @@ object TextQueries {
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring companion to [[corpusDiff]] (a build can keep every
+    * doc_id yet silently shift WHAT the tokens say): smoothed KL
+    * divergence KL(new ‖ old) over the combined top-`topV` vocabulary
+    * plus one OOV bucket, add-1 smoothing with a FIXED topV+1 slot
+    * count so the estimate is parameter-deterministic. Emits one row
+    * (n_tokens_old, n_tokens_new, vocab_old, vocab_new, kl_nano).
+    *
+    * Scale shape: two map-side-combined vocabulary aggregates and one
+    * vocab-keyed full-outer join (the only corpus-sized shuffle — the
+    * txt_vocab_topk shape); the top frame is LIMIT-bounded with a
+    * total order ((c_o+c_n) desc, token), totals ride as a one-row
+    * broadcast, and every KL term quantizes to integer nano-units
+    * BEFORE summation (associative longs — partition-order-free, the
+    * zipfProfile discipline; the per-term double expression shape is
+    * identical in the oracle). */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame,
+                 topV: Int = 1000): DataFrame = {
+    require(topV >= 1)
+    val K = topV + 1
+    def vocab(d: DataFrame) = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val vo = vocab(oldDocs)
+    val vn = vocab(newDocs)
+    val joined = vo.withColumnRenamed("c", "c_o")
+      .join(vn.withColumnRenamed("c", "c_n"), Seq("w"), "full_outer")
+      .na.fill(0L, Seq("c_o", "c_n"))
+    val top = joined.orderBy((col("c_o") + col("c_n")).desc, col("w")).limit(topV)
+    val totals = vo.agg(sum("c").as("n_o"), count(lit(1)).as("v_o"))
+      .crossJoin(vn.agg(sum("c").as("n_n"), count(lit(1)).as("v_n")))
+    def termSql(cn: String, co: String) =
+      s"""CAST(round(((CAST($cn + 1 AS DOUBLE) / CAST(n_n + $K AS DOUBLE)) *
+         | ln((CAST($cn + 1 AS DOUBLE) * CAST(n_o + $K AS DOUBLE)) /
+         |    (CAST($co + 1 AS DOUBLE) * CAST(n_n + $K AS DOUBLE)))) * 1e9) AS BIGINT)"""
+        .stripMargin
+    val topAgg = top.crossJoin(broadcast(totals))
+      .agg(sum(expr(termSql("c_n", "c_o"))).as("kl_top_nano"),
+        sum("c_o").as("top_c_o"), sum("c_n").as("top_c_n"))
+    totals.crossJoin(topAgg).select(
+      col("n_o").as("n_tokens_old"), col("n_n").as("n_tokens_new"),
+      col("v_o").as("vocab_old"), col("v_n").as("vocab_new"),
+      (col("kl_top_nano") +
+        expr(termSql("n_n - top_c_n", "n_o - top_c_o"))).as("kl_nano"))
+  }
+
   /** Per-document character-class profile — the script/charset signal
     * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
     * share collapses, route by digit/punctuation density): fractions of
@@ -4141,6 +4186,16 @@ object TextQueries {
       corpusDiff(old, neu)
     },
 
+    // ---- token-distribution drift over the same snapshot split ----
+    "vocab_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+      val neu = docs.filter(col("doc_id") % 10 =!= 4).withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      vocabDrift(old, neu)
+    },
+
     // ---- edit-distance-verified near-dup pairs: winnow candidates,
     // exact Levenshtein verdict ----
     "dedup_editdist_pairs" -> { (s, dir) =>
@@ -5348,6 +5403,39 @@ object TextQueries {
         |              ELSE 'unchanged' END AS status
         |  FROM o FULL OUTER JOIN n USING (doc_id)) t
         |GROUP BY status""".stripMargin,
+
+    "vocab_drift" -> {
+      val K = 1001
+      def termSql(cn: String, co: String) =
+        s"""CAST(round(((CAST($cn + 1 AS DOUBLE) / CAST(n_n + $K AS DOUBLE)) *
+           | ln((CAST($cn + 1 AS DOUBLE) * CAST(n_o + $K AS DOUBLE)) /
+           |    (CAST($co + 1 AS DOUBLE) * CAST(n_n + $K AS DOUBLE)))) * 1e9) AS BIGINT)"""
+          .stripMargin
+      s"""WITH od AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+         |nd AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END AS text
+         |       FROM documents WHERE doc_id % 10 <> 4),
+         |vo AS (SELECT w, CAST(count(*) AS BIGINT) AS c_o
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM od) GROUP BY w),
+         |vn AS (SELECT w, CAST(count(*) AS BIGINT) AS c_n
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM nd) GROUP BY w),
+         |j AS (SELECT coalesce(vo.w, vn.w) AS w, coalesce(c_o, 0) AS c_o,
+         |        coalesce(c_n, 0) AS c_n
+         |      FROM vo FULL OUTER JOIN vn ON vo.w = vn.w),
+         |top AS (SELECT * FROM j ORDER BY c_o + c_n DESC, w LIMIT 1000),
+         |tot AS (SELECT (SELECT CAST(sum(c_o) AS BIGINT) FROM j) AS n_o,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM vo) AS v_o,
+         |               (SELECT CAST(sum(c_n) AS BIGINT) FROM j) AS n_n,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM vn) AS v_n),
+         |ta AS (SELECT CAST(sum(${termSql("c_n", "c_o")}) AS BIGINT) AS kl_top_nano,
+         |         CAST(sum(c_o) AS BIGINT) AS top_c_o,
+         |         CAST(sum(c_n) AS BIGINT) AS top_c_n
+         |       FROM top CROSS JOIN tot)
+         |SELECT n_o AS n_tokens_old, n_n AS n_tokens_new,
+         |  v_o AS vocab_old, v_n AS vocab_new,
+         |  kl_top_nano + ${termSql("n_n - top_c_n", "n_o - top_c_o")} AS kl_nano
+         |FROM tot CROSS JOIN ta""".stripMargin
+    },
 
     "txt_charclass" -> {
       def cnt(c: String) = s"CAST(len(regexp_extract_all(text, '$c')) AS BIGINT)"

@@ -288,6 +288,26 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vocabDrift: identical snapshots read exactly zero, shifts read positive and finite") {
+    val a = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r0 = TextQueries.vocabDrift(a, a).collect()(0)
+    // p_new == p_old per term → ln(1) == 0.0 exactly, no tolerance needed
+    assert(r0.getAs[Long]("kl_nano") == 0L)
+    assert(r0.getAs[Long]("n_tokens_old") == 80L &&
+      r0.getAs[Long]("n_tokens_new") == 80L && r0.getAs[Long]("vocab_old") == 4L)
+    // disjoint vocabulary: positive, finite in BOTH directions (add-1
+    // smoothing — unsmoothed KL would be infinite)
+    val b = (0 until 20).map(i => (i.toLong, "zeta eta theta iota", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r1 = TextQueries.vocabDrift(a, b).collect()(0)
+    val r2 = TextQueries.vocabDrift(b, a).collect()(0)
+    assert(r1.getAs[Long]("kl_nano") > 0L && r2.getAs[Long]("kl_nano") > 0L)
+    // pure function of content: partitioning must not move a nano-unit
+    val rp = TextQueries.vocabDrift(a.repartition(7), b.repartition(3)).collect()(0)
+    assert(rp == r1)
+  }
+
   test("readability: hand-counted fixture, vowel-less and unpunctuated floors") {
     val rows = Seq(
       (0L, "The cat sat. It ran away!", "en"), // 6 words, 2 sentences, 7 vowel runs
