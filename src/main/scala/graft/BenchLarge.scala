@@ -680,6 +680,31 @@ object BenchLarge {
           sum(round(col("prob") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
+    // classifier evaluation at the full corpus: one scoring pass over
+    // the 20% eval slice + the label join + the one-row confusion
+    // aggregate (training cost is quality_classifier's measurement).
+    timed("classifier_eval", clearAfter = true) {
+      val docsQc = cleanDocs(spark, nDocs, template)
+      val (b, w) = graft.text.TextQueries.qualityClassifierTrain(
+        docsQc, col("doc_id") % 3 === 0)
+      graft.text.TextQueries.classifierEval(
+        docsQc.filter(col("doc_id") % 5 === 0), b, w, col("doc_id") % 3 === 0)
+        .agg((sum("tp") + sum("tn") + sum("precision_ppm")).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // kNN-graph in-degree histogram at the full vector corpus: the
+    // measurement is dominated by the 16-plane kNN join (the
+    // emb_pagerank cost center), plus two compact aggregates.
+    timed("emb_knn_degree", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val deg = graft.sim.SimilarityQueries.knnEdgesOn(emb, planes = 16)
+        .select(col("nbr")).localCheckpoint()
+        .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
+      emb.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
+        .na.fill(0L, Seq("in_deg"))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+        .agg(sum(col("in_deg") * col("n_nodes"))).collect()(0).getLong(0)
+    }
     // DSIR importance weighting at the full corpus: the two feature-LM
     // aggregates are bounded at B=4096 rows each regardless of corpus
     // size, the log-ratio table broadcasts, and the x2-token gram

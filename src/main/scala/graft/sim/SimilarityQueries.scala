@@ -504,6 +504,23 @@ object SimilarityQueries {
     // similarity structure ----
     "emb_pagerank" -> { (s, dir) => knnPageRank(s, dir) },
 
+    // ---- kNN-graph in-degree histogram: hubness report (radios/hubs
+    // distort ANN quality; out-degree is k by construction, in-degree
+    // is the observable) — left join keeps the 0-degree nodes. The
+    // edge ids CHECKPOINT before the join: feeding the node join the
+    // raw kNN DAG measured 78 s vs 31.5 s at 2M vectors (identical
+    // output checksum) — the winnowIndex materialize-before-reuse
+    // lesson, here triggered by AQE re-planning the expensive subtree
+    // under the join ----
+    "emb_knn_degree" -> { (s, dir) =>
+      val deg = knnEdges(s, dir)
+        .select(col("nbr")).localCheckpoint()
+        .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
+      Tables.embeddings(s, dir).select(col("vec_id"))
+        .join(deg, Seq("vec_id"), "left").na.fill(0L, Seq("in_deg"))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+    },
+
     // ---- per-cluster inertia report (the k-means quality/elbow
     // observable): one map-only min-dist pass, k tiny output rows ----
     "emb_kmeans_inertia" -> { (s, dir) =>
@@ -543,6 +560,10 @@ object SimilarityQueries {
     * a WindowGroupLimit on the vec_id key. */
   private def knnEdges(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     knnEdgesOf(Tables.embeddings(s, dir), k)
+
+  /** Public frame-parametric form (the corpus-scale bench path). */
+  def knnEdgesOn(e: DataFrame, k: Int = 3, planes: Int = PLANES): DataFrame =
+    knnEdgesOf(e, k, planes)
 
   private def knnEdgesOf(e: DataFrame, k: Int, planes: Int = PLANES): DataFrame = {
     val b = bucketedOf(e, planes)
@@ -1155,6 +1176,14 @@ object SimilarityQueries {
          |SELECT vec_id, rank, nbr, cosine FROM knn""".stripMargin,
 
     "emb_pagerank" -> pageRankSql(iters = 3, dampPct = 85),
+
+    "emb_knn_degree" ->
+      s"""WITH $knnCtesSql,
+         |d AS (SELECT nbr AS vec_id, CAST(count(*) AS BIGINT) AS in_deg
+         |      FROM knn GROUP BY nbr)
+         |SELECT coalesce(d.in_deg, 0) AS in_deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+         |GROUP BY coalesce(d.in_deg, 0)""".stripMargin,
 
     "emb_dedup_exact" ->
       """SELECT min(vec_id) AS vec_id, count(*) AS n_copies

@@ -3676,6 +3676,35 @@ object TextQueries {
     round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
   }
 
+  /** Classifier evaluation report — the ML-ops observable every
+    * learned filter ships with: confusion counts and
+    * precision/recall/F1 (exact integer ppm) of the trained
+    * [[qualityClassifierScore]] at prob ≥ 0.5 against the proxy label,
+    * over an evaluation slice. One scoring pass (the classifier's own
+    * broadcast-weight shape) + one doc_id equi-join to the labels +
+    * a one-row confusion aggregate; the ppm metrics divide exact
+    * longs (`div`, zero-denominator → 0), so the row is oracle-exact. */
+  def classifierEval(docs: DataFrame, bias: Double, weights: Array[Double],
+                     targetPred: Column): DataFrame = {
+    val scored = qualityClassifierScore(docs, bias, weights)
+      .select(col("doc_id"), col("prob"))
+    val labeled = docs.select(col("doc_id"), targetPred.as("label"))
+    scored.join(labeled, "doc_id")
+      .select((col("prob") >= 0.5).as("pred"), col("label"))
+      .agg(
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L ELSE (tp * 1000000) div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L ELSE (tp * 1000000) div (tp + fn) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0L " +
+          "ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END").as("f1_ppm"))
+  }
+
   /** Session-trained classifier weights, keyed by (sfDir, buckets) so
     * the literal-weights oracle can only be emitted for the exact
     * configuration the query trained — the [[graft.sim.Ivf]]
@@ -3716,19 +3745,37 @@ object TextQueries {
     case None => Map.empty
     case Some((bias, w)) =>
       val wl = w.mkString("[", ", ", "]")
-      Map("quality_classifier" ->
-        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      def scoreCtes(docFilter: String) =
+        s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents$docFilter),
            |g AS (SELECT doc_id, unnest(list_concat(toks,
            |        list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i + 1])))) AS gram
            |      FROM t),
            |bk AS (SELECT doc_id, ${phashSql("gram")} % $QC_BUCKETS AS bucket FROM g),
            |wt AS (SELECT $wl AS wl),
            |s AS (SELECT doc_id, count(*) AS n_grams, sum(wl[CAST(bucket + 1 AS INT)]) AS sw
-           |      FROM bk CROSS JOIN wt GROUP BY doc_id)
+           |      FROM bk CROSS JOIN wt GROUP BY doc_id)""".stripMargin
+      Map("quality_classifier" ->
+        s"""WITH ${scoreCtes("")}
            |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
            |  round($bias + sw / n_grams, 6) AS logit,
            |  round(1.0 / (1.0 + exp(-($bias + sw / n_grams))), 6) AS prob
-           |FROM s""".stripMargin)
+           |FROM s""".stripMargin,
+        "classifier_eval" ->
+        s"""WITH ${scoreCtes(" WHERE doc_id % 5 = 0")},
+           |p AS (SELECT round(1.0 / (1.0 + exp(-($bias + sw / n_grams))), 6) >= 0.5 AS pred,
+           |        d.source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS label
+           |      FROM s JOIN documents d ON s.doc_id = d.doc_id),
+           |c AS (SELECT
+           |  CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM p)
+           |SELECT tp, fp, fn, tn,
+           |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE (tp * 1000000) // (tp + fp) END AS BIGINT) AS precision_ppm,
+           |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_ppm,
+           |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0 ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+           |FROM c""".stripMargin)
   }
 
   val queries: Map[String, Q] = Map(
@@ -3865,6 +3912,15 @@ object TextQueries {
     // ---- learned quality classifier: LR over hashed n-gram features,
     // trained on the proxy source label, scored distributively ----
     "quality_classifier" -> qualityClassifierQuery _,
+
+    // ---- classifier evaluation: confusion + P/R/F1 on the %5 eval
+    // slice, same session-trained weights as quality_classifier ----
+    "classifier_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val (b, w) = trainedQc.getOrElseUpdate((dir, QC_BUCKETS),
+        qualityClassifierTrain(docs, qcTargetPred, buckets = QC_BUCKETS))
+      classifierEval(docs.filter(col("doc_id") % 5 === 0), b, w, qcTargetPred)
+    },
 
     // ---- BPE tokenizer training (Sennrich et al. 2016) ----
     "bpe_pairs" -> { (s, dir) => bpePairs(Tables.documents(s, dir)) },
