@@ -682,13 +682,23 @@ object BenchLarge {
     }
     // classifier evaluation at the full corpus: one scoring pass over
     // the 20% eval slice + the label join + the one-row confusion
-    // aggregate (training cost is quality_classifier's measurement).
+    // aggregate. Training runs OUTSIDE the timed region — its cost is
+    // quality_classifier's measurement, and timed() re-executes the
+    // closure for both passes (the first committed number, 18.15 s,
+    // was mostly re-training).
+    // lazy: trains only when the classifier_eval block dereferences it,
+    // so an ONLY run without that entry never pays the training collect
+    lazy val (qcB, qcW) = {
+      val docsQc = cleanDocs(spark, nDocs, template)
+      graft.text.TextQueries.qualityClassifierTrain(docsQc, col("doc_id") % 3 === 0)
+    }
+    // force the lazy training BEFORE the timed region (else pass1 pays
+    // it and only the min-of-2 hides the contamination)
+    if (only.isEmpty || only("classifier_eval")) qcB
     timed("classifier_eval", clearAfter = true) {
       val docsQc = cleanDocs(spark, nDocs, template)
-      val (b, w) = graft.text.TextQueries.qualityClassifierTrain(
-        docsQc, col("doc_id") % 3 === 0)
       graft.text.TextQueries.classifierEval(
-        docsQc.filter(col("doc_id") % 5 === 0), b, w, col("doc_id") % 3 === 0)
+        docsQc.filter(col("doc_id") % 5 === 0), qcB, qcW, col("doc_id") % 3 === 0)
         .agg((sum("tp") + sum("tn") + sum("precision_ppm")).as("chk"))
         .collect()(0).getLong(0)
     }
@@ -696,13 +706,7 @@ object BenchLarge {
     // measurement is dominated by the 16-plane kNN join (the
     // emb_pagerank cost center), plus two compact aggregates.
     timed("emb_knn_degree", clearAfter = true) {
-      val emb = embeddings(spark, nVecs)
-      val deg = graft.sim.SimilarityQueries.knnEdgesOn(emb, planes = 16)
-        .select(col("nbr")).localCheckpoint()
-        .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
-      emb.select(col("vec_id")).join(deg, Seq("vec_id"), "left")
-        .na.fill(0L, Seq("in_deg"))
-        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+      graft.sim.SimilarityQueries.knnDegreeOn(embeddings(spark, nVecs), planes = 16)
         .agg(sum(col("in_deg") * col("n_nodes"))).collect()(0).getLong(0)
     }
     // DSIR importance weighting at the full corpus: the two feature-LM
@@ -840,25 +844,16 @@ object BenchLarge {
     // corpus snapshot diff at the full corpus: full-outer digest join
     // on doc_id + 4-row status rollup.
     timed("corpus_diff", clearAfter = true) {
-      val all = docs(spark, nDocs, template)
-      graft.text.TextQueries.corpusDiff(
-        all.filter(col("doc_id") % 10 =!= 9),
-        all.filter(col("doc_id") % 10 =!= 4).withColumn("text",
-          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))))
+      val (oldS, newS) = graft.text.TextQueries.snapshotSplit(docs(spark, nDocs, template))
+      graft.text.TextQueries.corpusDiff(oldS, newS)
         .agg(sum("n_docs")).collect()(0).getLong(0)
     }
     // token-distribution drift at the full corpus: two vocabulary
     // aggregates + one vocab-keyed full-outer join, bounded top frame,
     // nano-quantized KL terms.
     timed("vocab_drift", clearAfter = true) {
-      val all = docs(spark, nDocs, template)
-      graft.text.TextQueries.vocabDrift(
-        all.filter(col("doc_id") % 10 =!= 9),
-        all.filter(col("doc_id") % 10 =!= 4).withColumn("text",
-          when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))))
-        .collect()(0).getLong(4)
+      val (oldS, newS) = graft.text.TextQueries.snapshotSplit(docs(spark, nDocs, template))
+      graft.text.TextQueries.vocabDrift(oldS, newS).collect()(0).getLong(4)
     }
     // percentile report at the full corpus: ten exact quantile cells
     // through ONE grid call — three distributed scans total.

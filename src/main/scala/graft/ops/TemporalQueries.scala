@@ -145,12 +145,10 @@ object TemporalQueries {
     * count — no window, no self-join, two compact shuffles. */
   def firstTouchFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
-    val firsts = events.groupBy("user_id")
-      .agg(steps.zipWithIndex.map { case (st, i) =>
-        min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
-      }.head, steps.zipWithIndex.tail.map { case (st, i) =>
-        min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
-      }: _*)
+    val aggs = steps.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
+    }
+    val firsts = events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
     val stage = steps.indices.foldLeft(when(col("t1").isNull, 0)) {
       case (acc, i) if i > 0 =>
         acc.when(col(s"t${i + 1}").isNull ||

@@ -504,22 +504,8 @@ object SimilarityQueries {
     // similarity structure ----
     "emb_pagerank" -> { (s, dir) => knnPageRank(s, dir) },
 
-    // ---- kNN-graph in-degree histogram: hubness report (radios/hubs
-    // distort ANN quality; out-degree is k by construction, in-degree
-    // is the observable) — left join keeps the 0-degree nodes. The
-    // edge ids CHECKPOINT before the join: feeding the node join the
-    // raw kNN DAG measured 78 s vs 31.5 s at 2M vectors (identical
-    // output checksum) — the winnowIndex materialize-before-reuse
-    // lesson, here triggered by AQE re-planning the expensive subtree
-    // under the join ----
-    "emb_knn_degree" -> { (s, dir) =>
-      val deg = knnEdges(s, dir)
-        .select(col("nbr")).localCheckpoint()
-        .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
-      Tables.embeddings(s, dir).select(col("vec_id"))
-        .join(deg, Seq("vec_id"), "left").na.fill(0L, Seq("in_deg"))
-        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
-    },
+    // ---- kNN-graph in-degree histogram: hubness report ----
+    "emb_knn_degree" -> { (s, dir) => knnDegreeOn(Tables.embeddings(s, dir)) },
 
     // ---- per-cluster inertia report (the k-means quality/elbow
     // observable): one map-only min-dist pass, k tiny output rows ----
@@ -564,6 +550,24 @@ object SimilarityQueries {
   /** Public frame-parametric form (the corpus-scale bench path). */
   def knnEdgesOn(e: DataFrame, k: Int = 3, planes: Int = PLANES): DataFrame =
     knnEdgesOf(e, k, planes)
+
+  /** kNN-graph in-degree histogram — the hubness report (hubs distort
+    * ANN quality; out-degree is k by construction, in-degree is the
+    * observable): (in_deg, n_nodes) incl. 0-degree nodes via a left
+    * join against the node set. The compact edge ids CHECKPOINT before
+    * the join: feeding the node join the raw kNN DAG measured 78 s vs
+    * 31.5 s at 2M vectors (identical output checksum) — the
+    * winnowIndex materialize-before-reuse lesson, here triggered by
+    * AQE re-planning the expensive subtree under the join. One shared
+    * path for the query and the corpus-scale bench. */
+  def knnDegreeOn(e: DataFrame, k: Int = 3, planes: Int = PLANES): DataFrame = {
+    val deg = knnEdgesOf(e, k, planes)
+      .select(col("nbr")).localCheckpoint()
+      .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
+    e.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left").na.fill(0L, Seq("in_deg"))
+      .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+  }
 
   private def knnEdgesOf(e: DataFrame, k: Int, planes: Int = PLANES): DataFrame = {
     val b = bucketedOf(e, planes)

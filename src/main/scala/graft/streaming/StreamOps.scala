@@ -159,44 +159,46 @@ object StreamOps {
 
   final case class FunnelIn(user_id: Long, event_id: Long, tsMicros: Long,
                             event_type: String)
-  final case class FunnelState(t1: Long, t2: Long, t3: Long, emitted: Int)
+  final case class FunnelState(ts: Seq[Long], emitted: Int)
   final case class FunnelOut(user_id: Long, stage: Int, tsMicros: Long)
 
   /** Stateful streaming first-touch funnel — the online form of
-    * [[graft.ops.TemporalQueries.firstTouchFunnel]] for a 3-step
-    * sequence: per-user state carries the three first-touch timestamps
-    * (micros; MinValue = unseen), and a row (user_id, stage, tsMicros)
-    * emits each time the user's funnel stage ADVANCES — with per-user
-    * event-time order (the [[sessionize]] replay contract) a
+    * [[graft.ops.TemporalQueries.firstTouchFunnel]] for any ordered
+    * step sequence: per-user state carries one first-touch timestamp
+    * per step (micros; MinValue = unseen), and a row (user_id, stage,
+    * tsMicros) emits each time the user's funnel stage ADVANCES — with
+    * per-user event-time order (the [[sessionize]] replay contract) a
     * first-touch minimum is final the moment it is set, so the stage
     * is monotone and the LAST emitted stage per user equals the batch
-    * stage exactly (same `<=` demotion arithmetic; parity-pinned).
-    * State = three longs + an int per user — bounded by key
-    * cardinality, not stream length. */
+    * stage exactly (same strictly-increasing-chain arithmetic;
+    * parity-pinned). State = |steps| longs + an int per user —
+    * bounded by key cardinality, not stream length. */
   def streamingFunnel(events: DataFrame,
                       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    require(steps.length == 3, "the stateful form tracks a 3-step funnel")
+    require(steps.nonEmpty)
     val spark = events.sparkSession
     import spark.implicits._
     val MIN = Long.MinValue
+    val nSteps = steps.length
     events
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsMicros", "event_type")
       .as[FunnelIn]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, rows: Iterator[FunnelIn], state: GroupState[FunnelState]) => {
-          var st = state.getOption.getOrElse(FunnelState(MIN, MIN, MIN, 0))
+          var st = state.getOption.getOrElse(FunnelState(Seq.fill(nSteps)(MIN), 0))
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
           rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-            if (e.event_type == steps(0) && st.t1 == MIN) st = st.copy(t1 = e.tsMicros)
-            if (e.event_type == steps(1) && st.t2 == MIN) st = st.copy(t2 = e.tsMicros)
-            if (e.event_type == steps(2) && st.t3 == MIN) st = st.copy(t3 = e.tsMicros)
-            val stage =
-              if (st.t1 == MIN) 0
-              else if (st.t2 == MIN || st.t2 <= st.t1) 1
-              else if (st.t3 == MIN || st.t3 <= st.t2) 2
-              else 3
+            val i = steps.indexOf(e.event_type)
+            if (i >= 0 && st.ts(i) == MIN)
+              st = st.copy(ts = st.ts.updated(i, e.tsMicros))
+            // stage = length of the leading strictly-increasing set chain
+            // (the batch CASE ladder: step k+1 counts only when set AND
+            // strictly after step k's first touch)
+            var stage = 0
+            while (stage < nSteps && st.ts(stage) != MIN &&
+              (stage == 0 || st.ts(stage) > st.ts(stage - 1))) stage += 1
             if (stage > st.emitted) {
               out += FunnelOut(uid, stage, e.tsMicros)
               st = st.copy(emitted = stage)

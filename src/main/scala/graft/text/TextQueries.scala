@@ -1927,6 +1927,20 @@ object TextQueries {
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** The fixture snapshot split shared by the corpus_diff and
+    * vocab_drift queries AND their corpus-scale bench entries: old =
+    * ids not ending in 9; new = ids not ending in 4, with every id
+    * ending in 3 rewritten — exercises all four diff statuses. The two
+    * oracle SQL bodies hardcode the same split; change all of them
+    * together. */
+  private[graft] def snapshotSplit(docs: DataFrame): (DataFrame, DataFrame) = {
+    val old = docs.filter(col("doc_id") % 10 =!= 9)
+    val neu = docs.filter(col("doc_id") % 10 =!= 4).withColumn("text",
+      when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+        .otherwise(col("text")))
+    (old, neu)
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * monitoring companion to [[corpusDiff]] (a build can keep every
     * doc_id yet silently shift WHAT the tokens say): smoothed KL
@@ -1972,6 +1986,13 @@ object TextQueries {
         expr(termSql("n_n - top_c_n", "n_o - top_c_o"))).as("kl_nano"))
   }
 
+  /** The four explicit ASCII character classes, spelled identically in
+    * Java regex and RE2 (classes of single code points, not runs, so
+    * the counts sum to length exactly). */
+  private val charClasses = Seq(
+    "letter" -> "[A-Za-z]", "digit" -> "[0-9]",
+    "space" -> "[ \\t\\n\\r]", "punct" -> "[!-/:-@\\[-`{-~]")
+
   /** Per-document character-class profile — the script/charset signal
     * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
     * share collapses, route by digit/punctuation density): fractions of
@@ -1981,13 +2002,6 @@ object TextQueries {
     * sum to length exactly (spec-pinned); the explicit ASCII classes
     * are spelled identically in Java regex and RE2, so the oracle
     * replays them verbatim. Map-only, zero exchanges. */
-  /** The four explicit ASCII character classes, spelled identically in
-    * Java regex and RE2 (classes of single code points, not runs, so
-    * the counts sum to length exactly). */
-  private val charClasses = Seq(
-    "letter" -> "[A-Za-z]", "digit" -> "[0-9]",
-    "space" -> "[ \\t\\n\\r]", "punct" -> "[!-/:-@\\[-`{-~]")
-
   def charClassProfile(docs: DataFrame): DataFrame = {
     // patterns ride as lit() columns, NOT SQL string literals — the
     // SQL parser strips the \[ escape Java's class syntax requires,
@@ -2175,10 +2189,15 @@ object TextQueries {
     val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
     val sxxD = col("sxx").cast("double")
     val slope = (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD)
+    // < 2 points (single-doc corpus): the OLS denominator is exactly 0
+    // — emit NULL in BOTH engines (Spark would say NaN, DuckDB NULL;
+    // the oracle carries the same guard)
     sums.crossJoin(totals).select(
       col("total_tokens"), col("vocab_size"),
-      round(slope, 6).as("heaps_beta"),
-      round((syD - slope * sxD) / nD / 1e6, 6).as("heaps_logk"))
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round(slope, 6)).as("heaps_beta"),
+      when(col("n") < 2, lit(null).cast("double"))
+        .otherwise(round((syD - slope * sxD) / nD / 1e6, 6)).as("heaps_logk"))
   }
 
   /** The blocklist keep verdict as a composable Column over `text` —
@@ -2325,29 +2344,36 @@ object TextQueries {
     val cand = winnowPairs(docs, k, w, minShared)
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
-    cand.join(t1, "d1").join(t2, "d2")
-      .withColumn("max_len",
+    levVerify(cand.join(t1, "d1").join(t2, "d2"),
+      Seq("d1", "d2", "n_shared"), minSimPpm)
+  }
+
+  /** The shared Levenshtein verification tail of [[editDistPairs]] and
+    * [[editDistAgainst]] — `df` must carry text columns t1/t2 plus the
+    * `keyCols` to emit. Two cost levers, both semantically no-ops:
+    *  - equality short-circuit: exact-duplicate cliques (the common
+    *    candidate bulk — a template shared by n docs yields n²/2 pairs
+    *    of IDENTICAL text) settle on a byte compare;
+    *  - banded DP: sim_ppm ≥ m ⟺ dist ≤ L − ceil(m·L/1e6) =: thr, so
+    *    the 3-arg levenshtein explores only the |i−j| ≤ thr band
+    *    (O(L·thr), returns −1 past it) and still yields the EXACT
+    *    distance for every pair that can pass the filter.
+    * Emits keyCols ++ (dist, sim_ppm), filtered to sim_ppm ≥ min. */
+  private def levVerify(df: DataFrame, keyCols: Seq[String],
+                        minSimPpm: Long): DataFrame =
+    df.withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
-      // two verifier cost levers, both semantically no-ops:
-      //  - equality short-circuit: exact-duplicate cliques (the common
-      //    candidate bulk — a template shared by n docs yields n²/2
-      //    pairs of IDENTICAL text) settle on a byte compare;
-      //  - banded DP: sim_ppm ≥ m ⟺ dist ≤ L − ceil(m·L/1e6) =: thr,
-      //    so the 3-arg levenshtein explores only the |i−j| ≤ thr
-      //    band (O(L·thr), returns −1 past it) and still yields the
-      //    EXACT distance for every pair that can pass the filter.
       .withColumn("dist", when(col("t1") === col("t2"), 0L)
         .otherwise(expr(
           s"""CAST(levenshtein(t1, t2, CAST(max_len -
              |  (($minSimPpm * max_len + 999999) div 1000000) AS INT)) AS BIGINT)"""
             .stripMargin)))
       .filter(col("dist") >= 0L)
-      .select(col("d1"), col("d2"), col("n_shared"), col("dist"),
+      .select(keyCols.map(col) :+ col("dist") :+
         when(col("max_len") === 0L, 1000000L)
           .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
-          .as("sim_ppm"))
+          .as("sim_ppm"): _*)
       .filter(col("sim_ppm") >= minSimPpm)
-  }
 
   /** Per-row winnow fingerprint array over `text` alone — the
     * streaming-safe single-expression form of [[winnowFrame]] (toks and
@@ -2432,21 +2458,8 @@ object TextQueries {
     val cand = winnowDedupAgainst(batch, corpus, k, w, corpusIndex = corpusIndex)
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
-    cand.join(bt, "batch_id").join(ct, "dup_of")
-      .withColumn("max_len",
-        greatest(length(col("t1")), length(col("t2"))).cast("long"))
-      // same equality short-circuit + banded DP as [[editDistPairs]]
-      .withColumn("dist", when(col("t1") === col("t2"), 0L)
-        .otherwise(expr(
-          s"""CAST(levenshtein(t1, t2, CAST(max_len -
-             |  (($minSimPpm * max_len + 999999) div 1000000) AS INT)) AS BIGINT)"""
-            .stripMargin)))
-      .filter(col("dist") >= 0L)
-      .select(col("batch_id"), col("dup_of"), col("n_shared"), col("dist"),
-        when(col("max_len") === 0L, 1000000L)
-          .otherwise(expr("((max_len - dist) * 1000000) div max_len"))
-          .as("sim_ppm"))
-      .filter(col("sim_ppm") >= minSimPpm)
+    levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),
+      Seq("batch_id", "dup_of", "n_shared"), minSimPpm)
   }
 
   /** Content-defined-chunking fingerprints ([[graft.functions.CdcChunks]]
@@ -4231,24 +4244,15 @@ object TextQueries {
     // ---- character-class profile (script/charset signal) ----
     "txt_charclass" -> { (s, dir) => charClassProfile(Tables.documents(s, dir)) },
 
-    // ---- corpus snapshot diff: old = ids not ending in 9, new = all
-    // ids with every 10th text rewritten — exercises all four statuses
+    // ---- corpus snapshot diff over the shared fixture split ----
     "corpus_diff" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 10 =!= 9)
-      val neu = docs.filter(col("doc_id") % 10 =!= 4).withColumn("text",
-        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
+      val (old, neu) = snapshotSplit(Tables.documents(s, dir))
       corpusDiff(old, neu)
     },
 
     // ---- token-distribution drift over the same snapshot split ----
     "vocab_drift" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 10 =!= 9)
-      val neu = docs.filter(col("doc_id") % 10 =!= 4).withColumn("text",
-        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
+      val (old, neu) = snapshotSplit(Tables.documents(s, dir))
       vocabDrift(old, neu)
     },
 
@@ -5423,11 +5427,13 @@ object TextQueries {
         |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM t),
         |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM fw)
         |SELECT total_tokens, vocab_size,
+        |  CASE WHEN n < 2 THEN NULL ELSE
         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS heaps_beta,
+        |  CASE WHEN n < 2 THEN NULL ELSE
         |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE) / 1e6, 6) AS heaps_logk
+        |    / CAST(n AS DOUBLE) / 1e6, 6) END AS heaps_logk
         |FROM s CROSS JOIN tot CROSS JOIN vs""".stripMargin,
 
     "txt_pmi" ->
