@@ -611,6 +611,37 @@ class PlanSpec extends AnyFunSuite {
       s"verification must ride equi-joins (candidates x texts), never all-pairs:\n${p.take(2000)}")
   }
 
+  test("event_funnel and event_retention stay two-compact-shuffle aggregates") {
+    val pf = plan("event_funnel")
+    val exF = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
+      .findAllMatchIn(pf).map(_.group(1).split("#")(0)).toSet
+    assert(exF.subsetOf(Set("user_id", "stage")),
+      s"funnel must shuffle only on user_id/stage, got $exF:\n${pf.take(1500)}")
+    assert(!pf.contains("Join"), "funnel needs no join at all")
+    val pr = plan("event_retention")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
+      s"retention joins only on user_id:\n${pr.take(1500)}")
+  }
+
+  test("corpus_diff: one full-outer digest join on doc_id, no text shuffles") {
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), s"diff must full-outer join:\n${p.take(1500)}")
+    val ex = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
+      .findAllMatchIn(p).map(_.group(1).split("#")(0)).toSet
+    assert(ex.subsetOf(Set("doc_id", "status")),
+      s"only doc_id digests and the 4-row status may shuffle, got $ex:\n${p.take(1500)}")
+  }
+
+  test("vocab_drift: the only corpus-sized shuffle keys on the vocabulary") {
+    val p = plan("vocab_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"one-row frames combine via broadcast, never cartesian:\n${p.take(1500)}")
+    val ex = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
+      .findAllMatchIn(p).map(_.group(1).split("#")(0)).toSet
+    assert(ex.subsetOf(Set("w")),
+      s"only the token key may hash-shuffle, got $ex:\n${p.take(1500)}")
+  }
+
   test("txt_charclass is a map-only pass: no exchange, no UDF") {
     val p = plan("txt_charclass")
     assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
