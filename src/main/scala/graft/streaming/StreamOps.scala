@@ -770,7 +770,8 @@ object StreamOps {
                             maxCompressRatio: Option[Double] = None,
                             blocklist: Option[Seq[String]] = None,
                             outlierFences: Option[(Double, Double, Double, Double)] =
-                              None): DataFrame = {
+                              None,
+                            minLetterPpm: Option[Long] = None): DataFrame = {
     import graft.text.TextQueries
     val spark = docs.sparkSession
     import spark.implicits._
@@ -799,11 +800,16 @@ object StreamOps {
     // and is bit-identical to the batch blocklistFilter keep verdict
     val preB = blocklist.fold(preC)(ps =>
       preC.filter(TextQueries.blocklistKeep(ps)))
+    // the alphabetic-ratio stage (the CCNet charset gate) is stateless
+    // integer arithmetic per row, bit-identical to charClassProfile's
+    // letter_ppm — it rides the plan with no artifact and no state
+    val preL = minLetterPpm.fold(preB)(thr =>
+      preB.filter(TextQueries.letterPpmExpr >= thr))
     // Tukey-fence outlier trim: the fences are OFFLINE literals (a
     // batch qualityOutliers run computes them — quantiles are not a
     // per-row predicate), so the online stage is a stateless filter
     // bit-identical to the batch `kept` verdict
-    val pre = outlierFences.fold(preB) { case (tl, th, wl, wh) =>
+    val pre = outlierFences.fold(preL) { case (tl, th, wl, wh) =>
       val nToks = TextQueries.wsTokenCount("text").cast("long")
       val meanWl = round((length(col("text")) - (nToks - 1)).cast("double") / nToks, 6)
       preB.filter(!(nToks < tl || nToks > th) && !(meanWl < wl || meanWl > wh))

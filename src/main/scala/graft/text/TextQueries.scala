@@ -1993,6 +1993,15 @@ object TextQueries {
     "letter" -> "[A-Za-z]", "digit" -> "[0-9]",
     "space" -> "[ \\t\\n\\r]", "punct" -> "[!-/:-@\\[-`{-~]")
 
+  /** The alphabetic share as a composable Column over `text` —
+    * bit-identical to [[charClassProfile]]'s `letter_ppm` (the letter
+    * class carries no regex escapes, so the SQL-string form is safe
+    * here where the punctuation class is not); the CCNet-style
+    * "alphabetic ratio" gate stage for streaming ingest. */
+  def letterPpmExpr: Column = expr(
+    "CASE WHEN length(text) = 0 THEN 0L ELSE " +
+      "(CAST(regexp_count(text, '[A-Za-z]') AS BIGINT) * 1000000) div length(text) END")
+
   /** Per-document character-class profile — the script/charset signal
     * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
     * share collapses, route by digit/punctuation density): fractions of

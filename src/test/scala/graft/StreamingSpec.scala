@@ -1131,6 +1131,44 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate alphabetic-ratio stage: exact batch parity, threshold bites") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val wantPpm = graft.text.TextQueries.charClassProfile(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sorted = wantPpm.values.toSeq.sorted
+    val cut = sorted(sorted.size / 2)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_alpha")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      minLetterPpm = Some(cut))
+      .writeStream.format("memory").queryName("cur_alpha").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_alpha").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // the ppm share is integer arithmetic -> EXACT parity with the
+      // batch charClassProfile letter_ppm
+      val alphaKeep = wantPpm.filter(_._2 >= cut).keySet
+      val want = quality & decon & alphaKeep
+      assert(alphaKeep.size < corpus.count(),
+        "the alphabetic threshold must filter something on the fixture")
+      assert(want.nonEmpty && got == want,
+        s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("curation gate blocklist stage: exact batch parity, phrases bite") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
