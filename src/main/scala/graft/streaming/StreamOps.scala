@@ -812,7 +812,7 @@ object StreamOps {
     val pre = outlierFences.fold(preL) { case (tl, th, wl, wh) =>
       val nToks = TextQueries.wsTokenCount("text").cast("long")
       val meanWl = round((length(col("text")) - (nToks - 1)).cast("double") / nToks, 6)
-      preB.filter(!(nToks < tl || nToks > th) && !(meanWl < wl || meanWl > wh))
+      preL.filter(!(nToks < tl || nToks > th) && !(meanWl < wl || meanWl > wh))
     }
     val scored0 = pre
       .crossJoin(broadcast(staticRow))

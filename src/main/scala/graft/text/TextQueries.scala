@@ -1993,14 +1993,19 @@ object TextQueries {
     "letter" -> "[A-Za-z]", "digit" -> "[0-9]",
     "space" -> "[ \\t\\n\\r]", "punct" -> "[!-/:-@\\[-`{-~]")
 
+  /** The ppm CASE formula shared by [[charClassProfile]] and
+    * [[letterPpmExpr]] — ONE spelling of the zero-length sentinel and
+    * the BIGINT-promoted `div`, so the two can never drift apart. */
+  private def ppmSql(cnt: String, len: String): String =
+    s"CASE WHEN $len = 0 THEN 0L ELSE (($cnt) * 1000000) div $len END"
+
   /** The alphabetic share as a composable Column over `text` —
     * bit-identical to [[charClassProfile]]'s `letter_ppm` (the letter
     * class carries no regex escapes, so the SQL-string form is safe
     * here where the punctuation class is not); the CCNet-style
     * "alphabetic ratio" gate stage for streaming ingest. */
-  def letterPpmExpr: Column = expr(
-    "CASE WHEN length(text) = 0 THEN 0L ELSE " +
-      "(CAST(regexp_count(text, '[A-Za-z]') AS BIGINT) * 1000000) div length(text) END")
+  def letterPpmExpr: Column = expr(ppmSql(
+    "CAST(regexp_count(text, '[A-Za-z]') AS BIGINT)", "length(text)"))
 
   /** Per-document character-class profile — the script/charset signal
     * CCNet/Dolma-style curation filters on (drop pages whose alphabetic
@@ -2024,14 +2029,12 @@ object TextQueries {
       charClasses.map { case (name, cls) =>
         regexp_count(col("text"), lit(cls)).cast("long").as(s"${name}_cnt")
       }: _*)
-    def ppm(c: String) =
-      s"CASE WHEN n_chars = 0 THEN 0L ELSE ($c * 1000000) div n_chars END"
     val otherCnt =
       s"(n_chars - ${charClasses.map(c => s"${c._1}_cnt").mkString(" - ")})"
     counted.select(Seq(col("doc_id"), col("n_chars")) ++
       charClasses.map { case (name, _) =>
-        expr(ppm(s"${name}_cnt")).as(s"${name}_ppm")
-      } :+ expr(ppm(otherCnt)).as("other_ppm"): _*)
+        expr(ppmSql(s"${name}_cnt", "n_chars")).as(s"${name}_ppm")
+      } :+ expr(ppmSql(otherCnt, "n_chars")).as("other_ppm"): _*)
   }
 
   /** Corpus percentile report: p5/p25/p50/p75/p95 of the token-count

@@ -611,10 +611,18 @@ class PlanSpec extends AnyFunSuite {
       s"verification must ride equi-joins (candidates x texts), never all-pairs:\n${p.take(2000)}")
   }
 
+  /** EVERY key of every hash exchange in `p` (name before the #expr-id;
+    * the trailing numPartitions is dropped). A composite or expression
+    * key yields its raw fragment, which will NOT be in any allowed set
+    * — conservative: a regression to expression keys fails loudly
+    * instead of slipping past the pin. */
+  private def exchangeKeys(p: String): Set[String] =
+    "Exchange hashpartitioning\\((.+?), \\d+\\)".r.findAllMatchIn(p)
+      .flatMap(_.group(1).split(", ").map(_.split("#")(0))).toSet
+
   test("event_funnel and event_retention stay two-compact-shuffle aggregates") {
     val pf = plan("event_funnel")
-    val exF = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
-      .findAllMatchIn(pf).map(_.group(1).split("#")(0)).toSet
+    val exF = exchangeKeys(pf)
     assert(exF.subsetOf(Set("user_id", "stage")),
       s"funnel must shuffle only on user_id/stage, got $exF:\n${pf.take(1500)}")
     assert(!pf.contains("Join"), "funnel needs no join at all")
@@ -626,8 +634,7 @@ class PlanSpec extends AnyFunSuite {
   test("corpus_diff: one full-outer digest join on doc_id, no text shuffles") {
     val p = plan("corpus_diff")
     assert(p.contains("FullOuter"), s"diff must full-outer join:\n${p.take(1500)}")
-    val ex = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
-      .findAllMatchIn(p).map(_.group(1).split("#")(0)).toSet
+    val ex = exchangeKeys(p)
     assert(ex.subsetOf(Set("doc_id", "status")),
       s"only doc_id digests and the 4-row status may shuffle, got $ex:\n${p.take(1500)}")
   }
@@ -636,8 +643,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("vocab_drift")
     assert(!p.contains("CartesianProduct"),
       s"one-row frames combine via broadcast, never cartesian:\n${p.take(1500)}")
-    val ex = "Exchange hashpartitioning\\(([\\w#, ]+?)[,)]".r
-      .findAllMatchIn(p).map(_.group(1).split("#")(0)).toSet
+    val ex = exchangeKeys(p)
     assert(ex.subsetOf(Set("w")),
       s"only the token key may hash-shuffle, got $ex:\n${p.take(1500)}")
   }

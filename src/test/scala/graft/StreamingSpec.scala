@@ -1169,6 +1169,49 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate: alphabetic + outlier-fence stages COMPOSE (both filters bite)") {
+    // pins the stage-chain wiring: the first cut of the fence stage
+    // built from the pre-alphabetic frame, silently dropping
+    // minLetterPpm whenever both knobs were set (review finding)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val bench = all.filter(col("doc_id") < 10)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val target = corpus.filter(col("lang") === "en")
+    val wantPpm = graft.text.TextQueries.charClassProfile(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sorted = wantPpm.values.toSeq.sorted
+    val cut = sorted(sorted.size / 2)
+    val fences = {
+      graft.text.TextQueries.qualityOutliers(corpus).count() // train fences
+      graft.text.TextQueries.cachedOutlierFences.get
+    }
+    val fenceKeep = graft.text.TextQueries.qualityOutliers(corpus)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cur_combo")
+    corpus.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingCurationGate(
+      spark.readStream.schema(docSchema).parquet(dropDir.toString),
+      bench, corpus, target, corpus,
+      minLogw = Double.NegativeInfinity, minNll = Double.MinValue,
+      minLetterPpm = Some(cut), outlierFences = Some(fences))
+      .writeStream.format("memory").queryName("cur_combo").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur_combo").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val quality = graft.text.TextQueries.qualityStats(corpus)
+        .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+      val decon = graft.text.TextQueries.decontaminate(corpus, bench)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val alphaKeep = wantPpm.filter(_._2 >= cut).keySet
+      val want = quality & decon & alphaKeep & fenceKeep
+      assert(alphaKeep.size < corpus.count(), "alpha threshold must bite")
+      assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    } finally q.stop()
+  }
+
   test("curation gate blocklist stage: exact batch parity, phrases bite") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
