@@ -251,7 +251,7 @@ object RelationalQueries {
         |  WHERE c.c_custkey = o.o_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
 
     "window_topn" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn

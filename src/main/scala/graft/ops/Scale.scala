@@ -273,6 +273,32 @@ object Scale {
       .exists(plan.contains)
   }
 
+  /** Materialize a reused/iterated subtree to a compact in-memory table
+    * and ASSERT the handoff happened: downstream plans must see a leaf
+    * scan, never the original expression tree.
+    *
+    * This is the factored form of the iterated-plan checkpoint
+    * discipline: when an expensive subtree (a window-min fingerprint
+    * chain, a bucketed kNN join) is consumed more than once or fed into
+    * an iteration, AQE/CollapseProject can re-inline it at each
+    * consumer — re-running it per round, or multiplying per-element
+    * expression cost once a downstream explode makes aliases
+    * single-reference (measured: winnowIndex >10 min → 11.85 s,
+    * knn-degree 78 → 31.5 s at 2M rows). `localCheckpoint` cuts the
+    * lineage; the leaf-node require makes the cut LOAD-BEARING — if a
+    * future Spark version returned a lazily-recomputed view here, every
+    * routed operator would fail loudly instead of silently regressing.
+    * Call it on the COMPACT representation (ids, fingerprints, edges) —
+    * never on wide rows — so the materialized bytes are the same rows
+    * the plan would shuffle anyway. */
+  def materializeCompact(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    require(out.queryExecution.logical.children.isEmpty,
+      "materializeCompact: checkpoint did not collapse the plan to a leaf scan — " +
+        s"iterated consumers would re-inline the subtree:\n${out.queryExecution.logical}")
+    out
+  }
+
   /** True if the physical plan funnels all rows into one partition —
     * the single-task global-window/global-sort scale-killer (an
     * `Exchange SinglePartition` feeding WindowExec/SortExec). Used by

@@ -177,7 +177,7 @@ object Ivf {
        |  FROM $table CROSS JOIN cents)
        |SELECT vec_id, embedding,
        |  CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell,
-       |  list_min(ds) AS dist_e12
+       |  CAST(list_min(ds) AS BIGINT) AS dist_e12
        |FROM dists""".stripMargin
 
   /** DuckDB per-vector probe list (nprobe nearest cells), matching

@@ -261,8 +261,8 @@ object Pca {
     val mu = mean.mkString("[", ", ", "]")
     val pc = comps.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val outs = comps.indices.map { k =>
-      s"""  list_sum(list_transform(range(1, ${dim + 1}), i ->
-         |    CAST(round((CAST(embedding[i] AS DOUBLE) - mu[i]) * pc[${k + 1}][i] * 1e12) AS BIGINT))) AS pc${k + 1}_e12""".stripMargin
+      s"""  CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
+         |    CAST(round((CAST(embedding[i] AS DOUBLE) - mu[i]) * pc[${k + 1}][i] * 1e12) AS BIGINT))) AS BIGINT) AS pc${k + 1}_e12""".stripMargin
     }.mkString(",\n")
     val emb = if (withEmbedding) " embedding," else ""
     s"""WITH m AS (SELECT $mu AS mu, $pc AS pc)

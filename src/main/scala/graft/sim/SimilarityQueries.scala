@@ -561,8 +561,8 @@ object SimilarityQueries {
     * AQE re-planning the expensive subtree under the join. One shared
     * path for the query and the corpus-scale bench. */
   def knnDegreeOn(e: DataFrame, k: Int = 3, planes: Int = PLANES): DataFrame = {
-    val deg = knnEdgesOf(e, k, planes)
-      .select(col("nbr")).localCheckpoint()
+    val deg = graft.ops.Scale.materializeCompact(
+        knnEdgesOf(e, k, planes).select(col("nbr")))
       .groupBy(col("nbr").as("vec_id")).agg(count(lit(1)).as("in_deg"))
     e.select(col("vec_id"))
       .join(deg, Seq("vec_id"), "left").na.fill(0L, Seq("in_deg"))
@@ -615,9 +615,9 @@ object SimilarityQueries {
     require(n > 0, "pagerank over an empty vector table")
     val edges = knnEdgesOf(e, k, planes)
       .select(col("vec_id").as("src"), col("nbr").as("dst"))
-    val ewd = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-      .localCheckpoint() // one kNN pass; rounds re-scan compact ids
+    val ewd = graft.ops.Scale.materializeCompact(edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src"))
+      // one kNN pass; rounds re-scan compact ids
     val base = ((100L - dampPct) * 1000000000L) / (100L * n)
     var p = nodes.withColumn("pr", lit(1000000000L / n))
     for (_ <- 1 to iters) {
@@ -924,7 +924,7 @@ object SimilarityQueries {
                |WHERE rn <= CAST(ceil(0.5 * n_c) AS BIGINT)""".stripMargin,
           "emb_d4" -> d4Sql(c),
           "emb_kmeans_inertia" ->
-            s"""SELECT cell, count(*) AS n, sum(dist_e12) AS inertia_e12
+            s"""SELECT cell, count(*) AS n, CAST(sum(dist_e12) AS BIGINT) AS inertia_e12
                |FROM (${Ivf.assignDistSql(c)}) t GROUP BY cell""".stripMargin)
     }
 

@@ -2349,11 +2349,34 @@ object TextQueries {
     * candidate pairs (bounded by the fingerprint buckets, skew-salted
     * via [[graft.ops.Scale.selfPairs]]), never all-pairs; the two text
     * lookups are equi-joins on doc_id, shuffling only candidate-side
-    * rows against the corpus. Emits (d1, d2, n_shared, dist, sim_ppm).
+    * rows against the corpus. Note the TEXT-MOTION cost this implies:
+    * unlike the fingerprint-only stages, verification must ship BOTH
+    * full texts to the candidate pair's reducer — ~2·|text| bytes per
+    * candidate through the two doc_id joins. That is inherent to exact
+    * Levenshtein (the verifier reads the texts) and candidate-bounded,
+    * but under pathological template duplication (one boilerplate
+    * shared by n docs → n²/2 identical-text candidates) the shuffled
+    * text volume is quadratic in the clique size even though each
+    * verification settles on the byte-equality short-circuit.
+    * `maxPairsPerDoc` bounds that fan-in: each d1 keeps only its
+    * `maxPairsPerDoc` strongest candidates (n_shared desc, d2 asc —
+    * deterministic), capping per-doc text motion at cap·|text|; 0
+    * (default) = unbounded, the oracle-exact configuration. Emits
+    * (d1, d2, n_shared, dist, sim_ppm).
     */
   def editDistPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-                    minShared: Int = 2, minSimPpm: Long = 500000L): DataFrame = {
-    val cand = winnowPairs(docs, k, w, minShared)
+                    minShared: Int = 2, minSimPpm: Long = 500000L,
+                    maxPairsPerDoc: Int = 0): DataFrame = {
+    val cand0 = winnowPairs(docs, k, w, minShared)
+    val cand =
+      if (maxPairsPerDoc <= 0) cand0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w1 = Window.partitionBy("d1")
+          .orderBy(col("n_shared").desc, col("d2"))
+        cand0.withColumn("_rk", row_number().over(w1))
+          .filter(col("_rk") <= maxPairsPerDoc).drop("_rk")
+      }
     val t1 = docs.select(col("doc_id").as("d1"), col("text").as("t1"))
     val t2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
     levVerify(cand.join(t1, "d1").join(t2, "d2"),
@@ -2413,12 +2436,12 @@ object TextQueries {
     * carries no Exchange (the sorted/bucketed corpus-writer
     * discipline). */
   def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    // checkpoint BEFORE the explode: fps referenced once lets
+    // materialize BEFORE the explode: fps referenced once lets
     // CollapseProject inline the whole window-min/hash chain per
     // element (~60× per-row cost — the winnowPairs lesson; this path
     // measured >10 min vs seconds at 2M docs without it)
-    winnowFrame(corpus, k, w)
-      .select(col("doc_id"), col("fps")).localCheckpoint()
+    graft.ops.Scale.materializeCompact(
+        winnowFrame(corpus, k, w).select(col("doc_id"), col("fps")))
       .select(col("doc_id").as("dup_of"), explode(col("fps")).as("fp"))
 
   /** Incremental winnow dedup: each batch document's BEST corpus match
@@ -2896,7 +2919,7 @@ object TextQueries {
     * symbols array — no UDF, so the merge step stays a Catalyst
     * expression. Overlaps resolve left-first ("a a a" under (a,a) →
     * "aa a"), matching the reference BPE implementation. */
-  private def mergePairExpr(l: String, r: String): Column = {
+  private[text] def mergePairExpr(l: String, r: String): Column = {
     val (ql, qr, qlr) = (sqlQuote(l), sqlQuote(r), sqlQuote(l + r))
     expr(
       s"""aggregate(
@@ -2917,9 +2940,11 @@ object TextQueries {
     * left-to-right — the [[mergePairExpr]] scan) until no pair in the
     * merge table remains. Equivalent to applying the merge table in
     * rank order, at O(len²) worst case instead of O(len·|merges|). */
-  private def encodeWordDriver(w: String,
-                               ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Vector[String] = w.map(_.toString).toVector :+ "</w>"
+  private[graft] def encodeWordDriver(w: String,
+                               ranks: Map[(String, String), Int],
+                               initSyms: String => Seq[String] = charInitSyms)
+      : Seq[String] = {
+    var syms: Vector[String] = initSyms(w).toVector
     var continue = syms.length >= 2
     while (continue) {
       var best: Option[((String, String), Int)] = None
@@ -2982,15 +3007,25 @@ object TextQueries {
     else bpeTrainDistributed(vocab, numMerges)
   }
 
+  /** Default word → initial-symbol split: characters plus the `</w>`
+    * end-of-word marker (Sennrich et al. 2016). [[ByteBpe]] substitutes
+    * UTF-8 hex byte pairs with no marker (GPT-2 byte level). */
+  private[text] def charInitSyms(w: String): Vector[String] =
+    w.map(_.toString).toVector :+ "</w>"
+
   /** In-memory BPE merge loop over a collected (word, freq) vocabulary —
     * incremental pair statistics + lazy-deletion max-heap, so each round
-    * is O(words containing the merged pair), not O(vocab). */
-  private def bpeTrainDriver(vocab: Array[(String, Long)],
-                             numMerges: Int): Seq[(Int, String, String)] = {
+    * is O(words containing the merged pair), not O(vocab). `initSyms`
+    * picks the initial alphabet (chars+`</w>` here, UTF-8 hex bytes in
+    * [[ByteBpe]]); the loop itself is alphabet-agnostic. */
+  private[text] def bpeTrainDriver(vocab: Array[(String, Long)],
+                             numMerges: Int,
+                             initSyms: String => Seq[String] = charInitSyms)
+      : Seq[(Int, String, String)] = {
     import scala.collection.mutable
     val syms: Array[mutable.ArrayBuffer[String]] = vocab.map { case (w, _) =>
       val b = mutable.ArrayBuffer.empty[String]
-      w.foreach(c => b += c.toString); b += "</w>"; b
+      initSyms(w).foreach(b += _); b
     }
     val freq: Array[Long] = vocab.map(_._2)
     val stats = mutable.HashMap.empty[(String, String), Long]
@@ -3069,11 +3104,17 @@ object TextQueries {
     * not embed rounds 1..R-1. The merge rewrite itself is a pure
     * Catalyst fold ([[mergePairExpr]]), distributed per-row over the
     * vocabulary. Stops early when no adjacent pair remains. */
+  /** Char+`</w>` initial-symbol expression over a `word` column — the
+    * distributed twin of [[charInitSyms]]. */
+  private[text] val charInitSymsExpr: Column = expr(
+    "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))")
+
   private[text] def bpeTrainDistributed(vocab: DataFrame,
-                                        numMerges: Int): Seq[(Int, String, String)] = {
+                                        numMerges: Int,
+                                        initSyms: Column = charInitSymsExpr)
+      : Seq[(Int, String, String)] = {
     var words = vocab
-      .withColumn("syms", expr(
-        "concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('</w>'))"))
+      .withColumn("syms", initSyms)
       .select("syms", "freq")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]

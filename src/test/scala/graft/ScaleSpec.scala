@@ -448,4 +448,18 @@ class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rPq >= rIvf, s"IVF-PQ recall $rPq < IVF recall $rIvf")
     assert(rPq > 0.0)
   }
+
+  test("materializeCompact: leaf-scan handoff, rows preserved, plan pinned") {
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val m = Scale.materializeCompact(src)
+    // the handoff contract: downstream consumers see a LEAF scan — the
+    // aggregate subtree can never be re-inlined per consumer
+    assert(m.queryExecution.logical.children.isEmpty,
+      m.queryExecution.logical.toString)
+    assert(m.orderBy("k").collect().map(_.toString).toSeq ==
+      src.orderBy("k").collect().map(_.toString).toSeq)
+  }
 }

@@ -1642,4 +1642,23 @@ class ChunkBloomSpec extends AnyFunSuite {
     assert(m("aa") == ((4L, 2.0)), "merged fertility drops for the covered language")
     assert(m("bb") == ((3L, 3.0)))
   }
+
+  test("editDistPairs maxPairsPerDoc caps fan-in; 0 stays oracle-exact") {
+    import spark.implicits._
+    // a 4-doc identical-template clique (6 pairs) + one near-duplicate
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (Seq.tabulate(4)(i => (i.toLong, tpl)) :+
+      (10L, tpl + " extra")).toDF("doc_id", "text")
+    val full = TextQueries.editDistPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .subsetOf(full), full.toString)
+    val capped = TextQueries.editDistPairs(docs, maxPairsPerDoc = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full), "capped output must be a subset of the exact result")
+    assert(capped.groupBy(_._1).forall(_._2.size <= 1),
+      s"each d1 keeps at most maxPairsPerDoc candidates: $capped")
+    // the deterministic keep rule: strongest n_shared, then smallest d2
+    assert(capped.contains((0L, 1L)), capped.toString)
+  }
 }
