@@ -583,6 +583,22 @@ object BenchLarge {
       graft.text.TextQueries.bpeEncode(docs(spark, nDocs, template), bpeMerges)
         .agg(sum("n_tokens")).collect()(0).getLong(0)
     }
+    // byte-level (GPT-2-shape) BPE: same driver-heap merge loop over
+    // the hex-byte alphabet of GPT-2-pattern pretokens — the
+    // pretoken vocabulary is larger than the whitespace-word one
+    // (case/punct-attached variants stay distinct) but still
+    // Heaps-bounded; encode rides the same broadcast-vocabulary plan.
+    var byteMerges: Seq[(Int, String, String)] = Seq.empty
+    timed("bpe_byte_train") {
+      byteMerges = graft.text.ByteBpe.train(docs(spark, nDocs, template),
+        numMerges = 1000)
+      byteMerges.size.toLong
+    }
+    timed("bpe_byte_encode", clearAfter = true) {
+      require(byteMerges.nonEmpty, "bpe_byte_encode needs bpe_byte_train in ONLY list")
+      graft.text.ByteBpe.encode(docs(spark, nDocs, template), byteMerges)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+    }
     // PII scrub at the full corpus: three detection counts + the full
     // redaction chain + md5 per row, map-only. The check forces every
     // output column (the hash-length sum defeats pruning of the
@@ -860,6 +876,43 @@ object BenchLarge {
     timed("corpus_percentiles", clearAfter = true) {
       graft.text.TextQueries.corpusPercentiles(docs(spark, nDocs, template))
         .agg(sum(round(col("value") * 1e6).cast("long"))).collect()(0).getLong(0)
+    }
+    // mergeable-sketch monitoring, full vs incremental: the full paths
+    // scan the whole corpus into bounded sketches; the _incr twins
+    // pre-build the 95% corpus's sketch OUTSIDE the timer (it is the
+    // persisted snapshot index) and pay only the 5% shard's scan plus
+    // a sketch-sized merge — the measured gap IS the historical
+    // re-scan saved. Checks: est_e6 (register-exact) / value sum.
+    timed("sketch_distinct", clearAfter = true) {
+      graft.ops.Sketches.hllFinalize(graft.ops.Sketches.hllRegisters(
+        docs(spark, nDocs, template)
+          .select(explode(split(col("text"), " ")).as("w")), col("w")))
+        .collect()(0).getAs[Long]("est_e6")
+    }
+    // the untimed index pre-builds pay a corpus scan — skip them
+    // entirely when ONLY-mode doesn't name their consumers
+    if (only.isEmpty || only("sketch_distinct_incr") || only("sketch_quantiles_incr")) {
+      val allDocs = docs(spark, nDocs, template)
+      val oldIdx = graft.ops.Scale.materializeCompact(
+        graft.ops.Sketches.hllRegisters(
+          allDocs.filter(col("doc_id") % 20 =!= 0)
+            .select(explode(split(col("text"), " ")).as("w")), col("w")))
+      timed("sketch_distinct_incr", clearAfter = true) {
+        graft.ops.Sketches.hllFinalize(graft.ops.Sketches.hllMerge(Seq(oldIdx,
+          graft.ops.Sketches.hllRegisters(
+            allDocs.filter(col("doc_id") % 20 === 0)
+              .select(explode(split(col("text"), " ")).as("w")), col("w")))))
+          .collect()(0).getAs[Long]("est_e6")
+      }
+      val oldHist = graft.ops.Scale.materializeCompact(
+        graft.ops.Sketches.histShards(
+          allDocs.filter(col("doc_id") % 20 =!= 0), lit(0)))
+      timed("sketch_quantiles_incr", clearAfter = true) {
+        graft.ops.Sketches.histQuantiles(graft.ops.Sketches.histMerge(Seq(oldHist,
+          graft.ops.Sketches.histShards(
+            allDocs.filter(col("doc_id") % 20 === 0), lit(1)))))
+          .agg(sum(round(col("value") * 1e6).cast("long"))).collect()(0).getLong(0)
+      }
     }
     // incremental edit-distance dedup: 5% batch vs 95% corpus winnow
     // index, Levenshtein verification of best matches only.

@@ -25,7 +25,7 @@ object SparkEntry {
       TemporalQueries.queries ++ WarpQueries.queries ++ PipelineQueries.queries ++
       graft.text.TextQueries.queries ++ graft.text.PiiQueries.queries ++
       graft.text.ParagraphQueries.queries ++ graft.text.BinPack.queries ++
-      graft.text.ByteBpe.queries ++
+      graft.text.ByteBpe.queries ++ Sketches.queries ++
       graft.sim.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +35,6 @@ object SparkEntry {
       TemporalQueries.oracles ++ WarpQueries.oracles ++ PipelineQueries.oracles ++
       graft.text.TextQueries.oracles ++ graft.text.PiiQueries.oracles ++
       graft.text.ParagraphQueries.oracles ++ graft.text.BinPack.oracles ++
-      graft.text.ByteBpe.oracles ++
+      graft.text.ByteBpe.oracles ++ Sketches.oracles ++
       graft.sim.SimilarityQueries.oracles
 }

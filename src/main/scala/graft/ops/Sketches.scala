@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextQueries
+
+/** Mergeable sketch indexes — bounded-size summaries that persist as
+  * per-shard tables, union across corpus snapshots, and finalize
+  * without re-scanning history. They serve the monitoring family
+  * (`vocab_drift`, `corpus_percentiles`) incrementally: today those
+  * queries re-scan both snapshots end to end; with a sketch table per
+  * ingest shard, a new snapshot costs one pass over the NEW shard plus
+  * a merge over ≤sketch-sized rows.
+  *
+  * Two sketches, both chosen for cross-engine DETERMINISM (the oracle
+  * replays the whole computation in DuckDB, so randomized compaction
+  * is off the table):
+  *
+  *  - **Distinct sketch** = classic HyperLogLog (Flajolet, Fusy,
+  *    Gandouet, Meunier 2007) over the portable 60-bit md5 hash, m =
+  *    4096 registers, with the small-range linear-counting correction.
+  *    Registers are a pure (bucket → max rank) aggregate, so sketch
+  *    build is one map-side-combined pass, merge is `max` per bucket —
+  *    associative, idempotent, ORDER-FREE — and every arithmetic step
+  *    until the final division is exact integers (rank via bit-length
+  *    comparisons, the 2^-reg sum as scaled DECIMAL(38,0)).
+  *  - **Quantile sketch** = fixed-resolution mergeable histogram:
+  *    (signal, bucket, cnt) rows where the bucket is an EXACT integer
+  *    function of the row (token count directly; mean word length as
+  *    (1000·chars) div tokens — no float ever touches the key). Merge
+  *    is `sum` per bucket. This plays the KLL role (Karnin, Lang,
+  *    Liberty 2016) at the same bounded size, trading KLL's
+  *    universe-independence (its compactors are randomized — not
+  *    oracle-replayable) for a value-range bound that text-signal
+  *    ranges easily satisfy; quantiles finalize at grid resolution.
+  *
+  * Scale (100 TB): each ingest shard writes its own ≤4096-row register
+  * table / ≤range-sized histogram; corpus-wide distinct counts and
+  * percentile dashboards then read ONLY sketch tables — the re-scan of
+  * every historical shard that `vocab_drift`-style exact recomputation
+  * pays is gone, and the merge is a few-KB shuffle regardless of
+  * corpus size.
+  */
+object Sketches {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** HLL geometry: m = 2^12 registers; the 60-bit portable hash leaves
+    * 48 bits of rank material (rank ∈ 1..49). */
+  val M = 4096
+  private val RankBits = 48
+  /** alpha_m · m² · 2^62 — the numerator of the raw HLL estimate with
+    * the register sum pre-scaled by 2^62 to keep it integral. One
+    * Scala double, embedded in both engines' SQL via shortest
+    * round-trip, so the final division is bit-identical. */
+  private val AlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * 4.611686018427387904e18
+
+  /** (bucket, reg) HLL register table of a value column — the
+    * persistable sketch. One corpus pass, map-side combined down to
+    * ≤ m rows per partition. */
+  def hllRegisters(df: DataFrame, value: Column): DataFrame =
+    df.select(TextQueries.phash(value).as("h"))
+      .select(expr(s"CAST(h % $M AS INT)").as("bucket"),
+        expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
+                |  b -> shiftleft(1L, b) <= (h div $M))) AS INT)""".stripMargin)
+          .as("rank"))
+      .groupBy("bucket").agg(max("rank").as("reg"))
+
+  /** Per-shard register tables: (shard, bucket, reg) — write this
+    * partitioned by `shard` and each ingest batch appends its own
+    * shard's rows without touching history. */
+  def hllShards(df: DataFrame, value: Column, shard: Column): DataFrame =
+    df.select(shard.as("shard"), TextQueries.phash(value).as("h"))
+      .select(col("shard"), expr(s"CAST(h % $M AS INT)").as("bucket"),
+        expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
+                |  b -> shiftleft(1L, b) <= (h div $M))) AS INT)""".stripMargin)
+          .as("rank"))
+      .groupBy("shard", "bucket").agg(max("rank").as("reg"))
+
+  /** Union any number of register tables into one: max per bucket —
+    * associative and idempotent, so shards/snapshots merge in any
+    * order and re-merging is harmless. */
+  def hllMerge(regTables: Seq[DataFrame]): DataFrame =
+    regTables.map(_.select("bucket", "reg")).reduce(_ unionAll _)
+      .groupBy("bucket").agg(max("reg").as("reg"))
+
+  /** One-row estimate from a register table:
+    * (n_hit, n_zero, est_e6) — registers hit, empty registers, and the
+    * distinct estimate in exact micro-units. Raw estimate
+    * alpha·m²/Σ2^-reg with the 2007 paper's small-range correction
+    * (linear counting m·ln(m/V) when the raw estimate ≤ 2.5m and empty
+    * registers remain). The register sum is the scaled integer
+    * Σ 2^(62-reg) (+ 2^62 per empty register) in DECIMAL(38,0), so
+    * both engines divide the same exact operands. */
+  def hllFinalize(regs: DataFrame): DataFrame =
+    regs.agg(
+        count(lit(1)).as("n_hit"),
+        coalesce(sum(expr("CAST(shiftleft(1L, 62 - reg) AS DECIMAL(38,0))")),
+          lit(0).cast("decimal(38,0)")).as("s_hit"))
+      .select(col("n_hit"), (lit(M.toLong) - col("n_hit")).as("n_zero"),
+        (lit(AlphaNum) /
+          (col("s_hit") + col("n_zero").cast("decimal(38,0)") *
+            lit(4611686018427387904L).cast("decimal(38,0)")).cast("double"))
+          .as("raw"))
+      .select(col("n_hit"), col("n_zero"),
+        expr(s"""CAST(round(CASE WHEN n_zero > 0 AND raw <= ${2.5 * M}
+                |  THEN $M.0 * ln($M.0 / n_zero) ELSE raw END * 1e6) AS BIGINT)"""
+          .stripMargin).as("est_e6"))
+
+  /** Per-shard mergeable histogram: (shard, signal, bucket, cnt) over
+    * the two signals the percentile dashboard tracks, as EXACT integer
+    * histogram keys: token count as itself; mean word length at 1e-3
+    * resolution via (1000 · total-word-chars) div tokens (total word
+    * chars = length − spaces = length − tokens + 1 — no float ever
+    * touches the key). */
+  def histShards(docs: DataFrame, shard: Column): DataFrame = {
+    val withSig = docs
+      .select(shard.as("shard"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("nt"),
+        expr("CAST(length(text) AS BIGINT)").as("nc"))
+      .select(col("shard"), col("nt"),
+        expr("(1000 * (nc - nt + 1)) div nt").as("mwl"))
+    withSig.select(col("shard"), lit("n_tokens").as("signal"), col("nt").as("bucket"))
+      .unionAll(withSig.select(col("shard"), lit("mean_word_len").as("signal"),
+        col("mwl").as("bucket")))
+      .groupBy("shard", "signal", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Union histogram shards: sum per (signal, bucket). */
+  def histMerge(shards: Seq[DataFrame]): DataFrame =
+    shards.map(_.select("signal", "bucket", "cnt")).reduce(_ unionAll _)
+      .groupBy("signal", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Finalize grid quantiles from a merged histogram: for each signal
+    * and percentile, the lower order statistic — the minimum bucket
+    * whose cumulative count reaches rank = (q·(n−1)) div 100 + 1 —
+    * decoded back to a value (bucket/1000 for the 1e-3-gridded
+    * signal). The sketch is range-bounded, so it collects to the
+    * driver (the exactQuantileGrid bounded-collect discipline) and the
+    * scan that built it never re-runs. */
+  def histQuantiles(merged: DataFrame, qPcts: Seq[Int] = Seq(5, 25, 50, 75, 95))
+      : DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val rows = merged.select("signal", "bucket", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = rows.groupBy(_._1).toSeq.flatMap { case (signal, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      qPcts.map { q =>
+        val rank = q.toLong * (n - 1) / 100L + 1L
+        var cum = 0L
+        val bucket = sorted.find { case (_, _, c) => cum += c; cum >= rank }
+          .map(_._2).getOrElse(sorted.last._2)
+        val value =
+          if (signal == "mean_word_len") bucket.toDouble / 1000.0
+          else bucket.toDouble
+        (signal, q, value)
+      }
+    }.sortBy(x => (x._1, x._2))
+    out.toDF("signal", "q_pct", "value")
+  }
+
+  /** The snapshot word streams shared with vocab_drift's fixture:
+    * old = ids not ending in 9; new = ids not ending in 4 with ids
+    * ending in 3 rewritten ([[TextQueries.snapshotSplit]] — the oracle
+    * hardcodes the same split). */
+  private def words(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("w"))
+
+  def queries: Map[String, Q] = Map(
+    // whole-corpus distinct-word estimate — sketch build + finalize
+    "sketch_distinct" -> { (s, dir) =>
+      hllFinalize(hllRegisters(words(Tables.documents(s, dir)), col("w")))
+    },
+    // incremental: the old snapshot's registers stand in for the
+    // persisted index (materialized — the new snapshot must NOT
+    // trigger an old-corpus re-scan), merged with the new shard's
+    "sketch_distinct_incr" -> { (s, dir) =>
+      val (old, neu) = TextQueries.snapshotSplit(Tables.documents(s, dir))
+      val oldIdx = Scale.materializeCompact(hllRegisters(words(old), col("w")))
+      hllFinalize(hllMerge(Seq(oldIdx, hllRegisters(words(neu), col("w")))))
+    },
+    // percentile dashboard from per-shard histograms (shard = doc_id%4)
+    "sketch_quantiles" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val shards = histShards(docs, pmod(col("doc_id"), lit(4)))
+      histQuantiles(histMerge(Seq(shards)))
+    })
+
+  /** DuckDB twins — each a FULL recompute from the raw table (the
+    * incremental plan and the exact replay must agree register for
+    * register / bucket for bucket, or mergeability is broken). */
+  def oracles: Map[String, String] = {
+    def hllSql(wordsSql: String): String =
+      s"""WITH words AS ($wordsSql),
+         |h AS (SELECT ${TextQueries.phashSql("w")} AS h FROM words),
+         |br AS (SELECT h % $M AS bucket,
+         |         ${RankBits + 1} - len(list_filter(range(0, $RankBits),
+         |           b -> (CAST(1 AS BIGINT) << b) <= (h // $M))) AS rank
+         |       FROM h),
+         |regs AS (SELECT bucket, max(rank) AS reg FROM br GROUP BY bucket),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         |          CAST($M - count(*) AS BIGINT) AS n_zero,
+         |          coalesce(sum(CAST((CAST(1 AS BIGINT) << (62 - reg))
+         |            AS DECIMAL(38,0))), 0) AS s_hit
+         |        FROM regs),
+         |r AS (SELECT n_hit, n_zero,
+         |        $AlphaNum / CAST(s_hit + CAST(n_zero AS DECIMAL(38,0)) *
+         |          CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+         |      FROM agg)
+         |SELECT n_hit, n_zero,
+         |  CAST(round(CASE WHEN n_zero > 0 AND raw <= ${2.5 * M}
+         |    THEN $M.0 * ln($M.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
+         |FROM r""".stripMargin
+    Map(
+      "sketch_distinct" -> hllSql(
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents"),
+      "sketch_distinct_incr" -> hllSql(
+        """SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          |  WHERE doc_id % 10 <> 9
+          |  UNION ALL
+          |  SELECT unnest(string_split(CASE WHEN doc_id % 10 = 3
+          |    THEN text || ' v2' ELSE text END, ' ')) AS w
+          |  FROM documents WHERE doc_id % 10 <> 4""".stripMargin),
+      "sketch_quantiles" ->
+        """WITH sig AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          |               CAST(length(text) AS BIGINT) AS nc FROM documents),
+          |h AS (
+          |  SELECT 'n_tokens' AS signal, nt AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM sig GROUP BY nt
+          |  UNION ALL
+          |  SELECT 'mean_word_len' AS signal, (1000 * (nc - nt + 1)) // nt AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM sig GROUP BY 2),
+          |c AS (SELECT signal, bucket, cnt,
+          |        sum(cnt) OVER (PARTITION BY signal ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER (PARTITION BY signal) AS n FROM h),
+          |q AS (SELECT unnest([5, 25, 50, 75, 95]) AS q_pct),
+          |sel AS (SELECT signal, q_pct, min(bucket) AS bucket
+          |        FROM c CROSS JOIN q
+          |        WHERE cum >= (q_pct * (n - 1)) // 100 + 1
+          |        GROUP BY signal, q_pct)
+          |SELECT signal, CAST(q_pct AS INT) AS q_pct,
+          |  CASE WHEN signal = 'mean_word_len' THEN CAST(bucket AS DOUBLE) / 1000.0
+          |       ELSE CAST(bucket AS DOUBLE) END AS value
+          |FROM sel""".stripMargin)
+  }
+}

@@ -1,0 +1,628 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Exact/MinHash-LSH dedup, decontamination, Bloom membership, and chunking.
+  *
+  * Mixed into [[TextQueries]] (`this: TextQueries.type`): one of the
+  * line-range-preserving module splits of the original single file —
+  * zero behavior change, member order (and therefore val
+  * initialization order) identical to the pre-split layout.
+  */
+private[text] trait TextDedupOps { this: TextQueries.type =>
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Portable 60-bit hash of a string expression. */
+  private[graft] def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private[graft] def phashSql(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  // MinHash parameters: k permutations in b bands of r rows
+  private[text] val K = 16
+  private[text] val BANDS = 4
+  private[text] val P = 1073741789L // prime < 2^30
+  private[text] val H30 = 1073741824L // 2^30
+
+  private[text] val STOP = Seq("the", "a", "of", "and")
+
+  /** SQL fragment producing the positional word-n-gram array from a
+    * bound `toks` column — the ONE definition of gram construction the
+    * n-gram operators share ([[topNgram]], [[scrubFrequentNgrams]],
+    * [[bigramScore]], [[dsirBucketsExpr]]). Space-joined, order
+    * preserved, (size - n + 1) grams. */
+  private[text] def ngramArrayExpr(n: Int): String = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    val rest = (1 until n).map(j => s", toks[i + $j]").mkString
+    s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
+  }
+
+  /** documents → (doc_id, shingle) distinct word-n-gram shingles. */
+  private[text] def ngramShingles(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))")
+      )).as("shingle"))
+  }
+
+  /** documents → (doc_id, shingle) distinct word-3-gram shingles (the
+    * MinHash/LSH chain's unit). */
+  private[text] def shingles(docs: DataFrame): DataFrame = ngramShingles(docs, 3)
+
+  /** BPE-ish pre-tokenizer alternation (GPT-2 shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs,
+    * whitespace) with the lookahead dropped so the SAME pattern runs
+    * identically under Java regex (Spark) and RE2 (DuckDB) — RE2 has
+    * no lookahead, and both engines resolve alternation leftmost-first.
+    */
+  val BpeishPattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** Whitespace token count of a text field. */
+  def wsTokenCount(textField: String): Column =
+    size(split(col(textField), " "))
+
+  /** BPE-ish token count: matches of [[BpeishPattern]] — on plain-word
+    * corpora it coincides with [[wsTokenCount]]; punctuation,
+    * contractions, and digit runs split further, approximating subword
+    * tokenizer budgets for data-sizing decisions. */
+  def bpeishTokenCount(textField: String): Column =
+    size(regexp_extract_all(col(textField), lit(BpeishPattern), lit(0)))
+
+  /** Per-row distinct word-n-gram array over a text field — the
+    * explode-free form of [[ngramShingles]] for streaming/stateless
+    * consumers; empty array below n tokens. */
+  def ngramShinglesExpr(textField: String, n: Int): Column = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ")
+    expr(
+      s"""element_at(transform(array(split($textField, ' ')), toks ->
+         |  CASE WHEN size(toks) >= $n THEN
+         |    array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
+         |      i -> concat_ws(' ', $parts)))
+         |  ELSE CAST(array() AS ARRAY<STRING>) END), 1)""".stripMargin)
+  }
+
+  /** DuckDB-oracle twin of [[ngramShingles]], over any source relation
+    * (a table name or a parenthesized subquery) so the incremental-dedup
+    * and decontamination oracles can shingle arbitrary splits. */
+  private[text] def ngramShinglesSqlFor(src: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
+      .mkString(", ' ', ")
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - ${n - 2}),
+       |      i -> concat($parts)))) AS shingle
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
+       |WHERE len(toks) >= $n""".stripMargin
+  }
+
+  private[text] def shinglesSqlFor(src: String): String = ngramShinglesSqlFor(src, 3)
+
+  private[text] val shinglesSql: String = shinglesSqlFor("documents")
+
+  /** (doc_id, seed, minh): the MinHash signature, k rows per doc.
+    *
+    * One aggregation pass with K parallel `min` columns (then unpivoted
+    * via `stack`) instead of a K-fold row explosion — at 100 TB the
+    * explode variant would shuffle K× the shingle volume for no reason.
+    */
+  private[text] def minhashSig(docs: DataFrame): DataFrame =
+    minhashSigFromShingles(
+      shingles(docs).select(col("doc_id"), phash(col("shingle")).as("h")))
+
+  /** Wide signature frame (doc_id, m0..m15) from the compact
+    * hashed-shingle frame (doc_id, h): the 30-bit minhash input is just
+    * `h % 2^30`, and all K permutation minima come out of ONE
+    * aggregation pass. */
+  private[text] def minhashWide(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h30", col("h") % lit(H30))
+    val aggs = (0 until K).map { s =>
+      min((col("h30") * lit(2L * s + 1) + lit(7919L * s)) % lit(P)).as(s"m$s")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[text] def minhashSigFromShingles(sh: DataFrame): DataFrame = {
+    val stackExpr = s"stack($K, " +
+      (0 until K).map(s => s"$s, m$s").mkString(", ") + ") AS (seed, minh)"
+    minhashWide(sh).select(col("doc_id"), expr(stackExpr))
+  }
+
+  private[text] def minhashSigSqlFor(src: String): String =
+    s"""SELECT doc_id, seed, min((h30 * (seed * 2 + 1) + seed * 7919) % $P) AS minh
+       |FROM (SELECT doc_id, ${phashSql("shingle")} % $H30 AS h30
+       |      FROM (${shinglesSqlFor(src)})) CROSS JOIN (SELECT unnest(range($K)) AS seed)
+       |GROUP BY doc_id, seed""".stripMargin
+
+  private[text] val minhashSigSql: String = minhashSigSqlFor("documents")
+
+  /** Band-signature oracle twin of [[bandSignatures]]. */
+  private[text] def bandsSqlFor(src: String): String =
+    s"""SELECT doc_id, CAST(seed // ${K / BANDS} AS INT) AS band,
+       |  string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |FROM (${minhashSigSqlFor(src)}) GROUP BY doc_id, band""".stripMargin
+
+  /** Per-row LSH band-signature array over a text field — the SAME
+    * K/BANDS/hash chain as [[minhashSig]], but computed entirely with
+    * nested higher-order functions so it needs NO explode/groupBy: the
+    * streaming dedup path ([[graft.streaming.StreamOps]]) keeps signature
+    * computation stateless/per-row and leaves only the band-collision
+    * lookup stateful. Docs with fewer than 3 tokens yield an empty array
+    * (no shingles → no bands), matching the batch path.
+    *
+    * The token list and the per-shingle hashes are each bound ONCE as a
+    * lambda variable (`transform(array(x), v -> ...)`): referencing a
+    * computed column K times lets CollapseProject duplicate the md5 work
+    * K-fold (the round-1 codegen blow-up lesson) — a lambda binding
+    * gives the optimizer nothing to copy.
+    */
+  def bandSigsExpr(textField: String): Column = {
+    val r = K / BANDS
+    def minh(seed: String) =
+      s"CAST(array_min(transform(hs, h -> (h * (2 * ($seed) + 1) + 7919 * ($seed)) % $P)) AS STRING)"
+    val bandArr = s"transform(sequence(0, ${BANDS - 1}), b -> concat_ws(','," +
+      (0 until r).map(k => minh(s"b * $r + $k")).mkString(", ") + "))"
+    expr(
+      s"""element_at(transform(array(split($textField, ' ')), toks ->
+         |  CASE WHEN size(toks) >= 3 THEN
+         |    element_at(transform(array(
+         |        transform(array_distinct(transform(sequence(1, size(toks) - 2),
+         |          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))),
+         |          x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT) % $H30)
+         |      ), hs -> $bandArr), 1)
+         |  ELSE CAST(array() AS ARRAY<STRING>) END), 1)""".stripMargin)
+  }
+
+  /** Per-row distinct shingle-hash set (full 60-bit portable hash, NOT
+    * the 2^30-folded minhash input) — carried by the streaming LSH path
+    * so candidate pairs can be exact-Jaccard-verified from state without
+    * re-reading documents: |A∩B|/|A∪B| over 60-bit hashes equals the
+    * shingle-string Jaccard up to a ~2⁻⁶⁰ collision probability. Empty
+    * array below 3 tokens, same as [[bandSigsExpr]]. */
+  def shingleHashesExpr(textField: String): Column = expr(
+    s"""element_at(transform(array(split($textField, ' ')), toks ->
+       |  CASE WHEN size(toks) >= 3 THEN
+       |    array_distinct(transform(array_distinct(transform(sequence(1, size(toks) - 2),
+       |      i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))),
+       |      x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)))
+       |  ELSE CAST(array() AS ARRAY<BIGINT>) END), 1)""".stripMargin)
+
+  /** Full LSH dedup chain over any (doc_id, text) frame — the body of
+    * the `dedup_lsh_pairs` query, public so `BenchLarge` can drive it at
+    * synthetic-corpus scale. The shingle and band-signature lineages
+    * feed multiple joins and are deliberately NOT persisted: re-deriving
+    * the codegen'd tokenize+explode+agg chain per branch measured 2.0 s
+    * steady-state at sf0.1 vs 5.4 s with MEMORY_AND_DISK persist (the
+    * columnar cache build costs more than the recompute), and at corpus
+    * scale materializing a multi-TB intermediate is strictly worse than
+    * re-scanning the pruned source columns. */
+  def lshPairs(docs: DataFrame, threshold: Double = 0.5,
+               persistLineage: Boolean = false,
+               portableHash: Boolean = true): DataFrame = {
+    // Everything downstream of the tokenize+explode works on the 60-bit
+    // portable shingle hash, not the shingle string: minhash folds it to
+    // 30 bits anyway, and |A∩B|/|A∪B| over 60-bit hashes equals the
+    // string Jaccard up to a ~2⁻⁶⁰ collision probability (the same
+    // argument the streaming path documents) — while every shuffle row
+    // shrinks from (doc_id, ~40-byte string) to (doc_id, long).
+    //
+    // `portableHash` picks the hash itself: md5-hex→conv (bit-portable
+    // to the DuckDB oracle — the correctness-gate default) vs native
+    // xxhash64 (codegen'd, no hex-string round-trip). Measured verdict
+    // (BENCH_LARGE.json, 2M docs, min-of-3 calibrated passes): the two
+    // chains are within ~10% of each other and the SIGN of the gap has
+    // flipped between committed rounds (md5 14% ahead in one, xxhash
+    // 10% ahead in the next) — the chain is shuffle/explode-bound, not
+    // hash-bound, so the portability tax is inside run-to-run noise.
+    // Choose by requirement, not speed: portableHash=true whenever an
+    // external system must reproduce the signatures, false otherwise.
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh0 = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    // `persistLineage` caches that compact frame, which the branches
+    // below re-derive (signatures, sizes, both sides of the verify
+    // join): at sf0.1 recompute wins (2.0 s vs 5.4 s — cache build
+    // exceeded the recompute); at corpus scale the md5+explode chain
+    // dominates and the tradeoff flips — callers choose per scale.
+    val sh = if (persistLineage)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    // band signature: concat of the band's r minhash values in seed
+    // order — built STRAIGHT from the wide (doc_id, m0..m15) frame as a
+    // codegen'd string concat + a 4-way explode (2M → 8M rows), NOT by
+    // stack-exploding to K×docs rows and re-grouping with collect_list:
+    // the second shuffle+sort aggregation was the chain's most
+    // expensive subtree, and its three consumers (selfPairs' eager
+    // skew-detection aggregate plus both references to `cand` below)
+    // each paid it again. Same sig strings, same oracle.
+    val bands0 = bandFrame(minhashWide(sh))
+    // under persistLineage, cache bands and cand so each consumer pays
+    // the minhash aggregation once (caches stay session-owned, as `sh`)
+    val bands = if (persistLineage)
+      bands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bands0
+    // candidate pairs via the skew-aware self-join: degenerate
+    // "identical template" band buckets are triangle-salted so their
+    // n² pair-work spreads across reducers (Scale.selfPairs) — output
+    // is exactly the all-pairs result, so the oracle is unchanged
+    val cand0 = graft.ops.Scale.selfPairs(bands, Seq("band", "sig"), "doc_id")
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
+    val cand = if (persistLineage)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
+    // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1.n") + col("n2.n") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Deduplicated-corpus materialization: LSH pairs → connected
+    * components → one survivor per near-dup cluster, singletons kept —
+    * the step every training-data pipeline runs right after cluster
+    * resolution.
+    *
+    * This anti-join shape is the CANONICAL singleton-coverage path for
+    * dedup: the drop-set (near-dup non-survivors only) is the SMALL
+    * side, broadcast-hinted below, so docs never emitted as a pair —
+    * the overwhelming majority of a real corpus — are never joined at
+    * all. [[graft.ops.Components.connectedComponentsTotal]] is the
+    * API-level alternative when a caller needs an explicit label for
+    * EVERY doc (it left-joins the full universe); for materialization
+    * it would add a corpus-sized join for labels this path never
+    * consumes. TextQueriesSpec pins the two paths to the same survivor
+    * set.
+    *
+    * `keepBy` picks the survivor within each cluster (the reference
+    * policy of real pipelines is "keep the best doc", not "keep the
+    * first"): `None` keeps the minimum doc_id — the default, and the
+    * fast path, since the component label IS the min doc_id so no
+    * metric evaluation is needed. `Some(metric)` keeps the doc with
+    * the smallest (`ascending=true`) or largest metric value, ties
+    * broken toward the smaller doc_id. The metric is evaluated only on
+    * LABELED docs (the small near-dup set), fetched with one broadcast
+    * join against the corpus — survivor selection never shuffles the
+    * corpus.
+    *
+    * `persistLineage` forwards to [[lshPairs]] (same session-owned
+    * cache contract): the pair chain consumes its shingle/band lineage
+    * ~5 times, so at corpus scale — especially when `docs` is itself an
+    * already-persisted intermediate — caching the compact hashed frames
+    * beats re-deriving the tokenize+explode+agg chain per consumer
+    * (measured ~5x on the composed pipeline at bench scale; see
+    * BENCH_LARGE.json `corpus_clean`).
+    */
+  def dedupKeep(docs: DataFrame, threshold: Double = 0.5,
+                keepBy: Option[Column] = None,
+                ascending: Boolean = true,
+                persistLineage: Boolean = false,
+                keepText: Boolean = false): DataFrame = {
+    val pairs = lshPairs(docs, threshold, persistLineage = persistLineage)
+      .select(col("d1"), col("d2"))
+    val labels = graft.ops.Components.connectedComponents(pairs, "d1", "d2")
+    val dropped = keepBy match {
+      case None =>
+        labels.filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+      case Some(metric) =>
+        val labeled = docs
+          .join(broadcast(labels.withColumnRenamed("node", "doc_id")), "doc_id")
+          .select(col("doc_id"), col("component"), metric.as("keep_metric"))
+        val pick =
+          if (ascending) min_by(col("doc_id"), struct(col("keep_metric"), col("doc_id")))
+          else max_by(col("doc_id"), struct(col("keep_metric"), -col("doc_id")))
+        val survivors = labeled.groupBy("component").agg(pick.as("doc_id"))
+          .select(col("doc_id"))
+        labels.select(col("node").as("doc_id"))
+          .join(survivors, Seq("doc_id"), "left_anti")
+    }
+    // the broadcast hint pins the intended plan: after the iterative CC
+    // computation Spark's size estimate for the drop-set is opaque, and
+    // a shuffle-anti here would re-shuffle the whole corpus (PlanSpec)
+    // keepText=true hands survivors to a downstream consumer (the
+    // tokenize pipeline) with their text — same plan, different select
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        (if (keepText) col("text") else md5(col("text")).as("content_hash")))
+  }
+
+  /** Per-document LSH band signatures (doc_id, band, sig) — the
+    * candidate-generation index of [[lshPairs]], public so an existing
+    * corpus can compute it ONCE, persist it as a table, and have every
+    * incoming batch join against it ([[lshPairsAgainst]]) without the
+    * corpus ever being re-shingled or re-shuffled. */
+  /** (doc_id, band, sig) frame from a wide minhash frame — the single
+    * definition of the band layout (K/BANDS split, comma-joined sig),
+    * shared by [[lshPairs]] and [[bandSignatures]] so the self-join and
+    * the incremental index can never drift onto different signatures. */
+  private[text] def bandFrame(wide: DataFrame): DataFrame = {
+    val r = K / BANDS
+    val bandCols = (0 until BANDS).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*).as("sig"))
+    }
+    wide
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def bandSignatures(docs: DataFrame, portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    bandFrame(minhashWide(sh))
+  }
+
+  /** Incremental dedup: match a NEW batch against an EXISTING corpus —
+    * the asymmetric variant of [[lshPairs]] that production pipelines
+    * run per ingest. Returns one row per batch document that near-
+    * duplicates some corpus document: (batch_id, dup_of, jaccard) with
+    * dup_of = the best corpus match (highest verified Jaccard, ties to
+    * the smallest corpus id — deterministic cross-engine).
+    *
+    * Scale shape (the reason this is not just lshPairs on the union):
+    * the batch side is small relative to the corpus, so every join
+    * keeps the corpus streaming and broadcasts batch-derived frames —
+    * batch bands against corpus bands (candidate generation), then the
+    * candidate corpus-id set against the corpus (so only CANDIDATE
+    * corpus docs are ever re-shingled for verification), then batch
+    * shingles against those. The corpus is scanned, never shuffled;
+    * with `corpusBands` pre-materialized via [[bandSignatures]] the
+    * scan-side work per batch is the candidate verification alone.
+    * Unlike the self-join in [[lshPairs]] there is no triangle to salt;
+    * a degenerate band bucket hot on BOTH sides is handled by AQE skew
+    * splitting of the streamed side (the broadcast side replicates to
+    * every task by construction).
+    */
+  def lshPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                      threshold: Double = 0.5,
+                      corpusBands: Option[DataFrame] = None,
+                      portableHash: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = lshMatchesAgainst(batch, corpus, threshold, corpusBands,
+      portableHash)
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+  }
+
+  /** ALL verified batch-vs-corpus matches above `threshold` (the
+    * pre-ranking body of [[lshPairsAgainst]]): (batch_id, corpus_id,
+    * jaccard). Public so the streaming gate
+    * ([[graft.streaming.StreamOps]]) has a batch-parity reference.
+    *
+    * `portableHash` selects the shingle hash for BATCH band signatures
+    * and must match the hash the corpus bands were built with — a
+    * pre-materialized `corpusBands` index built via
+    * `bandSignatures(corpus, portableHash = false)` joined against
+    * md5-hashed batch bands would silently produce zero candidates, so
+    * pass the same flag here that built the index. Verification is
+    * unaffected (it re-hashes both texts with one consistent hash). */
+  def lshMatchesAgainst(batch: DataFrame, corpus: DataFrame,
+                        threshold: Double = 0.5,
+                        corpusBands: Option[DataFrame] = None,
+                        portableHash: Boolean = true): DataFrame = {
+    val cBands = corpusBands.getOrElse(bandSignatures(corpus, portableHash))
+    val cand = cBands.as("cb")
+      .join(broadcast(bandSignatures(batch, portableHash)).as("nb"), Seq("band", "sig"))
+      .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
+      .distinct()
+    // verify on candidate docs only: the corpus prunes to candidate ids
+    // (broadcast semi join) before any shingling happens
+    val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
+    val shC = shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), phash(col("shingle")).as("h"))
+    val shB = shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h"))
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(shC.as("sc"), col("corpus_id") === col("sc.doc_id"))
+      .join(broadcast(shB).as("sb"),
+        col("batch_id") === col("sb.doc_id") && col("sc.h") === col("sb.h"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(broadcast(sizesB).as("n1"), col("batch_id") === col("n1.doc_id"))
+      .join(broadcast(sizesC).as("n2"), col("corpus_id") === col("n2.doc_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Materialized corpus-side index for the STREAM-STATIC incremental
+    * dedup gate: one row per (band, sig) entry carrying the owning
+    * doc's id and its distinct 60-bit shingle-hash set, so an incoming
+    * document can be candidate-matched (band equi-join) AND exact-
+    * Jaccard-verified (hash-array intersection) without touching the
+    * corpus text again. Compute once per corpus version, persist as a
+    * table, hand to [[graft.streaming.StreamOps.streamingLshAgainst]].
+    * Always the PORTABLE (md5) hash: the streaming side's per-row
+    * expressions ([[bandSigsExpr]] / [[shingleHashesExpr]]) are
+    * md5-based, so a native-hash index would never collide with them.
+    */
+  def corpusIndex(corpus: DataFrame): DataFrame =
+    bandSignatures(corpus).join(
+      corpus.select(col("doc_id"), shingleHashesExpr("text").as("hashes")),
+      "doc_id")
+
+  /** Doc ids of `corpus` sharing at least one word-n-gram with
+    * `benchmark` — the contamination set, shared by [[decontaminate]]
+    * and [[corpusClean]] so the two can never diverge. */
+  private[text] def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                              n: Int): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+    ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Benchmark decontamination: drop every corpus document that shares
+    * at least one word-n-gram with the benchmark/eval set — the
+    * published train-test-overlap control (GPT-3 §C / C4: 8-13-gram
+    * matching; default n=5 here scales to the synthetic corpus's short
+    * docs). Returns the clean corpus as (doc_id, content_hash).
+    *
+    * Scale shape: the benchmark is tiny next to the corpus, so its
+    * distinct shingle set broadcasts against one streaming pass over
+    * the exploded corpus shingles (left_semi), and the resulting
+    * contaminated-id set (small by construction — contamination is the
+    * exception) broadcasts into the final anti-join. The corpus is
+    * scanned twice, shuffled never.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame =
+    corpus
+      .join(broadcast(contaminatedIds(corpus, benchmark, n)), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+
+  /** Containment-DEGREE decontamination: per corpus document, the
+    * fraction of its distinct word-n-grams that appear anywhere in the
+    * benchmark/eval set — the graded form of [[decontaminate]]'s binary
+    * any-overlap drop (the PaLM/Llama "contamination fraction" report:
+    * docs are bucketed by overlap percentage rather than dropped on one
+    * shared shingle). Emits (doc_id, n_shingles, n_contaminated,
+    * contain_frac); docs shorter than n tokens carry no shingles and
+    * drop out, exactly like the shingle-based dedup chain.
+    *
+    * Scale shape: identical to [[decontaminate]] — the benchmark's
+    * distinct shingle set broadcasts onto ONE streaming pass over the
+    * corpus's exploded shingles, and the only shuffle is the compact
+    * (doc_id, counts) aggregation. The corpus never shuffles on the
+    * shingle key.
+    */
+  def containmentFraction(corpus: DataFrame, benchmark: DataFrame,
+                          n: Int = 5): DataFrame = {
+    val benchSh = ngramShingles(benchmark, n).select(col("shingle")).distinct()
+      .withColumn("hit", lit(true))
+    ngramShingles(corpus, n)
+      .join(broadcast(benchSh), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_shingles"), 6).as("contain_frac"))
+  }
+
+  /** Sliding context-window chunking (the tokenizer-side
+    * `return_overflowing_tokens` shape): cut each document's token
+    * stream into windows of `chunkLen` tokens whose starts step by
+    * `stride` (= chunkLen − overlap), so consecutive chunks share
+    * `chunkLen − stride` tokens; the tail chunk may be shorter, and a
+    * document never yields a chunk starting at/past its end. Emits one
+    * row per chunk: (doc_id, chunk_id, n_tokens, chunk_hash).
+    * [[packChunks]] is the complementary loader-side op (documents
+    * packed head-to-tail into exact-budget sequences); this one keeps
+    * every window inside its own document, the long-document split used
+    * for context-bounded training and embedding-indexing.
+    *
+    * Scale shape: pure per-row fan-out — the chunk count is
+    * 1 + ceil(max(n − chunkLen, 0)/stride) by construction, the
+    * explode is bounded by n_tokens/stride per doc, and the whole pass
+    * is map-only: zero exchanges (PlanSpec-pinned).
+    */
+  def chunkDocs(docs: DataFrame, chunkLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+      s"need 1 <= stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, (greatest(size(toks) - $chunkLen, 0) + $stride - 1) div $stride),
+           |  j -> slice(toks, j * $stride + 1, $chunkLen))""".stripMargin))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  // ---- Bloom-filter membership dedup (Bloom 1970; the Dolma exact-
+  // dedup gate shape: probe new documents against a compact filter of
+  // everything already ingested) ----
+
+  /** In-lambda SQL fragment for the portable 60-bit hash (the expr-
+    * string twin of [[phash]]). */
+  private[text] def phashFrag(inner: String): String =
+    s"CAST(conv(substring(md5($inner), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The k Bloom bit positions of a document's text, as a distinct
+    * array (two of the k hashes may collide): position_i =
+    * phash(text ⊕ i) mod m, salt-concatenated so the k functions are
+    * independent in both engines. */
+  private[graft] def bloomPositionsExpr(m: Long, k: Int): String =
+    s"""array_distinct(transform(sequence(0, ${k - 1}),
+       |  i -> ${phashFrag("concat(text, '#bloom', i)")} % ${m}L))""".stripMargin
+
+  /** Build the Bloom filter over the seen corpus: the distinct SET bit
+    * positions of all k hashes of every document. Sparse rows-of-set-
+    * bits is the distributed representation — it joins, unions
+    * (incremental ingest = union + distinct), and persists as a plain
+    * table; at n documents it holds ≤ n·k rows regardless of m, so m
+    * can be sized generously (false-positive rate (1−e^{−kn/m})^k)
+    * without materializing m bits anywhere. */
+  def bloomBuild(seen: DataFrame, m: Long = 1L << 24, k: Int = 5): DataFrame =
+    seen.select(explode(expr(bloomPositionsExpr(m, k))).as("bit")).distinct()
+
+  /** Probe a batch against a built filter: a document is flagged iff
+    * ALL its (distinct) bit positions are set — Bloom's contract: a
+    * document whose exact text was seen ALWAYS flags (no false
+    * negatives); an unseen document flags only at the false-positive
+    * rate. Emits (doc_id, bloom_hit).
+    *
+    * Scale shape: the batch fans out to k compact (doc_id, bit) rows
+    * per doc and equi-joins the filter on the uniformly-distributed bit
+    * key (no skew by construction), then aggregates once on doc_id —
+    * two compact-key shuffles, no text ever leaves its partition. When
+    * the filter is small next to the batch, Spark/AQE broadcasts it;
+    * neither side ever pays an all-pairs comparison.
+    */
+  def bloomProbe(batch: DataFrame, bits: DataFrame,
+                 m: Long = 1L << 24, k: Int = 5): DataFrame =
+    batch
+      .select(col("doc_id"), explode(expr(bloomPositionsExpr(m, k))).as("bit"))
+      .join(bits.withColumn("present", lit(true)), Seq("bit"), "left")
+      .groupBy("doc_id")
+      .agg((count(lit(1)) === sum(when(col("present"), 1L).otherwise(0L)))
+        .as("bloom_hit"))
+
+  /** The filter folded into ONE broadcastable row: a `bmap`
+    * word-index → 64-bit-word map (bit b lives in word b div 64 at
+    * offset b mod 64). Entries are bounded by m/64 regardless of how
+    * many documents the filter has absorbed — 2^24 bits is a ≤262k-entry
+    * (~4 MB) row — so this is the dense artifact the streaming gate
+    * broadcasts per micro-batch, built from the same sparse bits table
+    * the batch probe joins. */
+  def bloomWordMapRow(bits: DataFrame): DataFrame =
+    bits
+      .groupBy(expr("bit div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("word"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("bmap"))
+
+  /** Per-row membership test against a bound `bmap` column: true iff
+    * every one of the text's k bit positions is set — the expression
+    * twin of [[bloomProbe]]'s join-and-count (parity spec-pinned). */
+  private[graft] def bloomHitExpr(m: Long, k: Int): Column =
+    expr(s"""forall(${bloomPositionsExpr(m, k)},
+            |  p -> (coalesce(element_at(bmap, p div 64), 0L)
+            |        & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Pins for the mergeable sketch indexes: HLL estimate accuracy vs the
+  * exact distinct count, exact mergeability (sharded build == one-shot
+  * build, register for register), histogram-quantile agreement with
+  * the exact quantiles at grid resolution, and the incremental
+  * contract (merging a new shard's sketch == full recompute). */
+class SketchesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val words = docs.select(explode(split(col("text"), " ")).as("w"))
+
+  test("HLL estimate lands within 5% of the exact distinct word count") {
+    val exact = words.distinct().count().toDouble
+    val est = Sketches.hllFinalize(Sketches.hllRegisters(words, col("w")))
+      .collect()(0).getAs[Long]("est_e6").toDouble / 1e6
+    // m=4096 -> relative standard error 1.04/sqrt(m) ~ 1.6%; 5% is 3 sigma
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"est=$est exact=$exact (${math.abs(est - exact) / exact * 100}% off)")
+  }
+
+  test("HLL registers merge exactly: sharded max-merge == one-shot build") {
+    val oneShot = Sketches.hllRegisters(words, col("w"))
+      .orderBy("bucket").collect().map(_.toString).toSeq
+    val sharded = Sketches.hllShards(
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w")),
+      col("w"), pmod(col("doc_id"), lit(5)))
+    val perShard = (0 until 5).map(i =>
+      sharded.filter(col("shard") === i).select("bucket", "reg"))
+    val merged = Sketches.hllMerge(perShard)
+      .orderBy("bucket").collect().map(_.toString).toSeq
+    assert(merged == oneShot, "max-merge of 5 shards must equal the one-shot registers")
+  }
+
+  test("HLL merge is idempotent and order-free") {
+    val a = Sketches.hllRegisters(words.limit(3000), col("w"))
+    val b = Sketches.hllRegisters(words, col("w"))
+    val ab = Sketches.hllMerge(Seq(a, b)).orderBy("bucket").collect().map(_.toString).toSeq
+    val ba = Sketches.hllMerge(Seq(b, a, b)).orderBy("bucket").collect().map(_.toString).toSeq
+    assert(ab == ba)
+  }
+
+  test("histogram quantiles agree with exact quantiles (grid resolution)") {
+    val merged = Sketches.histMerge(Seq(
+      Sketches.histShards(docs, pmod(col("doc_id"), lit(4)))))
+    val got = Sketches.histQuantiles(merged).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // exact lower order statistics computed directly
+    val nt = docs.select(size(split(col("text"), " ")).cast("long").as("v"))
+      .orderBy("v").collect().map(_.getLong(0))
+    Seq(5, 25, 50, 75, 95).foreach { q =>
+      val rank = (q.toLong * (nt.length - 1) / 100L).toInt // 0-based lower stat
+      assert(got(("n_tokens", q)) == nt(rank).toDouble,
+        s"n_tokens p$q: got ${got(("n_tokens", q))} exact ${nt(rank)}")
+    }
+    // mean_word_len: grid floor of the exact value, within 1e-3
+    val mwl = docs.select(
+        (((length(col("text")) - size(split(col("text"), " ")).cast("long") + 1) * 1000)
+          / size(split(col("text"), " "))).cast("long").as("b"))
+      .orderBy("b").collect().map(_.getLong(0))
+    Seq(5, 50, 95).foreach { q =>
+      val rank = (q.toLong * (mwl.length - 1) / 100L).toInt
+      assert(math.abs(got(("mean_word_len", q)) - mwl(rank).toDouble / 1000.0) < 1e-9)
+    }
+  }
+
+  test("incremental distinct: old-index merge == full recompute over the union") {
+    val (old, neu) = graft.text.TextQueries.snapshotSplit(docs)
+    def w(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("w"))
+    val incr = Sketches.hllFinalize(Sketches.hllMerge(Seq(
+      Sketches.hllRegisters(w(old), col("w")),
+      Sketches.hllRegisters(w(neu), col("w"))))).collect()(0)
+    val full = Sketches.hllFinalize(
+      Sketches.hllRegisters(w(old).unionAll(w(neu)), col("w"))).collect()(0)
+    assert(incr.toString == full.toString,
+      s"incremental $incr != full recompute $full")
+  }
+}
