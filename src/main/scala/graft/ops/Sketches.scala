@@ -56,15 +56,22 @@ object Sketches {
   private val AlphaNum: Double =
     0.7213 / (1.0 + 1.079 / M) * M.toDouble * M.toDouble * 4.611686018427387904e18
 
+  /** The (bucket, rank) pair of the 60-bit hash column `h` — bucket =
+    * low 12 bits, rank = leading-zero count of the remaining 48 bits
+    * + 1, computed by integer bit-length comparisons (no float log, so
+    * both engines agree bit for bit). */
+  private[graft] def hllBucketOf(h: String): Column =
+    expr(s"CAST(($h) % $M AS INT)")
+  private[graft] def hllRankOf(h: String): Column =
+    expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
+            |  b -> shiftleft(1L, b) <= (($h) div $M))) AS INT)""".stripMargin)
+
   /** (bucket, reg) HLL register table of a value column — the
     * persistable sketch. One corpus pass, map-side combined down to
     * ≤ m rows per partition. */
   def hllRegisters(df: DataFrame, value: Column): DataFrame =
     df.select(TextQueries.phash(value).as("h"))
-      .select(expr(s"CAST(h % $M AS INT)").as("bucket"),
-        expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
-                |  b -> shiftleft(1L, b) <= (h div $M))) AS INT)""".stripMargin)
-          .as("rank"))
+      .select(hllBucketOf("h").as("bucket"), hllRankOf("h").as("rank"))
       .groupBy("bucket").agg(max("rank").as("reg"))
 
   /** Per-shard register tables: (shard, bucket, reg) — write this
@@ -72,11 +79,23 @@ object Sketches {
     * shard's rows without touching history. */
   def hllShards(df: DataFrame, value: Column, shard: Column): DataFrame =
     df.select(shard.as("shard"), TextQueries.phash(value).as("h"))
-      .select(col("shard"), expr(s"CAST(h % $M AS INT)").as("bucket"),
-        expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
-                |  b -> shiftleft(1L, b) <= (h div $M))) AS INT)""".stripMargin)
-          .as("rank"))
+      .select(col("shard"), hllBucketOf("h").as("bucket"), hllRankOf("h").as("rank"))
       .groupBy("shard", "bucket").agg(max("rank").as("reg"))
+
+  /** Per-GROUP register tables: (grp, bucket, reg) — the grouped form
+    * (distinct-per-source dashboards). Identical math, one extra key. */
+  def hllRegistersBy(df: DataFrame, value: Column, group: Column): DataFrame =
+    df.select(group.as("grp"), TextQueries.phash(value).as("h"))
+      .select(col("grp"), hllBucketOf("h").as("bucket"), hllRankOf("h").as("rank"))
+      .groupBy("grp", "bucket").agg(max("rank").as("reg"))
+
+  /** A register table collapsed to ONE broadcastable row holding the
+    * bucket→reg map — the model-row shape the streaming gates fold
+    * static state through ([[graft.streaming.StreamOps]]): ≤ m entries
+    * regardless of corpus size. */
+  def hllRegisterMapRow(regs: DataFrame): DataFrame =
+    regs.agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+      .as("regmap"))
 
   /** Union any number of register tables into one: max per bucket —
     * associative and idempotent, so shards/snapshots merge in any
@@ -94,19 +113,32 @@ object Sketches {
     * Σ 2^(62-reg) (+ 2^62 per empty register) in DECIMAL(38,0), so
     * both engines divide the same exact operands. */
   def hllFinalize(regs: DataFrame): DataFrame =
-    regs.agg(
-        count(lit(1)).as("n_hit"),
-        coalesce(sum(expr("CAST(shiftleft(1L, 62 - reg) AS DECIMAL(38,0))")),
-          lit(0).cast("decimal(38,0)")).as("s_hit"))
-      .select(col("n_hit"), (lit(M.toLong) - col("n_hit")).as("n_zero"),
+    finalizeAgged(regs.agg(hitAgg, sumAgg), Nil)
+
+  /** Per-group [[hllFinalize]] over a (grp, bucket, reg) table:
+    * (grp, n_hit, n_zero, est_e6), one row per group. */
+  def hllFinalizeBy(regs: DataFrame): DataFrame =
+    finalizeAgged(regs.groupBy("grp").agg(hitAgg, sumAgg), Seq(col("grp")))
+
+  private def hitAgg: Column = count(lit(1)).as("n_hit")
+  private def sumAgg: Column =
+    coalesce(sum(expr("CAST(shiftleft(1L, 62 - reg) AS DECIMAL(38,0))")),
+      lit(0).cast("decimal(38,0)")).as("s_hit")
+
+  /** The shared estimate tail over an aggregated (…, n_hit, s_hit)
+    * frame — ONE spelling of the raw/linear-counting formula for the
+    * global, grouped, and streaming-overlay paths. */
+  private def finalizeAgged(agged: DataFrame, keep: Seq[Column]): DataFrame =
+    agged
+      .select(keep ++ Seq(col("n_hit"), (lit(M.toLong) - col("n_hit")).as("n_zero"),
         (lit(AlphaNum) /
-          (col("s_hit") + col("n_zero").cast("decimal(38,0)") *
+          (col("s_hit") + (lit(M.toLong) - col("n_hit")).cast("decimal(38,0)") *
             lit(4611686018427387904L).cast("decimal(38,0)")).cast("double"))
-          .as("raw"))
-      .select(col("n_hit"), col("n_zero"),
+          .as("raw")): _*)
+      .select(keep ++ Seq(col("n_hit"), col("n_zero"),
         expr(s"""CAST(round(CASE WHEN n_zero > 0 AND raw <= ${2.5 * M}
                 |  THEN $M.0 * ln($M.0 / n_zero) ELSE raw END * 1e6) AS BIGINT)"""
-          .stripMargin).as("est_e6"))
+          .stripMargin).as("est_e6")): _*)
 
   /** Per-shard mergeable histogram: (shard, signal, bucket, cnt) over
     * the two signals the percentile dashboard tracks, as EXACT integer
@@ -187,33 +219,46 @@ object Sketches {
       val docs = Tables.documents(s, dir)
       val shards = histShards(docs, pmod(col("doc_id"), lit(4)))
       histQuantiles(histMerge(Seq(shards)))
+    },
+    // per-source distinct-vocabulary estimates — the grouped sketch
+    "sketch_distinct_by" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      hllFinalizeBy(hllRegistersBy(words, col("w"), col("source")))
+        .withColumnRenamed("grp", "source")
     })
 
   /** DuckDB twins — each a FULL recompute from the raw table (the
     * incremental plan and the exact replay must agree register for
     * register / bucket for bucket, or mergeability is broken). */
   def oracles: Map[String, String] = {
-    def hllSql(wordsSql: String): String =
+    /** `grp` = a grouping-column name present in wordsSql's output, or
+      * None for the global sketch. One SQL body for both shapes. */
+    def hllSql(wordsSql: String, grp: Option[String] = None): String = {
+      val g = grp.map(_ + ", ").getOrElse("")
+      val gby = grp.map(" GROUP BY " + _).getOrElse("")
+      val gout = grp.map(_ + ", ").getOrElse("")
       s"""WITH words AS ($wordsSql),
-         |h AS (SELECT ${TextQueries.phashSql("w")} AS h FROM words),
-         |br AS (SELECT h % $M AS bucket,
+         |h AS (SELECT $g${TextQueries.phashSql("w")} AS h FROM words),
+         |br AS (SELECT $g h % $M AS bucket,
          |         ${RankBits + 1} - len(list_filter(range(0, $RankBits),
          |           b -> (CAST(1 AS BIGINT) << b) <= (h // $M))) AS rank
          |       FROM h),
-         |regs AS (SELECT bucket, max(rank) AS reg FROM br GROUP BY bucket),
-         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+         |regs AS (SELECT $g bucket, max(rank) AS reg FROM br GROUP BY ${g}bucket),
+         |agg AS (SELECT $g CAST(count(*) AS BIGINT) AS n_hit,
          |          CAST($M - count(*) AS BIGINT) AS n_zero,
          |          coalesce(sum(CAST((CAST(1 AS BIGINT) << (62 - reg))
          |            AS DECIMAL(38,0))), 0) AS s_hit
-         |        FROM regs),
-         |r AS (SELECT n_hit, n_zero,
+         |        FROM regs$gby),
+         |r AS (SELECT $g n_hit, n_zero,
          |        $AlphaNum / CAST(s_hit + CAST(n_zero AS DECIMAL(38,0)) *
          |          CAST(4611686018427387904 AS DECIMAL(38,0)) AS DOUBLE) AS raw
          |      FROM agg)
-         |SELECT n_hit, n_zero,
+         |SELECT ${gout}n_hit, n_zero,
          |  CAST(round(CASE WHEN n_zero > 0 AND raw <= ${2.5 * M}
          |    THEN $M.0 * ln($M.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
          |FROM r""".stripMargin
+    }
     Map(
       "sketch_distinct" -> hllSql(
         "SELECT unnest(string_split(text, ' ')) AS w FROM documents"),
@@ -224,6 +269,9 @@ object Sketches {
           |  SELECT unnest(string_split(CASE WHEN doc_id % 10 = 3
           |    THEN text || ' v2' ELSE text END, ' ')) AS w
           |  FROM documents WHERE doc_id % 10 <> 4""".stripMargin),
+      "sketch_distinct_by" -> hllSql(
+        "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents",
+        grp = Some("source")),
       "sketch_quantiles" ->
         """WITH sig AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
           |               CAST(length(text) AS BIGINT) AS nc FROM documents),

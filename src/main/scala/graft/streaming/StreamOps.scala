@@ -894,4 +894,49 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col(s"bin_${axis.name}"), col("cnt"))
+
+  /** Streaming HLL register maintenance — the live distinct-vocabulary
+    * monitor over a document stream ([[graft.ops.Sketches]]'s sketch
+    * family under the streaming contract). Emits REGISTER UPSERTS:
+    * (bucket, reg) rows in update mode for every register a micro-batch
+    * raises; the reader overlays them onto the persisted snapshot index
+    * (`coalesce(update, index)` per bucket — the standard incremental-
+    * index contract, same as the other gates' persisted static sides).
+    *
+    * An optional persisted corpus index folds in as ONE broadcast
+    * map row (≤ m entries regardless of corpus size — the model-row
+    * pattern): each incoming row's rank maxes against the static
+    * register BEFORE the stateful aggregate, which is semantically
+    * exact because max is associative/idempotent — so the emitted
+    * upsert for a touched bucket already incorporates history, and
+    * untouched buckets simply keep their persisted rows. The stateful
+    * side is ONE groupBy-max whose state is hard-bounded at m rows —
+    * no watermark needed, the state can never grow.
+    *
+    * Streaming==batch parity (register for register, overlay vs full
+    * recompute) is StreamingSpec-pinned.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingDistinctSketch(docs: DataFrame,
+                              corpusIndex: Option[DataFrame] = None): DataFrame = {
+    import graft.ops.Sketches
+    val pairs = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(graft.text.TextQueries.phash(col("w")).as("h"))
+      .select(Sketches.hllBucketOf("h").as("bucket"),
+        Sketches.hllRankOf("h").as("rank"))
+    val seeded = corpusIndex match {
+      case None => pairs
+      case Some(idx) =>
+        val row = Sketches.hllRegisterMapRow(idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.crossJoin(broadcast(row))
+          .select(col("bucket"),
+            greatest(col("rank"),
+              coalesce(element_at(col("regmap"), col("bucket")), lit(0)))
+              .as("rank"))
+    }
+    seeded.groupBy("bucket").agg(max("rank").as("reg"))
+  }
 }

@@ -69,6 +69,20 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped HLL: each group's estimate equals the global sketch of its slice") {
+    val w = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val grouped = Sketches.hllFinalizeBy(
+      Sketches.hllRegistersBy(w, col("w"), col("source"))).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(grouped.size > 1, "fixture needs multiple sources")
+    grouped.keys.foreach { src =>
+      val solo = Sketches.hllFinalize(Sketches.hllRegisters(
+        w.filter(col("source") === src), col("w"))).collect()(0).toSeq
+      assert(grouped(src) == solo, s"group $src diverges from its solo sketch")
+    }
+  }
+
   test("incremental distinct: old-index merge == full recompute over the union") {
     val (old, neu) = graft.text.TextQueries.snapshotSplit(docs)
     def w(d: org.apache.spark.sql.DataFrame) =

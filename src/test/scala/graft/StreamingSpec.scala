@@ -1459,4 +1459,41 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS corpus_idx_bucketed")
     }
   }
+
+  test("streaming HLL sketch: overlay onto the corpus index == full-batch registers") {
+    import graft.ops.Sketches
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    def words(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("w"))
+    val corpusIdx = Sketches.hllRegisters(words(corpus), col("w"))
+      .localCheckpoint()
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_sketch_stream")
+    batch.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingDistinctSketch(in, Some(corpusIdx))
+      .writeStream.format("memory").queryName("sketch_mon").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val upserts = spark.table("sketch_mon").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).groupBy(_._1)
+        .map { case (b, rs) => b -> rs.map(_._2).max } // update mode may emit a bucket per batch
+      val idx = corpusIdx.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      // the incremental-index contract: updates overlay the persisted rows
+      val overlaid = (idx.keySet ++ upserts.keySet).map { b =>
+        b -> math.max(upserts.getOrElse(b, 0), idx.getOrElse(b, 0))
+      }.toMap
+      val full = Sketches.hllRegisters(words(all), col("w")).collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(overlaid == full,
+        s"diff=${(overlaid.toSet diff full.toSet) ++ (full.toSet diff overlaid.toSet)}")
+      // every upsert already incorporates history (rank maxed pre-aggregate)
+      upserts.foreach { case (b, r) =>
+        assert(r >= idx.getOrElse(b, 0), s"upsert for bucket $b below the index")
+      }
+    } finally q.stop()
+  }
 }
