@@ -31,7 +31,9 @@ import org.apache.spark.sql.expressions.Window
   *                     (broadcast frequent set)
   *   - `substr_dedup`  exact-substring dedup at k-token window
   *                     granularity (count windows, semi-join the
-  *                     duplicated set, rebuild per doc)
+  *                     duplicated set, rebuild per doc); `_chars` =
+  *                     the any-offset character-granularity form
+  *                     (one window per char, ~8x the rows here)
   *   - `bpe_train`     1000 BPE merges: one corpus pass, then the
   *                     driver-side heap merge loop over the collected
   *                     vocab pair-stats
@@ -533,6 +535,16 @@ object BenchLarge {
         k = 8, portableHash = false)
         .filter(col("n_removed") > 0).count()
     }
+    // character-granularity (any-offset) form: one window per CHAR
+    // instead of per token (~8x the window rows on these ~150-char
+    // docs — the measured cost of byte-exact Lee et al. semantics
+    // over the token compromise); L sized to the synthetic doc shape
+    // as k=8 tokens is above
+    timed("substr_dedup_chars", clearAfter = true) {
+      graft.text.TextQueries.exactSubstringDedupChars(docs(spark, nDocs, template),
+        L = 60, portableHash = false)
+        .filter(col("n_removed") > 0).count()
+    }
     // gear-CDC fingerprints at the full corpus: map-only byte-loop
     // kernel (~150-byte docs -> 1-3 chunks); the check sums chunk
     // counts AND forces the sorted-hash md5 column
@@ -912,6 +924,36 @@ object BenchLarge {
           graft.ops.Sketches.histShards(
             allDocs.filter(col("doc_id") % 20 === 0), lit(1)))))
           .agg(sum(round(col("value") * 1e6).cast("long"))).collect()(0).getLong(0)
+      }
+    }
+    // CountMin frequency sketch, full build + the incremental twin:
+    // one corpus pass into <=8192 counter cells; the _incr form pays
+    // only the 5% shard's pass plus a cell-sized sum-merge against the
+    // pre-built (untimed) 95% index — the additive-merge member next
+    // to the HLL max-merge above. The check point-queries one probe
+    // set through the merged counters.
+    timed("sketch_freq", clearAfter = true) {
+      val ws = docs(spark, nDocs, template)
+        .select(explode(split(col("text"), " ")).as("w"))
+      graft.ops.Sketches.cmCounters(ws, col("w"))
+        .agg(sum("cnt")).collect()(0).getLong(0)
+    }
+    if (only.isEmpty || only("sketch_freq_incr")) {
+      val allDocs = docs(spark, nDocs, template)
+      val oldCm = graft.ops.Scale.materializeCompact(
+        graft.ops.Sketches.cmCounters(
+          allDocs.filter(col("doc_id") % 20 =!= 0)
+            .select(explode(split(col("text"), " ")).as("w")), col("w")))
+      timed("sketch_freq_incr", clearAfter = true) {
+        val shard = allDocs.filter(col("doc_id") % 20 === 0)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val merged = graft.ops.Sketches.cmMerge(Seq(oldCm,
+          graft.ops.Sketches.cmCounters(shard, col("w"))))
+        graft.ops.Sketches.cmEstimate(merged,
+            shard.groupBy("w").agg(count(lit(1)).as("c"))
+              .orderBy(col("c").desc, col("w").asc).limit(20).select("w"),
+            col("w"))
+          .agg(sum("est_cnt")).collect()(0).getLong(0)
       }
     }
     // incremental edit-distance dedup: 5% batch vs 95% corpus winnow

@@ -194,6 +194,62 @@ object Sketches {
     out.toDF("signal", "q_pct", "value")
   }
 
+  // ---------------------------------------------------------------------------
+  // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+  // third sketch family member: a point-queryable FREQUENCY index.
+  // d=4 hash rows × w=2048 counter columns; cell (r, h_r(x)) counts
+  // every occurrence whose salted portable hash lands there; the
+  // estimate for x is min over rows of its cell — always ≥ the true
+  // count (one-sided error), within N/w of it in expectation per row.
+  // Counters are a plain (row, col, cnt) COUNT aggregate → persistable
+  // per shard; merge = SUM per cell — associative and commutative but
+  // NOT idempotent (unlike the HLL max-merge, re-merging a shard
+  // double-counts — shards must partition the corpus; spec-pinned).
+  // Deterministic end to end (salted md5 hash, integer counts), so the
+  // DuckDB oracle replays the whole computation.
+  // ---------------------------------------------------------------------------
+
+  /** CountMin geometry: d rows × w columns = 8192 cells ≈ 64 KB — the
+    * broadcastable / driver-collectable sketch size class. */
+  val CmD = 4
+  val CmW = 2048
+
+  /** The column index of value `v` in hash row `row`: the portable
+    * 60-bit hash of "row:value" mod w — salt INSIDE the hash so the d
+    * rows are independent functions of the same value. */
+  private[graft] def cmColOf(row: Column, v: Column): Column =
+    pmod(TextQueries.phash(concat(row.cast("string"), lit(":"), v)), lit(CmW))
+      .cast("int")
+
+  /** (row, col, cnt) CountMin counter table of a value column — the
+    * persistable sketch. The d-way fan-out is partition-local (explode
+    * + map-side combine collapses it to ≤ d·w rows per partition);
+    * what shuffles is the ≤8192-group count aggregate. */
+  def cmCounters(df: DataFrame, value: Column): DataFrame =
+    df.select(value.as("v"))
+      .select(explode(expr(s"sequence(0, ${CmD - 1})")).as("row"), col("v"))
+      .select(col("row"), cmColOf(col("row"), col("v")).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+
+  /** Union counter tables: SUM per cell. Exact when (and only when)
+    * the inputs count DISJOINT slices of the corpus — the additive
+    * merge contract (pinned: disjoint-shard merge == one-shot;
+    * re-merging a shard is NOT harmless, unlike [[hllMerge]]). */
+  def cmMerge(tables: Seq[DataFrame]): DataFrame =
+    tables.map(_.select("row", "col", "cnt")).reduce(_ unionAll _)
+      .groupBy("row", "col").agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Point-query a counter table: for each probe value, min over the d
+    * rows of its cell count (0 if a cell is empty — the probe never
+    * occurred). Probes fan out ×d, join the ≤8192-row counter table
+    * (broadcast by size), and take the min — never a corpus scan. */
+  def cmEstimate(counters: DataFrame, probes: DataFrame, value: Column): DataFrame =
+    probes.select(value.as("v"))
+      .select(col("v"), explode(expr(s"sequence(0, ${CmD - 1})")).as("row"))
+      .select(col("v"), col("row"), cmColOf(col("row"), col("v")).as("col"))
+      .join(broadcast(counters), Seq("row", "col"), "left")
+      .groupBy("v").agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
   /** The snapshot word streams shared with vocab_drift's fixture:
     * old = ids not ending in 9; new = ids not ending in 4 with ids
     * ending in 3 rewritten ([[TextQueries.snapshotSplit]] — the oracle
@@ -226,6 +282,32 @@ object Sketches {
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
       hllFinalizeBy(hllRegistersBy(words, col("w"), col("source")))
         .withColumnRenamed("grp", "source")
+    },
+    // CountMin frequency estimates for the corpus's top-20 words —
+    // build + point-query; est_cnt >= exact_cnt always (one-sided)
+    "sketch_freq" -> { (s, dir) =>
+      val ws = words(Tables.documents(s, dir))
+      val exact = ws.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      val probes = exact.orderBy(col("exact_cnt").desc, col("w").asc).limit(20)
+      probes.join(
+          cmEstimate(cmCounters(ws, col("w")), probes, col("w"))
+            .withColumnRenamed("v", "w"),
+          Seq("w"))
+        .select(col("w"), col("exact_cnt"), col("est_cnt"))
+    },
+    // incremental: the even-doc corpus contributes only its counter
+    // table (materialized — additive merge REQUIRES a disjoint split,
+    // unlike the idempotent HLL overlap-tolerant one); probes are the
+    // new shard's own top-20, estimates come from the merged sketch
+    "sketch_freq_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 2 === 0)
+      val neu = docs.filter(col("doc_id") % 2 === 1)
+      val oldIdx = Scale.materializeCompact(cmCounters(words(old), col("w")))
+      val merged = cmMerge(Seq(oldIdx, cmCounters(words(neu), col("w"))))
+      val probes = words(neu).groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20).select("w")
+      cmEstimate(merged, probes, col("w")).withColumnRenamed("v", "w")
     })
 
   /** DuckDB twins — each a FULL recompute from the raw table (the
@@ -259,6 +341,32 @@ object Sketches {
          |    THEN $M.0 * ln($M.0 / n_zero) ELSE raw END * 1e6) AS BIGINT) AS est_e6
          |FROM r""".stripMargin
     }
+    /** CountMin full-recompute twin: counters over the WHOLE corpus,
+      * probes = top-20 of `probeWordsSql` (ties broken by word — a
+      * total order, so LIMIT is deterministic in both engines);
+      * `withExact` adds the exact_cnt column (the batch dashboard
+      * shape — the incremental query carries estimates only). */
+    def cmSql(probeWordsSql: String, withExact: Boolean): String = {
+      val exactCol = if (withExact) "p.exact_cnt, " else ""
+      s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |rows_ AS (SELECT unnest(range(0, $CmD)) AS rr),
+         |pw AS ($probeWordsSql),
+         |probes AS (SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+         |           FROM pw GROUP BY w ORDER BY exact_cnt DESC, w LIMIT 20),
+         |cells AS (SELECT rr,
+         |            ${TextQueries.phashSql("concat(CAST(rr AS VARCHAR), ':', w)")}
+         |              % $CmW AS cc,
+         |            CAST(count(*) AS BIGINT) AS cnt
+         |          FROM words CROSS JOIN rows_ GROUP BY 1, 2),
+         |pcells AS (SELECT p.w, rr,
+         |             ${TextQueries.phashSql("concat(CAST(rr AS VARCHAR), ':', p.w)")}
+         |               % $CmW AS cc
+         |           FROM probes p CROSS JOIN rows_),
+         |est AS (SELECT w, min(coalesce(c.cnt, CAST(0 AS BIGINT))) AS est_cnt
+         |        FROM pcells LEFT JOIN cells c USING (rr, cc) GROUP BY w)
+         |SELECT p.w, ${exactCol}e.est_cnt
+         |FROM probes p JOIN est e USING (w)""".stripMargin
+    }
     Map(
       "sketch_distinct" -> hllSql(
         "SELECT unnest(string_split(text, ' ')) AS w FROM documents"),
@@ -272,6 +380,13 @@ object Sketches {
       "sketch_distinct_by" -> hllSql(
         "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents",
         grp = Some("source")),
+      "sketch_freq" -> cmSql(probeWordsSql =
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents",
+        withExact = true),
+      "sketch_freq_incr" -> cmSql(probeWordsSql =
+        """SELECT unnest(string_split(text, ' ')) AS w FROM documents
+          |  WHERE doc_id % 2 = 1""".stripMargin,
+        withExact = false),
       "sketch_quantiles" ->
         """WITH sig AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
           |               CAST(length(text) AS BIGINT) AS nc FROM documents),

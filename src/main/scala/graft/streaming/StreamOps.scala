@@ -939,4 +939,32 @@ object StreamOps {
     }
     seeded.groupBy("bucket").agg(max("rank").as("reg"))
   }
+
+  /** Streaming CountMin counter maintenance — the live word-frequency
+    * monitor ([[graft.ops.Sketches]]'s frequency member under the
+    * streaming contract). Emits COUNTER UPSERTS: (row, col, cnt) rows
+    * in update mode where cnt is the cumulative STREAM count of the
+    * cell; the reader overlays them ADDITIVELY onto the persisted
+    * snapshot index (`index_cnt + coalesce(stream_cnt, 0)` per cell).
+    *
+    * Unlike [[streamingDistinctSketch]], the persisted index must NOT
+    * fold into the stream state: CountMin merge is additive, not
+    * idempotent — seeding each micro-batch would re-add history per
+    * batch. The overlay therefore stays on the read side, which is
+    * exact because disjoint slices sum (the [[Sketches.cmMerge]]
+    * contract). The stateful side is ONE groupBy-count whose state is
+    * hard-bounded at d·w = 8192 rows — no watermark needed.
+    *
+    * Streaming==batch parity (index + final upserts == full-corpus
+    * counters, cell for cell) is StreamingSpec-pinned.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingFreqSketch(docs: DataFrame): DataFrame = {
+    import graft.ops.Sketches
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(expr(s"sequence(0, ${Sketches.CmD - 1})")).as("row"), col("w"))
+      .select(col("row"), Sketches.cmColOf(col("row"), col("w")).as("col"))
+      .groupBy("row", "col").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -144,6 +144,70 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
        |    (x, j) -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j - 1)), ' '), '')) AS clean_hash
        |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Shared SELECT tail of the character-granularity substring-dedup
+    * oracles — the [[scrubCharSpans]] twin: covered char indices,
+    * maximal-span count, md5 of the text with covered chars deleted.
+    * Expects CTEs `t(doc_id, text)` and `hits(doc_id, covered)`. */
+  private def charScrubSelectSql: String =
+    """SELECT t.doc_id,
+      |  CAST(length(t.text) AS INT) AS n_chars,
+      |  CAST(coalesce(len(h.covered), 0) AS INT) AS n_removed,
+      |  CAST(coalesce(len(list_filter(h.covered,
+      |    c -> NOT list_contains(h.covered, c - 1))), 0) AS INT) AS n_spans,
+      |  md5(coalesce(array_to_string(list_transform(list_filter(range(0, length(t.text)),
+      |    j -> NOT list_contains(coalesce(h.covered, CAST([] AS BIGINT[])), j)),
+      |    j -> substr(t.text, CAST(j + 1 AS INT), 1)), ''), '')) AS clean_hash
+      |FROM t LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  /** The L-char positional window CTE both char oracles derive from:
+    * 0-based pos (matching Spark's posexplode), one window per
+    * character offset. `src` must select (doc_id, text). */
+  private def charWindowCteSql(L: Int, src: String = "SELECT doc_id, text FROM documents"): String =
+    s"""t AS ($src),
+       |w AS (SELECT doc_id, i AS pos,
+       |        ${phashSql(s"substr(text, CAST(i + 1 AS INT), $L)")} AS h
+       |      FROM t, LATERAL (SELECT unnest(range(0, greatest(length(text) - $L + 1, 0))) AS i))""".stripMargin
+
+  /** dedup_substring_chars oracle: DuckDB twin of
+    * [[exactSubstringDedupChars]] — L-char windows at EVERY character
+    * offset, duplicated = window hash seen ≥2 times corpus-wide,
+    * coverage the distinct union of half-open `range(pos, pos + L)`
+    * char spans. */
+  private[text] def substringCharsDedupOracle(L: Int): String =
+    s"""WITH ${charWindowCteSql(L)},
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $L) AS span FROM w JOIN dup USING (h))
+       |  GROUP BY doc_id)
+       |$charScrubSelectSql""".stripMargin
+
+  /** dedup_substring_chars_keep oracle: keep-one at char granularity —
+    * scrubbed iff the hash repeats AND the occurrence is not the
+    * lexicographically-first (doc_id, pos) (row_number twin of the
+    * Spark min(struct) argmin). */
+  private[text] def substringCharsDedupKeepOracle(L: Int): String =
+    s"""WITH ${charWindowCteSql(L)},
+       |d AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY h) AS c,
+       |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |      FROM w),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $L) AS span FROM d WHERE c >= 2 AND rn > 1)
+       |  GROUP BY doc_id)
+       |$charScrubSelectSql""".stripMargin
+
+  /** dedup_substring_chars_incr oracle: batch = odd docs, corpus index
+    * = the distinct L-char window hashes of even docs. */
+  private[text] def substringCharsDedupIncrOracle(L: Int): String =
+    s"""WITH ${charWindowCteSql(L, "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1")},
+       |idx AS (SELECT DISTINCT ${phashSql(s"substr(text, CAST(i + 1 AS INT), $L)")} AS h
+       |      FROM (SELECT text FROM documents WHERE doc_id % 2 = 0),
+       |           LATERAL (SELECT unnest(range(0, greatest(length(text) - $L + 1, 0))) AS i)),
+       |hits AS (SELECT doc_id, list_distinct(flatten(list(span))) AS covered
+       |  FROM (SELECT doc_id, range(pos, pos + $L) AS span FROM w JOIN idx USING (h))
+       |  GROUP BY doc_id)
+       |$charScrubSelectSql""".stripMargin
+
   /** Transitive closure of the LSH pair graph via recursive CTE (fine at
     * oracle scale; the Spark side is the O(log n) large-star/small-star
     * loop in ops.Components). Shared by dedup_components and dedup_keep. */
@@ -1108,6 +1172,9 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
     "dedup_substring" -> substringDedupOracle(k = 50),
     "dedup_substring_keep" -> substringDedupKeepOracle(k = 50),
     "dedup_substring_incr" -> substringDedupIncrOracle(k = 50),
+    "dedup_substring_chars" -> substringCharsDedupOracle(L = 100),
+    "dedup_substring_chars_keep" -> substringCharsDedupKeepOracle(L = 100),
+    "dedup_substring_chars_incr" -> substringCharsDedupIncrOracle(L = 100),
 
     "bpe_pairs" ->
       """WITH wf AS (

@@ -93,6 +93,17 @@ object TextQueries
       exactSubstringDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     },
+    // character-granularity (any-offset) members of the same family —
+    // Lee et al. §4.1's actual byte-exact match semantics
+    "dedup_substring_chars" -> { (s, dir) =>
+      exactSubstringDedupChars(Tables.documents(s, dir)) },
+    "dedup_substring_chars_keep" -> { (s, dir) =>
+      exactSubstringDedupCharsKeep(Tables.documents(s, dir)) },
+    "dedup_substring_chars_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      exactSubstringDedupCharsAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     // DEFLATE is not SQL-expressible → rows-only; CompressSpec pins it
     "txt_compress" -> { (s, dir) => compressionRatio(Tables.documents(s, dir)) },

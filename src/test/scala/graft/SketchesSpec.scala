@@ -95,4 +95,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(incr.toString == full.toString,
       s"incremental $incr != full recompute $full")
   }
+
+  // ---- CountMin frequency sketch ----
+
+  private def cmSnap(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("CountMin estimate is one-sided: est >= exact for EVERY word, excess bounded") {
+    val counters = Sketches.cmCounters(words, col("w"))
+    val exact = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    val n = words.count()
+    val joined = Sketches.cmEstimate(counters, exact.select("w"), col("w"))
+      .withColumnRenamed("v", "w").join(exact, Seq("w")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(joined.nonEmpty)
+    joined.foreach { case (w, (est, ex)) =>
+      assert(est >= ex, s"'$w': est $est below exact $ex — CountMin can never undercount")
+    }
+    // expected excess per row is < n/w; min over d=4 rows — 10x is
+    // far outside anything the fixed fixture produces
+    val bound = 10L * n / Sketches.CmW + 1
+    joined.foreach { case (w, (est, ex)) =>
+      assert(est - ex <= bound, s"'$w': excess ${est - ex} above $bound")
+    }
+  }
+
+  test("CountMin counters merge exactly over a DISJOINT split — and NOT idempotently") {
+    val oneShot = cmSnap(Sketches.cmCounters(words, col("w")))
+    def w(p: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === p)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val shards = (0 until 3).map(p => Sketches.cmCounters(w(p), col("w")))
+    assert(cmSnap(Sketches.cmMerge(shards)) == oneShot,
+      "sum-merge of 3 disjoint shards must equal the one-shot counters")
+    // re-merging a shard double-counts: the additive contract is NOT
+    // the HLL max-merge — a duplicated shard must NOT go unnoticed
+    val doubled = cmSnap(Sketches.cmMerge(shards :+ shards.head))
+    assert(doubled != oneShot, "re-merged shard must over-count (additive, not idempotent)")
+    assert(doubled.forall { case (cell, c) => c >= oneShot(cell) })
+  }
+
+  test("CountMin incremental: persisted even-doc index + odd shard == full counters") {
+    def w(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("w"))
+    val oldIdx = graft.ops.Scale.materializeCompact(
+      Sketches.cmCounters(w(docs.filter(col("doc_id") % 2 === 0)), col("w")))
+    val merged = cmSnap(Sketches.cmMerge(Seq(oldIdx,
+      Sketches.cmCounters(w(docs.filter(col("doc_id") % 2 === 1)), col("w")))))
+    assert(merged == cmSnap(Sketches.cmCounters(words, col("w"))),
+      "incremental merge must equal the full-corpus counters cell for cell")
+  }
 }

@@ -1496,4 +1496,38 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming CountMin sketch: additive overlay onto the index == full counters") {
+    import graft.ops.Sketches
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    def words(d: org.apache.spark.sql.DataFrame) =
+      d.select(explode(split(col("text"), " ")).as("w"))
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val idx = snap(Sketches.cmCounters(words(corpus), col("w")))
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cm_stream")
+    batch.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingFreqSketch(in)
+      .writeStream.format("memory").queryName("cm_mon").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits a touched cell per batch with its
+      // CUMULATIVE stream count — the latest (= max, counts only grow)
+      // value per cell is the overlay operand
+      val upserts = spark.table("cm_mon").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).groupBy(_._1)
+        .map { case (cell, rs) => cell -> rs.map(_._2).max }
+      val overlaid = (idx.keySet ++ upserts.keySet).map { cell =>
+        cell -> (idx.getOrElse(cell, 0L) + upserts.getOrElse(cell, 0L))
+      }.toMap
+      val full = snap(Sketches.cmCounters(words(all), col("w")))
+      assert(overlaid == full,
+        s"ndiff=${((overlaid.toSet diff full.toSet) ++ (full.toSet diff overlaid.toSet)).size}")
+    } finally q.stop()
+  }
 }

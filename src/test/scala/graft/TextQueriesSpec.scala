@@ -561,6 +561,93 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(incr.forall { case (id, n) => n <= full(id) })
   }
 
+  // ---- character-granularity (any-offset) exact-substring dedup ----
+
+  test("exactSubstringDedupChars: catches a mid-token run the token form misses") {
+    import spark.implicits._
+    // the shared run " SHAREDRUNXYZ " (14 chars incl. both spaces) sits
+    // between CHARACTER-DISJOINT neighbor tokens, so every k>=2 TOKEN
+    // window containing it differs across docs — the token form finds
+    // nothing; the char form covers exactly the 14 shared chars (L=6
+    // windows at starts 3..11 merge into one maximal span, chars 3..16)
+    val a = "aQc SHAREDRUNXYZ aWd"
+    val b = "bRe SHAREDRUNXYZ bTf"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val tok = TextQueries.exactSubstringDedup(df, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tok == Map(1L -> 0, 2L -> 0), "token windows must all be unique here")
+    val got = TextQueries.exactSubstringDedupChars(df, L = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((20, 14, 1, md5hex("aQcaWd"))))
+    assert(got(2L) == ((20, 14, 1, md5hex("bRebTf"))))
+  }
+
+  test("exactSubstringDedupChars: within-doc repeats, separate spans, short docs") {
+    import spark.implicits._
+    // doc 1 repeats its own 6-char run "qwerty" twice with a unique
+    // char between the copies -> two maximal spans; doc 2 is unique;
+    // doc 3 is shorter than L and must pass through untouched
+    val d1 = "qwertyXqwerty"
+    val df = Seq((1L, d1), (2L, "abcdefghijk"), (3L, "tiny")).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedupChars(df, L = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(1L) == ((13, 12, 2, md5hex("X"))))
+    assert(got(2L) == ((11, 0, 0, md5hex("abcdefghijk"))))
+    assert(got(3L) == ((4, 0, 0, md5hex("tiny"))))
+  }
+
+  test("exactSubstringDedupChars: partitioning invariance and hash parity on the fixture") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val base = snap(TextQueries.exactSubstringDedupChars(docs, L = 100))
+    assert(base.exists(_._3 > 0), "fixture must contain duplicated char runs")
+    assert(base.exists(_._3 == 0), "fixture must contain clean docs")
+    assert(base == snap(TextQueries.exactSubstringDedupChars(docs.repartition(7), L = 100)))
+    assert(base == snap(TextQueries.exactSubstringDedupChars(docs, L = 100, portableHash = false)))
+  }
+
+  test("exactSubstringDedupCharsKeep: first occurrence survives; keeps >= remove-all") {
+    import spark.implicits._
+    val a = "aQc SHAREDRUNXYZ aWd"
+    val b = "bRe SHAREDRUNXYZ bTf"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedupCharsKeep(df, L = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(4)))).toMap
+    assert(got(1L) == ((0, md5hex(a))), "doc 1 keeps the first occurrence")
+    assert(got(2L) == ((14, md5hex("bRebTf"))), "doc 2 loses its later copy")
+    val all = TextQueries.exactSubstringDedupChars(docs, L = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val keep = TextQueries.exactSubstringDedupCharsKeep(docs, L = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(keep.forall { case (id, n) => n <= all(id) })
+    assert(keep.values.sum < all.values.sum,
+      "keep-one must retain at least one copy of some duplicated run")
+  }
+
+  test("exactSubstringDedupCharsAgainst: corpus spans scrub, batch-internal dups do not") {
+    import spark.implicits._
+    val corpus = Seq((2L, "xQc SHAREDRUNXYZ xWd")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "aRe SHAREDRUNXYZ aTf"),
+      (12L, "bGh BATCHONLYJKMN bJk"),
+      (13L, "cMn BATCHONLYJKMN cPq")).toDF("doc_id", "text")
+    val got = TextQueries.exactSubstringDedupCharsAgainst(batch, corpus, L = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(11L) == 14, "corpus-shared run scrubs")
+    assert(got(12L) == 0 && got(13L) == 0,
+      "batch-internal duplication must NOT scrub in the incremental form")
+    assert(got.keySet == Set(11L, 12L, 13L))
+    // incremental scrub never exceeds the full-corpus scrub on the fixture
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val incr = TextQueries.exactSubstringDedupCharsAgainst(odd, even, L = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr.exists(_._2 > 0), "fixture must scrub some cross-split char spans")
+    val full = TextQueries.exactSubstringDedupChars(docs, L = 100).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(incr.forall { case (id, n) => n <= full(id) })
+  }
+
   // ---- token-budget temperature mixing ----
 
   /** Driver-side window-cumsum reference for [[TextQueries.corpusMixTokens]]:
