@@ -783,6 +783,26 @@ object BenchLarge {
           graft.text.TextQueries.bloomBuild(d.filter(col("doc_id") % 2 === 0)))
         .filter(col("bloom_hit")).count()
     }
+    // counting-Bloom forget at the full corpus: index all 2M docs as
+    // counters, delete the 10% slice by counter subtraction (one pass
+    // over the SLICE, never a rebuild), probe everything through the
+    // surviving bits. The check counts still-hitting docs.
+    timed("bloom_forget", clearAfter = true) {
+      val d = docs(spark, nDocs, template)
+      graft.text.TextQueries.bloomProbe(d,
+          graft.text.TextQueries.cbfBits(graft.text.TextQueries.cbfForget(
+            graft.text.TextQueries.cbfCounters(d),
+            d.filter(col("doc_id") % 10 === 0))))
+        .filter(col("bloom_hit")).count()
+    }
+    // exact-threshold similarity join (prefix filtering) at the full
+    // corpus: recall-1 counterpart of lsh_pairs at the production
+    // near-dup threshold — rarest-prefix buckets + length filter +
+    // exact verification, never all-pairs. The check counts pairs.
+    timed("jaccard_join", clearAfter = true) {
+      graft.text.TextQueries.jaccardJoin(docs(spark, nDocs, template),
+        threshold = 0.8, portableHash = false).count()
+    }
     // containment-fraction decontamination at the full corpus: the ~2k
     // eval-slice shingle set broadcasts onto one fan-out pass over the
     // other 2M docs; only (doc_id, counts) rows shuffle. The check

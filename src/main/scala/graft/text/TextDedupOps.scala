@@ -625,4 +625,144 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     expr(s"""forall(${bloomPositionsExpr(m, k)},
             |  p -> (coalesce(element_at(bmap, p div 64), 0L)
             |        & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
+
+  // ---- counting Bloom filter (Fan et al. 2000 "Summary Cache"): the
+  // DELETABLE membership index. The plain filter above cannot forget —
+  // clearing a bit another document also set would create false
+  // negatives. Cells hold COUNTS instead: insert = +1 per distinct
+  // position, forget = −1, membership = all k cells still positive.
+  // The operator a dedup index needs for takedown/right-to-be-forgotten
+  // removals at corpus scale: forgetting a slice costs one pass over
+  // the SLICE (never the corpus) plus a cell-sized merge. ----
+
+  /** Counting-Bloom counter table of a corpus: (bit, cnt) where cnt is
+    * how many documents set that position — the same sparse
+    * rows-of-cells representation as [[bloomBuild]] (≤ n·k rows
+    * regardless of m), one count aggregate over the k-way positional
+    * fan-out. Additive, so per-shard tables sum-merge like
+    * [[graft.ops.Sketches.cmMerge]]. */
+  def cbfCounters(docs: DataFrame, m: Long = 1L << 24, k: Int = 5): DataFrame =
+    docs.select(explode(expr(bloomPositionsExpr(m, k))).as("bit"))
+      .groupBy("bit").agg(count(lit(1)).as("cnt"))
+
+  /** Forget a document slice: subtract the slice's own counter table
+    * cell-for-cell and drop exhausted cells. EXACT — because inserts
+    * are additive and `removed ⊆` the indexed corpus, the result equals
+    * [[cbfCounters]] rebuilt from scratch on the remaining corpus
+    * (spec-pinned cell-for-cell, and the oracle IS the rebuild), at the
+    * cost of one pass over the forgotten slice only. Forgetting docs
+    * that were never indexed violates the containment contract and
+    * shows up as negative cells — filtered here, pinned impossible
+    * under the contract in the spec. */
+  def cbfForget(counters: DataFrame, removed: DataFrame,
+                m: Long = 1L << 24, k: Int = 5): DataFrame =
+    counters.join(
+        cbfCounters(removed, m, k).withColumnRenamed("cnt", "rm"),
+        Seq("bit"), "left")
+      .select(col("bit"),
+        (col("cnt") - coalesce(col("rm"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+
+  /** Adapter: the still-set positions of a counter table, in the shape
+    * [[bloomProbe]]/[[bloomWordMapRow]] consume — the counting filter
+    * serves every downstream the plain filter does. */
+  def cbfBits(counters: DataFrame): DataFrame =
+    counters.filter(col("cnt") > 0).select("bit")
+
+  // ---- exact-threshold set-similarity join (Bayardo, Ma & Srikant
+  // 2007 "Scaling Up All Pairs Similarity Search" prefix filtering, in
+  // the distributed token-bucket form of Vernica, Carey & Li 2010).
+  // The GUARANTEED-recall counterpart of [[lshPairs]]: LSH finds a pair
+  // with probability 1−(1−s^r)^b; this join finds EVERY pair with
+  // Jaccard ≥ t — the oracle is the brute-force all-pairs join, so a
+  // single missed pair is a correctness failure, not a recall dip. ----
+
+  /** All document pairs with exact shingle-set Jaccard ≥ `threshold`:
+    * (d1, d2, inter, uni, jaccard), d1 < d2 — [[lshPairs]]'s output
+    * shape with recall 1 by construction.
+    *
+    * Prefix filtering: order every doc's shingle hashes by ascending
+    * corpus frequency (rarest first, ties by hash — one global total
+    * order), and emit only the first n − ⌈t·n⌉ + 1 of a doc's n tokens
+    * as candidate keys. Two sets with J ≥ t must share a prefix token
+    * under any common total order (|A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉ leaves
+    * too few tokens outside either prefix to hold the intersection), so
+    * bucketing on prefix tokens loses nothing; rarest-first makes the
+    * buckets as small as the corpus allows. The threshold is carried as
+    * exact INTEGER ppm — ⌈t·n⌉ computed in long arithmetic and the
+    * final gate `inter·10⁶ ≥ tPpm·uni` compared in integers — so no
+    * float-boundary row can differ from the DuckDB oracle.
+    *
+    * Scale shape (100 TB): tokens ride as 60-bit hashes (never shingle
+    * strings); the frequency join and prefix aggregate shuffle compact
+    * (doc_id, h, df) longs; candidates meet in prefix-token equi-join
+    * buckets via the skew-salted [[graft.ops.Scale.selfPairs]] (never
+    * all-pairs — PlanSpec); the length filter t·max(|A|,|B|) ≤
+    * min(|A|,|B|) prunes before any intersection work; verification
+    * re-joins only candidate ids against the compact (doc_id, h) side.
+    * At t→0 the prefix approaches the whole doc — the inherent cost of
+    * exact recall at low thresholds; production near-dup joins run at
+    * t ≥ 0.8 where the prefix is ≲ a fifth of each doc. The prefix
+    * table is [[graft.ops.Scale.materializeCompact]]-pinned: selfPairs'
+    * skew detection plus both join consumers would otherwise re-run the
+    * sort-and-slice aggregate per consumer. */
+  def jaccardJoin(docs: DataFrame, threshold: Double = 0.8,
+                  portableHash: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc canonical order (df asc, h asc) → prefix slice; one
+    // shuffle keyed on doc_id, array work bounded by doc length
+    val pref = graft.ops.Scale.materializeCompact(
+      sh.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .select(col("doc_id"), explode(expr(
+          s"""slice(transform(ord, x -> x.h), 1,
+             |  size(ord) - cast(($tPpm * size(ord) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h")))
+    val cand = graft.ops.Scale.selfPairs(pref, Seq("h"), "doc_id")
+      .select(col("doc_id_1").as("d1"), col("doc_id_2").as("d2")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val candLen = cand
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("n1.n").as("na"), col("n2.n").as("nb"))
+      .filter(lit(tPpm) * greatest(col("na"), col("nb"))
+        <= lit(1000000L) * least(col("na"), col("nb")))
+    // candidates share ≥1 token by construction → inner joins throughout
+    val inter = candLen.select("d1", "d2")
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    candLen.join(inter, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+  }
+
+  /** LSH recall audit: how much of the EXACT pair set ([[jaccardJoin]],
+    * recall 1 by construction) the probabilistic [[lshPairs]] chain
+    * caught at the same threshold — the dedup twin of the `ann_recall`
+    * QC report. One row: (n_exact, n_caught, recall_ppm), the recall as
+    * exact integer ppm (floor) so both engines emit the identical
+    * value. [[lshPairs]] exact-verifies its candidates, so caught ⊆
+    * exact and the join below is a pure membership probe. */
+  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    jaccardJoin(docs, threshold)
+      .select("d1", "d2")
+      .join(lshPairs(docs, threshold).select("d1", "d2")
+        .withColumn("caught", lit(true)), Seq("d1", "d2"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .select(col("n_exact"), col("n_caught"),
+        expr("CASE WHEN n_exact = 0 THEN 0L ELSE n_caught * 1000000L div n_exact END")
+          .as("recall_ppm"))
 }

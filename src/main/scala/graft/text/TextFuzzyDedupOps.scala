@@ -653,6 +653,22 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
        |ELSE transform(sequence(0, length(text) - $L),
        |  i -> substring(text, i + 1, $L)) END""".stripMargin
 
+  /** The per-doc array of HASHED L-char windows (element k = window at
+    * char offset k) — the one fork point of the char-dedup family's two
+    * hash paths. `portableHash=true` materializes each window string
+    * and md5-digests it (O(n·L) bytes, what the DuckDB oracle replays);
+    * `portableHash=false` is the O(n) rolling-polynomial kernel
+    * ([[graft.functions.RollingHashWindows]]) that never materializes a
+    * window. Same window boundaries by construction (both count code
+    * points); result-level parity is spec-pinned. */
+  private def charWinHashCol(L: Int, portableHash: Boolean): org.apache.spark.sql.Column =
+    if (portableHash)
+      expr(s"transform(${charWinExpr(L)}, w -> ${phashFrag("w")})")
+    else
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.RollingHashWindows(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), L))
+
   /** The char-span scrub rebuild the character family shares — the
     * [[scrubSpans]] twin over character indices: start positions expand
     * to covered char indices, maximal spans count where a covered
@@ -693,13 +709,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    pass 1, compact (h, doc_id, pos) rows in pass 2 — ~6× the
     *    token form's row count, same order as the paper's suffix-array
     *    sort (one entry per byte);
-    *  - hashing is md5 per window = O(n·L) work; the
-    *    `portableHash=false` production path swaps in xxhash64 (same
-    *    window materialization, cheaper digest). A rolling polynomial
-    *    hash would make this O(n) — the right custom-Expression
-    *    upgrade if profile says the digest dominates — but the
-    *    window-array form keeps every stage inside whole-stage codegen
-    *    today and the md5 form is what the DuckDB oracle can replay;
+    *  - hashing: the `portableHash=true` oracle path materializes each
+    *    window and md5-digests it — O(n·L) bytes, what DuckDB can
+    *    replay; the `portableHash=false` production path is the O(n)
+    *    rolling-polynomial kernel ([[graft.functions.RollingHashWindows]],
+    *    codegen'd, no window strings ever built) — the 2M-doc bench
+    *    measured the materialized xxhash64 form at ~200 s before the
+    *    kernel landed (BENCH_LARGE `substr_dedup_chars` carries the
+    *    kernel's number);
     *  - the rebuild's `array_contains(covered, j)` membership test is
     *    O(len·|covered|) per row — worst-case quadratic in doc length
     *    for a fully-duplicated doc, bounded by the corpus's document
@@ -709,16 +726,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   def exactSubstringDedupChars(docs: DataFrame, L: Int = 100,
                                portableHash: Boolean = true): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
-    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     val pre = docs.repartition(col("doc_id")).select(col("doc_id"), col("text"))
     val dup = docs
-      .select(explode(expr(charWinExpr(L))).as("win"))
-      .select(h(col("win")).as("h"))
+      .select(explode(charWinHashCol(L, portableHash)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     val starts = pre
-      .select(col("doc_id"), posexplode(expr(charWinExpr(L))).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+      .select(col("doc_id"),
+        posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
       .join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     scrubCharSpans(pre, starts, L)
@@ -733,11 +748,10 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   def exactSubstringDedupCharsKeep(docs: DataFrame, L: Int = 100,
                                    portableHash: Boolean = true): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
-    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     val pre = docs.repartition(col("doc_id")).select(col("doc_id"), col("text"))
     def occ = pre
-      .select(col("doc_id"), posexplode(expr(charWinExpr(L))).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+      .select(col("doc_id"),
+        posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
     val dup = occ
       .groupBy("h")
       .agg(count(lit(1)).as("c"),
@@ -758,10 +772,8 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   def substringCharsIndex(corpus: DataFrame, L: Int = 100,
                           portableHash: Boolean = true): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
-    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     corpus
-      .select(explode(expr(charWinExpr(L))).as("win"))
-      .select(h(col("win")).as("h"))
+      .select(explode(charWinHashCol(L, portableHash)).as("h"))
       .distinct()
   }
 
@@ -777,11 +789,10 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
                                       L: Int = 100,
                                       portableHash: Boolean = true): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
-    val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     val pre = batch.repartition(col("doc_id")).select(col("doc_id"), col("text"))
     val starts = pre
-      .select(col("doc_id"), posexplode(expr(charWinExpr(L))).as(Seq("pos", "win")))
-      .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+      .select(col("doc_id"),
+        posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
       .join(substringCharsIndex(corpus, L, portableHash), Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     scrubCharSpans(pre, starts, L)

@@ -45,6 +45,53 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
 
   private[text] val lshPairsOracle: String = lshPairsOracleFor("documents")
 
+  /** Brute-force exact-Jaccard pair CTEs shared by the
+    * dedup_jaccard_join and lsh_recall oracles: `sh` (60-bit shingle
+    * hashes), `sizes`, `i` (all-pairs intersection counts), and
+    * `exact` — every pair with inter·10⁶ ≥ tPpm·uni, the INTEGER form
+    * of the threshold gate (no float boundary). Being all-pairs is the
+    * point: the engine's prefix-filtered join claims recall 1, so the
+    * oracle must not share its pruning. */
+  private[text] def exactPairsCtes(tPpm: Long): String =
+    s"""sh AS (SELECT doc_id, ${phashSql("shingle")} AS h
+       |      FROM (${shinglesSqlFor("documents")})),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT i.d1, i.d2, CAST(i.inter AS BIGINT) AS inter,
+       |    CAST(n1.n + n2.n - i.inter AS BIGINT) AS uni
+       |  FROM i
+       |  JOIN sizes n1 ON i.d1 = n1.doc_id
+       |  JOIN sizes n2 ON i.d2 = n2.doc_id
+       |  WHERE i.inter * 1000000 >= $tPpm * (n1.n + n2.n - i.inter))""".stripMargin
+
+  /** dedup_jaccard_join oracle: the brute-force join at threshold
+    * `tPpm` ppm, with the same (d1, d2, inter, uni, jaccard) shape as
+    * [[jaccardJoin]] (jaccard = the IEEE division of the same two
+    * integers both engines carry). */
+  private[text] def jaccardJoinOracle(tPpm: Long): String =
+    s"""WITH ${exactPairsCtes(tPpm)}
+       |SELECT d1, d2, inter, uni,
+       |  CAST(inter AS DOUBLE) / uni AS jaccard
+       |FROM exact""".stripMargin
+
+  /** lsh_recall oracle: |exact| at the threshold vs how many of those
+    * pairs the replayed minhash-band chain emits; recall as floor ppm
+    * (pure integer arithmetic in both engines). */
+  private[text] def lshRecallOracle(tPpm: Long): String =
+    s"""WITH ${exactPairsCtes(tPpm)},
+       |lsh AS (SELECT d1, d2 FROM ($lshPairsOracle)),
+       |j AS (SELECT e.d1, e.d2, l.d1 IS NOT NULL AS caught
+       |      FROM exact e LEFT JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(*) FILTER (WHERE caught) AS BIGINT) AS n_caught,
+       |  CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(count(*) FILTER (WHERE caught) AS BIGINT) * 1000000
+       |            // CAST(count(*) AS BIGINT) END AS recall_ppm
+       |FROM j""".stripMargin
+
   /** txt_scrub_ngrams oracle: DuckDB twin of [[scrubFrequentNgrams]]
     * (1-based list indices; `range(i, i + n)` is DuckDB's half-open
     * form of Spark's inclusive `sequence(p, p + n - 1)`). */
@@ -826,6 +873,23 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |  count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS bloom_hit
          |FROM probe p LEFT JOIN bits b ON p.bit = b.bit
          |GROUP BY p.doc_id""".stripMargin,
+
+    // the counting filter's delete path must equal the filter REBUILT
+    // without the forgotten slice — so the oracle IS the rebuild
+    "bloom_forget" ->
+      s"""WITH pos AS (SELECT doc_id, list_distinct(list_transform(range(0, 5),
+         |        i -> ${phashSql("concat(text, '#bloom', i)")} % ${1L << 24})) AS ps
+         |      FROM documents),
+         |bits AS (SELECT DISTINCT unnest(ps) AS bit FROM pos WHERE doc_id % 10 <> 0),
+         |probe AS (SELECT doc_id, unnest(ps) AS bit FROM pos)
+         |SELECT p.doc_id,
+         |  count(*) = sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS bloom_hit
+         |FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+         |GROUP BY p.doc_id""".stripMargin,
+
+    "dedup_jaccard_join" -> jaccardJoinOracle(tPpm = 800000L),
+
+    "lsh_recall" -> lshRecallOracle(tPpm = 500000L),
 
     "corpus_mix" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,

@@ -142,6 +142,22 @@ object TextQueries
       val docs = Tables.documents(s, dir)
       bloomProbe(docs, bloomBuild(docs.filter(col("doc_id") % 2 === 0)))
     },
+    // counting-Bloom forget: index ALL docs, delete the doc_id%10
+    // slice via counter subtraction, probe everything — the oracle is
+    // the filter REBUILT on the remaining docs, so the subtract path
+    // must be exactly delete-correct to hash-match
+    "bloom_forget" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      bloomProbe(docs, cbfBits(cbfForget(cbfCounters(docs),
+        docs.filter(col("doc_id") % 10 === 0))))
+    },
+    // exact-threshold similarity join (prefix filtering): oracle is the
+    // BRUTE-FORCE all-pairs join — recall 1 is the correctness contract
+    "dedup_jaccard_join" -> { (s, dir) =>
+      jaccardJoin(Tables.documents(s, dir), threshold = 0.8) },
+    // LSH recall audit against the exact join's ground truth
+    "lsh_recall" -> { (s, dir) =>
+      lshRecallAudit(Tables.documents(s, dir), threshold = 0.5) },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),

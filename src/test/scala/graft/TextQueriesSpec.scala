@@ -596,6 +596,134 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(3L) == ((4, 0, 0, md5hex("tiny"))))
   }
 
+  test("RollingHashWindows kernel == naive polynomial recompute, code-point windows") {
+    import graft.functions.RollingHashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = BigInt(RollingHashKernels.P)
+    val B = BigInt(RollingHashKernels.B)
+    def naive(s: String, L: Int): Seq[Long] = {
+      val cps = s.codePoints.toArray
+      (0 to cps.length - L).map { i =>
+        cps.slice(i, i + L).foldLeft(BigInt(0))((h, c) => (h * B + c) mod P).toLong
+      }
+    }
+    for (s <- Seq("", "ab", "abcdef", "qwertyXqwerty",
+                  "a😀b😀a😀b😀c",
+                  "die Zeichenkette läuft über die Bänder " * 3);
+         l <- Seq(2, 4, 6)) {
+      val got = RollingHashKernels
+        .windowHashes(UTF8String.fromString(s), l).toLongArray().toSeq
+      assert(got == naive(s, l), s"kernel != naive for s='$s' L=$l")
+      // equal windows hash equal; the fixture's distinct windows differ
+      val wins = {
+        val cps = s.codePoints.toArray
+        (0 to cps.length - l).map(i => new String(cps.slice(i, i + l), 0, l))
+      }
+      assert(wins.zip(got).groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
+    }
+  }
+
+  test("exactSubstringDedupChars: rolling-kernel path == md5 path on astral-plane text") {
+    import spark.implicits._
+    // windows count CODE POINTS: the shared run carries non-BMP chars,
+    // so a UTF-16-unit or byte-offset kernel would draw different
+    // window boundaries than the substring-materialized md5 path
+    val shared = "😀😀SHARED😀RUN"
+    val df = Seq((1L, s"xx$shared yy"), (2L, s"zw$shared vu"),
+      (3L, "no duplicated content here")).toDF("doc_id", "text")
+    def snap(pf: Boolean) = TextQueries.exactSubstringDedupChars(df, L = 5, portableHash = pf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    val md5Side = snap(true)
+    assert(md5Side.exists(_._3 > 0), "fixture must flag the shared run")
+    assert(md5Side == snap(false), "kernel path must draw identical spans")
+  }
+
+  // ---- exact-threshold similarity join (prefix filtering) ----
+
+  test("jaccardJoin == brute-force all-pairs join (recall 1 is the contract)") {
+    // brute force from the public shingle expression: every pair with
+    // inter/uni >= t, no pruning anywhere
+    def brute(t: Double): Set[(Long, Long, Long, Long)] = {
+      val tPpm = math.round(t * 1e6)
+      val sh = docs.select(col("doc_id"),
+        explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+        .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
+        .select(col("d1"), col("d2"), col("inter"),
+          (col("n1.n") + col("n2.n") - col("inter")).as("uni"))
+        .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    def got(t: Double) = TextQueries.jaccardJoin(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val g8 = got(0.8)
+    assert(g8.nonEmpty, "fixture must contain >=0.8 pairs")
+    assert(g8 == brute(0.8))
+    // a lower threshold widens the prefix and must stay exact too
+    assert(got(0.5) == brute(0.5))
+    assert(g8.forall { case (d1, d2, inter, uni) => d1 < d2 && inter <= uni })
+  }
+
+  test("lshRecallAudit: caught <= exact, recall_ppm bounded, identical-clique recall") {
+    val r = TextQueries.lshRecallAudit(docs, threshold = 0.5).collect()(0)
+    val (nExact, nCaught, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "fixture must contain exact pairs at 0.5")
+    assert(nCaught <= nExact && ppm <= 1000000L && ppm >= 0L)
+    assert(ppm == nCaught * 1000000L / nExact)
+    // identical docs collide in every band -> a pure clique corpus is
+    // caught completely
+    import spark.implicits._
+    val tpl = "the quick brown fox jumps over the lazy dog again and again"
+    val clique = Seq.tabulate(4)(i => (i.toLong, tpl)).toDF("doc_id", "text")
+    val c = TextQueries.lshRecallAudit(clique, threshold = 0.5).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((6L, 6L, 1000000L)))
+  }
+
+  // ---- counting Bloom filter (deletable membership index) ----
+
+  test("counting Bloom: forget == rebuild cell-for-cell; membership delete-correct") {
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val forget = docs.filter(col("doc_id") % 10 === 0)
+    val remaining = docs.filter(col("doc_id") % 10 =!= 0)
+    val viaForget = TextQueries.cbfForget(TextQueries.cbfCounters(docs), forget)
+    assert(cells(viaForget) == cells(TextQueries.cbfCounters(remaining)),
+      "subtracting the slice's counters must equal the rebuild")
+    // the plain filter CANNOT forget: clearing the slice's bits from
+    // bloomBuild would lose bits shared with remaining docs — the
+    // counting form keeps exactly the still-referenced ones
+    val hits = TextQueries.bloomProbe(docs, TextQueries.cbfBits(viaForget))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val remIds = remaining.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(remIds.forall(hits), "no false negatives for remaining docs")
+    // forgotten docs whose text no remaining doc shares must now miss
+    // (modulo the deterministic FP rate — assert most drop, not all)
+    val remTexts = remaining.select("text").collect().map(_.getString(0)).toSet
+    val uniqueForgotten = forget.collect()
+      .filter(r => !remTexts(r.getString(r.fieldIndex("text"))))
+      .map(_.getLong(0))
+    assert(uniqueForgotten.nonEmpty, "fixture must forget some unique texts")
+    val stillHit = uniqueForgotten.count(hits)
+    assert(stillHit * 10 <= uniqueForgotten.length,
+      s"forgotten uniques should miss (fp-rate-bounded): $stillHit/${uniqueForgotten.length}")
+  }
+
+  test("counting Bloom: counters sum-merge across disjoint shards") {
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shardCounters = (0 until 3).map(p =>
+      TextQueries.cbfCounters(docs.filter(pmod(col("doc_id"), lit(3)) === p)))
+    val merged = shardCounters.reduce(_ unionAll _)
+      .groupBy("bit").agg(sum("cnt").cast("long").as("cnt"))
+    assert(cells(merged) == cells(TextQueries.cbfCounters(docs)),
+      "per-shard counter tables must sum-merge to the one-shot table")
+  }
+
   test("exactSubstringDedupChars: partitioning invariance and hash parity on the fixture") {
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
