@@ -748,6 +748,110 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
 
+  /** The corpus-side document-frequency table (h, df) the incremental
+    * exact join orders tokens by — persistable next to
+    * [[jaccardIndex]]; recompute both per corpus version. */
+  def jaccardCorpusStats(corpus: DataFrame,
+                         portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    shingles(corpus).select(col("doc_id"), hashed.as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+  }
+
+  /** The persistable corpus-side index of the incremental exact join:
+    * one row per PREFIX token occurrence — (h, doc_id, n, hs) where hs
+    * is the doc's full hash set in canonical (df asc, h asc) order — so
+    * an incoming batch can be candidate-matched (prefix-token
+    * equi-join) AND exact-verified (`array_intersect` on hs) without
+    * touching the corpus text again; the [[corpusIndex]] /
+    * [[substringIndex]] discipline, prefix-filter edition. Rows ≈
+    * (1−t)·|corpus tokens| with each doc's hs repeated per prefix
+    * entry — the verification payload rides next to its bucket key,
+    * trading storage for the re-shingle pass, exactly as the LSH index
+    * trades band rows. */
+  def jaccardIndex(corpus: DataFrame, threshold: Double = 0.8,
+                   portableHash: Boolean = true,
+                   corpusDf: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh = shingles(corpus).select(col("doc_id"), hashed.as("h"))
+    val dfT = corpusDf.getOrElse(
+      sh.groupBy("h").agg(count(lit(1)).as("df")))
+    sh.join(dfT, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.h)").as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
+        explode(expr(
+          s"""slice(hs, 1,
+             |  size(hs) - cast(($tPpm * size(hs) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h"))
+  }
+
+  /** Incremental exact-threshold similarity join: every (batch doc,
+    * corpus doc) pair with Jaccard ≥ `threshold` — the GUARANTEED-
+    * recall member of the incremental dedup family (the LSH member
+    * [[lshMatchesAgainst]] is probabilistic; this one's oracle is the
+    * brute-force batch×corpus join). Emits (batch_id, corpus_id, inter,
+    * uni, jaccard).
+    *
+    * Both sides order tokens by CORPUS document frequency (batch tokens
+    * unseen in the corpus get df 0 — any COMMON total order preserves
+    * the prefix theorem; corpus-df keeps the buckets rarest-first, and
+    * a df-0 token can never match so the slots it occupies cost
+    * nothing). The corpus contributes only its persistable
+    * [[jaccardIndex]] + [[jaccardCorpusStats]] (pass both when
+    * pre-materialized — production recomputes them per corpus version,
+    * never per batch); the batch side broadcasts, the corpus index
+    * streams through the prefix-token equi-join, and verification is a
+    * per-candidate `array_intersect` — no corpus re-shingle, no
+    * all-pairs anywhere. */
+  def jaccardJoinAgainst(batch: DataFrame, corpus: DataFrame,
+                         threshold: Double = 0.8,
+                         portableHash: Boolean = true,
+                         corpusDf: Option[DataFrame] = None,
+                         index: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val dfT = corpusDf.getOrElse(jaccardCorpusStats(corpus, portableHash))
+    val idx = index.getOrElse(
+      jaccardIndex(corpus, threshold, portableHash, Some(dfT)))
+    val shB = shingles(batch).select(col("doc_id"), hashed.as("h"))
+    val prefB = shB
+      .join(dfT, Seq("h"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id").as("batch_id"),
+        expr("transform(ord, x -> x.h)").as("bhs"))
+      .select(col("batch_id"), col("bhs"), size(col("bhs")).as("bn"),
+        explode(expr(
+          s"""slice(bhs, 1,
+             |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h"))
+    idx.as("c")
+      .join(broadcast(prefB).as("b"), Seq("h"))
+      .select(col("batch_id"), col("c.doc_id").as("corpus_id"),
+        col("bn"), col("c.n").as("cn"),
+        size(array_intersect(col("bhs"), col("c.hs"))).as("inter"))
+      .distinct()
+      .select(col("batch_id"), col("corpus_id"), col("inter").cast("long").as("inter"),
+        (col("bn") + col("cn") - col("inter")).cast("long").as("uni"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+  }
+
   /** LSH recall audit: how much of the EXACT pair set ([[jaccardJoin]],
     * recall 1 by construction) the probabilistic [[lshPairs]] chain
     * caught at the same threshold — the dedup twin of the `ann_recall`

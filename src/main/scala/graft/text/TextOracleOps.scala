@@ -891,6 +891,26 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
 
     "lsh_recall" -> lshRecallOracle(tPpm = 500000L),
 
+    // brute-force batch x corpus join: the incremental prefix-filter
+    // path must find every cross-split pair at the threshold
+    "dedup_jaccard_incr" ->
+      s"""WITH shB AS (SELECT doc_id, ${phashSql("shingle")} AS h
+         |  FROM (${shinglesSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+         |shC AS (SELECT doc_id, ${phashSql("shingle")} AS h
+         |  FROM (${shinglesSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+         |szB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY doc_id),
+         |szC AS (SELECT doc_id, count(*) AS n FROM shC GROUP BY doc_id),
+         |i AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |        count(*) AS inter
+         |      FROM shB b JOIN shC c ON b.h = c.h GROUP BY 1, 2)
+         |SELECT i.batch_id, i.corpus_id, CAST(i.inter AS BIGINT) AS inter,
+         |  CAST(nb.n + nc.n - i.inter AS BIGINT) AS uni,
+         |  CAST(i.inter AS DOUBLE) / (nb.n + nc.n - i.inter) AS jaccard
+         |FROM i
+         |JOIN szB nb ON i.batch_id = nb.doc_id
+         |JOIN szC nc ON i.corpus_id = nc.doc_id
+         |WHERE i.inter * 1000000 >= 800000 * (nb.n + nc.n - i.inter)""".stripMargin,
+
     "corpus_mix" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS mix_rank

@@ -158,6 +158,14 @@ object TextQueries
     // LSH recall audit against the exact join's ground truth
     "lsh_recall" -> { (s, dir) =>
       lshRecallAudit(Tables.documents(s, dir), threshold = 0.5) },
+    // incremental exact join: odd-doc batch vs the even-doc corpus's
+    // persistable prefix index — recall 1 against the brute-force
+    // batch×corpus oracle
+    "dedup_jaccard_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      jaccardJoinAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+    },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),

@@ -669,6 +669,39 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(g8.forall { case (d1, d2, inter, uni) => d1 < d2 && inter <= uni })
   }
 
+  test("jaccardJoinAgainst == brute-force batch x corpus; pre-built index path identical") {
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // brute force from the public shingle expression, across the split
+    val shB = batch.select(col("doc_id"),
+      explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+    val shC = corpus.select(col("doc_id"),
+      explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+    val brute = shB.as("b").join(shC.as("c"), col("b.s") === col("c.s"))
+      .groupBy(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(shB.groupBy("doc_id").agg(count(lit(1)).as("bn")),
+        col("batch_id") === col("doc_id")).drop("doc_id")
+      .join(shC.groupBy("doc_id").agg(count(lit(1)).as("cn")),
+        col("corpus_id") === col("doc_id")).drop("doc_id")
+      .select(col("batch_id"), col("corpus_id"), col("inter"),
+        (col("bn") + col("cn") - col("inter")).as("uni"))
+      .filter(col("inter") * lit(1000000L) >= lit(800000L) * col("uni"))
+    val got = TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8)
+      .select("batch_id", "corpus_id", "inter", "uni")
+    assert(snap(got).nonEmpty, "fixture must contain cross-split pairs at 0.8")
+    assert(snap(got) == snap(brute))
+    // production path: df table + prefix index pre-materialized
+    val dfT = TextQueries.jaccardCorpusStats(corpus)
+    val idx = TextQueries.jaccardIndex(corpus, threshold = 0.8, corpusDf = Some(dfT))
+    val viaIndex = TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+      corpusDf = Some(dfT), index = Some(idx))
+      .select("batch_id", "corpus_id", "inter", "uni")
+    assert(snap(viaIndex) == snap(got))
+  }
+
   test("lshRecallAudit: caught <= exact, recall_ppm bounded, identical-clique recall") {
     val r = TextQueries.lshRecallAudit(docs, threshold = 0.5).collect()(0)
     val (nExact, nCaught, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
