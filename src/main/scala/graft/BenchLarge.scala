@@ -799,9 +799,9 @@ object BenchLarge {
     // corpus: recall-1 counterpart of lsh_pairs at the production
     // near-dup threshold — rarest-prefix buckets + length filter +
     // exact verification, never all-pairs. The check counts pairs.
-    timed("jaccard_join", clearAfter = true) {
+    timed("jaccard_join", clearBetween = true, clearAfter = true) {
       graft.text.TextQueries.jaccardJoin(docs(spark, nDocs, template),
-        threshold = 0.8, portableHash = false).count()
+        threshold = 0.8, portableHash = false, persistLineage = persist).count()
     }
     // containment-fraction decontamination at the full corpus: the ~2k
     // eval-slice shingle set broadcasts onto one fan-out pass over the

@@ -705,16 +705,26 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * t ≥ 0.8 where the prefix is ≲ a fifth of each doc. The prefix
     * table is [[graft.ops.Scale.materializeCompact]]-pinned: selfPairs'
     * skew detection plus both join consumers would otherwise re-run the
-    * sort-and-slice aggregate per consumer. */
+    * sort-and-slice aggregate per consumer.
+    *
+    * `persistLineage` caches the compact (doc_id, h) shingle frame that
+    * FIVE consumers re-derive (frequency table, prefix aggregate, sizes,
+    * both verification sides) — the [[lshPairs]] knob, same tradeoff:
+    * at sf-scale recompute wins, at corpus scale the tokenize+explode
+    * chain dominates and caching it once pays 5×. */
   def jaccardJoin(docs: DataFrame, threshold: Double = 0.8,
-                  portableHash: Boolean = true): DataFrame = {
+                  portableHash: Boolean = true,
+                  persistLineage: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
-    val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    val sh0 = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    val sh = if (persistLineage)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     // per-doc canonical order (df asc, h asc) → prefix slice; one
     // shuffle keyed on doc_id, array work bounded by doc length

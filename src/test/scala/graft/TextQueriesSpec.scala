@@ -667,6 +667,11 @@ class TextQueriesSpec extends AnyFunSuite {
     // a lower threshold widens the prefix and must stay exact too
     assert(got(0.5) == brute(0.5))
     assert(g8.forall { case (d1, d2, inter, uni) => d1 < d2 && inter <= uni })
+    // the corpus-scale lineage-cached path is the same computation
+    val persisted = TextQueries.jaccardJoin(docs, 0.8, persistLineage = true)
+    try assert(persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == g8)
+    finally spark.catalog.clearCache()
   }
 
   test("jaccardJoinAgainst == brute-force batch x corpus; pre-built index path identical") {
