@@ -530,6 +530,56 @@ object StreamOps {
       .select(col("batch_id"), col("ts"), col("dup_of"))
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
 
+  /** Stream-static EXACT-Jaccard gate: incoming documents probe the
+    * persisted prefix index ([[graft.text.TextQueries.jaccardIndex]]
+    * built with `hashOrdered = true` — write it bucketed by `h`) and
+    * emit one (batch_id, ts, dup_of, jaccard) verdict per corpus
+    * document with exact shingle Jaccard ≥ `threshold`. The
+    * GUARANTEED-recall member of the streaming gate family: the LSH
+    * gate ([[streamingLshAgainst]]) can miss a qualifying pair at the
+    * band miss rate; this gate cannot — two sets with J ≥ t must share
+    * a prefix token under the index's total order, and every candidate
+    * is exact-verified in the join condition.
+    *
+    * Stateless per row: the incoming doc's sorted hash set and its
+    * n−⌈t·n⌉+1 prefix are pure expressions (h-order, which is why the
+    * index must be hash-ordered — a df-ordered prefix would need an
+    * unbounded lookup per token, i.e. state); candidates meet in the
+    * stream-static equi-join on the prefix token; verification is
+    * `array_intersect` inside the join, integer-ppm gated exactly like
+    * the batch join. State = the watermark-bounded verdict dedup only.
+    * Batch parity: the verdict PAIR SET equals
+    * [[graft.text.TextQueries.jaccardJoinAgainst]] on the same split —
+    * recall 1 under any common order makes the order private to the
+    * plan (StreamingSpec-pinned).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingJaccardGate(docs: DataFrame, corpusIndex: DataFrame,
+                           threshold: Double = 0.8,
+                           watermark: String = "10 minutes"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
+      .withColumn("bn", size(col("bhs")))
+      .select(col("batch_id"), col("ts"), col("bhs"), col("bn"),
+        explode(expr(
+          s"""slice(bhs, 1,
+             |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h"))
+      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of"),
+          col("n").as("cn"), col("hs")), Seq("h"))
+      .withColumn("inter", size(array_intersect(col("bhs"), col("hs"))).cast("long"))
+      .withColumn("uni", col("bn") + col("cn") - col("inter"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
+      .select(col("batch_id"), col("ts"), col("dup_of"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+      .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+  }
+
   /** Stateless streaming ingest gate — the per-row stages of
     * corpus_clean for a document stream: the Gopher/C4 quality
     * predicate ([[graft.text.TextQueries.qualityKeep]]) plus benchmark

@@ -780,10 +780,21 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * (1−t)·|corpus tokens| with each doc's hs repeated per prefix
     * entry — the verification payload rides next to its bucket key,
     * trading storage for the re-shingle pass, exactly as the LSH index
-    * trades band rows. */
+    * trades band rows.
+    *
+    * `hashOrdered=true` switches the canonical token order from
+    * (corpus df asc, h asc) to plain h asc. The prefix theorem holds
+    * under ANY common total order, so recall is unchanged; the cost is
+    * bigger candidate buckets (common tokens are no longer pushed out
+    * of prefixes). It exists for the STATELESS streaming gate
+    * ([[graft.streaming.StreamOps.streamingJaccardGate]]), whose
+    * per-row prefix must be a pure expression — an unbounded df lookup
+    * per incoming token would need a join and a re-aggregation, i.e.
+    * state. Batch callers keep the df order. */
   def jaccardIndex(corpus: DataFrame, threshold: Double = 0.8,
                    portableHash: Boolean = true,
-                   corpusDf: Option[DataFrame] = None): DataFrame = {
+                   corpusDf: Option[DataFrame] = None,
+                   hashOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -791,13 +802,18 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     val sh = shingles(corpus).select(col("doc_id"), hashed.as("h"))
-    val dfT = corpusDf.getOrElse(
-      sh.groupBy("h").agg(count(lit(1)).as("df")))
-    sh.join(dfT, Seq("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-      .select(col("doc_id"),
-        expr("transform(ord, x -> x.h)").as("hs"))
+    val withOrd =
+      if (hashOrdered)
+        sh.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+      else {
+        val dfT = corpusDf.getOrElse(
+          sh.groupBy("h").agg(count(lit(1)).as("df")))
+        sh.join(dfT, Seq("h"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+          .select(col("doc_id"), expr("transform(ord, x -> x.h)").as("hs"))
+      }
+    withOrd
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
         explode(expr(
           s"""slice(hs, 1,

@@ -185,6 +185,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_jaccard_join/incr: prefix-bucketed equi-joins, never all-pairs") {
+    val p = plan("dedup_jaccard_join")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must meet in prefix-token equi-join buckets:\n${p.take(2000)}")
+    val pi = plan("dedup_jaccard_incr")
+    assert(!pi.contains("CartesianProduct"),
+      s"the incremental probe must equi-join the prefix index:\n${pi.take(2000)}")
+    assert(pi.contains("BroadcastHashJoin") || pi.contains("BroadcastExchange"),
+      s"the batch prefix side must broadcast onto the streamed index:\n${pi.take(2000)}")
+  }
+
   test("quality_classifier: one-row weight broadcast, gram fan-out partition-local") {
     val p = plan("quality_classifier")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

@@ -1497,6 +1497,36 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-Jaccard gate: verdict pairs == batch jaccardJoinAgainst") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    // the gate needs the HASH-ORDERED index (its per-row prefix is a
+    // pure expression); batch parity holds because recall 1 under any
+    // common total order makes the order private to the plan
+    val idx = graft.text.TextQueries.jaccardIndex(corpus,
+      threshold = 0.8, hashOrdered = true)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_jgate")
+    batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingJaccardGate(in, idx, threshold = 0.8)
+      .writeStream.format("memory").queryName("jgate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("jgate").select("batch_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.text.TextQueries
+        .jaccardJoinAgainst(batchDocs, corpus, threshold = 0.8)
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "fixture must contain cross-split pairs at 0.8")
+      assert(got == want, s"gate verdicts must equal the batch join: " +
+        s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming CountMin sketch: additive overlay onto the index == full counters") {
     import graft.ops.Sketches
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
