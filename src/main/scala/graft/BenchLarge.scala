@@ -540,9 +540,9 @@ object BenchLarge {
     // docs — the measured cost of byte-exact Lee et al. semantics
     // over the token compromise); L sized to the synthetic doc shape
     // as k=8 tokens is above
-    timed("substr_dedup_chars", clearAfter = true) {
+    timed("substr_dedup_chars", clearBetween = true, clearAfter = true) {
       graft.text.TextQueries.exactSubstringDedupChars(docs(spark, nDocs, template),
-        L = 60, portableHash = false)
+        L = 60, portableHash = false, persistLineage = persist)
         .filter(col("n_removed") > 0).count()
     }
     // gear-CDC fingerprints at the full corpus: map-only byte-loop

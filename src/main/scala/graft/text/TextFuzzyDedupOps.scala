@@ -724,16 +724,24 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    up).
     */
   def exactSubstringDedupChars(docs: DataFrame, L: Int = 100,
-                               portableHash: Boolean = true): DataFrame = {
+                               portableHash: Boolean = true,
+                               persistLineage: Boolean = false): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
     val pre = docs.repartition(col("doc_id")).select(col("doc_id"), col("text"))
-    val dup = docs
-      .select(explode(charWinHashCol(L, portableHash)).as("h"))
+    // the positional window-hash fan-out feeds BOTH passes (the
+    // corpus-wide count and the per-doc start recovery) — at corpus
+    // scale cache it once instead of running the kernel + explode
+    // twice (the jaccardJoin persistLineage tradeoff: at sf-scale
+    // recompute wins, at corpus scale the fan-out dominates)
+    val occ0 = pre.select(col("doc_id"),
+      posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
+    val occ = if (persistLineage)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else occ0
+    val dup = occ.select("h")
       .groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
-    val starts = pre
-      .select(col("doc_id"),
-        posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
+    val starts = occ
       .join(dup, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     scrubCharSpans(pre, starts, L)
