@@ -194,6 +194,40 @@ object Sketches {
     out.toDF("signal", "q_pct", "value")
   }
 
+  /** Grouped finalize: per-(group, signal) grid quantiles from a
+    * (shard, signal, bucket, cnt) frame whose shard column IS the
+    * dashboard group (per-source monitoring: build with
+    * `histShards(docs, col("source"))`; shards within a group still
+    * sum-merge by the same (grp, signal, bucket) key). Same
+    * bounded-collect discipline as [[histQuantiles]] — the frame is
+    * range-bounded per group by construction. Output: (grp, signal,
+    * q_pct, value). */
+  def histQuantilesBy(byGrp: DataFrame, qPcts: Seq[Int] = Seq(5, 25, 50, 75, 95))
+      : DataFrame = {
+    val spark = byGrp.sparkSession
+    import spark.implicits._
+    val rows = byGrp
+      .select(col("shard").cast("string"), col("signal"), col("bucket"), col("cnt"))
+      .groupBy("shard", "signal", "bucket").agg(sum("cnt").cast("long").as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val out = rows.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((grp, signal), rs) =>
+      val sorted = rs.sortBy(_._3)
+      val n = sorted.map(_._4).sum
+      qPcts.map { q =>
+        val rank = q.toLong * (n - 1) / 100L + 1L
+        var cum = 0L
+        val bucket = sorted.find { case (_, _, _, c) => cum += c; cum >= rank }
+          .map(_._3).getOrElse(sorted.last._3)
+        val value =
+          if (signal == "mean_word_len") bucket.toDouble / 1000.0
+          else bucket.toDouble
+        (grp, signal, q, value)
+      }
+    }.sortBy(x => (x._1, x._2, x._3))
+    out.toDF("grp", "signal", "q_pct", "value")
+  }
+
   // ---------------------------------------------------------------------------
   // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
   // third sketch family member: a point-queryable FREQUENCY index.
@@ -281,6 +315,13 @@ object Sketches {
       val words = Tables.documents(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
       hllFinalizeBy(hllRegistersBy(words, col("w"), col("source")))
+        .withColumnRenamed("grp", "source")
+    },
+    // per-source quantile dashboard — the grouped member of the
+    // histogram sketch (one histShards generator serves both: the
+    // shard column IS the group)
+    "sketch_quantiles_by" -> { (s, dir) =>
+      histQuantilesBy(histShards(Tables.documents(s, dir), col("source")))
         .withColumnRenamed("grp", "source")
     },
     // CountMin frequency estimates for the corpus's top-20 words —
@@ -405,6 +446,29 @@ object Sketches {
           |        WHERE cum >= (q_pct * (n - 1)) // 100 + 1
           |        GROUP BY signal, q_pct)
           |SELECT signal, CAST(q_pct AS INT) AS q_pct,
+          |  CASE WHEN signal = 'mean_word_len' THEN CAST(bucket AS DOUBLE) / 1000.0
+          |       ELSE CAST(bucket AS DOUBLE) END AS value
+          |FROM sel""".stripMargin,
+
+      // the grouped twin: identical math with source in every partition
+      "sketch_quantiles_by" ->
+        """WITH sig AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+          |               CAST(length(text) AS BIGINT) AS nc FROM documents),
+          |h AS (
+          |  SELECT source, 'n_tokens' AS signal, nt AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM sig GROUP BY source, nt
+          |  UNION ALL
+          |  SELECT source, 'mean_word_len' AS signal, (1000 * (nc - nt + 1)) // nt AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cnt FROM sig GROUP BY 1, 3),
+          |c AS (SELECT source, signal, bucket, cnt,
+          |        sum(cnt) OVER (PARTITION BY source, signal ORDER BY bucket) AS cum,
+          |        sum(cnt) OVER (PARTITION BY source, signal) AS n FROM h),
+          |q AS (SELECT unnest([5, 25, 50, 75, 95]) AS q_pct),
+          |sel AS (SELECT source, signal, q_pct, min(bucket) AS bucket
+          |        FROM c CROSS JOIN q
+          |        WHERE cum >= (q_pct * (n - 1)) // 100 + 1
+          |        GROUP BY source, signal, q_pct)
+          |SELECT source, signal, CAST(q_pct AS INT) AS q_pct,
           |  CASE WHEN signal = 'mean_word_len' THEN CAST(bucket AS DOUBLE) / 1000.0
           |       ELSE CAST(bucket AS DOUBLE) END AS value
           |FROM sel""".stripMargin)

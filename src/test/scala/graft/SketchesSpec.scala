@@ -96,6 +96,21 @@ class SketchesSpec extends AnyFunSuite {
       s"incremental $incr != full recompute $full")
   }
 
+  test("grouped quantile sketch == per-group solo recompute") {
+    val byGrp = Sketches.histQuantilesBy(Sketches.histShards(docs, col("source")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val groups = byGrp.keys.map(_._1).toSeq.distinct.sorted
+    assert(groups.size > 1, "fixture must contain several sources")
+    for (g <- groups.take(3)) {
+      val solo = Sketches.histQuantiles(Sketches.histMerge(Seq(
+          Sketches.histShards(docs.filter(col("source") === g), lit(0)))))
+        .collect().map(r => (g, r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(solo.forall { case (k, v) => byGrp(k) == v },
+        s"group $g must equal its solo-slice quantiles")
+    }
+  }
+
   // ---- CountMin frequency sketch ----
 
   private def cmSnap(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
