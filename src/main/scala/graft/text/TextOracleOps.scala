@@ -575,6 +575,16 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |SELECT doc_id, CAST(rk % 64 AS BIGINT) AS shard,
          |  CAST(rk // 64 AS BIGINT) AS pos FROM r""".stripMargin,
 
+    // the window form IS the reference semantics; the engine computes
+    // the same order statistic via driver cutoffs (no per-stratum
+    // window in its plan)
+    "corpus_sample_k" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ${phashSql("concat('topk_', CAST(doc_id AS VARCHAR))")}, doc_id) AS rn
+         |FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 7""".stripMargin,
+
     "source_stats" ->
       """WITH t AS (SELECT source, text, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT source,

@@ -177,6 +177,11 @@ object TextQueries
     },
     "corpus_split" -> { (s, dir) => corpusSplit(Tables.documents(s, dir)) },
     "corpus_shuffle" -> { (s, dir) => corpusShuffle(Tables.documents(s, dir)) },
+    // exact-k per-source dev-set carve: driver-cutoff order statistic,
+    // no per-stratum window anywhere in the plan (the oracle's
+    // row_number is the REFERENCE semantics, not the engine's shape)
+    "corpus_sample_k" -> { (s, dir) =>
+      corpusSampleK(Tables.documents(s, dir), k = 7) },
 
     // ---- domain-level curation: aggregate profile + whole-source gate ----
     "source_stats" -> { (s, dir) => sourceStats(Tables.documents(s, dir)) },

@@ -92,6 +92,86 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
         .otherwise(lit("test")).as("split"))
   }
 
+  /** Deterministic EXACT-k per-stratum sample: each stratum keeps its k
+    * documents with the smallest salted content-free hash (ties by
+    * doc_id) — the fixed-SIZE companion of [[stratifiedSample]]'s
+    * fixed-RATE gate, how pipelines carve equal-size per-domain dev
+    * sets that stay stable under corpus growth (a kept doc is only ever
+    * displaced by a NEW doc hashing below the old threshold). Emits
+    * (doc_id, stratum-column).
+    *
+    * The engine never runs a per-stratum window over the corpus (a
+    * `row_number() PARTITION BY source` funnels each stratum's full doc
+    * list through ONE task — the single-task scale-killer the
+    * corpus_mix_tokens rewrite documents). Instead, the exact order
+    * statistic comes from the two-pass driver-cutoff discipline:
+    *   1. one corpus pass aggregates per-(stratum, hash-bucket) counts
+    *      — a bounded strata×`buckets` frame collected to the driver,
+    *      which locates each stratum's cutoff BUCKET and the residual
+    *      rank r needed from inside it;
+    *   2. only the cutoff buckets' (h, doc_id) pairs are collected
+    *      (≈ n/buckets rows per stratum — size `buckets` to the corpus)
+    *      and walked to the exact r-th (h, doc_id) threshold;
+    *   3. the keep predicate is a per-stratum LITERAL case chain —
+    *      map-only, partition-parallel, no exchange at all in the
+    *      final pass.
+    * A degenerate single-stratum corpus parallelizes identically
+    * (spec-pinned); the window form is the SPEC's reference, never the
+    * plan's. */
+  def corpusSampleK(docs: DataFrame, k: Int = 25,
+                    strataCol: String = "source", salt: String = "topk",
+                    buckets: Int = 4096): DataFrame = {
+    require(k >= 1 && buckets >= 2, s"need k >= 1, buckets >= 2; got k=$k, buckets=$buckets")
+    val bWidth = (1L << 60) / buckets
+    val h = phash(concat(lit(salt), lit("_"), col("doc_id").cast("string")))
+    val withH = docs.select(col("doc_id"), col(strataCol).as("stratum"), h.as("h"))
+    // pass 1: bounded (stratum, bucket) counts -> per-stratum cutoff
+    // bucket + residual rank
+    val counts = withH
+      .groupBy(col("stratum"), expr(s"h div ${bWidth}L").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val perStratum: Map[String, Option[(Long, Long)]] = // cutoff bucket, residual r
+      counts.groupBy(_._1).map { case (s, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val total = sorted.map(_._3).sum
+        if (total <= k) s -> None // keep the whole stratum
+        else {
+          var cum = 0L
+          val (_, cb, cBefore) = sorted.iterator.map { case (_, b, c) =>
+            val before = cum; cum += c; (cum, b, before)
+          }.find(_._1 >= k).get
+          s -> Some((cb, k - cBefore))
+        }
+      }
+    // pass 2: exact (h, doc_id) threshold inside each cutoff bucket —
+    // collect only those buckets' pairs (≈ n/buckets rows per stratum)
+    val cutoffFilter = perStratum.collect { case (s, Some((cb, _))) =>
+      col("stratum") === s && expr(s"h div ${bWidth}L") === cb
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val inCutoff = withH.filter(cutoffFilter)
+      .select("stratum", "h", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val thresholds: Map[String, (Long, Long)] = perStratum.collect {
+      case (s, Some((_, r))) =>
+        val pairs = inCutoff(s).map(p => (p._2, p._3)).sorted
+        s -> pairs(r.toInt - 1)
+    }
+    // pass 3: map-only literal keep predicate, zero exchange
+    val keep = perStratum.foldLeft(lit(false)) {
+      case (acc, (s, None)) => when(col("stratum") === s, lit(true)).otherwise(acc)
+      case (acc, (s, Some((cb, _)))) =>
+        val (th, td) = thresholds(s)
+        when(col("stratum") === s,
+          expr(s"h div ${bWidth}L") < cb ||
+            (expr(s"h div ${bWidth}L") === cb &&
+              (col("h") < th || (col("h") === th && col("doc_id") <= td))))
+          .otherwise(acc)
+    }
+    withH.filter(keep).select(col("doc_id"), col("stratum").as(strataCol))
+  }
+
   // ---------------------------------------------------------------------
   // Source/domain-level curation (the URL-filtering family: C4
   // blocklists, RefinedWeb/FineWeb per-domain quality gating)

@@ -638,6 +638,31 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(md5Side == snap(false), "kernel path must draw identical spans")
   }
 
+  test("corpusSampleK: exact k per stratum == window reference; plan is window-free") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextQueries.corpusSampleK(docs, k = 7)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no per-stratum window may appear:\n${p.take(1500)}")
+    assert(!graft.ops.Scale.hasSinglePartitionExchange(out))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val ref = docs.select(col("doc_id"), col("source"),
+        TextQueries.phash(concat(lit("topk_"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == ref, "driver-cutoff order statistic must equal the window reference")
+    val bySrc = got.groupBy(_._2).map { case (s, m) => s -> m.size }
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.forall { case (s, n) => bySrc.getOrElse(s, 0) == math.min(7L, n) },
+      "each stratum keeps exactly min(k, |stratum|) docs")
+    // degenerate single-stratum corpus: still exact, still parallel
+    val one = TextQueries.corpusSampleK(
+      docs.withColumn("only", lit("all")), k = 7, strataCol = "only")
+    assert(!graft.ops.Scale.hasSinglePartitionExchange(one))
+    assert(one.count() == 7)
+  }
+
   // ---- exact-threshold similarity join (prefix filtering) ----
 
   test("jaccardJoin == brute-force all-pairs join (recall 1 is the contract)") {
