@@ -571,6 +571,16 @@ object BenchLarge {
       graft.text.TextQueries.corpusMixTokens(withLang, alpha = 0.5,
         tokenBudget = nDocs * 9).agg(sum("n_tokens")).collect()(0).getLong(0)
     }
+    // exact-k per-stratum dev-set carve over 16 synthetic strata: the
+    // driver-cutoff order statistic (two bounded collects + a map-only
+    // literal predicate), never a per-stratum window. The check counts
+    // kept rows (16 x 1000 exactly).
+    timed("sample_k", clearAfter = true) {
+      val strat = docs(spark, nDocs, template).select(col("doc_id"), col("text"),
+        concat(lit("s"), pmod(hash(col("doc_id"), lit(53)), lit(16))).as("src"))
+      graft.text.TextQueries.corpusSampleK(strat, k = 1000, strataCol = "src")
+        .count()
+    }
     // BPE tokenizer training at a production-shaped merge count: ONE
     // corpus-sized pass (the word-frequency aggregate), then the
     // ~90k-word vocabulary collects and 1000 merge rounds run
@@ -801,6 +811,13 @@ object BenchLarge {
     // exact verification, never all-pairs. The check counts pairs.
     timed("jaccard_join", clearBetween = true, clearAfter = true) {
       graft.text.TextQueries.jaccardJoin(docs(spark, nDocs, template),
+        threshold = 0.8, portableHash = false, persistLineage = persist).count()
+    }
+    // asymmetric exact containment at the full corpus: the contained
+    // side's prefix buckets against ALL corpus tokens (detect-then-salt
+    // on hot shingles). The check counts ordered pairs.
+    timed("contain_join", clearBetween = true, clearAfter = true) {
+      graft.text.TextQueries.containJoin(docs(spark, nDocs, template),
         threshold = 0.8, portableHash = false, persistLineage = persist).count()
     }
     // containment-fraction decontamination at the full corpus: the ~2k

@@ -878,6 +878,84 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
 
+  /** Exact-threshold CONTAINMENT join: every ordered pair (d1, d2),
+    * d1 ≠ d2, where at least `threshold` of d1's shingle set appears in
+    * d2 — |A∩B|/|A| ≥ t, the ASYMMETRIC member of the exact-join family
+    * (Jaccard can't see a small doc swallowed by a large one: a
+    * paragraph fully contained in a book has Jaccard ≈ 0 but
+    * containment 1). The sub-document duplication / quotation /
+    * boilerplate-reuse detector, corpus-wide — the all-pairs form of
+    * the benchmark-targeted [[containmentFraction]]. Emits (d1, d2,
+    * inter, n1, contain_ppm), contain_ppm the exact floor-ppm fraction.
+    *
+    * Prefix filtering, containment form: only the CONTAINED side's
+    * prefix shortens (d1 emits its first n−⌈t·n⌉+1 rarest tokens — if
+    * ≥ t of A is in B, B must hold one of them); the container side
+    * must emit ALL its tokens. That asymmetry is the cost of the
+    * asymmetric predicate: candidate volume is Σ_h prefDf(h)·df(h),
+    * kept manageable exactly because rarest-first prefixes concentrate
+    * on low-df tokens. Candidates meet in a detect-then-salt equi-join
+    * (both directions of a pair matter, so no selfPairs triangle:
+    * keys above a df threshold route through
+    * [[graft.ops.Scale.saltedJoin]], cold keys pay nothing — the
+    * selfPairs discipline in asymmetric form), verification re-joins
+    * the compact (doc_id, h) side, and the gate is integer ppm
+    * end-to-end. The oracle is the brute-force all-ordered-pairs
+    * join: recall 1 is the contract. */
+  def containJoin(docs: DataFrame, threshold: Double = 0.8,
+                  portableHash: Boolean = true,
+                  persistLineage: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val sh0 = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    val sh = if (persistLineage)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val pref = graft.ops.Scale.materializeCompact(
+      sh.join(freq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .select(col("doc_id"), explode(expr(
+          s"""slice(transform(ord, x -> x.h), 1,
+             |  size(ord) - cast(($tPpm * size(ord) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h")))
+    // detect-then-salt, the selfPairs discipline for this ASYMMETRIC
+    // join: keys with df > hotThreshold (≤ |sh|/threshold of them by
+    // construction — broadcastable) take the salted path so a
+    // template-clique shingle's prefDf×df pair fan-out spreads across
+    // reducers; cold keys pay nothing extra
+    val hotThreshold = 1000L
+    val prefK = pref.withColumnRenamed("doc_id", "d1")
+    val shK = sh.select(col("h"), col("doc_id").as("d2"))
+    val hot = freq.filter(col("df") > hotThreshold).select("h")
+    val candCold = prefK.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(shK, Seq("h"))
+    val candHot = graft.ops.Scale.saltedJoin(
+      prefK.join(broadcast(hot), Seq("h"), "left_semi"),
+      shK.join(broadcast(hot), Seq("h"), "left_semi"), "h", saltFactor = 8)
+    val cand = candCold.select("d1", "d2")
+      .unionAll(candHot.select("d1", "d2"))
+      .filter(col("d1") =!= col("d2"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("d1", "d2"))
+      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1.n").as("n1"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("n1"))
+      .withColumn("contain_ppm",
+        expr("inter * 1000000L div n1").cast("long"))
+  }
+
   /** LSH recall audit: how much of the EXACT pair set ([[jaccardJoin]],
     * recall 1 by construction) the probabilistic [[lshPairs]] chain
     * caught at the same threshold — the dedup twin of the `ann_recall`

@@ -901,6 +901,21 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
 
     "lsh_recall" -> lshRecallOracle(tPpm = 500000L),
 
+    // brute-force all-ORDERED-pairs containment: the asymmetric
+    // prefix-filter path must find every (contained, container) pair
+    "dedup_contain_join" ->
+      s"""WITH sh AS (SELECT doc_id, ${phashSql("shingle")} AS h
+         |  FROM (${shinglesSqlFor("documents")})),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT i.d1, i.d2, CAST(i.inter AS BIGINT) AS inter,
+         |  CAST(sz.n AS BIGINT) AS n1,
+         |  (i.inter * 1000000) // sz.n AS contain_ppm
+         |FROM i JOIN sizes sz ON i.d1 = sz.doc_id
+         |WHERE i.inter * 1000000 >= 800000 * sz.n""".stripMargin,
+
     // brute-force batch x corpus join: the incremental prefix-filter
     // path must find every cross-split pair at the threshold
     "dedup_jaccard_incr" ->

@@ -158,6 +158,10 @@ object TextQueries
     // LSH recall audit against the exact join's ground truth
     "lsh_recall" -> { (s, dir) =>
       lshRecallAudit(Tables.documents(s, dir), threshold = 0.5) },
+    // asymmetric exact containment join — the sub-document duplication
+    // detector; brute-force all-ordered-pairs oracle
+    "dedup_contain_join" -> { (s, dir) =>
+      containJoin(Tables.documents(s, dir), threshold = 0.8) },
     // incremental exact join: odd-doc batch vs the even-doc corpus's
     // persistable prefix index — recall 1 against the brute-force
     // batch×corpus oracle

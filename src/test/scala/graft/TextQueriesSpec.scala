@@ -699,6 +699,39 @@ class TextQueriesSpec extends AnyFunSuite {
     finally spark.catalog.clearCache()
   }
 
+  test("containJoin == brute force; catches a paragraph swallowed by a document") {
+    import spark.implicits._
+    // the asymmetric point: a paragraph fully contained in a long doc
+    // has near-zero Jaccard but containment 1
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = (1 to 60).map(i => s"unique$i").mkString(" ")
+    val fx = Seq((1L, para), (2L, s"$para $tail"), (3L, "wholly unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.containJoin(fx, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 1000000L,
+      s"the contained paragraph must be found at containment 1: $got")
+    assert(!got.contains((2L, 1L)), "the container is NOT contained in the paragraph")
+    assert(!TextQueries.jaccardJoin(fx, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.contains((1L, 2L)),
+      "Jaccard at 0.8 must be blind to this pair — that is containJoin's reason to exist")
+    // full-fixture equality against a brute-force ordered-pairs join
+    val sh = docs.select(col("doc_id"),
+      explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n1")),
+        col("d1") === col("doc_id")).drop("doc_id")
+      .filter(col("inter") * lit(1000000L) >= lit(800000L) * col("n1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = TextQueries.containJoin(docs, threshold = 0.8)
+      .select("d1", "d2", "inter", "n1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full.nonEmpty && full == brute)
+  }
+
   test("jaccardJoinAgainst == brute-force batch x corpus; pre-built index path identical") {
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
