@@ -299,7 +299,19 @@ object BenchLarge {
         if (clearBetween && i < passes) spark.catalog.clearCache()
         r
       }
-      if (clearAfter) spark.catalog.clearCache()
+      if (clearAfter) {
+        spark.catalog.clearCache()
+        // catalog.clearCache misses localCheckpoint blocks
+        // (Scale.materializeCompact) and .persist'd RDDs whose frames
+        // went out of scope — across 80+ entries they accumulate in
+        // the block manager and squeeze execution memory for LATE
+        // entries (first seen as sketch_distinct 176 s in-suite vs
+        // 8.9 s isolated, same code). Safe here: no entry holds a
+        // checkpointed frame across timed() calls (the one deliberate
+        // cross-entry persist, `pairs`, is unpersisted explicitly).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       require(runs.map(_._2).distinct.size == 1,
         s"$name output changed between passes: ${runs.map(_._2).mkString(", ")}")
       // per-pass diagnostic: a big pass1/passN gap is cold compile or a
