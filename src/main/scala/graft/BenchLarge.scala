@@ -825,6 +825,25 @@ object BenchLarge {
       graft.text.TextQueries.jaccardJoin(docs(spark, nDocs, template),
         threshold = 0.8, portableHash = false, persistLineage = persist).count()
     }
+    // incremental exact join: a 5% batch vs the 95% corpus's
+    // pre-materialized (untimed) prefix index + df table — the
+    // guaranteed-recall member of the incremental family; the timer
+    // pays only the batch's shingle pass, the broadcast prefix probe,
+    // and per-candidate array_intersect verification.
+    if (only.isEmpty || only("jaccard_incr")) {
+      val all = docs(spark, nDocs, template)
+      val corpus = all.filter(col("doc_id") % 20 =!= 0)
+      val dfT = graft.ops.Scale.materializeCompact(
+        graft.text.TextQueries.jaccardCorpusStats(corpus, portableHash = false))
+      val idx = graft.ops.Scale.materializeCompact(
+        graft.text.TextQueries.jaccardIndex(corpus, threshold = 0.8,
+          portableHash = false, corpusDf = Some(dfT)))
+      timed("jaccard_incr", clearAfter = true) {
+        graft.text.TextQueries.jaccardJoinAgainst(
+          all.filter(col("doc_id") % 20 === 0), corpus, threshold = 0.8,
+          portableHash = false, corpusDf = Some(dfT), index = Some(idx)).count()
+      }
+    }
     // asymmetric exact containment at the full corpus: the contained
     // side's prefix buckets against ALL corpus tokens (detect-then-salt
     // on hot shingles). The check counts ordered pairs.
