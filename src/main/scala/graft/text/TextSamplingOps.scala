@@ -117,7 +117,13 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     *      final pass.
     * A degenerate single-stratum corpus parallelizes identically
     * (spec-pinned); the window form is the SPEC's reference, never the
-    * plan's. */
+    * plan's.
+    *
+    * Bound assumption, stated: the driver collects ≤ strata×`buckets`
+    * count rows and a strata-long literal predicate — this is a
+    * DOMAIN-level operator (strata = sources/domains/languages, i.e.
+    * thousands at most), not a per-document key; for a high-cardinality
+    * stratum column use [[stratifiedSample]]'s rate gate instead. */
   def corpusSampleK(docs: DataFrame, k: Int = 25,
                     strataCol: String = "source", salt: String = "topk",
                     buckets: Int = 4096): DataFrame = {
