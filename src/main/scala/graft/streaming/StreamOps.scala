@@ -580,6 +580,46 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static exact CONTAINMENT gate: emit a verdict when at
+    * least `threshold` of an INCOMING document's shingle set already
+    * appears inside some corpus document — |B∩C|/|B| ≥ t with B the
+    * batch doc, the ingest-time quotation/boilerplate/sub-document-dup
+    * detector ([[graft.text.TextQueries.containJoin]]'s asymmetric
+    * predicate, one direction only). Probes the FULL-token
+    * [[graft.text.TextQueries.containIndex]] (write it bucketed by
+    * `h`), NOT the prefix [[graft.text.TextQueries.jaccardIndex]]: the
+    * containment theorem lets only the CONTAINED (incoming) side's
+    * prefix shorten — a prefix-indexed corpus would open a recall hole
+    * for a batch doc sitting entirely inside a corpus doc's non-prefix
+    * tokens. Emits (batch_id, ts, dup_of, contain_ppm); state = the
+    * watermark-bounded verdict dedup only.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    */
+  def streamingContainGate(docs: DataFrame, corpusIndex: DataFrame,
+                           threshold: Double = 0.8,
+                           watermark: String = "10 minutes"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"),
+        sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
+      .withColumn("bn", size(col("bhs")))
+      .select(col("batch_id"), col("ts"), col("bhs"), col("bn"),
+        explode(expr(
+          s"""slice(bhs, 1,
+             |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h"))
+      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of"), col("hs")),
+        Seq("h"))
+      .withColumn("inter", size(array_intersect(col("bhs"), col("hs"))).cast("long"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("bn"))
+      .select(col("batch_id"), col("ts"), col("dup_of"),
+        expr("inter * 1000000L div bn").as("contain_ppm"))
+      .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+  }
+
   /** Stateless streaming ingest gate — the per-row stages of
     * corpus_clean for a document stream: the Gopher/C4 quality
     * predicate ([[graft.text.TextQueries.qualityKeep]]) plus benchmark

@@ -878,6 +878,25 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
 
+  /** Full-token corpus index for the streaming CONTAINMENT gate
+    * ([[graft.streaming.StreamOps.streamingContainGate]]): one row per
+    * (token, doc) occurrence carrying the doc's full sorted hash set —
+    * the containment theorem lets only the CONTAINED side's prefix
+    * shorten, so the container side must keep EVERY token as a bucket
+    * key (a prefix index like [[jaccardIndex]] would open a recall
+    * hole: a batch doc sitting entirely inside a corpus doc's
+    * NON-prefix tokens would never meet it). Rows ≈ |corpus tokens|;
+    * persist bucketed by `h`. */
+  def containIndex(corpus: DataFrame, portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    shingles(corpus).select(col("doc_id"), hashed.as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
+  }
+
   /** Exact-threshold CONTAINMENT join: every ordered pair (d1, d2),
     * d1 ≠ d2, where at least `threshold` of d1's shingle set appears in
     * d2 — |A∩B|/|A| ≥ t, the ASYMMETRIC member of the exact-join family

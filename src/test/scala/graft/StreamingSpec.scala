@@ -1527,6 +1527,39 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment gate: verdicts == brute-force contained-in-corpus pairs") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    // FULL-token index: only the incoming (contained) side's prefix may
+    // shorten — a prefix-indexed corpus would be a recall hole
+    val idx = graft.text.TextQueries.containIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_cgate")
+    batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingContainGate(in, idx, threshold = 0.8)
+      .writeStream.format("memory").queryName("cgate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cgate").select("batch_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        explode(graft.text.TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+      val want = sh(batchDocs).as("b").join(sh(corpus).as("c"), col("b.s") === col("c.s"))
+        .groupBy(col("b.doc_id").as("batch_id"), col("c.doc_id").as("dup_of"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sh(batchDocs).groupBy("doc_id").agg(count(lit(1)).as("bn")),
+          col("batch_id") === col("doc_id")).drop("doc_id")
+        .filter(col("inter") * lit(1000000L) >= lit(800000L) * col("bn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "fixture must contain contained-in-corpus pairs at 0.8")
+      assert(got == want, s"gate verdicts must equal the brute force: " +
+        s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming CountMin sketch: additive overlay onto the index == full counters") {
     import graft.ops.Sketches
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
