@@ -288,6 +288,15 @@ object BenchLarge {
     def timed(name: String, clearBetween: Boolean = false, passes: Int = 2,
               clearAfter: Boolean = false)(f: => Long): Unit = {
       if (only.nonEmpty && !only(name)) return
+      // snapshot the persistent-RDD ids BEFORE the timed body so the
+      // clearAfter sweep releases ONLY blocks this entry created: a
+      // blanket sweep would also unpersist localCheckpoint blocks a
+      // caller pre-built outside the timer (lineage is truncated at
+      // checkpoint time, so an unpersisted checkpoint is UNRECOVERABLE
+      // — a pre-built index reused across entries would fail at
+      // runtime, not re-compute). Pre-built frames are released by the
+      // sites that own them (see jaccard_incr).
+      val preExisting = spark.sparkContext.getPersistentRDDs.keySet.toSet
       def pass(): (Double, Long) = {
         System.gc()
         val t0 = System.nanoTime()
@@ -306,11 +315,13 @@ object BenchLarge {
         // went out of scope — across 80+ entries they accumulate in
         // the block manager and squeeze execution memory for LATE
         // entries (first seen as sketch_distinct 176 s in-suite vs
-        // 8.9 s isolated, same code). Safe here: no entry holds a
-        // checkpointed frame across timed() calls (the one deliberate
-        // cross-entry persist, `pairs`, is unpersisted explicitly).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // 8.9 s isolated, same code). Scoped to this entry's blocks:
+        // the one deliberate cross-entry persist (`pairs`) and any
+        // pre-built index frames live outside the snapshot window and
+        // are unpersisted explicitly by their owners.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => preExisting(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
       require(runs.map(_._2).distinct.size == 1,
         s"$name output changed between passes: ${runs.map(_._2).mkString(", ")}")
@@ -826,10 +837,12 @@ object BenchLarge {
         threshold = 0.8, portableHash = false, persistLineage = persist).count()
     }
     // incremental exact join: a 5% batch vs the 95% corpus's
-    // pre-materialized (untimed) prefix index + df table — the
+    // pre-materialized (untimed) prefix index + df table + doc-id-keyed
+    // verification side (the LINEAR index layout: compact (h, doc_id)
+    // bucket rows, hash arrays stored once per doc) — the
     // guaranteed-recall member of the incremental family; the timer
     // pays only the batch's shingle pass, the broadcast prefix probe,
-    // and per-candidate array_intersect verification.
+    // the doc_id verification join, and per-candidate array_intersect.
     if (only.isEmpty || only("jaccard_incr")) {
       val all = docs(spark, nDocs, template)
       val corpus = all.filter(col("doc_id") % 20 =!= 0)
@@ -838,11 +851,18 @@ object BenchLarge {
       val idx = graft.ops.Scale.materializeCompact(
         graft.text.TextQueries.jaccardIndex(corpus, threshold = 0.8,
           portableHash = false, corpusDf = Some(dfT)))
+      val side = graft.ops.Scale.materializeCompact(
+        graft.text.TextQueries.docHashSide(corpus, portableHash = false))
       timed("jaccard_incr", clearAfter = true) {
         graft.text.TextQueries.jaccardJoinAgainst(
           all.filter(col("doc_id") % 20 === 0), corpus, threshold = 0.8,
-          portableHash = false, corpusDf = Some(dfT), index = Some(idx)).count()
+          portableHash = false, corpusDf = Some(dfT), index = Some(idx),
+          docSide = Some(side)).count()
       }
+      // pre-built frames were created BEFORE the timed entry, so the
+      // snapshot-scoped clearAfter sweep deliberately leaves them —
+      // release them here, at the site that owns them
+      Seq(dfT, idx, side).foreach(_.unpersist(blocking = false))
     }
     // asymmetric exact containment at the full corpus: the contained
     // side's prefix buckets against ALL corpus tokens (detect-then-salt

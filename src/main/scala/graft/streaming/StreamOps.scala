@@ -531,36 +531,49 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
 
   /** Stream-static EXACT-Jaccard gate: incoming documents probe the
-    * persisted prefix index ([[graft.text.TextQueries.jaccardIndex]]
-    * built with `hashOrdered = true` — write it bucketed by `h`) and
-    * emit one (batch_id, ts, dup_of, jaccard) verdict per corpus
-    * document with exact shingle Jaccard ≥ `threshold`. The
+    * persisted COMPACT prefix index ([[graft.text.TextQueries.jaccardIndex]]
+    * built with `hashOrdered = true` — write it bucketed by `h`) plus
+    * its per-doc verification side
+    * ([[graft.text.TextQueries.docHashSide]] — write it bucketed by
+    * doc_id) and emit one (batch_id, ts, dup_of, jaccard) verdict per
+    * corpus document with exact shingle Jaccard ≥ `threshold`. The
     * GUARANTEED-recall member of the streaming gate family: the LSH
     * gate ([[streamingLshAgainst]]) can miss a qualifying pair at the
     * band miss rate; this gate cannot — two sets with J ≥ t must share
     * a prefix token under the index's total order, and every candidate
-    * is exact-verified in the join condition.
+    * is exact-verified against the doc side.
     *
     * Stateless per row: the incoming doc's sorted hash set and its
     * n−⌈t·n⌉+1 prefix are pure expressions (h-order, which is why the
     * index must be hash-ordered — a df-ordered prefix would need an
     * unbounded lookup per token, i.e. state); candidates meet in the
-    * stream-static equi-join on the prefix token; verification is
-    * `array_intersect` inside the join, integer-ppm gated exactly like
-    * the batch join. State = the watermark-bounded verdict dedup only.
-    * Batch parity: the verdict PAIR SET equals
+    * stream-static equi-join on the prefix token (16-byte index rows,
+    * no array payload — linear index storage at any document length);
+    * a second stream-static join by dup_of pulls the corpus doc's hash
+    * set ONCE PER CANDIDATE for the `array_intersect`, integer-ppm
+    * gated exactly like the batch join. State = the watermark-bounded
+    * verdict dedup only. Batch parity: the verdict PAIR SET equals
     * [[graft.text.TextQueries.jaccardJoinAgainst]] on the same split —
     * recall 1 under any common order makes the order private to the
-    * plan (StreamingSpec-pinned).
+    * plan (StreamingSpec-pinned). An index built at a HIGHER threshold
+    * than the gate's is rejected at plan time via the schema metadata
+    * [[graft.text.TextQueries.requireIndexCompatible]] reads.
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingJaccardGate(docs: DataFrame, corpusIndex: DataFrame,
+                           corpusDocSide: DataFrame,
                            threshold: Double = 0.8,
                            watermark: String = "10 minutes"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
+    // plan-time index compatibility: probing a prefix index below its
+    // build threshold or under a different token order silently breaks
+    // recall 1 — the metadata stamped by jaccardIndex fails it loudly
+    // (this gate's per-row prefix is plain hash order by construction)
+    graft.text.TextQueries.requireIndexCompatible(corpusIndex, tPpm,
+      hashOrdered = true)
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
@@ -570,8 +583,13 @@ object StreamOps {
           s"""slice(bhs, 1,
              |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
-      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of"),
-          col("n").as("cn"), col("hs")), Seq("h"))
+      // candidate match on the COMPACT (h, doc_id) bucket index, then a
+      // second stream-static equi-join pulls the verification payload
+      // from the doc_id-bucketed side — two static tables, both append-
+      // mode-legal; the hash arrays never ride a bucket row
+      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of")), Seq("h"))
+      .join(corpusDocSide.select(col("doc_id").as("dup_of"),
+        col("n").as("cn"), col("hs")), Seq("dup_of"))
       .withColumn("inter", size(array_intersect(col("bhs"), col("hs"))).cast("long"))
       .withColumn("uni", col("bn") + col("cn") - col("inter"))
       .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
@@ -585,18 +603,21 @@ object StreamOps {
     * appears inside some corpus document — |B∩C|/|B| ≥ t with B the
     * batch doc, the ingest-time quotation/boilerplate/sub-document-dup
     * detector ([[graft.text.TextQueries.containJoin]]'s asymmetric
-    * predicate, one direction only). Probes the FULL-token
+    * predicate, one direction only). Probes the FULL-token COMPACT
     * [[graft.text.TextQueries.containIndex]] (write it bucketed by
-    * `h`), NOT the prefix [[graft.text.TextQueries.jaccardIndex]]: the
-    * containment theorem lets only the CONTAINED (incoming) side's
-    * prefix shorten — a prefix-indexed corpus would open a recall hole
-    * for a batch doc sitting entirely inside a corpus doc's non-prefix
-    * tokens. Emits (batch_id, ts, dup_of, contain_ppm); state = the
+    * `h`) plus the per-doc [[graft.text.TextQueries.docHashSide]]
+    * (bucketed by doc_id) — NOT the prefix
+    * [[graft.text.TextQueries.jaccardIndex]]: the containment theorem
+    * lets only the CONTAINED (incoming) side's prefix shorten — a
+    * prefix-indexed corpus would open a recall hole for a batch doc
+    * sitting entirely inside a corpus doc's non-prefix tokens. Emits
+    * (batch_id, ts, dup_of, contain_ppm); state = the
     * watermark-bounded verdict dedup only.
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingContainGate(docs: DataFrame, corpusIndex: DataFrame,
+                           corpusDocSide: DataFrame,
                            threshold: Double = 0.8,
                            watermark: String = "10 minutes"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
@@ -611,8 +632,12 @@ object StreamOps {
           s"""slice(bhs, 1,
              |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
-      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of"), col("hs")),
-        Seq("h"))
+      // compact full-token bucket probe, then the doc_id-keyed
+      // verification join — same two-static-table shape as the Jaccard
+      // gate; the corpus hash arrays live once per doc, never per token
+      .join(corpusIndex.select(col("h"), col("doc_id").as("dup_of")), Seq("h"))
+      .join(corpusDocSide.select(col("doc_id").as("dup_of"), col("hs")),
+        Seq("dup_of"))
       .withColumn("inter", size(array_intersect(col("bhs"), col("hs"))).cast("long"))
       .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("bn"))
       .select(col("batch_id"), col("ts"), col("dup_of"),

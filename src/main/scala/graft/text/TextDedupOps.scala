@@ -770,17 +770,87 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .groupBy("h").agg(count(lit(1)).as("df"))
   }
 
-  /** The persistable corpus-side index of the incremental exact join:
-    * one row per PREFIX token occurrence — (h, doc_id, n, hs) where hs
-    * is the doc's full hash set in canonical (df asc, h asc) order — so
-    * an incoming batch can be candidate-matched (prefix-token
-    * equi-join) AND exact-verified (`array_intersect` on hs) without
-    * touching the corpus text again; the [[corpusIndex]] /
-    * [[substringIndex]] discipline, prefix-filter edition. Rows ≈
-    * (1−t)·|corpus tokens| with each doc's hs repeated per prefix
-    * entry — the verification payload rides next to its bucket key,
-    * trading storage for the re-shingle pass, exactly as the LSH index
-    * trades band rows.
+  /** Schema-metadata keys stamped on an index's `h` column: the build
+    * threshold (exact integer ppm) and the canonical token order a
+    * prefix index was cut under. Metadata rides the schema through
+    * parquet round-trips and localCheckpoint, costs zero bytes per row,
+    * and lets every consumer REJECT an incompatible index at plan time:
+    * probing a prefix index below its build threshold (prefix rows were
+    * cut at build time — recall 1 would silently break) or under a
+    * different total order (batch and corpus prefixes would not share a
+    * common order — the prefix theorem's precondition) is an error, not
+    * a silent recall hole. */
+  private[graft] val IndexTPpmKey = "graft.index.t_ppm"
+  private[graft] val IndexHashOrderedKey = "graft.index.hash_ordered"
+
+  private def hWithIndexMeta(tPpm: Long, hashOrdered: Boolean): Column = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(IndexTPpmKey, tPpm)
+      .putBoolean(IndexHashOrderedKey, hashOrdered)
+      .build()
+    col("h").as("h", m)
+  }
+
+  /** Plan-time compatibility gate for a persisted prefix index: the
+    * consumer states the threshold and token order IT will probe with;
+    * if the index carries build metadata (an index that round-tripped
+    * through a schema-stripping transform may not — then the coupling
+    * is the caller's contract to uphold), an under-threshold or
+    * order-mismatched probe fails loudly instead of silently losing
+    * recall. */
+  private[graft] def requireIndexCompatible(idx: DataFrame, tPpm: Long,
+                                            hashOrdered: Boolean): Unit = {
+    val m = idx.schema("h").metadata
+    if (m.contains(IndexTPpmKey)) {
+      val built = m.getLong(IndexTPpmKey)
+      require(tPpm >= built,
+        s"query threshold $tPpm ppm is below the index build threshold " +
+          s"$built ppm: the index's prefix rows were cut at build time, so " +
+          "probing below it silently breaks the recall-1 guarantee — " +
+          "rebuild the index at the lower threshold")
+    }
+    if (m.contains(IndexHashOrderedKey)) {
+      val built = m.getBoolean(IndexHashOrderedKey)
+      require(built == hashOrdered,
+        s"index token order (hashOrdered=$built) does not match this " +
+          s"consumer's prefix order (hashOrdered=$hashOrdered): the prefix " +
+          "theorem requires ONE total order common to both sides")
+    }
+  }
+
+  /** The per-doc verification side of the exact-join indexes:
+    * (doc_id, hs, n) — ONE row per corpus document carrying its full
+    * sorted shingle-hash set. Persist it BUCKETED BY doc_id next to
+    * [[jaccardIndex]]/[[containIndex]]; consumers candidate-match on
+    * the compact bucket index, then re-join HERE by doc_id for the
+    * `array_intersect` verification. Storage is linear in corpus
+    * tokens (each doc's hash set stored exactly once — the bucket
+    * index carries no payload), and hs is plain h-ascending: the
+    * verification is a set intersection, so the PREFIX order (df vs
+    * hash) stays private to the bucket side. */
+  def docHashSide(corpus: DataFrame, portableHash: Boolean = true): DataFrame = {
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    shingles(corpus).select(col("doc_id"), hashed.as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+  }
+
+  /** The persistable corpus-side bucket index of the incremental exact
+    * join: one COMPACT row per prefix-token occurrence — (h, doc_id),
+    * 16 bytes, NO payload — so an incoming batch can be
+    * candidate-matched by a prefix-token equi-join; exact verification
+    * re-joins the [[docHashSide]] table by doc_id. Rows ≈
+    * (1−t)·|corpus tokens|, storage LINEAR in corpus size (the
+    * verification payload lives once per doc in [[docHashSide]], never
+    * per bucket row — an inline-hs layout is O(n²) per document: a
+    * 1k-token doc would repeat its 8 KB hash array across ~200 prefix
+    * rows, >1000× amplification, and every probe would scan and
+    * shuffle it). The `h` column carries the build threshold and token
+    * order as schema metadata ([[IndexTPpmKey]]) so consumers reject
+    * incompatible probes at plan time.
     *
     * `hashOrdered=true` switches the canonical token order from
     * (corpus df asc, h asc) to plain h asc. The prefix theorem holds
@@ -814,11 +884,12 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
           .select(col("doc_id"), expr("transform(ord, x -> x.h)").as("hs"))
       }
     withOrd
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
+      .select(col("doc_id"),
         explode(expr(
           s"""slice(hs, 1,
              |  size(hs) - cast(($tPpm * size(hs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
+      .select(hWithIndexMeta(tPpm, hashOrdered), col("doc_id"))
   }
 
   /** Incremental exact-threshold similarity join: every (batch doc,
@@ -833,17 +904,23 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * the prefix theorem; corpus-df keeps the buckets rarest-first, and
     * a df-0 token can never match so the slots it occupies cost
     * nothing). The corpus contributes only its persistable
-    * [[jaccardIndex]] + [[jaccardCorpusStats]] (pass both when
-    * pre-materialized — production recomputes them per corpus version,
-    * never per batch); the batch side broadcasts, the corpus index
-    * streams through the prefix-token equi-join, and verification is a
-    * per-candidate `array_intersect` — no corpus re-shingle, no
-    * all-pairs anywhere. */
+    * [[jaccardIndex]] + [[jaccardCorpusStats]] + [[docHashSide]] (pass
+    * all three when pre-materialized — production recomputes them per
+    * corpus version, never per batch); the batch side broadcasts, the
+    * compact (h, doc_id) bucket index streams through the prefix-token
+    * equi-join into a distinct (batch_id, corpus_id) candidate set, and
+    * verification re-joins the doc-id-bucketed [[docHashSide]] (one
+    * equi-join on a 16-byte key — a shuffle co-located with the
+    * bucketed table) plus a re-broadcast of the batch's own one-row-
+    * per-doc hash side for the `array_intersect` — no corpus
+    * re-shingle, no all-pairs, no per-bucket-row array payload
+    * anywhere. */
   def jaccardJoinAgainst(batch: DataFrame, corpus: DataFrame,
                          threshold: Double = 0.8,
                          portableHash: Boolean = true,
                          corpusDf: Option[DataFrame] = None,
-                         index: Option[DataFrame] = None): DataFrame = {
+                         index: Option[DataFrame] = None,
+                         docSide: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -853,48 +930,63 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val dfT = corpusDf.getOrElse(jaccardCorpusStats(corpus, portableHash))
     val idx = index.getOrElse(
       jaccardIndex(corpus, threshold, portableHash, Some(dfT)))
+    requireIndexCompatible(idx, tPpm, hashOrdered = false)
+    val side = docSide.getOrElse(docHashSide(corpus, portableHash))
     val shB = shingles(batch).select(col("doc_id"), hashed.as("h"))
-    val prefB = shB
+    // one row per batch doc: its full hash set in corpus-df prefix
+    // order (the prefix slice needs the order; array_intersect does
+    // not, so the same array serves both)
+    val batchSide = shB
       .join(dfT, Seq("h"), "left")
       .na.fill(0L, Seq("df"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("doc_id").as("batch_id"),
         expr("transform(ord, x -> x.h)").as("bhs"))
-      .select(col("batch_id"), col("bhs"), size(col("bhs")).as("bn"),
+      .select(col("batch_id"), col("bhs"), size(col("bhs")).as("bn"))
+    val prefB = batchSide
+      .select(col("batch_id"),
         explode(expr(
           s"""slice(bhs, 1,
              |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
-    idx.as("c")
-      .join(broadcast(prefB).as("b"), Seq("h"))
-      .select(col("batch_id"), col("c.doc_id").as("corpus_id"),
-        col("bn"), col("c.n").as("cn"),
-        size(array_intersect(col("bhs"), col("c.hs"))).as("inter"))
+    // candidate pairs meet on COMPACT rows only — the arrays join in
+    // after the distinct, once per candidate pair
+    val cand = idx
+      .join(broadcast(prefB), Seq("h"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
-      .select(col("batch_id"), col("corpus_id"), col("inter").cast("long").as("inter"),
+    cand
+      .join(side.select(col("doc_id").as("corpus_id"), col("hs"),
+        col("n").as("cn")), Seq("corpus_id"))
+      .join(broadcast(batchSide), Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("bhs"), col("hs"))).cast("long").as("inter"),
+        col("bn"), col("cn"))
+      .select(col("batch_id"), col("corpus_id"), col("inter"),
         (col("bn") + col("cn") - col("inter")).cast("long").as("uni"))
       .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
 
-  /** Full-token corpus index for the streaming CONTAINMENT gate
-    * ([[graft.streaming.StreamOps.streamingContainGate]]): one row per
-    * (token, doc) occurrence carrying the doc's full sorted hash set —
-    * the containment theorem lets only the CONTAINED side's prefix
-    * shorten, so the container side must keep EVERY token as a bucket
-    * key (a prefix index like [[jaccardIndex]] would open a recall
-    * hole: a batch doc sitting entirely inside a corpus doc's
-    * NON-prefix tokens would never meet it). Rows ≈ |corpus tokens|;
-    * persist bucketed by `h`. */
+  /** Full-token corpus bucket index for the streaming CONTAINMENT gate
+    * ([[graft.streaming.StreamOps.streamingContainGate]]): one COMPACT
+    * (h, doc_id) row per (token, doc) occurrence — the containment
+    * theorem lets only the CONTAINED side's prefix shorten, so the
+    * container side must keep EVERY token as a bucket key (a prefix
+    * index like [[jaccardIndex]] would open a recall hole: a batch doc
+    * sitting entirely inside a corpus doc's NON-prefix tokens would
+    * never meet it). Rows ≈ |corpus tokens|, 16 bytes each, NO payload
+    * — verification re-joins [[docHashSide]] by doc_id (an inline-hs
+    * layout would be n²/doc longs: a 1k-token doc repeating its hash
+    * array across all 1k token rows is ~8 MB of index for 6 KB of
+    * text). Persist bucketed by `h`, the doc side bucketed by
+    * doc_id. */
   def containIndex(corpus: DataFrame, portableHash: Boolean = true): DataFrame = {
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
-    shingles(corpus).select(col("doc_id"), hashed.as("h"))
-      .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"),
-        explode(col("hs")).as("h"))
+    shingles(corpus).select(hashed.as("h"), col("doc_id"))
   }
 
   /** Exact-threshold CONTAINMENT join: every ordered pair (d1, d2),

@@ -1503,15 +1503,17 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     val corpus = all.filter(col("doc_id") % 2 === 0)
     val batchDocs = all.filter(col("doc_id") % 2 === 1)
     // the gate needs the HASH-ORDERED index (its per-row prefix is a
-    // pure expression); batch parity holds because recall 1 under any
-    // common total order makes the order private to the plan
+    // pure expression) plus the doc-id-keyed verification side; batch
+    // parity holds because recall 1 under any common total order makes
+    // the order private to the plan
     val idx = graft.text.TextQueries.jaccardIndex(corpus,
       threshold = 0.8, hashOrdered = true)
+    val side = graft.text.TextQueries.docHashSide(corpus)
     val dropDir = java.nio.file.Files.createTempDirectory("graft_jgate")
     batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
       .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
     val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
-    val q = graft.streaming.StreamOps.streamingJaccardGate(in, idx, threshold = 0.8)
+    val q = graft.streaming.StreamOps.streamingJaccardGate(in, idx, side, threshold = 0.8)
       .writeStream.format("memory").queryName("jgate").outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -1535,11 +1537,12 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     // FULL-token index: only the incoming (contained) side's prefix may
     // shorten — a prefix-indexed corpus would be a recall hole
     val idx = graft.text.TextQueries.containIndex(corpus)
+    val side = graft.text.TextQueries.docHashSide(corpus)
     val dropDir = java.nio.file.Files.createTempDirectory("graft_cgate")
     batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
       .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
     val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
-    val q = graft.streaming.StreamOps.streamingContainGate(in, idx, threshold = 0.8)
+    val q = graft.streaming.StreamOps.streamingContainGate(in, idx, side, threshold = 0.8)
       .writeStream.format("memory").queryName("cgate").outputMode("append").start()
     try {
       q.processAllAvailable()

@@ -756,13 +756,61 @@ class TextQueriesSpec extends AnyFunSuite {
       .select("batch_id", "corpus_id", "inter", "uni")
     assert(snap(got).nonEmpty, "fixture must contain cross-split pairs at 0.8")
     assert(snap(got) == snap(brute))
-    // production path: df table + prefix index pre-materialized
+    // production path: df table + prefix index + doc side pre-materialized
     val dfT = TextQueries.jaccardCorpusStats(corpus)
     val idx = TextQueries.jaccardIndex(corpus, threshold = 0.8, corpusDf = Some(dfT))
+    val side = TextQueries.docHashSide(corpus)
     val viaIndex = TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
-      corpusDf = Some(dfT), index = Some(idx))
+      corpusDf = Some(dfT), index = Some(idx), docSide = Some(side))
       .select("batch_id", "corpus_id", "inter", "uni")
     assert(snap(viaIndex) == snap(got))
+  }
+
+  test("exact-join indexes are LINEAR: O(1) payload per bucket row, metadata-gated thresholds") {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    // the bucket indexes carry NO array payload — each row is exactly
+    // (h LONG, doc_id LONG): a doc's hash set must never repeat per
+    // bucket entry (the O(n^2)-per-doc layout this pins against)
+    for (idx <- Seq(TextQueries.jaccardIndex(corpus, threshold = 0.8),
+                    TextQueries.containIndex(corpus))) {
+      assert(idx.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        Seq("h" -> LongType, "doc_id" -> LongType),
+        s"bucket index must be compact (h, doc_id): ${idx.schema.treeString}")
+    }
+    // the verification payload lives ONCE per doc on the doc side
+    val side = TextQueries.docHashSide(corpus)
+    assert(side.schema.fieldNames.toSeq == Seq("doc_id", "hs", "n"))
+    assert(side.schema("hs").dataType == ArrayType(LongType, containsNull = false) ||
+      side.schema("hs").dataType.isInstanceOf[ArrayType])
+    assert(side.groupBy("doc_id").count().filter(col("count") > 1).count() == 0,
+      "doc side must hold exactly one row per document")
+    // build-threshold coupling: probing a prefix index BELOW its build
+    // threshold would silently break recall 1 — the schema metadata
+    // stamped at build time fails it loudly instead
+    val idx08 = TextQueries.jaccardIndex(corpus, threshold = 0.8)
+    intercept[IllegalArgumentException] {
+      TextQueries.jaccardJoinAgainst(docs.filter(col("doc_id") % 2 === 1),
+        corpus, threshold = 0.7, index = Some(idx08), docSide = Some(side))
+    }
+    // token-order coupling: a df-ordered index under a hash-ordered
+    // consumer (and vice versa) breaks the common-total-order
+    // precondition of the prefix theorem
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingJaccardGate(
+        spark.readStream.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, ts TIMESTAMP, text STRING"))
+          .parquet(java.nio.file.Files.createTempDirectory("graft_meta").toString),
+        idx08, side, threshold = 0.8)
+    }
+    // metadata survives a parquet round-trip (the persisted-index path)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_idxmeta")
+    idx08.write.mode("overwrite").parquet(outDir.toString)
+    val reread = spark.read.parquet(outDir.toString)
+    assert(reread.schema("h").metadata.contains("graft.index.t_ppm") &&
+      reread.schema("h").metadata.getLong("graft.index.t_ppm") == 800000L,
+      "build threshold must ride the schema through parquet")
   }
 
   test("lshRecallAudit: caught <= exact, recall_ppm bounded, identical-clique recall") {
