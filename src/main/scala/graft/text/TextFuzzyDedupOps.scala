@@ -494,10 +494,9 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    reducer but each row emits exactly once — bounded, no
     *    fan-out;
     *  - pass 3 joins the per-doc start lists back on doc_id (both
-    *    sides doc_id-clustered) and rebuilds per-row: expand starts to
-    *    covered indices, count maximal spans (a covered index whose
-    *    predecessor is uncovered opens a span), filter the token
-    *    array, md5.
+    *    sides doc_id-clustered) and rebuilds per-row with the LINEAR
+    *    sorted-pairwise sweep ([[scrubSpans]]): marginal coverage,
+    *    span opens on gaps, gap-slice concatenation, md5.
     *  - `portableHash=false` swaps the md5-based cross-engine hash for
     *    native xxhash64 — the production configuration; md5 exists for
     *    DuckDB-oracle parity.
@@ -524,20 +523,42 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     scrubSpans(pre, starts, k)
   }
 
-  /** The span-scrub rebuild all three substring-dedup forms share:
-    * per-doc removed-window start lists expand to covered token
-    * indices, maximal spans count where a covered index's predecessor
-    * is uncovered, and the clean text hashes filtered-by-index. */
+  /** The span-scrub rebuild all three substring-dedup forms share,
+    * LINEAR in document length: the sorted start list is walked ONCE as
+    * pairwise (start, next-start) comparisons — sorted ascending, the
+    * immediately preceding start always owns the maximal prior coverage
+    * end, so every overlap/gap decision is local to the pair. Removed
+    * count sums each start's marginal coverage min(k, next−cur); a span
+    * opens where the gap next−cur exceeds k; the clean text
+    * concatenates the head slice plus each start's post-coverage gap
+    * slice — never an O(len·|covered|) per-index membership probe (the
+    * prior `array_contains(covered, j)` sweep was worst-case quadratic:
+    * a fully-duplicated long doc paid len² — the long-doc pathology
+    * sf-scale correctness cannot see). */
   private[text] def scrubSpans(pre: DataFrame, starts: DataFrame, k: Int): DataFrame =
     pre.join(starts, Seq("doc_id"), "left")
-      .withColumn("covered", expr(
-        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${k - 1}))))"))
+      .withColumn("ss", expr("array_sort(coalesce(starts, CAST(array() AS ARRAY<INT>)))"))
+      // each start's coverage is bounded by the NEXT start; the last
+      // runs to its own window end (every window start p satisfies
+      // p + k <= size(toks), so size(toks) caps it at exactly k)
+      .withColumn("nxt", expr(
+        s"""CASE WHEN size(ss) = 0 THEN CAST(array() AS ARRAY<INT>)
+           |ELSE concat(slice(ss, 2, size(ss) - 1), array(size(toks))) END""".stripMargin))
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        size(col("covered")).as("n_removed"),
-        size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
-        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
+        expr(s"aggregate(zip_with(ss, nxt, (a, b) -> least($k, b - a)), 0, (acc, x) -> acc + x)")
+          .as("n_removed"),
+        expr(
+          s"""CASE WHEN size(ss) = 0 THEN 0
+             |ELSE 1 + size(filter(zip_with(slice(ss, 2, size(ss) - 1),
+             |  slice(ss, 1, size(ss) - 1), (cur, prev) -> cur > prev + $k), x -> x)) END""".stripMargin)
+          .as("n_spans"),
+        md5(expr(
+          s"""concat_ws(' ', CASE WHEN size(ss) = 0 THEN toks
+             |ELSE concat(slice(toks, 1, element_at(ss, 1)),
+             |  flatten(zip_with(ss, nxt,
+             |    (a, b) -> slice(toks, a + $k + 1, greatest(b - a - $k, 0))))) END)""".stripMargin))
           .as("clean_hash"))
 
   /** The persistable side of incremental exact-substring dedup: the
@@ -598,10 +619,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * is the remove-all shape: (doc_id, n_tokens, n_removed, n_spans,
     * clean_hash).
     *
-    * Scale shape (100 TB): one positional window derivation feeds both
-    * branches (recomputed per consumer exactly like the remove-all
-    * form's two window derivations — window strings never leave their
-    * partition, only (h, doc_id, pos) rows shuffle):
+    * Scale shape (100 TB): ONE positional window derivation feeds both
+    * branches — `persistLineage=true` pins it once (the jaccardJoin /
+    * exactSubstringDedupChars knob: at sf-scale recompute wins, at
+    * corpus scale Catalyst would otherwise build the window fan-out
+    * TWICE, once under the dup aggregate and once under the
+    * starts-recovery join — a ~2× on the dominant cost); window
+    * strings never leave their partition, only (h, doc_id, pos) rows
+    * shuffle:
     *  - the dup table adds an argmin to the count aggregate:
     *    min(struct(doc_id, pos)) per hash, partially aggregated
     *    map-side next to the count — same compact shuffle as the
@@ -613,14 +638,18 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *  - pass 3 (rebuild) is unchanged.
     */
   def exactSubstringDedupKeep(docs: DataFrame, k: Int = 50,
-                              portableHash: Boolean = true): DataFrame = {
+                              portableHash: Boolean = true,
+                              persistLineage: Boolean = false): DataFrame = {
     require(k >= 2, s"window length must be >= 2 tokens, got $k")
     val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     val pre = docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    def occ = pre
+    val occ0 = pre
       .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
+    val occ = if (persistLineage)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else occ0
     val dup = occ
       .groupBy("h")
       .agg(count(lit(1)).as("c"),
@@ -670,26 +699,39 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
           org.apache.spark.sql.GraftBridge.expression(col("text")), L))
 
   /** The char-span scrub rebuild the character family shares — the
-    * [[scrubSpans]] twin over character indices: start positions expand
-    * to covered char indices, maximal spans count where a covered
-    * index's predecessor is uncovered, clean_hash is the md5 of the
-    * text with covered characters deleted. Output: (doc_id, n_chars,
-    * n_removed, n_spans, clean_hash). */
+    * [[scrubSpans]] twin over character indices, same LINEAR
+    * sorted-pairwise sweep (the prior per-character
+    * `array_contains(covered, j)` probe was worst-case quadratic in
+    * doc length: a fully-duplicated long doc paid len²). Removed count
+    * sums each start's marginal coverage min(L, next−cur); spans open
+    * on gaps > L; clean text is the head substring plus each start's
+    * post-coverage gap substring (Spark `substring` with a
+    * non-positive length is empty, so overlaps need no guard).
+    * Output: (doc_id, n_chars, n_removed, n_spans, clean_hash). */
   private[text] def scrubCharSpans(pre: DataFrame, starts: DataFrame, L: Int): DataFrame =
     pre.join(starts, Seq("doc_id"), "left")
-      .withColumn("covered", expr(
-        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${L - 1}))))"))
+      .withColumn("ss", expr("array_sort(coalesce(starts, CAST(array() AS ARRAY<INT>)))"))
+      // every window start p satisfies p + L <= length(text), so the
+      // last start's coverage cap length(text) yields exactly L
+      .withColumn("nxt", expr(
+        s"""CASE WHEN size(ss) = 0 THEN CAST(array() AS ARRAY<INT>)
+           |ELSE concat(slice(ss, 2, size(ss) - 1), array(length(text))) END""".stripMargin))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(col("covered")).as("n_removed"),
-        size(expr("filter(covered, c -> NOT array_contains(covered, c - 1))")).as("n_spans"),
+        expr(s"aggregate(zip_with(ss, nxt, (a, b) -> least($L, b - a)), 0, (acc, x) -> acc + x)")
+          .as("n_removed"),
+        expr(
+          s"""CASE WHEN size(ss) = 0 THEN 0
+             |ELSE 1 + size(filter(zip_with(slice(ss, 2, size(ss) - 1),
+             |  slice(ss, 1, size(ss) - 1), (cur, prev) -> cur > prev + $L), x -> x)) END""".stripMargin)
+          .as("n_spans"),
         md5(expr(
-          """concat_ws('', transform(
-            |  filter(CASE WHEN length(text) < 1 THEN CAST(array() AS ARRAY<INT>)
-            |         ELSE sequence(0, length(text) - 1) END,
-            |    j -> NOT array_contains(covered, j)),
-            |  j -> substring(text, j + 1, 1)))""".stripMargin)).as("clean_hash"))
+          s"""CASE WHEN size(ss) = 0 THEN text
+             |ELSE concat(substring(text, 1, element_at(ss, 1)),
+             |  concat_ws('', zip_with(ss, nxt,
+             |    (a, b) -> substring(text, a + $L + 1, b - a - $L)))) END""".stripMargin))
+          .as("clean_hash"))
 
   /** Exact-substring dedup at CHARACTER granularity: remove every
     * ≥ L-character span that appears verbatim more than once in the
@@ -717,11 +759,10 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    measured the materialized xxhash64 form at ~200 s before the
     *    kernel landed (BENCH_LARGE `substr_dedup_chars` carries the
     *    kernel's number);
-    *  - the rebuild's `array_contains(covered, j)` membership test is
-    *    O(len·|covered|) per row — worst-case quadratic in doc length
-    *    for a fully-duplicated doc, bounded by the corpus's document
-    *    length cap (the token form has the same shape one granularity
-    *    up).
+    *  - the rebuild ([[scrubCharSpans]]) is LINEAR in doc length: a
+    *    sorted-pairwise sweep over the start list — a fully-duplicated
+    *    long doc pays O(len), not len² (both granularities share the
+    *    sweep).
     */
   def exactSubstringDedupChars(docs: DataFrame, L: Int = 100,
                                portableHash: Boolean = true,
@@ -752,14 +793,21 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * lexicographically smallest (doc_id, pos)) and is scrubbed
     * everywhere else — the char-granularity member of the keep-one
     * mode ([[exactSubstringDedupKeep]]). Same argmin-in-the-count-
-    * aggregate shuffle shape, one granularity down. */
+    * aggregate shuffle shape, one granularity down; `persistLineage`
+    * pins the kernel+posexplode fan-out once for its two consumers
+    * (the remove-all form's knob — without it Catalyst instantiates
+    * the dominant-cost subtree twice). */
   def exactSubstringDedupCharsKeep(docs: DataFrame, L: Int = 100,
-                                   portableHash: Boolean = true): DataFrame = {
+                                   portableHash: Boolean = true,
+                                   persistLineage: Boolean = false): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
     val pre = docs.repartition(col("doc_id")).select(col("doc_id"), col("text"))
-    def occ = pre
+    val occ0 = pre
       .select(col("doc_id"),
         posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
+    val occ = if (persistLineage)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else occ0
     val dup = occ
       .groupBy("h")
       .agg(count(lit(1)).as("c"),

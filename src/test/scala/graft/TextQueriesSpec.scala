@@ -638,6 +638,89 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(md5Side == snap(false), "kernel path must draw identical spans")
   }
 
+  test("scrub rebuild: pathological fully-duplicated LONG docs == brute-force reference") {
+    import spark.implicits._
+    // the long-doc pathology the linear sweep exists for: a fully-
+    // duplicated multi-kB doc makes the start list maximally dense
+    // (one per character) — the prior per-character array_contains
+    // rebuild paid len^2 here. Reference below is the SEMANTICS
+    // definition (covered set, maximal runs, filtered text), computed
+    // independently of the plan.
+    val L = 6
+    val fixture: Seq[(Long, String)] = Seq(
+      1L -> ("abcdefghij" * 400),            // 4000 chars, every window dups
+      2L -> ("abcdefghij" * 400),            // exact twin of doc 1
+      3L -> ("u3 " + ("qwerty" * 50) + " end of doc three"), // long shared run
+      4L -> ("v4 " + ("qwerty" * 50) + " tail differs here"),
+      5L -> "entirely unique content with no repeats at all",
+      6L -> "tiny")
+    def md5hexLocal(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val winCounts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, t) <- fixture; i <- 0 to t.length - L)
+      winCounts(t.substring(i, i + L)) += 1
+    val expected = fixture.map { case (id, t) =>
+      val starts = (0 to t.length - L).filter(i => winCounts(t.substring(i, i + L)) >= 2)
+      val covered = starts.flatMap(p => p until p + L).toSet
+      val clean = t.indices.filterNot(covered).map(t.charAt).mkString
+      (id, t.length, covered.size, covered.count(c => !covered(c - 1)),
+        md5hexLocal(clean))
+    }.toSet
+    val got = TextQueries.exactSubstringDedupChars(
+        fixture.toDF("doc_id", "text"), L = L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    assert(got == expected,
+      s"diff=${(got diff expected) ++ (expected diff got)}")
+    // the fully-duplicated docs are scrubbed to nothing in ONE span
+    assert(got.contains((1L, 4000, 4000, 1, md5hexLocal(""))))
+    // keep-one on the twin pair: keep-one is per WINDOW — the periodic
+    // text self-duplicates internally, so only doc 1's first period
+    // (the corpus-wide first occurrence of every distinct window)
+    // survives: starts 10..3994 cover chars 10..3999; doc 2 scrubs
+    // fully
+    val keep = TextQueries.exactSubstringDedupCharsKeep(
+        fixture.take(2).toDF("doc_id", "text"), L = L).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(keep(1L) == 3990 && keep(2L) == 4000)
+  }
+
+  test("keep-variants: persistLineage pins the fan-out ONCE; no duplicate posexplode subtree") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+    // the PRINTED plan includes each cached relation's own definition,
+    // so the pin traverses the optimized logical plan programmatically:
+    // InMemoryRelation is a leaf there, so any Generate the collect
+    // still sees is a RE-INSTANTIATED fan-out, not the cache's one copy
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def nGen(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case g: Generate => g }.size
+    def nCacheScan(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case r: InMemoryRelation => r }.size
+    // token form
+    val unpinned = TextQueries.exactSubstringDedupKeep(docs, k = 10)
+    assert(nGen(unpinned) == 2,
+      "without the knob both consumers instantiate the fan-out")
+    val base = snap(unpinned)
+    val pinned = TextQueries.exactSubstringDedupKeep(docs, k = 10, persistLineage = true)
+    assert(nCacheScan(pinned) == 2,
+      "both consumers must read the cached fan-out")
+    assert(nGen(pinned) == 0,
+      "the fan-out must live once inside the cached relation")
+    assert(snap(pinned) == base, "persistLineage must not change the result")
+    spark.catalog.clearCache()
+    // char form (the rolling-hash kernel + posexplode is the dominant cost)
+    val unpinnedC = TextQueries.exactSubstringDedupCharsKeep(docs, L = 100)
+    assert(nGen(unpinnedC) == 2)
+    val baseC = snap(unpinnedC)
+    val pinnedC = TextQueries.exactSubstringDedupCharsKeep(docs, L = 100, persistLineage = true)
+    assert(nCacheScan(pinnedC) == 2 && nGen(pinnedC) == 0,
+      "char keep-variant must pin the kernel fan-out once")
+    assert(snap(pinnedC) == baseC)
+    spark.catalog.clearCache()
+  }
+
   test("corpusSampleK: exact k per stratum == window reference; plan is window-free") {
     import org.apache.spark.sql.expressions.Window
     val out = TextQueries.corpusSampleK(docs, k = 7)
