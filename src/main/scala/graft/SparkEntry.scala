@@ -29,7 +29,16 @@ object SparkEntry {
       graft.sim.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → driver rows-only check. */
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    *
+    * ORDER DEPENDENCY, stated: the trained-tokenizer oracles (ByteBpe,
+    * and the word-BPE/WordPiece/unigram members inside
+    * TextQueries.oracles) replay merges LEARNED by their producing
+    * query in the same JVM (the cachedMerges side channel), so their
+    * entries appear here only AFTER that query has run. The driver's
+    * Verify main runs every query before dumping oracle_sql.json, so
+    * the contract holds there; a caller reading oracleSql cold gets a
+    * rows-only (weaker, never wrong) check for those keys. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EventQueries.oracles ++
       TemporalQueries.oracles ++ WarpQueries.oracles ++ PipelineQueries.oracles ++

@@ -16,8 +16,17 @@ object Scale {
     * and scatter left rows uniformly across the salt space, so one hot
     * key spreads over `saltFactor` reducers instead of one.
     *
-    * Correct for 1:N joins where `right` is the small/deduped side
-    * (each left row still matches its right row exactly once).
+    * EXACT for inner (and left-semi) equi-joins at ARBITRARY N:M key
+    * multiplicity: every left row carries exactly one salt value, every
+    * right row exists at every salt value, so each matching (left,
+    * right) row pair meets in exactly one (key, salt) cell — identical
+    * left rows share a salt and still each pair once. The replication
+    * cost is saltFactor× the RIGHT side, which is why callers keep the
+    * smaller/deduped side right when they can (the 1:N framing is an
+    * efficiency guideline, not a correctness precondition — containJoin
+    * legitimately salts a many-rows-per-key right side). NOT exact for
+    * outer joins (an unmatched left row would surface once, but an
+    * unmatched RIGHT row would surface saltFactor times).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {

@@ -1044,6 +1044,13 @@ object StreamOps {
     val seeded = corpusIndex match {
       case None => pairs
       case Some(idx) =>
+        // the one-row register map is persisted for the same reason as
+        // the other gates' static sides (the static side of a stream
+        // join re-plans every micro-batch; without the cache each batch
+        // re-runs the index aggregation) and MUST outlive the gate for
+        // as long as the stream runs — there is no teardown hook on a
+        // returned DataFrame, so the handle is session-owned: released
+        // by clearCache/session end, bounded at ONE row by construction
         val row = Sketches.hllRegisterMapRow(idx)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         pairs.crossJoin(broadcast(row))

@@ -130,13 +130,24 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     require(k >= 1 && buckets >= 2, s"need k >= 1, buckets >= 2; got k=$k, buckets=$buckets")
     val bWidth = (1L << 60) / buckets
     val h = phash(concat(lit(salt), lit("_"), col("doc_id").cast("string")))
-    val withH = docs.select(col("doc_id"), col(strataCol).as("stratum"), h.as("h"))
+    // the driver passes key on a STRING view of the stratum (an int or
+    // date stratum would NPE a getString) and a NULL stratum is an
+    // explicit group with null-safe predicates — the original column
+    // rides through untyped-untouched for the output
+    val kCol = "graft_stratum_key"
+    require(!docs.columns.contains(kCol), s"input must not already contain $kCol")
+    val withH = docs.select(col("doc_id"), col(strataCol),
+      col(strataCol).cast("string").as(kCol), h.as("h"))
+    def strEq(s: String) =
+      if (s == null) col(kCol).isNull else col(kCol) === s
+    def keyOf(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(0)) null else r.getString(0)
     // pass 1: bounded (stratum, bucket) counts -> per-stratum cutoff
     // bucket + residual rank
     val counts = withH
-      .groupBy(col("stratum"), expr(s"h div ${bWidth}L").as("b"))
+      .groupBy(col(kCol), expr(s"h div ${bWidth}L").as("b"))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (keyOf(r), r.getLong(1), r.getLong(2)))
     val perStratum: Map[String, Option[(Long, Long)]] = // cutoff bucket, residual r
       counts.groupBy(_._1).map { case (s, rows) =>
         val sorted = rows.sortBy(_._2)
@@ -153,11 +164,11 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     // pass 2: exact (h, doc_id) threshold inside each cutoff bucket —
     // collect only those buckets' pairs (≈ n/buckets rows per stratum)
     val cutoffFilter = perStratum.collect { case (s, Some((cb, _))) =>
-      col("stratum") === s && expr(s"h div ${bWidth}L") === cb
+      strEq(s) && expr(s"h div ${bWidth}L") === cb
     }.reduceOption(_ || _).getOrElse(lit(false))
     val inCutoff = withH.filter(cutoffFilter)
-      .select("stratum", "h", "doc_id").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .select(kCol, "h", "doc_id").collect()
+      .map(r => (keyOf(r), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     val thresholds: Map[String, (Long, Long)] = perStratum.collect {
       case (s, Some((_, r))) =>
@@ -166,16 +177,16 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     }
     // pass 3: map-only literal keep predicate, zero exchange
     val keep = perStratum.foldLeft(lit(false)) {
-      case (acc, (s, None)) => when(col("stratum") === s, lit(true)).otherwise(acc)
+      case (acc, (s, None)) => when(strEq(s), lit(true)).otherwise(acc)
       case (acc, (s, Some((cb, _)))) =>
         val (th, td) = thresholds(s)
-        when(col("stratum") === s,
+        when(strEq(s),
           expr(s"h div ${bWidth}L") < cb ||
             (expr(s"h div ${bWidth}L") === cb &&
               (col("h") < th || (col("h") === th && col("doc_id") <= td))))
           .otherwise(acc)
     }
-    withH.filter(keep).select(col("doc_id"), col("stratum").as(strataCol))
+    withH.filter(keep).select(col("doc_id"), col(strataCol))
   }
 
   // ---------------------------------------------------------------------

@@ -721,6 +721,34 @@ class TextQueriesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("corpusSampleK: non-string and NULL strata are exact groups, never dropped") {
+    import spark.implicits._
+    // an INT stratum with nulls: the driver passes must not getString a
+    // non-string, and a null stratum is a real group — cut to exactly k
+    // like any other, never silently dropped from the keep predicate
+    val df = (1L to 40L)
+      .map(i => (i, if (i % 4 == 0) None else Some((i % 3).toInt)))
+      .toDF("doc_id", "grp")
+    def groups(rows: Array[org.apache.spark.sql.Row]): Map[Option[Int], Int] =
+      rows.map(r => (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val totals = groups(df.collect())
+    val kept = TextQueries.corpusSampleK(df, k = 3, strataCol = "grp", buckets = 8)
+    assert(kept.schema("grp").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "the original stratum column must ride through with its own type")
+    val got = groups(kept.collect())
+    assert(got.keySet == totals.keySet, s"no stratum may vanish: $got vs $totals")
+    for ((g, n) <- totals)
+      assert(got(g) == math.min(3, n), s"stratum $g must keep min(k, total): $got")
+    // deterministic under repartitioning
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSet
+    assert(snap(TextQueries.corpusSampleK(df.repartition(5), k = 3,
+      strataCol = "grp", buckets = 8)) ==
+      snap(TextQueries.corpusSampleK(df, k = 3, strataCol = "grp", buckets = 8)))
+  }
+
   test("corpusSampleK: exact k per stratum == window reference; plan is window-free") {
     import org.apache.spark.sql.expressions.Window
     val out = TextQueries.corpusSampleK(docs, k = 7)
