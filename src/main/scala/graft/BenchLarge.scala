@@ -225,6 +225,23 @@ object BenchLarge {
         .otherwise(concat_ws(" ", toks: _*)).as("text"))
   }
 
+  /** Long-document corpus for the long-doc pathologies (quadratic
+    * index payloads, superlinear scrub rebuilds) the ~150-char short
+    * fixtures cannot see: `n` docs of `docTokens` hash tokens (~8
+    * chars each — ~16 KB of text at 2000 tokens, >100× the short
+    * fixture), same dup structure as [[docs]] (ids < template share
+    * ONE text, ~1% duplicate their predecessor). The token stream is a
+    * SQL transform over `sequence`, so the expression tree stays O(1)
+    * in docTokens. */
+  private def longDocs(spark: SparkSession, n: Long, docTokens: Int,
+                       template: Long): DataFrame = {
+    val base = s"CASE WHEN id < $template THEN 0 WHEN id % 100 = 1 THEN id - 1 ELSE id END"
+    spark.range(n).select(col("id").as("doc_id"),
+      expr(s"""array_join(transform(sequence(0, ${docTokens - 1}),
+              |  k -> concat('t', k, '_', pmod(hash($base, k), 50000))), ' ')""".stripMargin)
+        .as("text"))
+  }
+
   private def embeddings(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("vec_id"),
       expr("transform(sequence(1, 64), d -> CAST(CAST(pmod(hash(id, d), 2000) AS DOUBLE) / 1000.0 - 1.0 AS FLOAT))")
@@ -568,6 +585,15 @@ object BenchLarge {
         L = 60, portableHash = false, persistLineage = persist)
         .filter(col("n_removed") > 0).count()
     }
+    // keep-one twin at char granularity: same kernel fan-out, pinned
+    // ONCE via persistLineage (without it Catalyst instantiated the
+    // dominant-cost subtree under both the argmin aggregate and the
+    // starts-recovery join — a ~2x) — expected ≈ the remove-all number
+    timed("substr_dedup_chars_keep", clearBetween = true, clearAfter = true) {
+      graft.text.TextQueries.exactSubstringDedupCharsKeep(docs(spark, nDocs, template),
+        L = 60, portableHash = false, persistLineage = persist)
+        .filter(col("n_removed") > 0).count()
+    }
     // gear-CDC fingerprints at the full corpus: map-only byte-loop
     // kernel (~150-byte docs -> 1-3 chunks); the check sums chunk
     // counts AND forces the sorted-hash md5 column
@@ -870,6 +896,64 @@ object BenchLarge {
     timed("contain_join", clearBetween = true, clearAfter = true) {
       graft.text.TextQueries.containJoin(docs(spark, nDocs, template),
         threshold = 0.8, portableHash = false, persistLineage = persist).count()
+    }
+    // LSH recall audit at corpus scale: runs BOTH the exact chain
+    // (ground truth) and the LSH chain at the production threshold —
+    // the measured recall_ppm is the first real recall number for the
+    // probabilistic chain at 2M docs (recorded in SCALE.md; if < 1,
+    // that number IS the result). The check folds all three output
+    // values so a recall drift fails the pass-equality require.
+    timed("lsh_recall", clearBetween = true, clearAfter = true) {
+      val r = graft.text.TextQueries.lshRecallAudit(docs(spark, nDocs, template),
+        threshold = 0.8, portableHash = false, persistLineage = persist)
+        .collect()(0)
+      r.getLong(0) + 3 * r.getLong(1) + 7 * r.getLong(2)
+    }
+    // ---- long-document fixture family: 10k docs x 2000 tokens (~16 KB
+    // each, >100x the short fixture) — the corpus shape where an
+    // inline-array index layout would be ~400x amplified per doc and a
+    // quadratic scrub rebuild would pay (16k)^2 per clique member.
+    // These budgets measure the LINEAR layouts directly.
+    val LD_N = 10000L; val LD_TOKS = 2000; val LD_TEMPLATE = 50L
+    // exact-join index build at long docs: compact (h, doc_id) prefix
+    // rows + the once-per-doc hash side. The check forces every hs
+    // array (sum of sizes), not just row counts.
+    timed("longdoc_jaccard_index", clearAfter = true) {
+      val corpus = longDocs(spark, LD_N, LD_TOKS, LD_TEMPLATE)
+      val idx = graft.text.TextQueries.jaccardIndex(corpus, threshold = 0.8,
+        portableHash = false)
+      val side = graft.text.TextQueries.docHashSide(corpus, portableHash = false)
+      idx.count() + side.agg(sum(size(col("hs")))).collect()(0).getLong(0)
+    }
+    // containment probe at long docs: a 1% batch (shifted ids, every
+    // doc a verbatim corpus copy) probed against the pre-materialized
+    // (untimed) full-token index + doc side — the streaming gate's
+    // batch twin; the timer pays the batch shingle pass, the compact
+    // bucket probe, and the doc_id verification join.
+    if (only.isEmpty || only("longdoc_contain_probe")) {
+      val corpus = longDocs(spark, LD_N, LD_TOKS, LD_TEMPLATE)
+      val cIdx = graft.ops.Scale.materializeCompact(
+        graft.text.TextQueries.containIndex(corpus, portableHash = false))
+      val cSide = graft.ops.Scale.materializeCompact(
+        graft.text.TextQueries.docHashSide(corpus, portableHash = false))
+      timed("longdoc_contain_probe", clearAfter = true) {
+        val batch = corpus.filter(col("doc_id") % 100 === 7)
+          .select((col("doc_id") + LD_N).as("doc_id"), col("text"))
+        graft.text.TextQueries.containJoinAgainst(batch, corpus,
+          threshold = 0.8, portableHash = false,
+          index = Some(cIdx), docSide = Some(cSide)).count()
+      }
+      Seq(cIdx, cSide).foreach(_.unpersist(blocking = false))
+    }
+    // char-granularity scrub at long docs: the template clique's 50
+    // fully-duplicated 16 KB docs are exactly the shape the linear
+    // sorted-pairwise rebuild exists for (the prior per-char
+    // array_contains rebuild paid len^2 here).
+    timed("longdoc_char_scrub", clearBetween = true, clearAfter = true) {
+      graft.text.TextQueries.exactSubstringDedupChars(
+        longDocs(spark, LD_N, LD_TOKS, LD_TEMPLATE),
+        L = 100, portableHash = false, persistLineage = persist)
+        .filter(col("n_removed") > 0).count()
     }
     // containment-fraction decontamination at the full corpus: the ~2k
     // eval-slice shingle set broadcasts onto one fan-out pass over the

@@ -838,6 +838,32 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
   }
 
+  /** Persist the corpus side of the incremental exact-Jaccard join as
+    * BUCKETED catalog tables (`<prefix>_df`, `<prefix>_idx`,
+    * `<prefix>_side`) — the production layout: the df table and the
+    * compact bucket index bucketed+sorted by `h` (the probe key), the
+    * doc side by `doc_id` (the verification key), so at probe time
+    * neither the index nor the ARRAY-carrying doc side re-shuffles —
+    * only the (small) candidate set moves, and the doc side's one
+    * exchange per probe disappears (the NOTES_r11 watch item: a
+    * localCheckpoint side cannot express co-location; a bucketed table
+    * can). Rebuild all three per corpus version. */
+  def writeJaccardIndexTables(corpus: DataFrame, prefix: String,
+                              threshold: Double = 0.8,
+                              portableHash: Boolean = true,
+                              buckets: Int = 64,
+                              hashOrdered: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    graft.ops.Scale.writeBucketed(
+      jaccardCorpusStats(corpus, portableHash), "h", buckets, s"${prefix}_df")
+    graft.ops.Scale.writeBucketed(
+      jaccardIndex(corpus, threshold, portableHash,
+        Some(spark.table(s"${prefix}_df")), hashOrdered),
+      "h", buckets, s"${prefix}_idx")
+    graft.ops.Scale.writeBucketed(
+      docHashSide(corpus, portableHash), "doc_id", buckets, s"${prefix}_side")
+  }
+
   /** The persistable corpus-side bucket index of the incremental exact
     * join: one COMPACT row per prefix-token occurrence — (h, doc_id),
     * 16 bytes, NO payload — so an incoming batch can be
@@ -1067,17 +1093,78 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
         expr("inter * 1000000L div n1").cast("long"))
   }
 
+  /** Incremental exact-threshold CONTAINMENT join: every (batch doc,
+    * corpus doc) pair where at least `threshold` of the BATCH doc's
+    * shingle set appears in the corpus doc — [[containJoin]]'s
+    * asymmetric predicate, one direction, against a persisted corpus
+    * (the batch twin of
+    * [[graft.streaming.StreamOps.streamingContainGate]]; same verdict
+    * set on the same split, spec-pinned). Emits (batch_id, corpus_id,
+    * inter, bn, contain_ppm). Recall 1: the corpus contributes its
+    * FULL-token [[containIndex]], so if ≥ t of B is in C then C holds
+    * one of B's first n−⌈t·n⌉+1 tokens under ANY order of B — the
+    * batch prefix is plain hash order, no df table needed.
+    *
+    * Scale shape (100 TB): the corpus contributes only [[containIndex]]
+    * + [[docHashSide]] (pass both when pre-materialized — production
+    * recomputes per corpus version, never per batch); candidates meet
+    * on compact 16-byte rows, verification re-joins the doc-id-keyed
+    * side plus a batch-side broadcast — no corpus re-shingle, no
+    * per-bucket-row payload. */
+  def containJoinAgainst(batch: DataFrame, corpus: DataFrame,
+                         threshold: Double = 0.8,
+                         portableHash: Boolean = true,
+                         index: Option[DataFrame] = None,
+                         docSide: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.round(threshold * 1e6)
+    val hashed =
+      if (portableHash) phash(col("shingle"))
+      else pmod(xxhash64(col("shingle")), lit(1L << 60))
+    val idx = index.getOrElse(containIndex(corpus, portableHash))
+    val side = docSide.getOrElse(docHashSide(corpus, portableHash))
+    val batchSide = shingles(batch).select(col("doc_id"), hashed.as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("bhs"))
+      .select(col("doc_id").as("batch_id"), col("bhs"), size(col("bhs")).as("bn"))
+    val prefB = batchSide
+      .select(col("batch_id"),
+        explode(expr(
+          s"""slice(bhs, 1,
+             |  size(bhs) - cast(($tPpm * size(bhs) + 999999) div 1000000 as int) + 1)""".stripMargin))
+          .as("h"))
+    val cand = idx
+      .join(broadcast(prefB), Seq("h"))
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(side.select(col("doc_id").as("corpus_id"), col("hs")), Seq("corpus_id"))
+      .join(broadcast(batchSide), Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        size(array_intersect(col("bhs"), col("hs"))).cast("long").as("inter"),
+        col("bn").cast("long").as("bn"))
+      .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("bn"))
+      .withColumn("contain_ppm", expr("inter * 1000000L div bn").cast("long"))
+  }
+
   /** LSH recall audit: how much of the EXACT pair set ([[jaccardJoin]],
     * recall 1 by construction) the probabilistic [[lshPairs]] chain
     * caught at the same threshold — the dedup twin of the `ann_recall`
     * QC report. One row: (n_exact, n_caught, recall_ppm), the recall as
     * exact integer ppm (floor) so both engines emit the identical
     * value. [[lshPairs]] exact-verifies its candidates, so caught ⊆
-    * exact and the join below is a pure membership probe. */
-  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    jaccardJoin(docs, threshold)
+    * exact and the join below is a pure membership probe.
+    * `portableHash`/`persistLineage` thread through to BOTH chains —
+    * the corpus-scale audit runs native xxhash64 with pinned lineage
+    * (each chain's hash choice is internal; the probe joins on doc
+    * ids, so the two chains need not agree). */
+  def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5,
+                     portableHash: Boolean = true,
+                     persistLineage: Boolean = false): DataFrame =
+    jaccardJoin(docs, threshold, portableHash, persistLineage)
       .select("d1", "d2")
-      .join(lshPairs(docs, threshold).select("d1", "d2")
+      .join(lshPairs(docs, threshold, persistLineage, portableHash).select("d1", "d2")
         .withColumn("caught", lit(true)), Seq("d1", "d2"), "left")
       .agg(count(lit(1)).as("n_exact"),
         sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))

@@ -936,6 +936,23 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |JOIN szC nc ON i.corpus_id = nc.doc_id
          |WHERE i.inter * 1000000 >= 800000 * (nb.n + nc.n - i.inter)""".stripMargin,
 
+    // brute-force batch x corpus CONTAINMENT: the full-token-index
+    // probe must find every cross-split contained-in-corpus pair
+    "dedup_contain_incr" ->
+      s"""WITH shB AS (SELECT doc_id, ${phashSql("shingle")} AS h
+         |  FROM (${shinglesSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 1)")})),
+         |shC AS (SELECT doc_id, ${phashSql("shingle")} AS h
+         |  FROM (${shinglesSqlFor("(SELECT * FROM documents WHERE doc_id % 2 = 0)")})),
+         |szB AS (SELECT doc_id, count(*) AS n FROM shB GROUP BY doc_id),
+         |i AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |        count(*) AS inter
+         |      FROM shB b JOIN shC c ON b.h = c.h GROUP BY 1, 2)
+         |SELECT i.batch_id, i.corpus_id, CAST(i.inter AS BIGINT) AS inter,
+         |  CAST(nb.n AS BIGINT) AS bn,
+         |  (i.inter * 1000000) // nb.n AS contain_ppm
+         |FROM i JOIN szB nb ON i.batch_id = nb.doc_id
+         |WHERE i.inter * 1000000 >= 800000 * nb.n""".stripMargin,
+
     "corpus_mix" ->
       """WITH r AS (SELECT doc_id, lang, n_chars,
         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS mix_rank

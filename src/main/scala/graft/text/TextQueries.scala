@@ -170,6 +170,14 @@ object TextQueries
       jaccardJoinAgainst(docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
     },
+    // incremental containment: odd-doc batch probed against the
+    // even-doc corpus's full-token index + doc side — the streaming
+    // containment gate's batch twin; brute-force batch×corpus oracle
+    "dedup_contain_incr" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      containJoinAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+    },
     "corpus_sample" -> { (s, dir) =>
       stratifiedSample(Tables.documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1),

@@ -196,6 +196,14 @@ class PlanSpec extends AnyFunSuite {
       s"the batch prefix side must broadcast onto the streamed index:\n${pi.take(2000)}")
   }
 
+  test("dedup_contain_incr: compact bucket probe + doc_id verification join, never all-pairs") {
+    val p = plan("dedup_contain_incr")
+    assert(!p.contains("CartesianProduct"),
+      s"the full-token probe must equi-join the compact index:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the batch prefix and batch hash side must broadcast:\n${p.take(2000)}")
+  }
+
   test("quality_classifier: one-row weight broadcast, gram fan-out partition-local") {
     val p = plan("quality_classifier")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

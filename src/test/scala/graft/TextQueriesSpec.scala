@@ -877,6 +877,63 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(snap(viaIndex) == snap(got))
   }
 
+  test("containJoinAgainst == brute-force batch x corpus containment; pre-built index identical") {
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val shB = batch.select(col("doc_id"),
+      explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+    val shC = corpus.select(col("doc_id"),
+      explode(TextQueries.ngramShinglesExpr("text", 3)).as("s"))
+    val brute = shB.as("b").join(shC.as("c"), col("b.s") === col("c.s"))
+      .groupBy(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(shB.groupBy("doc_id").agg(count(lit(1)).as("bn")),
+        col("batch_id") === col("doc_id")).drop("doc_id")
+      .filter(col("inter") * lit(1000000L) >= lit(800000L) * col("bn"))
+      .select(col("batch_id"), col("corpus_id"), col("inter"), col("bn"),
+        expr("inter * 1000000L div bn").as("contain_ppm"))
+    val got = TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8)
+    assert(snap(got).nonEmpty, "fixture must contain contained-in-corpus pairs at 0.8")
+    assert(snap(got) == snap(brute))
+    // pre-built full-token index + doc side: the production probe path
+    val viaIndex = TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8,
+      index = Some(TextQueries.containIndex(corpus)),
+      docSide = Some(TextQueries.docHashSide(corpus)))
+    assert(snap(viaIndex) == snap(got))
+  }
+
+  test("bucketed index tables: the probe joins read the doc side without re-shuffling it") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_id", "corpus_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the cand<->side join to SMJ so the bucketing claim is
+    // actually exercised (the broadcast() hints inside the join are
+    // unaffected by the threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      TextQueries.writeJaccardIndexTables(corpus, "jidx_t", threshold = 0.8, buckets = 4)
+      val out = TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        corpusDf = Some(spark.table("jidx_t_df")),
+        index = Some(spark.table("jidx_t_idx")),
+        docSide = Some(spark.table("jidx_t_side")))
+      assert(snap(out) == snap(
+        TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8)),
+        "the bucketed-table path must be result-identical")
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"),
+        s"the doc-side scan must engage its bucketing (no array re-shuffle):\n${p.take(3000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("jidx_t_df", "jidx_t_idx", "jidx_t_side")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("exact-join indexes are LINEAR: O(1) payload per bucket row, metadata-gated thresholds") {
     import org.apache.spark.sql.types.{ArrayType, LongType}
     val corpus = docs.filter(col("doc_id") % 2 === 0)
