@@ -890,6 +890,27 @@ object BenchLarge {
       // release them here, at the site that owns them
       Seq(dfT, idx, side).foreach(_.unpersist(blocking = false))
     }
+    // the same probe through DISK-BUCKETED catalog tables (df+index by
+    // h, doc side by doc_id) — the production layout where the
+    // array-carrying doc side joins with ZERO exchange; measures what
+    // the localCheckpoint form above cannot express (the NOTES_r11
+    // watch item). Table build is untimed, like the index build above.
+    if (only.isEmpty || only("jaccard_incr_bucketed")) {
+      val all = docs(spark, nDocs, template)
+      val corpus = all.filter(col("doc_id") % 20 =!= 0)
+      graft.text.TextQueries.writeJaccardIndexTables(corpus, "bench_jidx",
+        threshold = 0.8, portableHash = false, buckets = 32)
+      timed("jaccard_incr_bucketed", clearAfter = true) {
+        graft.text.TextQueries.jaccardJoinAgainst(
+          all.filter(col("doc_id") % 20 === 0), corpus, threshold = 0.8,
+          portableHash = false,
+          corpusDf = Some(spark.table("bench_jidx_df")),
+          index = Some(spark.table("bench_jidx_idx")),
+          docSide = Some(spark.table("bench_jidx_side"))).count()
+      }
+      Seq("bench_jidx_df", "bench_jidx_idx", "bench_jidx_side")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     // asymmetric exact containment at the full corpus: the contained
     // side's prefix buckets against ALL corpus tokens (detect-then-salt
     // on hot shingles). The check counts ordered pairs.

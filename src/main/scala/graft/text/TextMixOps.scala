@@ -360,6 +360,9 @@ private[text] trait TextMixOps { this: TextQueries.type =>
                      budget: Long = 512L, numMerges: Int = 20,
                      n: Int = 5, threshold: Double = 0.5,
                      persistLineage: Boolean = false): DataFrame = {
+    // the cleaned corpus feeds BOTH the trainer's counting pass and the
+    // encode pass — cache it once; session-owned (released by
+    // clearCache/session end), the lshPairs lineage-cache convention
     val cleaned = corpusClean(corpus, benchmark, n, threshold,
       persistLineage = persistLineage, keepText = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
