@@ -302,18 +302,33 @@ object BenchLarge {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
 
+    // Pre-built index frames (materializeCompact OUTSIDE a timed body,
+    // consumed by the next entry) must survive that entry's clearAfter
+    // sweep: a localCheckpoint's lineage is truncated, so sweeping it
+    // mid-use would fail at runtime, not re-compute. `prebuild`
+    // registers the checkpoint's RDD ids as protected; the sweep stays
+    // BLANKET for everything else (per-round checkpoints orphaned by
+    // no-clearAfter entries — CC rounds, trainer loops — must keep
+    // getting mopped up by the next clearAfter entry, the r10 lesson);
+    // `releasePrebuilt()` at the owning site unpersists the protected
+    // blocks at the RDD level — Dataset.unpersist is a NO-OP for
+    // localCheckpoint frames (Scale.releaseCompact documents why).
+    val protectedIds = scala.collection.mutable.Set.empty[Int]
+    def prebuild(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = graft.ops.Scale.materializeCompact(df)
+      protectedIds ++= (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      out
+    }
+    def releasePrebuilt(): Unit = {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => protectedIds(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      protectedIds.clear()
+    }
     def timed(name: String, clearBetween: Boolean = false, passes: Int = 2,
               clearAfter: Boolean = false)(f: => Long): Unit = {
       if (only.nonEmpty && !only(name)) return
-      // snapshot the persistent-RDD ids BEFORE the timed body so the
-      // clearAfter sweep releases ONLY blocks this entry created: a
-      // blanket sweep would also unpersist localCheckpoint blocks a
-      // caller pre-built outside the timer (lineage is truncated at
-      // checkpoint time, so an unpersisted checkpoint is UNRECOVERABLE
-      // — a pre-built index reused across entries would fail at
-      // runtime, not re-compute). Pre-built frames are released by the
-      // sites that own them (see jaccard_incr).
-      val preExisting = spark.sparkContext.getPersistentRDDs.keySet.toSet
       def pass(): (Double, Long) = {
         System.gc()
         val t0 = System.nanoTime()
@@ -332,12 +347,12 @@ object BenchLarge {
         // went out of scope — across 80+ entries they accumulate in
         // the block manager and squeeze execution memory for LATE
         // entries (first seen as sketch_distinct 176 s in-suite vs
-        // 8.9 s isolated, same code). Scoped to this entry's blocks:
-        // the one deliberate cross-entry persist (`pairs`) and any
-        // pre-built index frames live outside the snapshot window and
-        // are unpersisted explicitly by their owners.
+        // 8.9 s isolated, same code). Blanket sweep EXCEPT the
+        // registered pre-built frames (see `prebuild` above); the one
+        // deliberate cross-entry cache persist (`pairs`) sits between
+        // two no-clearAfter entries and is released explicitly.
         spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => preExisting(id) }
+          .filterNot { case (id, _) => protectedIds(id) }
           .values.foreach(_.unpersist(blocking = false))
       }
       require(runs.map(_._2).distinct.size == 1,
@@ -872,12 +887,12 @@ object BenchLarge {
     if (only.isEmpty || only("jaccard_incr")) {
       val all = docs(spark, nDocs, template)
       val corpus = all.filter(col("doc_id") % 20 =!= 0)
-      val dfT = graft.ops.Scale.materializeCompact(
+      val dfT = prebuild(
         graft.text.TextQueries.jaccardCorpusStats(corpus, portableHash = false))
-      val idx = graft.ops.Scale.materializeCompact(
+      val idx = prebuild(
         graft.text.TextQueries.jaccardIndex(corpus, threshold = 0.8,
           portableHash = false, corpusDf = Some(dfT)))
-      val side = graft.ops.Scale.materializeCompact(
+      val side = prebuild(
         graft.text.TextQueries.docHashSide(corpus, portableHash = false))
       timed("jaccard_incr", clearAfter = true) {
         graft.text.TextQueries.jaccardJoinAgainst(
@@ -885,10 +900,7 @@ object BenchLarge {
           portableHash = false, corpusDf = Some(dfT), index = Some(idx),
           docSide = Some(side)).count()
       }
-      // pre-built frames were created BEFORE the timed entry, so the
-      // snapshot-scoped clearAfter sweep deliberately leaves them —
-      // release them here, at the site that owns them
-      Seq(dfT, idx, side).foreach(_.unpersist(blocking = false))
+      releasePrebuilt()
     }
     // the same probe through DISK-BUCKETED catalog tables (df+index by
     // h, doc side by doc_id) — the production layout where the
@@ -953,9 +965,9 @@ object BenchLarge {
     // bucket probe, and the doc_id verification join.
     if (only.isEmpty || only("longdoc_contain_probe")) {
       val corpus = longDocs(spark, LD_N, LD_TOKS, LD_TEMPLATE)
-      val cIdx = graft.ops.Scale.materializeCompact(
+      val cIdx = prebuild(
         graft.text.TextQueries.containIndex(corpus, portableHash = false))
-      val cSide = graft.ops.Scale.materializeCompact(
+      val cSide = prebuild(
         graft.text.TextQueries.docHashSide(corpus, portableHash = false))
       timed("longdoc_contain_probe", clearAfter = true) {
         val batch = corpus.filter(col("doc_id") % 100 === 7)
@@ -964,7 +976,7 @@ object BenchLarge {
           threshold = 0.8, portableHash = false,
           index = Some(cIdx), docSide = Some(cSide)).count()
       }
-      Seq(cIdx, cSide).foreach(_.unpersist(blocking = false))
+      releasePrebuilt()
     }
     // char-granularity scrub at long docs: the template clique's 50
     // fully-duplicated 16 KB docs are exactly the shape the linear

@@ -308,6 +308,20 @@ object Scale {
     out
   }
 
+  /** Release the block-manager storage of a [[materializeCompact]]
+    * frame. `Dataset.unpersist` is a NO-OP for localCheckpoint frames —
+    * it only uncaches CacheManager entries, and the checkpoint's blocks
+    * were persisted at the RDD level, never registered with the cache
+    * manager — so a caller that "released" a checkpointed index with
+    * `unpersist()` silently pinned it for the session. This walks the
+    * frame's RDD leaves and unpersists them directly. Safe only when
+    * the frame will not be read again: a localCheckpoint truncated its
+    * lineage, so the data is UNRECOVERABLE after release. */
+  def releaseCompact(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** True if the physical plan funnels all rows into one partition —
     * the single-task global-window/global-sort scale-killer (an
     * `Exchange SinglePartition` feeding WindowExec/SortExec). Used by

@@ -568,12 +568,17 @@ object StreamOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
-    // plan-time index compatibility: probing a prefix index below its
-    // build threshold or under a different token order silently breaks
-    // recall 1 — the metadata stamped by jaccardIndex fails it loudly
-    // (this gate's per-row prefix is plain hash order by construction)
-    graft.text.TextQueries.requireIndexCompatible(corpusIndex, tPpm,
-      hashOrdered = true)
+    // plan-time index compatibility: probing the wrong index KIND, a
+    // differently-hashed index (this gate always hashes incoming text
+    // with the portable md5 expression), a higher build threshold, or
+    // a different token order each silently break recall 1 — the
+    // metadata stamped at build time fails them loudly (this gate's
+    // per-row prefix is plain hash order by construction)
+    graft.text.TextQueries.requireIndexCompatible(corpusIndex,
+      graft.text.TextQueries.KindJaccardPrefix, portableHash = true,
+      tPpm = Some(tPpm), hashOrdered = Some(true))
+    graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
+      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs")
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
@@ -623,6 +628,15 @@ object StreamOps {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
+    // the containment theorem requires the FULL-token index: a
+    // prefix-cut jaccardIndex has the identical compact schema but is
+    // the documented recall hole — and a non-portable-hash index can
+    // never match this gate's md5-hashed incoming tokens; both fail at
+    // plan time via the build metadata
+    graft.text.TextQueries.requireIndexCompatible(corpusIndex,
+      graft.text.TextQueries.KindContainFull, portableHash = true)
+    graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
+      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs")
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))

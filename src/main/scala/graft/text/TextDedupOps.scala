@@ -770,50 +770,81 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .groupBy("h").agg(count(lit(1)).as("df"))
   }
 
-  /** Schema-metadata keys stamped on an index's `h` column: the build
-    * threshold (exact integer ppm) and the canonical token order a
-    * prefix index was cut under. Metadata rides the schema through
-    * parquet round-trips and localCheckpoint, costs zero bytes per row,
-    * and lets every consumer REJECT an incompatible index at plan time:
-    * probing a prefix index below its build threshold (prefix rows were
-    * cut at build time — recall 1 would silently break) or under a
-    * different total order (batch and corpus prefixes would not share a
-    * common order — the prefix theorem's precondition) is an error, not
-    * a silent recall hole. */
+  /** Schema-metadata keys stamped on an index's `h` column (and the
+    * doc side's `hs`): the index KIND (a prefix-cut jaccard index and
+    * a full-token containment index now share the same compact
+    * (h, doc_id) schema — probing a prefix index with a containment
+    * consumer is the documented recall hole), the HASH KIND (an
+    * xxhash64-built index probed by an md5-hashing consumer matches
+    * zero tokens — total silent recall loss), the build threshold
+    * (exact integer ppm — prefix rows below it were cut at build
+    * time), and the canonical token order a prefix index was cut under
+    * (both sides must share ONE total order). Metadata rides the
+    * schema through parquet round-trips, localCheckpoint, and the
+    * session catalog, costs zero bytes per row, and lets every
+    * consumer REJECT an incompatible index at plan time instead of
+    * silently losing recall. */
+  private[graft] val IndexKindKey = "graft.index.kind"
+  private[graft] val IndexPortableHashKey = "graft.index.portable_hash"
   private[graft] val IndexTPpmKey = "graft.index.t_ppm"
   private[graft] val IndexHashOrderedKey = "graft.index.hash_ordered"
+  private[graft] val KindJaccardPrefix = "jaccard_prefix"
+  private[graft] val KindContainFull = "contain_full"
+  private[graft] val KindDocSide = "doc_hash_side"
 
-  private def hWithIndexMeta(tPpm: Long, hashOrdered: Boolean): Column = {
-    val m = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(IndexTPpmKey, tPpm)
-      .putBoolean(IndexHashOrderedKey, hashOrdered)
-      .build()
-    col("h").as("h", m)
+  private def indexMeta(kind: String, portableHash: Boolean,
+                        tPpm: Option[Long] = None,
+                        hashOrdered: Option[Boolean] = None) = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(IndexKindKey, kind)
+      .putBoolean(IndexPortableHashKey, portableHash)
+    tPpm.foreach(b.putLong(IndexTPpmKey, _))
+    hashOrdered.foreach(b.putBoolean(IndexHashOrderedKey, _))
+    b.build()
   }
 
-  /** Plan-time compatibility gate for a persisted prefix index: the
-    * consumer states the threshold and token order IT will probe with;
-    * if the index carries build metadata (an index that round-tripped
-    * through a schema-stripping transform may not — then the coupling
-    * is the caller's contract to uphold), an under-threshold or
-    * order-mismatched probe fails loudly instead of silently losing
-    * recall. */
-  private[graft] def requireIndexCompatible(idx: DataFrame, tPpm: Long,
-                                            hashOrdered: Boolean): Unit = {
-    val m = idx.schema("h").metadata
-    if (m.contains(IndexTPpmKey)) {
+  /** Plan-time compatibility gate for a persisted index: the consumer
+    * states the kind, hash, threshold, and token order IT will probe
+    * with; any stamped-and-mismatched axis fails loudly (an index that
+    * round-tripped through a schema-stripping transform carries no
+    * metadata — then the coupling is the caller's contract to
+    * uphold). Every mismatch here is a SILENT recall hole otherwise:
+    * wrong kind (prefix index under a containment probe), wrong hash
+    * (zero token matches), lower threshold (prefix rows already cut),
+    * different order (no common total order). */
+  private[graft] def requireIndexCompatible(idx: DataFrame, kind: String,
+                                            portableHash: Boolean,
+                                            tPpm: Option[Long] = None,
+                                            hashOrdered: Option[Boolean] = None,
+                                            column: String = "h"): Unit = {
+    val m = idx.schema(column).metadata
+    if (m.contains(IndexKindKey)) {
+      val built = m.getString(IndexKindKey)
+      require(built == kind,
+        s"index kind '$built' does not match this consumer's required " +
+          s"'$kind': a prefix-cut index under a containment probe (or vice " +
+          "versa) is a silent recall hole — build the right index")
+    }
+    if (m.contains(IndexPortableHashKey)) {
+      val built = m.getBoolean(IndexPortableHashKey)
+      require(built == portableHash,
+        s"index hash kind (portableHash=$built) does not match this " +
+          s"consumer's (portableHash=$portableHash): mismatched hashes match " +
+          "ZERO tokens and every duplicate is silently waved through")
+    }
+    for (t <- tPpm if m.contains(IndexTPpmKey)) {
       val built = m.getLong(IndexTPpmKey)
-      require(tPpm >= built,
-        s"query threshold $tPpm ppm is below the index build threshold " +
+      require(t >= built,
+        s"query threshold $t ppm is below the index build threshold " +
           s"$built ppm: the index's prefix rows were cut at build time, so " +
           "probing below it silently breaks the recall-1 guarantee — " +
           "rebuild the index at the lower threshold")
     }
-    if (m.contains(IndexHashOrderedKey)) {
+    for (ho <- hashOrdered if m.contains(IndexHashOrderedKey)) {
       val built = m.getBoolean(IndexHashOrderedKey)
-      require(built == hashOrdered,
+      require(built == ho,
         s"index token order (hashOrdered=$built) does not match this " +
-          s"consumer's prefix order (hashOrdered=$hashOrdered): the prefix " +
+          s"consumer's prefix order (hashOrdered=$ho): the prefix " +
           "theorem requires ONE total order common to both sides")
     }
   }
@@ -828,15 +859,25 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * index carries no payload), and hs is plain h-ascending: the
     * verification is a set intersection, so the PREFIX order (df vs
     * hash) stays private to the bucket side. */
-  def docHashSide(corpus: DataFrame, portableHash: Boolean = true): DataFrame = {
+  /** The compact (doc_id, h) shingle-hash frame every index build
+    * starts from — factored so [[writeJaccardIndexTables]] can pay the
+    * tokenize+shingle+hash pass ONCE for all three builds. */
+  private def shingleHashFrame(corpus: DataFrame, portableHash: Boolean): DataFrame = {
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     shingles(corpus).select(col("doc_id"), hashed.as("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
   }
+
+  private def docHashSideFromHashes(sh: DataFrame, portableHash: Boolean): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"),
+        col("hs").as("hs", indexMeta(KindDocSide, portableHash)),
+        size(col("hs")).as("n"))
+
+  def docHashSide(corpus: DataFrame, portableHash: Boolean = true): DataFrame =
+    docHashSideFromHashes(shingleHashFrame(corpus, portableHash), portableHash)
 
   /** Persist the corpus side of the incremental exact-Jaccard join as
     * BUCKETED catalog tables (`<prefix>_df`, `<prefix>_idx`,
@@ -853,15 +894,44 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                               portableHash: Boolean = true,
                               buckets: Int = 64,
                               hashOrdered: Boolean = false): Unit = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val spark = corpus.sparkSession
-    graft.ops.Scale.writeBucketed(
-      jaccardCorpusStats(corpus, portableHash), "h", buckets, s"${prefix}_df")
-    graft.ops.Scale.writeBucketed(
-      jaccardIndex(corpus, threshold, portableHash,
-        Some(spark.table(s"${prefix}_df")), hashOrdered),
-      "h", buckets, s"${prefix}_idx")
-    graft.ops.Scale.writeBucketed(
-      docHashSide(corpus, portableHash), "doc_id", buckets, s"${prefix}_side")
+    // ONE tokenize+shingle+hash pass feeds all three builds — the
+    // persistLineage doctrine: at corpus scale that chain dominates,
+    // and three independent builds would pay it three times
+    val sh = shingleHashFrame(corpus, portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.ops.Scale.writeBucketed(
+        sh.groupBy("h").agg(count(lit(1)).as("df")), "h", buckets, s"${prefix}_df")
+      graft.ops.Scale.writeBucketed(
+        jaccardIndexFromHashes(sh, math.round(threshold * 1e6), portableHash,
+          Some(spark.table(s"${prefix}_df")), hashOrdered),
+        "h", buckets, s"${prefix}_idx")
+      graft.ops.Scale.writeBucketed(
+        docHashSideFromHashes(sh, portableHash), "doc_id", buckets, s"${prefix}_side")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** The containment twin of [[writeJaccardIndexTables]]: persist the
+    * FULL-token bucket index (`<prefix>_idx`, bucketed by h) and the
+    * doc side (`<prefix>_side`, bucketed by doc_id) for
+    * [[containJoinAgainst]] / the streaming containment gate — one
+    * shingle pass feeds both. */
+  def writeContainIndexTables(corpus: DataFrame, prefix: String,
+                              portableHash: Boolean = true,
+                              buckets: Int = 64): Unit = {
+    val sh = shingleHashFrame(corpus, portableHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.ops.Scale.writeBucketed(
+        sh.select(col("h").as("h", indexMeta(KindContainFull, portableHash)),
+          col("doc_id")),
+        "h", buckets, s"${prefix}_idx")
+      graft.ops.Scale.writeBucketed(
+        docHashSideFromHashes(sh, portableHash), "doc_id", buckets, s"${prefix}_side")
+    } finally sh.unpersist(blocking = false)
   }
 
   /** The persistable corpus-side bucket index of the incremental exact
@@ -893,11 +963,14 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                    hashOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val tPpm = math.round(threshold * 1e6)
-    val hashed =
-      if (portableHash) phash(col("shingle"))
-      else pmod(xxhash64(col("shingle")), lit(1L << 60))
-    val sh = shingles(corpus).select(col("doc_id"), hashed.as("h"))
+    jaccardIndexFromHashes(shingleHashFrame(corpus, portableHash),
+      math.round(threshold * 1e6), portableHash, corpusDf, hashOrdered)
+  }
+
+  private def jaccardIndexFromHashes(sh: DataFrame, tPpm: Long,
+                                     portableHash: Boolean,
+                                     corpusDf: Option[DataFrame],
+                                     hashOrdered: Boolean): DataFrame = {
     val withOrd =
       if (hashOrdered)
         sh.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
@@ -915,7 +988,8 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
           s"""slice(hs, 1,
              |  size(hs) - cast(($tPpm * size(hs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
-      .select(hWithIndexMeta(tPpm, hashOrdered), col("doc_id"))
+      .select(col("h").as("h", indexMeta(KindJaccardPrefix, portableHash,
+        Some(tPpm), Some(hashOrdered))), col("doc_id"))
   }
 
   /** Incremental exact-threshold similarity join: every (batch doc,
@@ -956,8 +1030,10 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val dfT = corpusDf.getOrElse(jaccardCorpusStats(corpus, portableHash))
     val idx = index.getOrElse(
       jaccardIndex(corpus, threshold, portableHash, Some(dfT)))
-    requireIndexCompatible(idx, tPpm, hashOrdered = false)
+    requireIndexCompatible(idx, KindJaccardPrefix, portableHash,
+      tPpm = Some(tPpm), hashOrdered = Some(false))
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
+    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs")
     val shB = shingles(batch).select(col("doc_id"), hashed.as("h"))
     // one row per batch doc: its full hash set in corpus-df prefix
     // order (the prefix slice needs the order; array_intersect does
@@ -1012,7 +1088,9 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
-    shingles(corpus).select(hashed.as("h"), col("doc_id"))
+    shingles(corpus)
+      .select(hashed.as("h", indexMeta(KindContainFull, portableHash)),
+        col("doc_id"))
   }
 
   /** Exact-threshold CONTAINMENT join: every ordered pair (d1, d2),
@@ -1123,7 +1201,12 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     val idx = index.getOrElse(containIndex(corpus, portableHash))
+    // containment REQUIRES the full-token kind: a prefix-cut index has
+    // the identical (h, doc_id) schema but is the documented recall
+    // hole for this predicate — reject it at plan time
+    requireIndexCompatible(idx, KindContainFull, portableHash)
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
+    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs")
     val batchSide = shingles(batch).select(col("doc_id"), hashed.as("h"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("bhs"))

@@ -917,6 +917,11 @@ class TextQueriesSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       TextQueries.writeJaccardIndexTables(corpus, "jidx_t", threshold = 0.8, buckets = 4)
+      // the compatibility stamps survive the session catalog, so the
+      // plan-time guards stay armed on the production table path too
+      assert(spark.table("jidx_t_idx").schema("h").metadata
+        .getString("graft.index.kind") == "jaccard_prefix",
+        "index metadata must ride through saveAsTable/spark.table")
       val out = TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
         corpusDf = Some(spark.table("jidx_t_df")),
         index = Some(spark.table("jidx_t_idx")),
@@ -979,6 +984,55 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(reread.schema("h").metadata.contains("graft.index.t_ppm") &&
       reread.schema("h").metadata.getLong("graft.index.t_ppm") == 800000L,
       "build threshold must ride the schema through parquet")
+    // KIND coupling: a prefix-cut jaccard index has the identical
+    // (h, doc_id) schema as the full-token containment index, but is
+    // the documented recall hole for the containment predicate — and
+    // vice versa; both directions must fail at plan time
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    intercept[IllegalArgumentException] {
+      TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(idx08), docSide = Some(side))
+    }
+    intercept[IllegalArgumentException] {
+      TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(TextQueries.containIndex(corpus)), docSide = Some(side))
+    }
+    // HASH-KIND coupling: an xxhash64-built index probed by a consumer
+    // hashing with the portable md5 matches ZERO tokens — every
+    // duplicate would be silently waved through; both the index and
+    // the doc side reject the mismatch
+    intercept[IllegalArgumentException] {
+      TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(TextQueries.jaccardIndex(corpus, threshold = 0.8,
+          portableHash = false)),
+        docSide = Some(side))
+    }
+    intercept[IllegalArgumentException] {
+      TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8,
+        docSide = Some(TextQueries.docHashSide(corpus, portableHash = false)))
+    }
+    // a WRONG FRAME passed as the doc side (e.g. the bucket index) is
+    // caught by the kind stamp even when column names half-align
+    assert(side.schema("hs").metadata.getString("graft.index.kind") == "doc_hash_side")
+  }
+
+  test("materializeCompact storage: Dataset.unpersist is a NO-OP, releaseCompact frees it") {
+    import graft.ops.Scale
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val frame = Scale.materializeCompact(
+      docs.select(col("doc_id"), length(col("text")).as("len")))
+    val created = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(created.nonEmpty, "a localCheckpoint must register persistent RDD blocks")
+    // the trap this spec pins: Dataset.unpersist only uncaches
+    // CacheManager entries — the checkpoint's RDD blocks stay pinned
+    frame.unpersist(blocking = true)
+    assert(created.subsetOf(sc.getPersistentRDDs.keySet.toSet),
+      "if this ever frees the blocks, Spark changed semantics — simplify releaseCompact")
+    // the real release path
+    Scale.releaseCompact(frame)
+    assert((sc.getPersistentRDDs.keySet.toSet & created).isEmpty,
+      "releaseCompact must unpersist the checkpoint's RDD blocks")
   }
 
   test("lshRecallAudit: caught <= exact, recall_ppm bounded, identical-clique recall") {
