@@ -59,12 +59,24 @@ object Sketches {
   /** The (bucket, rank) pair of the 60-bit hash column `h` — bucket =
     * low 12 bits, rank = leading-zero count of the remaining 48 bits
     * + 1, computed by integer bit-length comparisons (no float log, so
-    * both engines agree bit for bit). */
+    * both engines agree bit for bit). The bit length is a FLAT SUM of
+    * 48 integer comparisons, not a `filter(sequence(...))`: the array
+    * spelling allocated two 48-element arrays PER ELEMENT (~150M
+    * transient arrays per 2M-doc scan), which made the distinct sketch
+    * the suite's GC canary — late in a long session on a busy host it
+    * measured 19× its isolated time purely from allocation pressure
+    * (NOTES_r11 §10); the comparison chain is value-identical
+    * (rank = 49 − |{b : 2^b ≤ x}|), allocation-free, and stays inside
+    * whole-stage codegen. */
   private[graft] def hllBucketOf(h: String): Column =
     expr(s"CAST(($h) % $M AS INT)")
-  private[graft] def hllRankOf(h: String): Column =
-    expr(s"""CAST(${RankBits + 1} - size(filter(sequence(0, ${RankBits - 1}),
-            |  b -> shiftleft(1L, b) <= (($h) div $M))) AS INT)""".stripMargin)
+  private[graft] def hllRankOf(h: String): Column = {
+    val x = s"(($h) div $M)"
+    val bitLen = (0 until RankBits)
+      .map(b => s"(CASE WHEN $x >= ${1L << b} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    expr(s"CAST(${RankBits + 1} - ($bitLen) AS INT)")
+  }
 
   /** (bucket, reg) HLL register table of a value column — the
     * persistable sketch. One corpus pass, map-side combined down to

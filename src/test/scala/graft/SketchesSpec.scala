@@ -15,6 +15,26 @@ class SketchesSpec extends AnyFunSuite {
   private lazy val docs = Tables.documents(spark, sfDir)
   private lazy val words = docs.select(explode(split(col("text"), " ")).as("w"))
 
+  test("allocation-free rank == the array-filter reference spelling, all edge values") {
+    import spark.implicits._
+    // the comparison-chain bit length must be VALUE-identical to the
+    // filter(sequence(...)) reference it replaced (the reference is the
+    // DuckDB oracle's spelling, so any drift would break hash parity):
+    // cover x = 0 (rank 49), powers of two, boundaries, and the 48-bit max
+    val hs = (Seq(0L, 1L, 2L, 3L, 4095L, 4096L, 4097L) ++
+      (0 until 48).flatMap(b => Seq((1L << b) * 4096L,
+        (1L << b) * 4096L + 4095L)) ++
+      Seq((1L << 60) - 1L, 987654321234567L)).distinct.filter(_ < (1L << 60))
+    val df = hs.toDF("h")
+    val both = df.select(
+      Sketches.hllRankOf("h").as("got"),
+      expr("""CAST(49 - size(filter(sequence(0, 47),
+             |  b -> shiftleft(1L, b) <= (h div 4096))) AS INT)""".stripMargin).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"rank mismatch: got=${r.getInt(0)} ref=${r.getInt(1)}"))
+  }
+
   test("HLL estimate lands within 5% of the exact distinct word count") {
     val exact = words.distinct().count().toDouble
     val est = Sketches.hllFinalize(Sketches.hllRegisters(words, col("w")))

@@ -1563,6 +1563,49 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("containment gate over BUCKETED catalog tables == in-memory index path") {
+    // the production deployment: writeContainIndexTables persists the
+    // full-token index + doc side as bucketed tables, the gate does
+    // stream-static joins against spark.table(...) — verdicts must
+    // equal the in-memory index path, the compatibility stamps must
+    // survive the catalog (a wrong-kind/wrong-hash table still fails
+    // at plan time), and a jaccard-prefix table must be rejected
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    try {
+      graft.text.TextQueries.writeContainIndexTables(corpus, "cgate_t", buckets = 4)
+      graft.text.TextQueries.writeJaccardIndexTables(corpus, "jgate_t",
+        threshold = 0.8, buckets = 4, hashOrdered = true)
+      val dropDir = java.nio.file.Files.createTempDirectory("graft_cgate_b")
+      batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
+      val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+      // wrong-kind rejection straight off the catalog
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.streamingContainGate(in,
+          spark.table("jgate_t_idx"), spark.table("cgate_t_side"), threshold = 0.8)
+      }
+      val q = graft.streaming.StreamOps.streamingContainGate(in,
+          spark.table("cgate_t_idx"), spark.table("cgate_t_side"), threshold = 0.8)
+        .writeStream.format("memory").queryName("cgate_b").outputMode("append").start()
+      val got = try {
+        q.processAllAvailable()
+        spark.table("cgate_b").select("batch_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+      val want = graft.text.TextQueries
+        .containJoinAgainst(batchDocs, corpus, threshold = 0.8)
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got == want,
+        s"bucketed-table gate must equal the batch twin: " +
+          s"missing=${(want diff got).take(5)} extra=${(got diff want).take(5)}")
+    } finally Seq("cgate_t_idx", "cgate_t_side", "jgate_t_df", "jgate_t_idx",
+      "jgate_t_side").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming CountMin sketch: additive overlay onto the index == full counters") {
     import graft.ops.Sketches
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
