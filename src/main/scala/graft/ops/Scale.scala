@@ -329,4 +329,55 @@ object Scale {
     * partition-parallel. */
   def hasSinglePartitionExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange SinglePartition")
+
+  /** EXECUTE `df` and count the file-source scans its final physical
+    * plan actually ran — the redundant-lineage audit primitive.
+    *
+    * Why executed, not analyzed: a logical plan that mentions one
+    * source N times can still execute it once (ReusedExchange,
+    * persisted caches) or — the failure class this exists for — really
+    * scan it N times because broadcast branches defeat exchange reuse
+    * (each consumer's canonicalized subtree differs, so the optimizer
+    * never unifies them). The KN-5 scorer shipped two green rounds
+    * with a scaladoc claiming "the corpus is never re-scanned" while
+    * its executed plan ran ELEVEN parquet scans; plan-shape pins
+    * (exchange kinds, pushed filters) cannot see that class — only a
+    * scan COUNT on the executed plan can.
+    *
+    * Counting convention (what ScanCountSpec's expected map means):
+    *  - AQE final plans are traversed through their query stages;
+    *  - `ReusedExchange`/`ReusedSubquery` subtrees count ZERO (they
+    *    re-read a materialized exchange, not the source);
+    *  - each DISTINCT in-memory cache (`persist`) counts its BUILD
+    *    plan's scans exactly once, no matter how many `InMemoryTable`
+    *    scans read it;
+    *  - RDD leaves (`materializeCompact` checkpoints, parallelized
+    *    fixtures) count zero — the scans that BUILT a checkpoint ran
+    *    at construction time, before this call, by design: eager
+    *    materialization is the fix this primitive audits for;
+    *  - both file-source forms (v1 `FileSourceScan`, v2 `BatchScan`)
+    *    count one each.
+    *
+    * The frame is driven by `collect()` so the SAME QueryExecution the
+    * count inspects is the one that ran (a write would execute a fresh
+    * one) — call at test scale only. */
+  def executedFileScans(df: DataFrame): Int = {
+    df.collect()
+    val seenCaches = scala.collection.mutable.Set.empty[AnyRef]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
+      case _: org.apache.spark.sql.execution.ReusedSubqueryExec => 0
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (seenCaches.add(i.relation)) walk(i.relation.cachedPlan) else 0
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => 1
+      case other =>
+        other.children.map(walk).sum + other.subqueries.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }

@@ -332,11 +332,17 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * vocabulary is unbounded); evicted and unseen tokens score through
     * the `oovCount` pseudo-count, exactly as [[unigramScore]]'s topV
     * path does. */
-  def unigramModelRow(docs: DataFrame, topV: Option[Int] = None): DataFrame =
-    truncVocab(unigramVocab(docs), topV)
+  def unigramModelRow(docs: DataFrame, topV: Option[Int] = None): DataFrame = {
+    // MATERIALIZED: the map fold and the normalizer both consume the
+    // vocabulary — sum(cnt) over the FULL vocab is the corpus token
+    // total [[unigramScore]] derives the same way (batch parity), so
+    // ONE counting scan serves both. Session-owned, vocab-bounded.
+    val full = graft.ops.Scale.materializeCompact(unigramVocab(docs))
+    truncVocab(full, topV)
       .agg(map_from_arrays(collect_list(col("tok")), collect_list(col("cnt")))
         .as("uni_map"))
-      .crossJoin(broadcast(unigramNormalizer(docs)))
+      .crossJoin(broadcast(full.agg(sum(col("cnt")).cast("double").as("tot"))))
+  }
 
   /** The interpolated-bigram-Kneser-Ney model folded into ONE row for
     * streaming broadcast: `bg_map` (bigram counts), `lc_map` (left
@@ -347,7 +353,12 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * construction and is REQUIRED at web scale (the bigram type
     * inventory is ~corpus-token-count rows unpruned). */
   def knModelRow(corpus: DataFrame, topV: Option[Int] = None): DataFrame = {
-    val bc = truncTop(bigramCounts(corpus), topV, "bcnt", "bg")
+    // MATERIALIZED: four consumers (bgMap, lwMaps, crMap, types) fold
+    // the type inventory — lazily each re-runs the corpus bigram
+    // aggregate (the kneserNeyScoreN lesson). Session-owned,
+    // vocab-bounded under topV.
+    val bc = graft.ops.Scale.materializeCompact(
+      truncTop(bigramCounts(corpus), topV, "bcnt", "bg"))
     val sided = bc.select(col("bg"), col("bcnt"),
       element_at(split(col("bg"), " "), 1).as("lw"),
       element_at(split(col("bg"), " "), 2).as("rw"))
@@ -425,16 +436,17 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    the network (the repartition sits below the explode), and only
     *    MATCHED rows reach the aggregate;
     *  - pass 3 (rebuild) joins the per-doc hit lists back on doc_id and
-    *    filters the token array per-row. Both doc_id shuffles move
+    *    rebuilds per-row with the LINEAR sorted-pairwise sweep
+    *    ([[scrubSpans]] with span length n — never the O(len·|covered|)
+    *    per-index membership probe, which was len² on a
+    *    fully-duplicated long document). Both doc_id shuffles move
     *    compact (doc_id, text) rows — they are separate exchanges (the
     *    optimizer's isnotnull on the build side defeats exchange
     *    reuse), so the corpus is scanned three times and shuffled
     *    twice, compactly; at test scale the rebuild join
     *    auto-broadcasts, at corpus scale it degrades gracefully to a
     *    co-partitioned sort-merge join on doc_id (both sides already
-    *    clustered);
-    *  - the rebuild itself is per-row array arithmetic: expand starts
-    *    to covered token indices, filter the token array, re-concat.
+    *    clustered).
     */
   def scrubFrequentNgrams(docs: DataFrame, n: Int = 3, maxDf: Long = 5): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
@@ -450,15 +462,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
       .join(broadcast(freq), col("col") === col("gram"))
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("starts"))
-    pre.join(hits, Seq("doc_id"), "left")
-      .withColumn("covered", expr(
-        s"array_distinct(flatten(transform(coalesce(starts, CAST(array() AS ARRAY<INT>)), p -> sequence(p, p + ${n - 1}))))"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(col("covered")).as("n_removed"),
-        md5(expr("concat_ws(' ', filter(toks, (t, j) -> NOT array_contains(covered, j)))"))
-          .as("clean_hash"))
+    // rebuild via the LINEAR sorted-pairwise sweep (an n-gram hit is a
+    // fixed-length span, so [[scrubSpans]] applies with k = n); the
+    // prior covered-array rebuild probed array_contains(covered, j)
+    // per token — O(len·|covered|), len² on a fully-duplicated long
+    // document (the long-doc pathology sf-scale correctness cannot
+    // see). n_spans is scrubSpans' extra column, not this contract.
+    scrubSpans(pre, hits, n)
+      .select("doc_id", "n_tokens", "n_removed", "clean_hash")
   }
 
   /** Exact-substring deduplication at k-token window granularity (Lee

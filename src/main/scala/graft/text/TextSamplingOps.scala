@@ -318,8 +318,9 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     *  - the scoring explode sits above a `repartition(doc_id)` of
     *    compact rows (the [[unigramScore]] idiom) so the ×2-token
     *    fan-out never crosses the network;
-    *  - totals come from plain scans (`sum(2·|toks|−1)`), not from
-    *    re-executing the explode;
+    *  - totals derive from the MATERIALIZED bucket-count table (the sum
+    *    of bucket counts is Σ(2·|toks|−1) exactly), never from an extra
+    *    corpus scan or a re-executed explode;
     *  - `ln` is 1-ulp across libms → `logw` is quantized at 1e-6 for
     *    cross-engine comparison.
     */
@@ -339,13 +340,21 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     def bucketRows(docs: DataFrame) = docs
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(bucketsOf)).as("bucket"))
-    val cr = bucketRows(raw).groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val ct = bucketRows(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
-    def total(docs: DataFrame, name: String) = docs
-      .agg(sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as(name))
+    // MATERIALIZED: each count table feeds the full-outer join AND its
+    // totals row — lazily each consumer re-runs its corpus aggregate
+    // (the kneserNeyScoreN lesson). ≤ `buckets` rows each,
+    // session-owned. The totals derive from the materialized tables:
+    // sum of bucket counts IS Σ(2·|toks|−1) exactly (every gram lands
+    // in exactly one bucket), and an EMPTY corpus sums to NULL on both
+    // spellings (sum over zero rows), so the degenerate-case semantics
+    // carry over unchanged.
+    val cr = graft.ops.Scale.materializeCompact(
+      bucketRows(raw).groupBy("bucket").agg(count(lit(1)).as("cr")))
+    val ct = graft.ops.Scale.materializeCompact(
+      bucketRows(target).groupBy("bucket").agg(count(lit(1)).as("ct")))
     cr.join(ct, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(total(target, "tt")))
-      .crossJoin(broadcast(total(raw, "tr")))
+      .crossJoin(broadcast(ct.agg(sum(col("ct")).cast("double").as("tt"))))
+      .crossJoin(broadcast(cr.agg(sum(col("cr")).cast("double").as("tr"))))
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) / (col("tt") + buckets)) -
           log((coalesce(col("cr"), lit(0L)).cast("double") + 1.0) / (col("tr") + buckets))).as("ratio"),
@@ -364,15 +373,24 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     * (e.g. a curated reference corpus not contained in `raw`). */
   def dsirRatioTableOf(raw: DataFrame, targetPred: Column,
                        buckets: Int = 4096): DataFrame = {
-    val counts = raw
+    // MATERIALIZED: the ratio table and the totals row both consume the
+    // bucket counts — lazily each re-runs the corpus aggregate (the
+    // kneserNeyScoreN lesson). ≤ `buckets` rows, session-owned.
+    val counts = graft.ops.Scale.materializeCompact(raw
       .select(targetPred.as("is_t"), split(col("text"), " ").as("toks"))
       .select(col("is_t"), explode(expr(dsirBucketsExpr(buckets))).as("bucket"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("cr"), count(when(col("is_t"), lit(1))).as("ct"))
-    val totals = raw.agg(
-      sum(lit(2) * size(split(col("text"), " ")) - 1).cast("double").as("tr"),
-      sum(when(targetPred, lit(2) * size(split(col("text"), " ")) - 1))
-        .cast("double").as("tt"))
+      .agg(count(lit(1)).as("cr"), count(when(col("is_t"), lit(1))).as("ct")))
+    // totals from the materialized counts (sum of bucket counts IS
+    // Σ(2·|toks|−1): every gram lands in exactly one bucket) — zero
+    // extra corpus scans. The no-target-doc degenerate case must stay
+    // NULL, matching the previous sum(when(pred, ...)) spelling and the
+    // two-frame overload's empty-aggregate NULL: sum(ct)=0 here ⟺ no
+    // document satisfied the predicate (any doc contributes ≥ 1 gram).
+    val totals = counts.agg(
+      sum(col("cr")).cast("double").as("tr"),
+      when(sum(col("ct")) === 0, lit(null))
+        .otherwise(sum(col("ct"))).cast("double").as("tt"))
     counts
       .crossJoin(broadcast(totals))
       .select(col("bucket"),

@@ -129,13 +129,18 @@ class PlanSpec extends AnyFunSuite {
     assert(generate >= 0 && exchange > generate,
       s"the shuffle must move un-exploded docs, not gram rows:\n${p.take(2000)}")
     // the fused form: ONE one-row totals frame cross-joins in (both
-    // totals from a single conditional aggregate)...
+    // totals derived from the MATERIALIZED bucket-count table)...
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1)
-    // ...and the corpus is scanned exactly three times end to end:
-    // fused counting pass, fused totals pass, scoring pass (the
-    // two-frame form needs five)
+    // ...and the SCORING pass is the only corpus scan left in the
+    // plan: the fused counting pass ran once at construction
+    // (materializeCompact) and the totals aggregate over its ≤B
+    // checkpointed rows — ScanCountSpec pins the executed count at 1
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 3, s"expected 3 corpus scans, got $scans:\n${p.take(2000)}")
+    assert(scans == 1, s"expected 1 corpus scan (scoring), got $scans:\n${p.take(2000)}")
+    // the counting checkpoint must appear as a leaf, not a re-derived
+    // subtree (exactly one distinct RDD leaf feeds ratio and totals)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the bucket-count table must be a materialized leaf:\n${p.take(2000)}")
   }
 
   test("txt_bigram_lm: LM tables broadcast onto the transition fan-out") {
