@@ -564,7 +564,8 @@ object StreamOps {
   def streamingJaccardGate(docs: DataFrame, corpusIndex: DataFrame,
                            corpusDocSide: DataFrame,
                            threshold: Double = 0.8,
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -573,12 +574,17 @@ object StreamOps {
     // with the portable md5 expression), a higher build threshold, or
     // a different token order each silently break recall 1 — the
     // metadata stamped at build time fails them loudly (this gate's
-    // per-row prefix is plain hash order by construction)
+    // per-row prefix is plain hash order by construction). STRICT:
+    // absent metadata (a schema-stripped index) fails too, unless the
+    // caller explicitly vouches via unsafeAssumeCompatible.
     graft.text.TextQueries.requireIndexCompatible(corpusIndex,
       graft.text.TextQueries.KindJaccardPrefix, portableHash = true,
-      tPpm = Some(tPpm), hashOrdered = Some(true))
+      tPpm = Some(tPpm), hashOrdered = Some(true),
+      strict = !unsafeAssumeCompatible)
     graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
-      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs")
+      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs",
+      strict = !unsafeAssumeCompatible)
+    graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
@@ -624,7 +630,8 @@ object StreamOps {
   def streamingContainGate(docs: DataFrame, corpusIndex: DataFrame,
                            corpusDocSide: DataFrame,
                            threshold: Double = 0.8,
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -632,11 +639,16 @@ object StreamOps {
     // prefix-cut jaccardIndex has the identical compact schema but is
     // the documented recall hole — and a non-portable-hash index can
     // never match this gate's md5-hashed incoming tokens; both fail at
-    // plan time via the build metadata
+    // plan time via the build metadata. STRICT: absent metadata (a
+    // schema-stripped index) fails too, unless the caller explicitly
+    // vouches via unsafeAssumeCompatible.
     graft.text.TextQueries.requireIndexCompatible(corpusIndex,
-      graft.text.TextQueries.KindContainFull, portableHash = true)
+      graft.text.TextQueries.KindContainFull, portableHash = true,
+      strict = !unsafeAssumeCompatible)
     graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
-      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs")
+      graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs",
+      strict = !unsafeAssumeCompatible)
+    graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))

@@ -788,36 +788,92 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val IndexPortableHashKey = "graft.index.portable_hash"
   private[graft] val IndexTPpmKey = "graft.index.t_ppm"
   private[graft] val IndexHashOrderedKey = "graft.index.hash_ordered"
+  private[graft] val IndexBuildIdKey = "graft.index.build_id"
   private[graft] val KindJaccardPrefix = "jaccard_prefix"
   private[graft] val KindContainFull = "contain_full"
   private[graft] val KindDocSide = "doc_hash_side"
 
   private def indexMeta(kind: String, portableHash: Boolean,
                         tPpm: Option[Long] = None,
-                        hashOrdered: Option[Boolean] = None) = {
+                        hashOrdered: Option[Boolean] = None,
+                        buildId: Option[String] = None) = {
     val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(IndexKindKey, kind)
       .putBoolean(IndexPortableHashKey, portableHash)
     tPpm.foreach(b.putLong(IndexTPpmKey, _))
     hashOrdered.foreach(b.putBoolean(IndexHashOrderedKey, _))
+    buildId.foreach(b.putString(IndexBuildIdKey, _))
     b.build()
+  }
+
+  /** Cross-frame CORPUS-IDENTITY gate: the per-frame stamps record
+    * kind/hash/threshold/order but cannot see which corpus VERSION a
+    * frame was built from — an index and a doc side from different
+    * snapshots pass every axis, and the inner verification join then
+    * silently drops candidates whose doc_id is missing from the stale
+    * side (recall loss). The table writers stamp one fresh build id
+    * per call across all their outputs; this check fails loudly when
+    * both frames carry ids that DIFFER. Frames without ids (ad-hoc
+    * lazy builds — pass `buildId` to the builders to arm this) skip
+    * the check: version coupling is then the caller's contract, as
+    * documented on the consumers. A runtime left-join null check was
+    * rejected on measurement: preserving the candidate side forfeits
+    * the broadcast-candidate inner plan and forces the corpus-sized
+    * array side through a sort-merge shuffle (3.0x at 2M docs). */
+  private[graft] def requireSameBuild(idx: DataFrame, side: DataFrame,
+                                      idxColumn: String = "h",
+                                      sideColumn: String = "hs"): Unit = {
+    val mi = idx.schema(idxColumn).metadata
+    val ms = side.schema(sideColumn).metadata
+    if (mi.contains(IndexBuildIdKey) && ms.contains(IndexBuildIdKey)) {
+      val (bi, bs) = (mi.getString(IndexBuildIdKey), ms.getString(IndexBuildIdKey))
+      require(bi == bs,
+        s"index build '$bi' does not match doc-side build '$bs': the two " +
+          "frames were built from different corpus versions — the " +
+          "verification join would silently drop every candidate missing " +
+          "from the stale side (recall loss); rebuild both from one " +
+          "snapshot (one writer call stamps all its tables)")
+    }
   }
 
   /** Plan-time compatibility gate for a persisted index: the consumer
     * states the kind, hash, threshold, and token order IT will probe
-    * with; any stamped-and-mismatched axis fails loudly (an index that
-    * round-tripped through a schema-stripping transform carries no
-    * metadata — then the coupling is the caller's contract to
-    * uphold). Every mismatch here is a SILENT recall hole otherwise:
-    * wrong kind (prefix index under a containment probe), wrong hash
-    * (zero token matches), lower threshold (prefix rows already cut),
-    * different order (no common total order). */
+    * with; any stamped-and-mismatched axis fails loudly. Every
+    * mismatch here is a SILENT recall hole otherwise: wrong kind
+    * (prefix index under a containment probe), wrong hash (zero token
+    * matches), lower threshold (prefix rows already cut), different
+    * order (no common total order).
+    *
+    * ABSENT metadata (an index round-tripped through a
+    * schema-stripping transform — e.g. rebuilt via a bare
+    * `select(col("h"), ...)`) is the same failure surface with the
+    * guards disarmed, so consumers whose contract is recall 1 pass
+    * `strict = true`: every axis they demand must be PRESENT and
+    * matching, and a stripped index fails loudly instead of silently
+    * skipping the checks. Their `unsafeAssumeCompatible` escape hatch
+    * (for hand-built frames whose compatibility the caller vouches
+    * for) downgrades to the lenient stamped-axes-only mode — never to
+    * no checking at all. */
   private[graft] def requireIndexCompatible(idx: DataFrame, kind: String,
                                             portableHash: Boolean,
                                             tPpm: Option[Long] = None,
                                             hashOrdered: Option[Boolean] = None,
-                                            column: String = "h"): Unit = {
+                                            column: String = "h",
+                                            strict: Boolean = false): Unit = {
     val m = idx.schema(column).metadata
+    if (strict) {
+      val needed = Seq(IndexKindKey, IndexPortableHashKey) ++
+        tPpm.map(_ => IndexTPpmKey) ++ hashOrdered.map(_ => IndexHashOrderedKey)
+      val missing = needed.filterNot(m.contains)
+      require(missing.isEmpty,
+        s"index column '$column' carries no build metadata for " +
+          s"${missing.mkString(", ")}: this consumer's contract is recall 1 " +
+          "and an unverifiable index is the same silent-recall-loss surface " +
+          "the stamps exist to close — keep persisted indexes on " +
+          "metadata-carrying paths (parquet / catalog / localCheckpoint), " +
+          "or pass unsafeAssumeCompatible = true to vouch for a hand-built " +
+          "frame")
+    }
     if (m.contains(IndexKindKey)) {
       val built = m.getString(IndexKindKey)
       require(built == kind,
@@ -869,15 +925,18 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     shingles(corpus).select(col("doc_id"), hashed.as("h"))
   }
 
-  private def docHashSideFromHashes(sh: DataFrame, portableHash: Boolean): DataFrame =
+  private def docHashSideFromHashes(sh: DataFrame, portableHash: Boolean,
+                                    buildId: Option[String] = None): DataFrame =
     sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .select(col("doc_id"),
-        col("hs").as("hs", indexMeta(KindDocSide, portableHash)),
+        col("hs").as("hs", indexMeta(KindDocSide, portableHash, buildId = buildId)),
         size(col("hs")).as("n"))
 
-  def docHashSide(corpus: DataFrame, portableHash: Boolean = true): DataFrame =
-    docHashSideFromHashes(shingleHashFrame(corpus, portableHash), portableHash)
+  def docHashSide(corpus: DataFrame, portableHash: Boolean = true,
+                  buildId: Option[String] = None): DataFrame =
+    docHashSideFromHashes(shingleHashFrame(corpus, portableHash), portableHash,
+      buildId)
 
   /** Persist the corpus side of the incremental exact-Jaccard join as
     * BUCKETED catalog tables (`<prefix>_df`, `<prefix>_idx`,
@@ -888,7 +947,17 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * only the (small) candidate set moves, and the doc side's one
     * exchange per probe disappears (the NOTES_r11 watch item: a
     * localCheckpoint side cannot express co-location; a bucketed table
-    * can). Rebuild all three per corpus version. */
+    * can). Rebuild all three per corpus version.
+    *
+    * Choose `hashOrdered` by consumer: the default (false, corpus-df
+    * order — rarest-first buckets, the cheaper batch probe) serves
+    * [[jaccardJoinAgainst]]; the STREAMING gate
+    * ([[graft.streaming.StreamOps.streamingJaccardGate]]) requires
+    * `hashOrdered = true` (its per-row prefix is plain hash order —
+    * a df-ordered prefix would need an unbounded per-token lookup,
+    * i.e. state) and REJECTS a df-ordered index at plan time — use
+    * [[writeStreamingJaccardIndexTables]] when building for the
+    * gate. */
   def writeJaccardIndexTables(corpus: DataFrame, prefix: String,
                               threshold: Double = 0.8,
                               portableHash: Boolean = true,
@@ -897,6 +966,11 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val spark = corpus.sparkSession
+    // one fresh build id stamps ALL tables of this call: consumers
+    // cross-check it between index and doc side (requireSameBuild), so
+    // mixing this call's index with an older call's side fails at plan
+    // time instead of silently dropping the stale side's candidates
+    val buildId = Some(java.util.UUID.randomUUID().toString)
     // ONE tokenize+shingle+hash pass feeds all three builds — the
     // persistLineage doctrine: at corpus scale that chain dominates,
     // and three independent builds would pay it three times
@@ -907,12 +981,25 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
         sh.groupBy("h").agg(count(lit(1)).as("df")), "h", buckets, s"${prefix}_df")
       graft.ops.Scale.writeBucketed(
         jaccardIndexFromHashes(sh, math.round(threshold * 1e6), portableHash,
-          Some(spark.table(s"${prefix}_df")), hashOrdered),
+          Some(spark.table(s"${prefix}_df")), hashOrdered, buildId),
         "h", buckets, s"${prefix}_idx")
       graft.ops.Scale.writeBucketed(
-        docHashSideFromHashes(sh, portableHash), "doc_id", buckets, s"${prefix}_side")
+        docHashSideFromHashes(sh, portableHash, buildId),
+        "doc_id", buckets, s"${prefix}_side")
     } finally sh.unpersist(blocking = false)
   }
+
+  /** [[writeJaccardIndexTables]] in the STREAMING-gate configuration
+    * (`hashOrdered = true` — the only order the stateless per-row
+    * prefix can compute): a gate-oriented front door so "build tables,
+    * point the gate at them" works with defaults on both calls instead
+    * of failing on the order stamp. */
+  def writeStreamingJaccardIndexTables(corpus: DataFrame, prefix: String,
+                                       threshold: Double = 0.8,
+                                       portableHash: Boolean = true,
+                                       buckets: Int = 64): Unit =
+    writeJaccardIndexTables(corpus, prefix, threshold, portableHash,
+      buckets, hashOrdered = true)
 
   /** The containment twin of [[writeJaccardIndexTables]]: persist the
     * FULL-token bucket index (`<prefix>_idx`, bucketed by h) and the
@@ -922,15 +1009,18 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   def writeContainIndexTables(corpus: DataFrame, prefix: String,
                               portableHash: Boolean = true,
                               buckets: Int = 64): Unit = {
+    // one build id across both tables — see writeJaccardIndexTables
+    val buildId = Some(java.util.UUID.randomUUID().toString)
     val sh = shingleHashFrame(corpus, portableHash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.ops.Scale.writeBucketed(
-        sh.select(col("h").as("h", indexMeta(KindContainFull, portableHash)),
-          col("doc_id")),
+        sh.select(col("h").as("h", indexMeta(KindContainFull, portableHash,
+          buildId = buildId)), col("doc_id")),
         "h", buckets, s"${prefix}_idx")
       graft.ops.Scale.writeBucketed(
-        docHashSideFromHashes(sh, portableHash), "doc_id", buckets, s"${prefix}_side")
+        docHashSideFromHashes(sh, portableHash, buildId),
+        "doc_id", buckets, s"${prefix}_side")
     } finally sh.unpersist(blocking = false)
   }
 
@@ -960,17 +1050,19 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   def jaccardIndex(corpus: DataFrame, threshold: Double = 0.8,
                    portableHash: Boolean = true,
                    corpusDf: Option[DataFrame] = None,
-                   hashOrdered: Boolean = false): DataFrame = {
+                   hashOrdered: Boolean = false,
+                   buildId: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     jaccardIndexFromHashes(shingleHashFrame(corpus, portableHash),
-      math.round(threshold * 1e6), portableHash, corpusDf, hashOrdered)
+      math.round(threshold * 1e6), portableHash, corpusDf, hashOrdered, buildId)
   }
 
   private def jaccardIndexFromHashes(sh: DataFrame, tPpm: Long,
                                      portableHash: Boolean,
                                      corpusDf: Option[DataFrame],
-                                     hashOrdered: Boolean): DataFrame = {
+                                     hashOrdered: Boolean,
+                                     buildId: Option[String] = None): DataFrame = {
     val withOrd =
       if (hashOrdered)
         sh.groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
@@ -989,7 +1081,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
              |  size(hs) - cast(($tPpm * size(hs) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h"))
       .select(col("h").as("h", indexMeta(KindJaccardPrefix, portableHash,
-        Some(tPpm), Some(hashOrdered))), col("doc_id"))
+        Some(tPpm), Some(hashOrdered), buildId)), col("doc_id"))
   }
 
   /** Incremental exact-threshold similarity join: every (batch doc,
@@ -1020,7 +1112,8 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                          portableHash: Boolean = true,
                          corpusDf: Option[DataFrame] = None,
                          index: Option[DataFrame] = None,
-                         docSide: Option[DataFrame] = None): DataFrame = {
+                         docSide: Option[DataFrame] = None,
+                         unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -1031,9 +1124,12 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val idx = index.getOrElse(
       jaccardIndex(corpus, threshold, portableHash, Some(dfT)))
     requireIndexCompatible(idx, KindJaccardPrefix, portableHash,
-      tPpm = Some(tPpm), hashOrdered = Some(false))
+      tPpm = Some(tPpm), hashOrdered = Some(false),
+      strict = !unsafeAssumeCompatible)
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
-    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs")
+    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs",
+      strict = !unsafeAssumeCompatible)
+    requireSameBuild(idx, side)
     val shB = shingles(batch).select(col("doc_id"), hashed.as("h"))
     // one row per batch doc: its full hash set in corpus-df prefix
     // order (the prefix slice needs the order; array_intersect does
@@ -1058,6 +1154,16 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .join(broadcast(prefB), Seq("h"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
+    // INNER verification join ON PURPOSE — plan shape over a runtime
+    // null check: a LEFT join here (to raise on a candidate missing
+    // from a stale side) forfeits the broadcast-candidate inner plan —
+    // BroadcastHashJoin cannot preserve the stream side, so the
+    // corpus-sized hash-array side is forced through a sort-merge
+    // shuffle (measured 3.0x at 2M docs on the checkpointed-side
+    // path). Corpus-version mismatch is instead caught at PLAN time by
+    // the build-id stamp ([[requireSameBuild]] above) — zero runtime
+    // cost; a hand-assembled stamp-less pair remains the caller's
+    // contract (pass buildId to the builders to arm the check).
     cand
       .join(side.select(col("doc_id").as("corpus_id"), col("hs"),
         col("n").as("cn")), Seq("corpus_id"))
@@ -1084,13 +1190,14 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * array across all 1k token rows is ~8 MB of index for 6 KB of
     * text). Persist bucketed by `h`, the doc side bucketed by
     * doc_id. */
-  def containIndex(corpus: DataFrame, portableHash: Boolean = true): DataFrame = {
+  def containIndex(corpus: DataFrame, portableHash: Boolean = true,
+                   buildId: Option[String] = None): DataFrame = {
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     shingles(corpus)
-      .select(hashed.as("h", indexMeta(KindContainFull, portableHash)),
-        col("doc_id"))
+      .select(hashed.as("h", indexMeta(KindContainFull, portableHash,
+        buildId = buildId)), col("doc_id"))
   }
 
   /** Exact-threshold CONTAINMENT join: every ordered pair (d1, d2),
@@ -1193,7 +1300,8 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                          threshold: Double = 0.8,
                          portableHash: Boolean = true,
                          index: Option[DataFrame] = None,
-                         docSide: Option[DataFrame] = None): DataFrame = {
+                         docSide: Option[DataFrame] = None,
+                         unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -1204,9 +1312,12 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     // containment REQUIRES the full-token kind: a prefix-cut index has
     // the identical (h, doc_id) schema but is the documented recall
     // hole for this predicate — reject it at plan time
-    requireIndexCompatible(idx, KindContainFull, portableHash)
+    requireIndexCompatible(idx, KindContainFull, portableHash,
+      strict = !unsafeAssumeCompatible)
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
-    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs")
+    requireIndexCompatible(side, KindDocSide, portableHash, column = "hs",
+      strict = !unsafeAssumeCompatible)
+    requireSameBuild(idx, side)
     val batchSide = shingles(batch).select(col("doc_id"), hashed.as("h"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("bhs"))
@@ -1221,6 +1332,10 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .join(broadcast(prefB), Seq("h"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
+    // INNER verification join on purpose: see jaccardJoinAgainst — the
+    // left-join runtime staleness check was measured 3x at 2M (forced
+    // sort-merge of the array side); version mismatch is caught at
+    // plan time by the build-id stamp instead
     cand
       .join(side.select(col("doc_id").as("corpus_id"), col("hs")), Seq("corpus_id"))
       .join(broadcast(batchSide), Seq("batch_id"))

@@ -647,6 +647,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    itself against the winner row-locally; a hyper-duplicated
     *    window still emits each occurrence exactly once;
     *  - pass 3 (rebuild) is unchanged.
+    *
+    * `persistLineage=true` caches are SESSION-OWNED (the TextMixOps
+    * convention): the pinned occurrence fan-out stays in the block
+    * manager until `spark.catalog.clearCache()` / session end — the
+    * cache cannot release itself mid-plan because the result is lazy
+    * and both consumers read it at action time. Long-running sessions
+    * calling this repeatedly should clearCache between corpus versions
+    * (the BenchLarge clearAfter discipline).
     */
   def exactSubstringDedupKeep(docs: DataFrame, k: Int = 50,
                               portableHash: Boolean = true,
@@ -807,7 +815,8 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * aggregate shuffle shape, one granularity down; `persistLineage`
     * pins the kernel+posexplode fan-out once for its two consumers
     * (the remove-all form's knob — without it Catalyst instantiates
-    * the dominant-cost subtree twice). */
+    * the dominant-cost subtree twice). The pinned cache is
+    * SESSION-OWNED — see [[exactSubstringDedupKeep]]. */
   def exactSubstringDedupCharsKeep(docs: DataFrame, L: Int = 100,
                                    portableHash: Boolean = true,
                                    persistLineage: Boolean = false): DataFrame = {

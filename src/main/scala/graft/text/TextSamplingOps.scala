@@ -123,7 +123,17 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     * count rows and a strata-long literal predicate — this is a
     * DOMAIN-level operator (strata = sources/domains/languages, i.e.
     * thousands at most), not a per-document key; for a high-cardinality
-    * stratum column use [[stratifiedSample]]'s rate gate instead. */
+    * stratum column use [[stratifiedSample]]'s rate gate instead.
+    *
+    * Stratum-type contract, stated: strata are keyed on the CAST-TO-
+    * STRING view of `strataCol` (the driver-side cutoff map needs one
+    * comparable key type; NULL is its own stratum). That is exact for
+    * every type whose string rendering is injective — strings, all
+    * integer/date/timestamp types, booleans — which is every sane
+    * domain column. It is NOT exact for types with non-injective
+    * renderings (BinaryType with invalid UTF-8, MapType): two distinct
+    * stratum values rendering equal would merge and share one
+    * k-budget. Rejected up front rather than documented-and-hoped. */
   def corpusSampleK(docs: DataFrame, k: Int = 25,
                     strataCol: String = "source", salt: String = "topk",
                     buckets: Int = 4096): DataFrame = {
@@ -136,6 +146,15 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     // rides through untyped-untouched for the output
     val kCol = "graft_stratum_key"
     require(!docs.columns.contains(kCol), s"input must not already contain $kCol")
+    // enforce the injective-string-rendering contract (scaladoc): a
+    // binary/map stratum could merge two distinct values into one
+    // string key and silently share a k-budget
+    val strataType = docs.schema(strataCol).dataType
+    require(!strataType.isInstanceOf[org.apache.spark.sql.types.BinaryType] &&
+      !strataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"corpusSampleK strata on $strataCol: ${strataType.simpleString} has a " +
+        "non-injective string rendering — two distinct stratum values could " +
+        "merge into one stratum; key on a string/integer/date domain column")
     val withH = docs.select(col("doc_id"), col(strataCol),
       col(strataCol).cast("string").as(kCol), h.as("h"))
     def strEq(s: String) =

@@ -685,6 +685,52 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keep(1L) == 3990 && keep(2L) == 4000)
   }
 
+  test("scrubFrequentNgrams: fully-duplicated LONG docs == brute-force reference (linear sweep)") {
+    import spark.implicits._
+    // the word-gram sibling of the char-scrub pathology: boilerplate
+    // shared across > maxDf docs makes the start list maximally dense
+    // (one per token position) — the prior per-token array_contains
+    // rebuild paid len^2 here. Reference below is the SEMANTICS
+    // definition (doc-frequent grams, covered union, filtered tokens),
+    // computed independently of the plan.
+    val n = 3; val maxDf = 2L
+    val boiler = ("terms of service apply to all content " * 250).trim // 2000 tokens
+    val spam = ("buy now " * 1500).trim                                // 3000 tokens
+    val fixture: Seq[(Long, String)] = Seq(
+      1L -> s"intro one $boiler outro one",
+      2L -> s"intro two $boiler outro two",
+      3L -> s"intro three $boiler outro three",
+      4L -> spam, 5L -> spam, 6L -> spam, 7L -> spam,
+      8L -> "entirely unique content with no shared grams at all",
+      9L -> "tiny")
+    def gramsOf(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" "))
+    }
+    val docFreq = fixture.flatMap { case (_, t) => gramsOf(t).distinct }
+      .groupBy(identity).map { case (g, occ) => g -> occ.size.toLong }
+    def md5hexLocal(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = fixture.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val grams = gramsOf(t)
+      val covered = grams.indices
+        .filter(i => docFreq(grams(i)) > maxDf)
+        .flatMap(p => p until p + n).toSet
+      val clean = toks.indices.filterNot(covered).map(toks).mkString(" ")
+      (id, toks.length, covered.size, md5hexLocal(clean))
+    }.toSet
+    val got = TextQueries.scrubFrequentNgrams(
+        fixture.toDF("doc_id", "text"), n = n, maxDf = maxDf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected, s"diff=${(got diff expected) ++ (expected diff got)}")
+    // the pathological docs scrub to nothing; clean docs stay intact
+    assert(got.contains((4L, 3000, 3000, md5hexLocal(""))))
+    assert(got.exists(r => r._1 == 8L && r._3 == 0))
+  }
+
   test("keep-variants: persistLineage pins the fan-out ONCE; no duplicate posexplode subtree") {
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
@@ -1014,6 +1060,110 @@ class TextQueriesSpec extends AnyFunSuite {
     // a WRONG FRAME passed as the doc side (e.g. the bucket index) is
     // caught by the kind stamp even when column names half-align
     assert(side.schema("hs").metadata.getString("graft.index.kind") == "doc_hash_side")
+  }
+
+  test("STRIPPED index metadata fails loudly on every recall-1 consumer; unsafeAssumeCompatible is the explicit escape hatch") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    // cast+alias rebuilds the column without its metadata — the
+    // schema-stripping transform class the strict mode exists for
+    // (schema checked to prove the strip actually happened)
+    def stripped(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val out = df.withColumn(c, col(c).cast(df.schema(c).dataType.sql))
+      assert(out.schema(c).metadata.json == "{}", "fixture must actually strip")
+      out
+    }
+    val idx = TextQueries.jaccardIndex(corpus, threshold = 0.8)
+    val side = TextQueries.docHashSide(corpus)
+    val cidx = TextQueries.containIndex(corpus)
+    val sIdx = stripped(idx, "h")
+    val sSide = stripped(side, "hs")
+    val sCidx = stripped(cidx, "h")
+    // batch consumers: stripped index OR stripped side → loud plan-time failure
+    for ((i, s) <- Seq(sIdx -> side, idx -> sSide)) {
+      val e = intercept[IllegalArgumentException] {
+        TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+          index = Some(i), docSide = Some(s))
+      }
+      assert(e.getMessage.contains("no build metadata"), e.getMessage)
+    }
+    intercept[IllegalArgumentException] {
+      TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(sCidx), docSide = Some(side))
+    }
+    // streaming gates: same strictness on both static inputs
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_strict").toString
+    def stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, ts TIMESTAMP, text STRING")).parquet(streamDir)
+    val hIdx = TextQueries.jaccardIndex(corpus, threshold = 0.8, hashOrdered = true)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingJaccardGate(
+        stream, stripped(hIdx, "h"), side, threshold = 0.8)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingContainGate(stream, sCidx, side)
+    }
+    // the escape hatch: a stripped-but-genuinely-compatible pair under
+    // unsafeAssumeCompatible=true is result-identical to the stamped path
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_id", "corpus_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(snap(TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(sIdx), docSide = Some(sSide), unsafeAssumeCompatible = true)) ==
+      snap(TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8)))
+  }
+
+  test("a STALE doc side (different corpus version) fails LOUDLY at plan time via the build-id stamp") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    // two corpus VERSIONS: every per-frame axis (kind/hash/threshold/
+    // order) matches between v1 and v2 frames — only the build id can
+    // tell them apart, which is exactly the silent-recall-loss scenario
+    // (an inner verification join would drop candidates missing from
+    // the stale side without a trace)
+    val v1 = Some("corpus-v1")
+    val v2 = Some("corpus-v2")
+    val idxV2 = TextQueries.jaccardIndex(corpus, threshold = 0.8, buildId = v2)
+    val sideV1 = TextQueries.docHashSide(
+      corpus.filter(col("doc_id") =!= corpus.agg(min("doc_id")).collect()(0).getLong(0)),
+      buildId = v1)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(idxV2), docSide = Some(sideV1))
+    }
+    assert(e.getMessage.contains("different corpus versions"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      TextQueries.containJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(TextQueries.containIndex(corpus, buildId = v2)),
+        docSide = Some(sideV1))
+    }
+    // matching ids pass and are result-identical to the unstamped path
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_id", "corpus_id", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(snap(TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+        index = Some(idxV2), docSide = Some(TextQueries.docHashSide(corpus, buildId = v2)))) ==
+      snap(TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8)))
+    // the WRITER stamps one fresh id per call across its tables: two
+    // writes of the same layout get DIFFERENT ids, so cross-call table
+    // mixes fail while same-call tables compose
+    try {
+      TextQueries.writeJaccardIndexTables(corpus, "bid_a", threshold = 0.8, buckets = 2)
+      TextQueries.writeJaccardIndexTables(corpus, "bid_b", threshold = 0.8, buckets = 2)
+      val metaOf = (t: String, c: String) =>
+        spark.table(t).schema(c).metadata.getString("graft.index.build_id")
+      assert(metaOf("bid_a_idx", "h") == metaOf("bid_a_side", "hs"))
+      assert(metaOf("bid_a_idx", "h") != metaOf("bid_b_idx", "h"))
+      intercept[IllegalArgumentException] {
+        TextQueries.jaccardJoinAgainst(batch, corpus, threshold = 0.8,
+          corpusDf = Some(spark.table("bid_a_df")),
+          index = Some(spark.table("bid_a_idx")),
+          docSide = Some(spark.table("bid_b_side")))
+      }
+    } finally Seq("bid_a_df", "bid_a_idx", "bid_a_side",
+      "bid_b_df", "bid_b_idx", "bid_b_side")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("materializeCompact storage: Dataset.unpersist is a NO-OP, releaseCompact frees it") {
