@@ -425,16 +425,30 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                         corpusBands: Option[DataFrame] = None,
                         portableHash: Boolean = true): DataFrame = {
     val cBands = corpusBands.getOrElse(bandSignatures(corpus, portableHash))
-    val cand = cBands.as("cb")
+    // MATERIALIZED: three consumers (the corpus-id prune, the
+    // intersection join, the final left join) would otherwise each
+    // re-execute the candidate subtree — and that subtree embeds the
+    // CORPUS-WIDE band-signature pass (shingle + minhash + banding,
+    // the dominant cost), tripling it (the kneserNeyScoreN lesson).
+    // Compact (batch_id, corpus_id) rows, bounded by the candidate
+    // count; session-owned.
+    val cand = graft.ops.Scale.materializeCompact(cBands.as("cb")
       .join(broadcast(bandSignatures(batch, portableHash)).as("nb"), Seq("band", "sig"))
       .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
-      .distinct()
+      .distinct())
     // verify on candidate docs only: the corpus prunes to candidate ids
-    // (broadcast semi join) before any shingling happens
+    // (broadcast semi join) before any shingling happens. Both shingle
+    // frames are MATERIALIZED for the same reason: each feeds the
+    // intersection join AND its own size aggregate — lazily the
+    // candidate-pruned corpus re-shingles (and the batch re-shingles)
+    // once per consumer. Compact (doc_id, h) rows: the corpus side is
+    // candidate-bounded, the batch side is batch-bounded.
     val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
-    val shC = shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      .select(col("doc_id"), phash(col("shingle")).as("h"))
-    val shB = shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h"))
+    val shC = graft.ops.Scale.materializeCompact(
+      shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), phash(col("shingle")).as("h")))
+    val shB = graft.ops.Scale.materializeCompact(
+      shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h")))
     val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)

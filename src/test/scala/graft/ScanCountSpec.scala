@@ -82,7 +82,7 @@ class ScanCountSpec extends AnyFunSuite {
     "dedup_editdist_incr" -> 2,
     "dedup_editdist_pairs" -> 1,
     "dedup_exact" -> 1,
-    "dedup_incremental" -> 6,
+    "dedup_incremental" -> 0,
     "dedup_jaccard_brute" -> 3,
     "dedup_jaccard_incr" -> 4,
     "dedup_jaccard_join" -> 3,
