@@ -988,6 +988,19 @@ object BenchLarge {
         L = 100, portableHash = false, persistLineage = persist)
         .filter(col("n_removed") > 0).count()
     }
+    // cross-doc frequent-n-gram scrub at LONG docs: the 50-doc template
+    // clique makes every one of its grams doc-frequent (df=50 > 5), so
+    // those docs' start lists carry one entry per token — the rebuild's
+    // worst case (the pre-r12 covered-array membership probe paid len²
+    // per fully-covered doc; the scrubSpans sorted-pairwise sweep is
+    // linear). The check forces all three output columns.
+    timed("longdoc_ngram_scrub", clearAfter = true) {
+      graft.text.TextQueries.scrubFrequentNgrams(
+          longDocs(spark, LD_N, LD_TOKS, LD_TEMPLATE))
+        .agg((sum("n_tokens") + sum("n_removed") +
+          sum(crc32(col("clean_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
     // containment-fraction decontamination at the full corpus: the ~2k
     // eval-slice shingle set broadcasts onto one fan-out pass over the
     // other 2M docs; only (doc_id, counts) rows shuffle. The check
