@@ -584,7 +584,8 @@ object StreamOps {
     graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
       graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs",
       strict = !unsafeAssumeCompatible)
-    graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
+    if (!unsafeAssumeCompatible)
+      graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))
@@ -648,7 +649,8 @@ object StreamOps {
     graft.text.TextQueries.requireIndexCompatible(corpusDocSide,
       graft.text.TextQueries.KindDocSide, portableHash = true, column = "hs",
       strict = !unsafeAssumeCompatible)
-    graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
+    if (!unsafeAssumeCompatible)
+      graft.text.TextQueries.requireSameBuild(corpusIndex, corpusDocSide)
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         sort_array(graft.text.TextQueries.shingleHashesExpr("text")).as("bhs"))

@@ -425,30 +425,36 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                         corpusBands: Option[DataFrame] = None,
                         portableHash: Boolean = true): DataFrame = {
     val cBands = corpusBands.getOrElse(bandSignatures(corpus, portableHash))
-    // MATERIALIZED: three consumers (the corpus-id prune, the
+    // PINNED, not recomputed: three consumers (the corpus-id prune, the
     // intersection join, the final left join) would otherwise each
     // re-execute the candidate subtree — and that subtree embeds the
     // CORPUS-WIDE band-signature pass (shingle + minhash + banding,
-    // the dominant cost), tripling it (the kneserNeyScoreN lesson).
-    // Compact (batch_id, corpus_id) rows, bounded by the candidate
-    // count; session-owned.
-    val cand = graft.ops.Scale.materializeCompact(cBands.as("cb")
+    // the dominant cost), tripling it (the kneserNeyScoreN lesson;
+    // measured 12.68 → 8.49 s at 2M). persist, NOT localCheckpoint:
+    // this is the incremental PER-BATCH API — an ingest loop calls it
+    // once per crawl batch, and cache-manager blocks are releasable
+    // (`spark.catalog.clearCache()` between batches, the session-owned
+    // convention) and evictable under pressure (recompute, not
+    // failure), where a checkpoint per call would pin storage until an
+    // RDD-level sweep. Compact rows: candidate pairs / (doc_id, h).
+    val cand = cBands.as("cb")
       .join(broadcast(bandSignatures(batch, portableHash)).as("nb"), Seq("band", "sig"))
       .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
-      .distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verify on candidate docs only: the corpus prunes to candidate ids
     // (broadcast semi join) before any shingling happens. Both shingle
-    // frames are MATERIALIZED for the same reason: each feeds the
+    // frames are pinned for the same reason: each feeds the
     // intersection join AND its own size aggregate — lazily the
     // candidate-pruned corpus re-shingles (and the batch re-shingles)
-    // once per consumer. Compact (doc_id, h) rows: the corpus side is
-    // candidate-bounded, the batch side is batch-bounded.
+    // once per consumer. The corpus side is candidate-bounded, the
+    // batch side batch-bounded.
     val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
-    val shC = graft.ops.Scale.materializeCompact(
-      shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-        .select(col("doc_id"), phash(col("shingle")).as("h")))
-    val shB = graft.ops.Scale.materializeCompact(
-      shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h")))
+    val shC = shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), phash(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
@@ -776,12 +782,15 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * exact join orders tokens by — persistable next to
     * [[jaccardIndex]]; recompute both per corpus version. */
   def jaccardCorpusStats(corpus: DataFrame,
-                         portableHash: Boolean = true): DataFrame = {
+                         portableHash: Boolean = true,
+                         buildId: Option[String] = None): DataFrame = {
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     shingles(corpus).select(col("doc_id"), hashed.as("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("df", indexMeta(KindCorpusDf, portableHash,
+        buildId = buildId)))
   }
 
   /** Schema-metadata keys stamped on an index's `h` column (and the
@@ -806,6 +815,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val KindJaccardPrefix = "jaccard_prefix"
   private[graft] val KindContainFull = "contain_full"
   private[graft] val KindDocSide = "doc_hash_side"
+  private[graft] val KindCorpusDf = "corpus_df"
 
   private def indexMeta(kind: String, portableHash: Boolean,
                         tPpm: Option[Long] = None,
@@ -836,17 +846,19 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * array side through a sort-merge shuffle (3.0x at 2M docs). */
   private[graft] def requireSameBuild(idx: DataFrame, side: DataFrame,
                                       idxColumn: String = "h",
-                                      sideColumn: String = "hs"): Unit = {
+                                      sideColumn: String = "hs",
+                                      sideName: String = "doc-side"): Unit = {
     val mi = idx.schema(idxColumn).metadata
     val ms = side.schema(sideColumn).metadata
     if (mi.contains(IndexBuildIdKey) && ms.contains(IndexBuildIdKey)) {
       val (bi, bs) = (mi.getString(IndexBuildIdKey), ms.getString(IndexBuildIdKey))
       require(bi == bs,
-        s"index build '$bi' does not match doc-side build '$bs': the two " +
-          "frames were built from different corpus versions — the " +
-          "verification join would silently drop every candidate missing " +
-          "from the stale side (recall loss); rebuild both from one " +
-          "snapshot (one writer call stamps all its tables)")
+        s"index build '$bi' does not match $sideName build '$bs': the two " +
+          "frames were built from different corpus versions — a stale " +
+          "doc side silently drops candidates (recall loss) and a stale " +
+          "df table breaks the common prefix order the recall-1 theorem " +
+          "needs; rebuild from one snapshot (one writer call stamps all " +
+          "its tables)")
     }
   }
 
@@ -992,7 +1004,9 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.ops.Scale.writeBucketed(
-        sh.groupBy("h").agg(count(lit(1)).as("df")), "h", buckets, s"${prefix}_df")
+        sh.groupBy("h").agg(count(lit(1)).as("df",
+          indexMeta(KindCorpusDf, portableHash, buildId = buildId))),
+        "h", buckets, s"${prefix}_df")
       graft.ops.Scale.writeBucketed(
         jaccardIndexFromHashes(sh, math.round(threshold * 1e6), portableHash,
           Some(spark.table(s"${prefix}_df")), hashOrdered, buildId),
@@ -1143,7 +1157,14 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
     requireIndexCompatible(side, KindDocSide, portableHash, column = "hs",
       strict = !unsafeAssumeCompatible)
-    requireSameBuild(idx, side)
+    if (!unsafeAssumeCompatible) {
+      requireSameBuild(idx, side)
+      // the df table is a RECALL axis too: the batch prefix is sliced
+      // in dfT's order while the index's prefix rows were cut in the
+      // build df's order — the prefix theorem needs ONE common total
+      // order, so a stale df silently misses true pairs
+      requireSameBuild(idx, dfT, sideColumn = "df", sideName = "corpus-df")
+    }
     val shB = shingles(batch).select(col("doc_id"), hashed.as("h"))
     // one row per batch doc: its full hash set in corpus-df prefix
     // order (the prefix slice needs the order; array_intersect does
@@ -1331,7 +1352,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val side = docSide.getOrElse(docHashSide(corpus, portableHash))
     requireIndexCompatible(side, KindDocSide, portableHash, column = "hs",
       strict = !unsafeAssumeCompatible)
-    requireSameBuild(idx, side)
+    if (!unsafeAssumeCompatible) requireSameBuild(idx, side)
     val batchSide = shingles(batch).select(col("doc_id"), hashed.as("h"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("bhs"))
