@@ -300,11 +300,85 @@ object Scale {
     * Call it on the COMPACT representation (ids, fingerprints, edges) —
     * never on wide rows — so the materialized bytes are the same rows
     * the plan would shuffle anyway. */
-  def materializeCompact(df: DataFrame): DataFrame = {
+  def materializeCompact(df: DataFrame, scope: String = "compact"): DataFrame = {
     val out = df.localCheckpoint()
     require(out.queryExecution.logical.children.isEmpty,
       "materializeCompact: checkpoint did not collapse the plan to a leaf scan — " +
         s"iterated consumers would re-inline the subtree:\n${out.queryExecution.logical}")
+    val rdds = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    registerPin(scope, "checkpoint", rdds.map(_.id),
+      () => rdds.foreach(_.unpersist(blocking = false)))
+    out
+  }
+
+  /** SESSION-OWNED PINNED-STORAGE REGISTRY. Every frame this library
+    * pins — [[materializeCompact]] localCheckpoints (LM vocabularies,
+    * fingerprint indexes) and [[pinPersisted]] cache-manager persists
+    * (the lshMatchesAgainst candidate/shingle frames) — registers here,
+    * so a long-lived session (an ingest loop constructing LM queries
+    * per corpus version, a per-crawl-batch dedup driver) can AUDIT its
+    * pinned storage ([[pinnedCount]]/[[pinnedBytes]]) and SWEEP it
+    * ([[releaseAllPinned]]) without `spark.catalog.clearCache()` — a
+    * blunt session-wide hammer that also drops caches the caller does
+    * not own. Without the sweep, checkpoint blocks accumulate across
+    * corpus versions for the life of the session (Dataset.unpersist is
+    * a NO-OP on them — see [[releaseCompact]]); with it, an ingest loop
+    * can assert its storage is FLAT between batches (spec-pinned).
+    * Entries are scoped: pass the scope to release one family (e.g.
+    * `lsh_against`) and leave the rest pinned. */
+  private final case class Pin(id: Long, scope: String, kind: String,
+                               rddIds: Seq[Int], release: () => Unit)
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val pins =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Pin]()
+
+  private def registerPin(scope: String, kind: String, rddIds: Seq[Int],
+                          release: () => Unit): Unit = {
+    val id = pinSeq.incrementAndGet()
+    pins.put(id, Pin(id, scope, kind, rddIds, release))
+  }
+
+  private def pinsFor(scope: Option[String]): Seq[Pin] = {
+    import scala.jdk.CollectionConverters._
+    pins.values.asScala.filter(p => scope.forall(_ == p.scope)).toSeq
+  }
+
+  /** Live registered pins (optionally one scope's). */
+  def pinnedCount(scope: Option[String] = None): Int = pinsFor(scope).size
+
+  /** Block-manager bytes (memory + disk) of the registered CHECKPOINT
+    * pins, from the live RDD storage info. Persist pins report 0 here:
+    * their storage belongs to the CacheManager (visible in its own
+    * accounting) and materializes lazily at first read — this audit
+    * counts the storage the session has irrevocably pinned. */
+  def pinnedBytes(spark: SparkSession, scope: Option[String] = None): Long = {
+    val ids = pinsFor(scope).flatMap(_.rddIds).toSet
+    spark.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+  }
+
+  /** Release every registered pin (optionally one scope's): checkpoint
+    * blocks unpersist at the RDD level, cache-manager persists
+    * unpersist through the Dataset handle. Returns the number of pins
+    * released. Checkpoint data is UNRECOVERABLE after release (the
+    * lineage was truncated) — sweep only between units of work. */
+  def releaseAllPinned(scope: Option[String] = None): Int = {
+    val sel = pinsFor(scope)
+    sel.foreach { p => p.release(); pins.remove(p.id) }
+    sel.size
+  }
+
+  /** Persist `df` (lazily, through the cache manager) AND register the
+    * pin so [[releaseAllPinned]] can sweep it — the registry-aware
+    * spelling of `df.persist(level)` every in-library persist uses. */
+  def pinPersisted(df: DataFrame, scope: String,
+                   level: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val out = df.persist(level)
+    registerPin(scope, "persist", Seq.empty,
+      () => { out.unpersist(blocking = false); () })
     out
   }
 
@@ -317,10 +391,20 @@ object Scale {
     * frame's RDD leaves and unpersists them directly. Safe only when
     * the frame will not be read again: a localCheckpoint truncated its
     * lineage, so the data is UNRECOVERABLE after release. */
-  def releaseCompact(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
+  def releaseCompact(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }
+    rdds.foreach(_.unpersist(blocking = false))
+    // deregister any pin that tracked these blocks — a direct release
+    // must not leave a dangling registry entry (double-release via a
+    // later releaseAllPinned would be a harmless no-op, but the audit
+    // counts would lie)
+    val ids = rdds.map(_.id).toSet
+    import scala.jdk.CollectionConverters._
+    pins.values.asScala.filter(_.rddIds.exists(ids.contains))
+      .foreach(p => pins.remove(p.id))
+  }
 
   /** True if the physical plan funnels all rows into one partition —
     * the single-task global-window/global-sort scale-killer (an
@@ -372,7 +456,13 @@ object Scale {
       case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => 0
       case _: org.apache.spark.sql.execution.ReusedSubqueryExec => 0
       case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        if (seenCaches.add(i.relation)) walk(i.relation.cachedPlan) else 0
+        // Key on the shared CachedRDDBuilder, NOT the relation instance:
+        // CacheManager substitutes a fresh InMemoryRelation (newInstance,
+        // fresh output attrs) at EVERY consumer site, so identity-keyed
+        // dedup would count one cache k times for k readers. The builder
+        // object is the one thing all substituted instances share — it is
+        // what guarantees the cache builds once.
+        if (seenCaches.add(i.relation.cacheBuilder)) walk(i.relation.cachedPlan) else 0
       case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
       case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => 1
       case other =>

@@ -38,10 +38,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *    (trainer state, one-row profiles whose inputs were materialized
   *    at construction: txt_zipf, vocab_drift, txt_heaps).
   */
-class ScanCountSpec extends AnyFunSuite {
-  import SparkTestSession._
-
-  private val expected: Map[String, Int] = Map(
+/** The shared gate: the 202-query expected map plus the shard runner.
+  * Sharded because one monolithic test ran ~2.5 min and grows with
+  * every query — four interleaved shards keep each suite under a
+  * minute (VERDICT r12 #5) without changing a single pinned count.
+  * Shards interleave by sorted index (i % 4), not by name range, so
+  * the expensive dedup/txt families spread across shards. */
+object ScanCountGate {
+  val expected: Map[String, Int] = Map(
     "anti_join" -> 2,
     "asof_join" -> 2,
     "block_max_norm" -> 1,
@@ -82,7 +86,12 @@ class ScanCountSpec extends AnyFunSuite {
     "dedup_editdist_incr" -> 2,
     "dedup_editdist_pairs" -> 1,
     "dedup_exact" -> 1,
-    "dedup_incremental" -> 0,
+    // 4 = the lazy-persist build scans of lshMatchesAgainst's pinned
+    // frames (corpus side x2: band pass + verification shingles; batch
+    // side x2: same) — exactly the work the earlier checkpoint variant
+    // ran at construction time. The cache builds ONCE (deduped by
+    // cacheBuilder in executedFileScans); consumers read it for free.
+    "dedup_incremental" -> 4,
     "dedup_jaccard_brute" -> 3,
     "dedup_jaccard_incr" -> 4,
     "dedup_jaccard_join" -> 3,
@@ -246,23 +255,59 @@ class ScanCountSpec extends AnyFunSuite {
     "wordpiece_train" -> 0
   )
 
+  /** Execute shard `shard` of `of` and return the mismatch lines. */
+  def runShard(shard: Int, of: Int): Seq[String] = {
+    import SparkTestSession._
+    SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .filter { case (_, i) => i % of == shard }
+      .flatMap { case ((name, fn), _) =>
+        // a catalog cache left by an earlier query (or suite) would
+        // substitute into this plan and change its count
+        spark.catalog.clearCache()
+        val got = graft.ops.Scale.executedFileScans(fn(spark, sfDir))
+        if (got == expected(name)) None
+        else Some(s"$name: expected ${expected(name)}, executed $got")
+      }
+  }
+}
+
+class ScanCountSpec extends AnyFunSuite {
+  import SparkTestSession._
+
   test("every registered query declares an expected executed-scan count") {
-    val missing = SparkEntry.queries.keySet.diff(expected.keySet)
-    val stale = expected.keySet.diff(SparkEntry.queries.keySet)
+    val missing = SparkEntry.queries.keySet.diff(ScanCountGate.expected.keySet)
+    val stale = ScanCountGate.expected.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty,
-      s"queries without a declared scan count (add to ScanCountSpec): ${missing.toSeq.sorted.mkString(", ")}")
+      s"queries without a declared scan count (add to ScanCountGate): ${missing.toSeq.sorted.mkString(", ")}")
     assert(stale.isEmpty,
       s"scan-count entries for queries that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
   }
+}
 
-  test("executed file-scan count matches the declared map for every query") {
-    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      // a catalog cache left by an earlier query (or suite) would
-      // substitute into this plan and change its count
-      spark.catalog.clearCache()
-      val got = graft.ops.Scale.executedFileScans(fn(spark, sfDir))
-      if (got == expected(name)) None else Some(s"$name: expected ${expected(name)}, executed $got")
-    }
+class ScanCountShard0Spec extends AnyFunSuite {
+  test("executed file-scan count matches the declared map (shard 0/4)") {
+    val mismatches = ScanCountGate.runShard(0, 4)
+    assert(mismatches.isEmpty, s"scan-count regressions:\n${mismatches.mkString("\n")}")
+  }
+}
+
+class ScanCountShard1Spec extends AnyFunSuite {
+  test("executed file-scan count matches the declared map (shard 1/4)") {
+    val mismatches = ScanCountGate.runShard(1, 4)
+    assert(mismatches.isEmpty, s"scan-count regressions:\n${mismatches.mkString("\n")}")
+  }
+}
+
+class ScanCountShard2Spec extends AnyFunSuite {
+  test("executed file-scan count matches the declared map (shard 2/4)") {
+    val mismatches = ScanCountGate.runShard(2, 4)
+    assert(mismatches.isEmpty, s"scan-count regressions:\n${mismatches.mkString("\n")}")
+  }
+}
+
+class ScanCountShard3Spec extends AnyFunSuite {
+  test("executed file-scan count matches the declared map (shard 3/4)") {
+    val mismatches = ScanCountGate.runShard(3, 4)
     assert(mismatches.isEmpty, s"scan-count regressions:\n${mismatches.mkString("\n")}")
   }
 }
