@@ -487,8 +487,16 @@ object StreamOps {
     */
   def streamingSimhashGate(docs: DataFrame, corpusIndex: DataFrame,
                            maxHamming: Int = 3,
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import graft.text.TextQueries
+    // the static index must carry this gate's band geometry (4×15 over
+    // 60 bits) — a different banding silently misses matches; strict
+    // because a gate is a recall-1-by-pigeonhole consumer
+    TextQueries.requireIndexCompatible(corpusIndex,
+      TextQueries.KindSimhashBand, portableHash = true, column = "bk",
+      strict = !unsafeAssumeCompatible,
+      params = Map("bands" -> 4L, "bits" -> 60L))
     val enriched = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
@@ -522,13 +530,22 @@ object StreamOps {
     */
   def streamingWinnowGate(docs: DataFrame, corpusIndex: DataFrame,
                           k: Int = 3, w: Int = 4,
-                          watermark: String = "10 minutes"): DataFrame =
+                          watermark: String = "10 minutes",
+                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    // the static index must have been winnowed at THIS gate's (k, w) —
+    // different parameters select disjoint fingerprints and the probe
+    // join matches nothing, silently waving every duplicate through
+    graft.text.TextQueries.requireIndexCompatible(corpusIndex,
+      graft.text.TextQueries.KindWinnowFp, portableHash = true,
+      column = "fp", strict = !unsafeAssumeCompatible,
+      params = Map("k" -> k.toLong, "w" -> w.toLong))
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         explode(graft.text.TextQueries.winnowFpsExpr(k, w)).as("fp"))
       .join(corpusIndex.select(col("fp"), col("dup_of")), Seq("fp"))
       .select(col("batch_id"), col("ts"), col("dup_of"))
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
+  }
 
   /** Stream-static EXACT-Jaccard gate: incoming documents probe the
     * persisted COMPACT prefix index ([[graft.text.TextQueries.jaccardIndex]]

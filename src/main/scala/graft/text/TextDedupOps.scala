@@ -34,7 +34,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * n-gram operators share ([[topNgram]], [[scrubFrequentNgrams]],
     * [[bigramScore]], [[dsirBucketsExpr]]). Space-joined, order
     * preserved, (size - n + 1) grams. */
-  private[text] def ngramArrayExpr(n: Int): String = {
+  private[graft] def ngramArrayExpr(n: Int): String = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     val rest = (1 until n).map(j => s", toks[i + $j]").mkString
     s"transform(slice(toks, 1, greatest(size(toks) - ${n - 1}, 0)), (t, i) -> concat_ws(' ', t$rest))"
@@ -433,15 +433,17 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     // measured 12.68 → 8.49 s at 2M). persist, NOT localCheckpoint:
     // this is the incremental PER-BATCH API — an ingest loop calls it
     // once per crawl batch, and cache-manager blocks are releasable
-    // (`spark.catalog.clearCache()` between batches, the session-owned
-    // convention) and evictable under pressure (recompute, not
-    // failure), where a checkpoint per call would pin storage until an
-    // RDD-level sweep. Compact rows: candidate pairs / (doc_id, h).
-    val cand = cBands.as("cb")
+    // and evictable under pressure (recompute, not failure), where a
+    // checkpoint per call would pin storage until an RDD-level sweep.
+    // All three pins register under the `lsh_against` scope —
+    // `Scale.releaseAllPinned(Some("lsh_against"))` between batches
+    // releases exactly this family (`spark.catalog.clearCache()` is
+    // the blunt alternative: it also drops caches the caller owns).
+    // Compact rows: candidate pairs / (doc_id, h).
+    val cand = graft.ops.Scale.pinPersisted(cBands.as("cb")
       .join(broadcast(bandSignatures(batch, portableHash)).as("nb"), Seq("band", "sig"))
       .select(col("nb.doc_id").as("batch_id"), col("cb.doc_id").as("corpus_id"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct(), "lsh_against")
     // verify on candidate docs only: the corpus prunes to candidate ids
     // (broadcast semi join) before any shingling happens. Both shingle
     // frames are pinned for the same reason: each feeds the
@@ -450,11 +452,12 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     // once per consumer. The corpus side is candidate-bounded, the
     // batch side batch-bounded.
     val candIds = cand.select(col("corpus_id").as("doc_id")).distinct()
-    val shC = shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      .select(col("doc_id"), phash(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shB = shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shC = graft.ops.Scale.pinPersisted(
+      shingles(corpus.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), phash(col("shingle")).as("h")), "lsh_against")
+    val shB = graft.ops.Scale.pinPersisted(
+      shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h")),
+      "lsh_against")
     val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
@@ -812,22 +815,55 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val IndexTPpmKey = "graft.index.t_ppm"
   private[graft] val IndexHashOrderedKey = "graft.index.hash_ordered"
   private[graft] val IndexBuildIdKey = "graft.index.build_id"
+  /** Family-parameter stamps (`graft.index.param.<name>`): integer
+    * build parameters an index's VALUES depend on — winnow k/window,
+    * substring window length, simhash band geometry. A consumer
+    * probing with a different value matches structurally (same
+    * schema, same hash kind) but semantically never: a winnow index
+    * built at k=3 probed by a k=4 consumer shares zero fingerprints
+    * and silently waves every near-duplicate through — the identical
+    * failure class the kind/hash stamps close, one axis further in. */
+  private[graft] val IndexParamPrefix = "graft.index.param."
   private[graft] val KindJaccardPrefix = "jaccard_prefix"
   private[graft] val KindContainFull = "contain_full"
   private[graft] val KindDocSide = "doc_hash_side"
   private[graft] val KindCorpusDf = "corpus_df"
+  private[graft] val KindWinnowFp = "winnow_fp"
+  private[graft] val KindSimhashBand = "simhash_band"
+  private[graft] val KindSubstringTok = "substring_tok"
+  private[graft] val KindSubstringChar = "substring_char"
 
-  private def indexMeta(kind: String, portableHash: Boolean,
+  private[graft] def indexMeta(kind: String, portableHash: Boolean,
                         tPpm: Option[Long] = None,
                         hashOrdered: Option[Boolean] = None,
-                        buildId: Option[String] = None) = {
+                        buildId: Option[String] = None,
+                        params: Map[String, Long] = Map.empty) = {
     val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putString(IndexKindKey, kind)
       .putBoolean(IndexPortableHashKey, portableHash)
     tPpm.foreach(b.putLong(IndexTPpmKey, _))
     hashOrdered.foreach(b.putBoolean(IndexHashOrderedKey, _))
     buildId.foreach(b.putString(IndexBuildIdKey, _))
+    params.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      b.putLong(IndexParamPrefix + k, v) }
     b.build()
+  }
+
+  /** Stamp a corpus SNAPSHOT frame with a build id (on its `text`
+    * column) so the lazy-index consumers — winnow / simhash /
+    * substring / edit-distance `*Against` — can cross-check the index
+    * they were handed against the corpus version they were pointed at
+    * ([[requireSameBuild]]'s contract for the families whose builders
+    * have no multi-table writer). Stamp the snapshot once when it is
+    * sealed, pass the SAME id to the index builders run from it; a
+    * consumer fed the index of one snapshot and the text of another
+    * then fails at plan time instead of silently under-matching. */
+  def stampCorpusBuild(docs: DataFrame, buildId: String,
+                       column: String = "text"): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(docs.schema(column).metadata)
+      .putString(IndexBuildIdKey, buildId).build()
+    docs.withColumn(column, col(column).as(column, m))
   }
 
   /** Cross-frame CORPUS-IDENTITY gate: the per-frame stamps record
@@ -885,11 +921,24 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
                                             tPpm: Option[Long] = None,
                                             hashOrdered: Option[Boolean] = None,
                                             column: String = "h",
-                                            strict: Boolean = false): Unit = {
+                                            strict: Boolean = false,
+                                            params: Map[String, Long] = Map.empty): Unit = {
     val m = idx.schema(column).metadata
+    // kind FIRST: a stamped-but-wrong-kind index (e.g. the char-level
+    // substring index under the token-level consumer — identical
+    // one-column schema) should fail with the kind diagnosis, not a
+    // misleading "missing param" message from the strict presence check
+    if (m.contains(IndexKindKey)) {
+      val built = m.getString(IndexKindKey)
+      require(built == kind,
+        s"index kind '$built' does not match this consumer's required " +
+          s"'$kind': a prefix-cut index under a containment probe (or vice " +
+          "versa) is a silent recall hole — build the right index")
+    }
     if (strict) {
       val needed = Seq(IndexKindKey, IndexPortableHashKey) ++
-        tPpm.map(_ => IndexTPpmKey) ++ hashOrdered.map(_ => IndexHashOrderedKey)
+        tPpm.map(_ => IndexTPpmKey) ++ hashOrdered.map(_ => IndexHashOrderedKey) ++
+        params.keys.toSeq.sorted.map(IndexParamPrefix + _)
       val missing = needed.filterNot(m.contains)
       require(missing.isEmpty,
         s"index column '$column' carries no build metadata for " +
@@ -899,13 +948,6 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
           "metadata-carrying paths (parquet / catalog / localCheckpoint), " +
           "or pass unsafeAssumeCompatible = true to vouch for a hand-built " +
           "frame")
-    }
-    if (m.contains(IndexKindKey)) {
-      val built = m.getString(IndexKindKey)
-      require(built == kind,
-        s"index kind '$built' does not match this consumer's required " +
-          s"'$kind': a prefix-cut index under a containment probe (or vice " +
-          "versa) is a silent recall hole — build the right index")
     }
     if (m.contains(IndexPortableHashKey)) {
       val built = m.getBoolean(IndexPortableHashKey)
@@ -928,6 +970,17 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
         s"index token order (hashOrdered=$built) does not match this " +
           s"consumer's prefix order (hashOrdered=$ho): the prefix " +
           "theorem requires ONE total order common to both sides")
+    }
+    for ((name, want) <- params.toSeq.sortBy(_._1);
+         key = IndexParamPrefix + name if m.contains(key)) {
+      val built = m.getLong(key)
+      require(built == want,
+        s"index build parameter $name=$built does not match this " +
+          s"consumer's $name=$want: the fingerprint/window values the two " +
+          "sides compute share nothing under different parameters, so the " +
+          "probe join matches (near) zero rows and every duplicate is " +
+          "silently waved through — rebuild the index at this consumer's " +
+          "parameters or probe at the index's")
     }
   }
 

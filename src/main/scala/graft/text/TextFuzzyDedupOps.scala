@@ -190,7 +190,8 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * bucketed by `fp` and the per-batch probe join's static side
     * carries no Exchange (the sorted/bucketed corpus-writer
     * discipline). */
-  def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+  def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4,
+                  buildId: Option[String] = None): DataFrame =
     // materialize BEFORE the explode: fps referenced once lets
     // CollapseProject inline the whole window-min/hash chain per
     // element (~60× per-row cost — the winnowPairs lesson; this path
@@ -198,6 +199,13 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     graft.ops.Scale.materializeCompact(
         winnowFrame(corpus, k, w).select(col("doc_id"), col("fps")))
       .select(col("doc_id").as("dup_of"), explode(col("fps")).as("fp"))
+      // metadata in a SECOND select: an Alias over a generator loses
+      // its explicitMetadata when the analyzer rewrites it to the
+      // Generate node's output attribute
+      .select(col("dup_of"),
+        col("fp").as("fp",
+          indexMeta(KindWinnowFp, portableHash = true, buildId = buildId,
+            params = Map("k" -> k.toLong, "w" -> w.toLong))))
 
   /** Incremental winnow dedup: each batch document's BEST corpus match
     * by shared selected-fingerprint count (ties → min dup_of) —
@@ -216,8 +224,22 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * [[scrubFrequentNgrams]] removes upstream). */
   def winnowDedupAgainst(batch: DataFrame, corpus: DataFrame,
                          k: Int = 3, w: Int = 4, minShared: Long = 1,
-                         corpusIndex: Option[DataFrame] = None): DataFrame = {
+                         corpusIndex: Option[DataFrame] = None,
+                         unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a handed-in index must have been built at THIS consumer's (k, w)
+    // — different parameters share zero fingerprints and silently wave
+    // every near-duplicate through (strict: a stripped index is the
+    // same surface with the guards disarmed) — and, when both frames
+    // are build-stamped, from THIS corpus snapshot
+    corpusIndex.foreach { idx =>
+      requireIndexCompatible(idx, KindWinnowFp, portableHash = true,
+        column = "fp", strict = !unsafeAssumeCompatible,
+        params = Map("k" -> k.toLong, "w" -> w.toLong))
+      if (!unsafeAssumeCompatible)
+        requireSameBuild(idx, corpus, idxColumn = "fp", sideColumn = "text",
+          sideName = "corpus")
+    }
     val cIdx = corpusIndex.getOrElse(winnowIndex(corpus, k, w))
     val bf = winnowFrame(batch, k, w)
       .select(col("doc_id"), col("fps")).localCheckpoint()
@@ -244,8 +266,12 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     */
   def editDistAgainst(batch: DataFrame, corpus: DataFrame,
                       k: Int = 3, w: Int = 4, minSimPpm: Long = 500000L,
-                      corpusIndex: Option[DataFrame] = None): DataFrame = {
-    val cand = winnowDedupAgainst(batch, corpus, k, w, corpusIndex = corpusIndex)
+                      corpusIndex: Option[DataFrame] = None,
+                      unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    // guards (kind / k / w / build-id vs the corpus snapshot) live in
+    // the candidate stage — this wrapper adds only the text-verify join
+    val cand = winnowDedupAgainst(batch, corpus, k, w,
+      corpusIndex = corpusIndex, unsafeAssumeCompatible = unsafeAssumeCompatible)
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
     levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),
@@ -579,13 +605,16 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * persist it BUCKETED by h and the per-batch probe join's static
     * side carries no exchange). */
   def substringIndex(corpus: DataFrame, k: Int = 50,
-                     portableHash: Boolean = true): DataFrame = {
+                     portableHash: Boolean = true,
+                     buildId: Option[String] = None): DataFrame = {
     require(k >= 2, s"window length must be >= 2 tokens, got $k")
     val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     corpus
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(ngramArrayExpr(k))).as("win"))
-      .select(h(col("win")).as("h"))
+      .select(h(col("win")).as("h",
+        indexMeta(KindSubstringTok, portableHash, buildId = buildId,
+          params = Map("k" -> k.toLong))))
       .distinct()
   }
 
@@ -606,15 +635,28 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     */
   def exactSubstringDedupAgainst(batch: DataFrame, corpus: DataFrame,
                                  k: Int = 50,
-                                 portableHash: Boolean = true): DataFrame = {
+                                 portableHash: Boolean = true,
+                                 corpusIndex: Option[DataFrame] = None,
+                                 unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    // a handed-in (pre-materialized) index must match this consumer's
+    // window length and hash kind — a k or hash mismatch matches zero
+    // windows and every duplicated span survives the scrub unseen —
+    // and, when both frames are build-stamped, this corpus snapshot
+    corpusIndex.foreach { idx =>
+      requireIndexCompatible(idx, KindSubstringTok, portableHash,
+        strict = !unsafeAssumeCompatible, params = Map("k" -> k.toLong))
+      if (!unsafeAssumeCompatible)
+        requireSameBuild(idx, corpus, sideColumn = "text", sideName = "corpus")
+    }
     val h: Column => Column = if (portableHash) phash else (c => xxhash64(c))
     val pre = batch.repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val starts = pre
       .select(col("doc_id"), posexplode(expr(ngramArrayExpr(k))).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos"), h(col("win")).as("h"))
-      .join(substringIndex(corpus, k, portableHash), Seq("h"), "left_semi")
+      .join(corpusIndex.getOrElse(substringIndex(corpus, k, portableHash)),
+        Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     scrubSpans(pre, starts, k)
   }
@@ -846,10 +888,16 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * [[substringIndex]] twin one granularity down — same bucketed-by-h
     * persistence discipline, ~6× the row count). */
   def substringCharsIndex(corpus: DataFrame, L: Int = 100,
-                          portableHash: Boolean = true): DataFrame = {
+                          portableHash: Boolean = true,
+                          buildId: Option[String] = None): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
     corpus
       .select(explode(charWinHashCol(L, portableHash)).as("h"))
+      // second select: generator aliases drop explicitMetadata (see
+      // winnowIndex)
+      .select(col("h").as("h",
+        indexMeta(KindSubstringChar, portableHash, buildId = buildId,
+          params = Map("L" -> L.toLong))))
       .distinct()
   }
 
@@ -863,13 +911,24 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * on the batch for that); the two compose. */
   def exactSubstringDedupCharsAgainst(batch: DataFrame, corpus: DataFrame,
                                       L: Int = 100,
-                                      portableHash: Boolean = true): DataFrame = {
+                                      portableHash: Boolean = true,
+                                      corpusIndex: Option[DataFrame] = None,
+                                      unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(L >= 2, s"window length must be >= 2 chars, got $L")
+    // same contract as [[exactSubstringDedupAgainst]], one granularity
+    // down: window length L and hash kind must match the index build
+    corpusIndex.foreach { idx =>
+      requireIndexCompatible(idx, KindSubstringChar, portableHash,
+        strict = !unsafeAssumeCompatible, params = Map("L" -> L.toLong))
+      if (!unsafeAssumeCompatible)
+        requireSameBuild(idx, corpus, sideColumn = "text", sideName = "corpus")
+    }
     val pre = batch.repartition(col("doc_id")).select(col("doc_id"), col("text"))
     val starts = pre
       .select(col("doc_id"),
         posexplode(charWinHashCol(L, portableHash)).as(Seq("pos", "h")))
-      .join(substringCharsIndex(corpus, L, portableHash), Seq("h"), "left_semi")
+      .join(corpusIndex.getOrElse(substringCharsIndex(corpus, L, portableHash)),
+        Seq("h"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
     scrubCharSpans(pre, starts, L)
   }

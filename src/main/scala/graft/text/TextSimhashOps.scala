@@ -139,11 +139,13 @@ private[text] trait TextSimhashOps { this: TextQueries.type =>
     * (bk, h, dup_of) rows, 4 per document. Write it bucketed by `bk`
     * (the sorted/bucketed corpus-writer discipline) and the per-batch
     * probe join's static side carries no Exchange. */
-  def simhashIndex(corpus: DataFrame): DataFrame =
+  def simhashIndex(corpus: DataFrame, buildId: Option[String] = None): DataFrame =
     simhashFrameWide(corpus)
       .select(col("doc_id").as("dup_of"), col("simhash").as("h"),
         explode(expr("sequence(0, 3)")).as("b"))
-      .select(expr("b * 32768 + ((h >> (15 * b)) & 32767)").as("bk"),
+      .select(expr("b * 32768 + ((h >> (15 * b)) & 32767)")
+          .as("bk", indexMeta(KindSimhashBand, portableHash = true,
+            buildId = buildId, params = Map("bands" -> 4L, "bits" -> 60L))),
         col("h"), col("dup_of"))
 
   /** ALL batch-vs-corpus matches at hamming <= `maxHamming` —
@@ -154,9 +156,23 @@ private[text] trait TextSimhashOps { this: TextQueries.type =>
     * batch-parity reference. */
   def simhashMatchesAgainst(batch: DataFrame, corpus: DataFrame,
                             maxHamming: Int = 3,
-                            corpusIndex: Option[DataFrame] = None): DataFrame = {
+                            corpusIndex: Option[DataFrame] = None,
+                            unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 bands over 60 bits guarantee recall only to hamming 3, got $maxHamming")
+    // a handed-in index must carry THIS probe's band geometry (4×15
+    // over 60 bits — a different banding puts fingerprints in buckets
+    // this probe never visits, breaking the pigeonhole recall
+    // guarantee silently) and, when both frames are build-stamped,
+    // come from THIS corpus snapshot
+    corpusIndex.foreach { idx =>
+      requireIndexCompatible(idx, KindSimhashBand, portableHash = true,
+        column = "bk", strict = !unsafeAssumeCompatible,
+        params = Map("bands" -> 4L, "bits" -> 60L))
+      if (!unsafeAssumeCompatible)
+        requireSameBuild(idx, corpus, idxColumn = "bk", sideColumn = "text",
+          sideName = "corpus")
+    }
     val cIdx = corpusIndex.getOrElse(simhashIndex(corpus))
     val b = simhashFrameWide(batch).localCheckpoint()
       .select(col("doc_id").as("batch_id"), col("simhash").as("bh"),
@@ -176,11 +192,13 @@ private[text] trait TextSimhashOps { this: TextQueries.type =>
     * [[lshPairsAgainst]]'s (batch_id, dup_of, score) contract. */
   def simhashDedupAgainst(batch: DataFrame, corpus: DataFrame,
                           maxHamming: Int = 3,
-                          corpusIndex: Option[DataFrame] = None): DataFrame = {
+                          corpusIndex: Option[DataFrame] = None,
+                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val best = Window.partitionBy("batch_id")
       .orderBy(col("hamming"), col("dup_of"))
-    simhashMatchesAgainst(batch, corpus, maxHamming, corpusIndex)
+    simhashMatchesAgainst(batch, corpus, maxHamming, corpusIndex,
+      unsafeAssumeCompatible)
       .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
       .select(col("batch_id"), col("dup_of"), col("hamming"))
   }

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.TextQueries
+
+/** Index-contract stamps for the NON-jaccard incremental families —
+  * winnow, simhash, exact-substring (token and char) — the same
+  * silent-recall-loss class `requireIndexCompatible`/`requireSameBuild`
+  * closed for the jaccard/contain families one module over: a
+  * persistable index side built with different parameters (winnow k/w,
+  * substring window length, simhash band geometry), a different hash
+  * kind, a stripped schema, or a different corpus VERSION silently
+  * under-matches (often to zero) instead of failing. Every test here
+  * feeds a wrong index to a consumer and asserts the LOUD plan-time
+  * failure; the escape hatch must stay result-identical.
+  */
+class IndexContractSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val corpus = docs.filter(col("doc_id") % 2 === 0)
+  private lazy val batch = docs.filter(col("doc_id") % 2 === 1)
+
+  // cast+alias rebuilds the column without its metadata — the
+  // schema-stripping transform class the strict mode exists for
+  private def stripped(df: org.apache.spark.sql.DataFrame, c: String) = {
+    val out = df.withColumn(c, col(c).cast(df.schema(c).dataType.sql))
+    assert(out.schema(c).metadata.json == "{}", "fixture must actually strip")
+    out
+  }
+
+  test("winnow: wrong-parameter index (k/w) fails loudly; stripped fails strict; escape hatch is result-identical") {
+    val idx34 = TextQueries.winnowIndex(corpus, k = 3, w = 4)
+    assert(idx34.schema("fp").metadata.getLong("graft.index.param.k") == 3L)
+    // k mismatch: a k=4 probe against a k=3 index shares zero
+    // fingerprints — every near-duplicate silently waved through
+    val eK = intercept[IllegalArgumentException] {
+      TextQueries.winnowDedupAgainst(batch, corpus, k = 4, w = 4,
+        corpusIndex = Some(idx34))
+    }
+    assert(eK.getMessage.contains("build parameter k=3"), eK.getMessage)
+    // w mismatch: different window selects different minima
+    intercept[IllegalArgumentException] {
+      TextQueries.winnowDedupAgainst(batch, corpus, k = 3, w = 6,
+        corpusIndex = Some(idx34))
+    }
+    // the editdist wrapper inherits the candidate stage's guards
+    intercept[IllegalArgumentException] {
+      TextQueries.editDistAgainst(batch, corpus, k = 4, w = 4,
+        corpusIndex = Some(idx34))
+    }
+    // stripped metadata = same failure surface with the guards
+    // disarmed → strict rejects it
+    val eS = intercept[IllegalArgumentException] {
+      TextQueries.winnowDedupAgainst(batch, corpus,
+        corpusIndex = Some(stripped(idx34, "fp")))
+    }
+    assert(eS.getMessage.contains("no build metadata"), eS.getMessage)
+    // escape hatch: stripped-but-genuinely-compatible under
+    // unsafeAssumeCompatible=true equals the stamped path
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("batch_id", "dup_of", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = snap(TextQueries.winnowDedupAgainst(batch, corpus,
+      corpusIndex = Some(idx34)))
+    assert(want.nonEmpty, "fixture must produce winnow matches")
+    assert(snap(TextQueries.winnowDedupAgainst(batch, corpus,
+      corpusIndex = Some(stripped(idx34, "fp")),
+      unsafeAssumeCompatible = true)) == want)
+  }
+
+  test("winnow: cross-version (index of one corpus build, text of another) fails loudly via the build-id stamps") {
+    val idxV1 = TextQueries.winnowIndex(corpus, buildId = Some("corpus-v1"))
+    val corpusV2 = TextQueries.stampCorpusBuild(corpus, "corpus-v2")
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.winnowDedupAgainst(batch, corpusV2,
+        corpusIndex = Some(idxV1))
+    }
+    assert(e.getMessage.contains("different corpus versions"), e.getMessage)
+    // matching ids pass — and the stamp itself changes no results
+    val got = TextQueries.winnowDedupAgainst(batch,
+      TextQueries.stampCorpusBuild(corpus, "corpus-v1"),
+      corpusIndex = Some(idxV1)).count()
+    assert(got == TextQueries.winnowDedupAgainst(batch, corpus).count())
+  }
+
+  test("simhash: stripped index fails strict; cross-version fails; escape hatch result-identical; streaming gate guarded") {
+    val idx = TextQueries.simhashIndex(corpus)
+    assert(idx.schema("bk").metadata.getLong("graft.index.param.bands") == 4L)
+    val eS = intercept[IllegalArgumentException] {
+      TextQueries.simhashDedupAgainst(batch, corpus,
+        corpusIndex = Some(stripped(idx, "bk")))
+    }
+    assert(eS.getMessage.contains("no build metadata"), eS.getMessage)
+    intercept[IllegalArgumentException] {
+      TextQueries.simhashDedupAgainst(batch,
+        TextQueries.stampCorpusBuild(corpus, "v2"),
+        corpusIndex = Some(TextQueries.simhashIndex(corpus, Some("v1"))))
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = snap(TextQueries.simhashMatchesAgainst(batch, corpus))
+    assert(want.nonEmpty, "fixture must produce simhash matches")
+    assert(snap(TextQueries.simhashMatchesAgainst(batch, corpus,
+      corpusIndex = Some(stripped(idx, "bk")),
+      unsafeAssumeCompatible = true)) == want)
+    // the streaming gate rejects a stripped static index at plan time
+    // (before any stream starts)
+    val in = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, ts TIMESTAMP, text STRING"))
+      .parquet(java.nio.file.Files.createTempDirectory("graft_idxc").toString)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingSimhashGate(in, stripped(idx, "bk"))
+    }
+  }
+
+  test("substring (token): wrong window length / wrong hash kind / wrong granularity / cross-version all fail loudly") {
+    val idx50 = TextQueries.substringIndex(corpus, k = 50)
+    assert(idx50.schema("h").metadata.getLong("graft.index.param.k") == 50L)
+    // window-length mismatch: k=30 windows hash to values a k=50 index
+    // never contains — zero scrubbed spans, silently
+    val eK = intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 30,
+        corpusIndex = Some(idx50))
+    }
+    assert(eK.getMessage.contains("build parameter k=50"), eK.getMessage)
+    // hash-kind mismatch: xxhash64 index under an md5 probe matches zero
+    intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50,
+        corpusIndex = Some(TextQueries.substringIndex(corpus, k = 50,
+          portableHash = false)))
+    }
+    // granularity mismatch: the char-level index has the identical
+    // one-column (h) schema — only the kind stamp can tell them apart
+    val eG = intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50,
+        corpusIndex = Some(TextQueries.substringCharsIndex(corpus, L = 50)))
+    }
+    assert(eG.getMessage.contains("kind"), eG.getMessage)
+    // cross-version
+    intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupAgainst(batch,
+        TextQueries.stampCorpusBuild(corpus, "v2"), k = 50,
+        corpusIndex = Some(TextQueries.substringIndex(corpus, k = 50,
+          buildId = Some("v1"))))
+    }
+    // a handed-in compatible index is result-identical to the inline build
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_hash").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50,
+        corpusIndex = Some(idx50))) ==
+      snap(TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50)))
+  }
+
+  test("substring (chars): wrong L / stripped / cross-version fail loudly; compatible index result-identical") {
+    val idx = TextQueries.substringCharsIndex(corpus, L = 100)
+    intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupCharsAgainst(batch, corpus, L = 80,
+        corpusIndex = Some(idx))
+    }
+    intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupCharsAgainst(batch, corpus, L = 100,
+        corpusIndex = Some(stripped(idx, "h")))
+    }
+    intercept[IllegalArgumentException] {
+      TextQueries.exactSubstringDedupCharsAgainst(batch,
+        TextQueries.stampCorpusBuild(corpus, "v2"), L = 100,
+        corpusIndex = Some(TextQueries.substringCharsIndex(corpus, L = 100,
+          buildId = Some("v1"))))
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_hash").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(TextQueries.exactSubstringDedupCharsAgainst(batch, corpus,
+        L = 100, corpusIndex = Some(idx))) ==
+      snap(TextQueries.exactSubstringDedupCharsAgainst(batch, corpus, L = 100)))
+  }
+
+  test("streaming winnow gate: a wrong-(k,w) static index is rejected at plan time") {
+    val idx34 = TextQueries.winnowIndex(corpus, k = 3, w = 4)
+    val in = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, ts TIMESTAMP, text STRING"))
+      .parquet(java.nio.file.Files.createTempDirectory("graft_idxw").toString)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingWinnowGate(in, idx34, k = 4, w = 4)
+    }
+    assert(e.getMessage.contains("build parameter"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingWinnowGate(in, stripped(idx34, "fp"))
+    }
+  }
+
+  test("stamps survive a parquet round-trip (the persisted-index path)") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
+    TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))
+      .write.mode("overwrite").parquet(outDir.toString)
+    val m = spark.read.parquet(outDir.toString).schema("fp").metadata
+    assert(m.getString("graft.index.kind") == "winnow_fp")
+    assert(m.getLong("graft.index.param.k") == 3L &&
+      m.getLong("graft.index.param.w") == 4L)
+    assert(m.getString("graft.index.build_id") == "rt-1")
+  }
+}
