@@ -146,15 +146,29 @@ private[text] trait TextSamplingOps { this: TextQueries.type =>
     // rides through untyped-untouched for the output
     val kCol = "graft_stratum_key"
     require(!docs.columns.contains(kCol), s"input must not already contain $kCol")
-    // enforce the injective-string-rendering contract (scaladoc): a
-    // binary/map stratum could merge two distinct values into one
-    // string key and silently share a k-budget
+    // enforce the injective-string-rendering contract (scaladoc) by
+    // ALLOW-LIST: only atomic types whose CAST-TO-STRING is injective
+    // qualify as stratum keys. A deny-list (binary/map) is the wrong
+    // shape — nested containers are non-injective too (array('a, b')
+    // and array('a','b') both render '[a, b]'; structs likewise), so
+    // two distinct stratum values could merge and silently share one
+    // k-budget.
     val strataType = docs.schema(strataCol).dataType
-    require(!strataType.isInstanceOf[org.apache.spark.sql.types.BinaryType] &&
-      !strataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+    val injectiveRendering = {
+      import org.apache.spark.sql.types._
+      strataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
+    require(injectiveRendering,
       s"corpusSampleK strata on $strataCol: ${strataType.simpleString} has a " +
-        "non-injective string rendering — two distinct stratum values could " +
-        "merge into one stratum; key on a string/integer/date domain column")
+        "non-injective (or unverified) string rendering — two distinct " +
+        "stratum values could merge into one stratum; key on a " +
+        "string/integer/date/timestamp/boolean domain column")
     val withH = docs.select(col("doc_id"), col(strataCol),
       col(strataCol).cast("string").as(kCol), h.as("h"))
     def strEq(s: String) =

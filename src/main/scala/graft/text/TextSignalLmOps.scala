@@ -1175,13 +1175,14 @@ private[text] trait TextSignalLmOps { this: TextQueries.type =>
         .groupBy("w").agg(count(lit(1)).as("c")))
     // N (token instances) derives from the materialized vocabulary
     // (sum of counts — zero corpus scans); B (bigram instances) is
-    // N − n_docs exactly, since every doc contributes |toks| ≥ 1 tokens
-    // (split of an empty text is one empty-string token) and therefore
-    // |toks| − 1 = max(|toks| − 1, 0) bigram slots. The doc count is a
-    // count-star aggregate — parquet answers it from row-group
-    // metadata, no text bytes read.
+    // N − n_docs exactly, since every NON-NULL doc contributes
+    // |toks| ≥ 1 tokens (split of an empty text is one empty-string
+    // token) and therefore |toks| − 1 = max(|toks| − 1, 0) bigram
+    // slots. The doc count must be count(text) — non-null, matching
+    // the explode, which drops null-text docs from n_toks — or each
+    // null doc would wrongly subtract 1 from B.
     val totals = vocab.agg(sum(col("c")).cast("long").as("n_toks"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(docs.agg(count(col("text")).as("n_docs")))
       .select(col("n_toks"), (col("n_toks") - col("n_docs")).as("n_bigrams"))
     // CASE-guarded: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
     // would index past the array (the dupFracSql guard)
