@@ -207,6 +207,25 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
           indexMeta(KindWinnowFp, portableHash = true, buildId = buildId,
             params = Map("k" -> k.toLong, "w" -> w.toLong))))
 
+  /** Persist [[winnowIndex]] as a BUCKETED catalog table (bucketed +
+    * sorted by `fp`, the probe key) — the production layout for the
+    * winnow member, mirroring [[writeJaccardIndexTables]]: at probe
+    * time the static index side carries no Exchange; only the batch's
+    * fingerprint rows move. Stamps kind + (k, w) + one build id (pass
+    * the id you stamped the corpus snapshot with via
+    * [[stampCorpusBuild]] to arm the cross-version check end to end).
+    * The build's checkpoint blocks are released once written — the
+    * table, not the session, owns the data. Rebuild per corpus
+    * version. */
+  def writeWinnowIndexTable(corpus: DataFrame, table: String,
+                            k: Int = 3, w: Int = 4, buckets: Int = 64,
+                            buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    val idx = winnowIndex(corpus, k, w, id)
+    try graft.ops.Scale.writeBucketed(idx, "fp", buckets, table)
+    finally graft.ops.Scale.releaseCompact(idx)
+  }
+
   /** Incremental winnow dedup: each batch document's BEST corpus match
     * by shared selected-fingerprint count (ties → min dup_of) —
     * (batch_id, dup_of, n_shared, n_fps), the local-fingerprinting
@@ -618,6 +637,21 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
       .distinct()
   }
 
+  /** Persist [[substringIndex]] as a BUCKETED catalog table (bucketed +
+    * sorted by `h`) — the production layout for incremental
+    * exact-substring dedup: the per-batch probe's left-semi join meets
+    * the static side Exchange-free. Stamps kind + k + hash kind + one
+    * build id. Rebuild (or union-append a new snapshot's windows) per
+    * corpus version. */
+  def writeSubstringIndexTable(corpus: DataFrame, table: String,
+                               k: Int = 50, portableHash: Boolean = true,
+                               buckets: Int = 64,
+                               buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    graft.ops.Scale.writeBucketed(
+      substringIndex(corpus, k, portableHash, id), "h", buckets, table)
+  }
+
   /** Incremental exact-substring dedup: scrub every k-token window of
     * a NEW batch that already appears in the existing corpus — the
     * span-level member of the incremental family (exact-doc =
@@ -899,6 +933,18 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
         indexMeta(KindSubstringChar, portableHash, buildId = buildId,
           params = Map("L" -> L.toLong))))
       .distinct()
+  }
+
+  /** [[writeSubstringIndexTable]] one granularity down: persist
+    * [[substringCharsIndex]] bucketed + sorted by `h`. Same probe
+    * contract, ~6× the row count. */
+  def writeSubstringCharsIndexTable(corpus: DataFrame, table: String,
+                                    L: Int = 100, portableHash: Boolean = true,
+                                    buckets: Int = 64,
+                                    buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    graft.ops.Scale.writeBucketed(
+      substringCharsIndex(corpus, L, portableHash, id), "h", buckets, table)
   }
 
   /** Incremental char-level substring dedup: scrub every L-char window

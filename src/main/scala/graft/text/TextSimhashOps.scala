@@ -148,6 +148,18 @@ private[text] trait TextSimhashOps { this: TextQueries.type =>
             buildId = buildId, params = Map("bands" -> 4L, "bits" -> 60L))),
         col("h"), col("dup_of"))
 
+  /** Persist [[simhashIndex]] as a BUCKETED catalog table (bucketed +
+    * sorted by `bk`, the band-bucket probe key) — the production
+    * layout for the simhash member: the batch's four exploded band
+    * keys meet the static side Exchange-free. Stamps kind + band
+    * geometry + one build id. Rebuild per corpus version. */
+  def writeSimhashIndexTable(corpus: DataFrame, table: String,
+                             buckets: Int = 64,
+                             buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    graft.ops.Scale.writeBucketed(simhashIndex(corpus, id), "bk", buckets, table)
+  }
+
   /** ALL batch-vs-corpus matches at hamming <= `maxHamming` —
     * (batch_id, dup_of, hamming). Candidates meet in the banded index
     * buckets (lossless at hamming <= 3, the [[simhashPairs]]

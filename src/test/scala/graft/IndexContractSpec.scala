@@ -194,6 +194,56 @@ class IndexContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed writer front doors: catalog-table path is result-identical, guards stay armed, probe engages the bucketing") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force SMJ so the bucketed-static-side claim is actually exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      TextQueries.writeWinnowIndexTable(corpus, "widx_t", buckets = 4)
+      TextQueries.writeSimhashIndexTable(corpus, "sidx_t", buckets = 4)
+      TextQueries.writeSubstringIndexTable(corpus, "ssidx_t", k = 50, buckets = 4)
+      // stamps ride through saveAsTable/spark.table — guards stay armed
+      assert(spark.table("widx_t").schema("fp").metadata
+        .getString("graft.index.kind") == "winnow_fp")
+      assert(spark.table("sidx_t").schema("bk").metadata
+        .getLong("graft.index.param.bands") == 4L)
+      // ...including the rejection path, from the CATALOG frame
+      intercept[IllegalArgumentException] {
+        TextQueries.winnowDedupAgainst(batch, corpus, k = 4, w = 4,
+          corpusIndex = Some(spark.table("widx_t")))
+      }
+      intercept[IllegalArgumentException] {
+        TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 30,
+          corpusIndex = Some(spark.table("ssidx_t")))
+      }
+      // result identity vs the inline builds
+      val wTab = TextQueries.winnowDedupAgainst(batch, corpus,
+        corpusIndex = Some(spark.table("widx_t")))
+      assert(wTab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        TextQueries.winnowDedupAgainst(batch, corpus)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      assert(wTab.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "the winnow probe must engage the table's fp bucketing")
+      val sTab = TextQueries.simhashMatchesAgainst(batch, corpus,
+        corpusIndex = Some(spark.table("sidx_t")))
+      assert(sTab.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+        TextQueries.simhashMatchesAgainst(batch, corpus)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+      assert(sTab.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "the simhash probe must engage the table's bk bucketing")
+      def scrubSnap(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "clean_hash").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(scrubSnap(TextQueries.exactSubstringDedupAgainst(batch, corpus,
+          k = 50, corpusIndex = Some(spark.table("ssidx_t")))) ==
+        scrubSnap(TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("widx_t", "sidx_t", "ssidx_t")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("stamps survive a parquet round-trip (the persisted-index path)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
     TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))
