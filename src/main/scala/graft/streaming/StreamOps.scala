@@ -547,6 +547,100 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static EXACT-SUBSTRING scrub gate — the SPAN-level member
+    * of the streaming gate family (doc-level exact = bloom, fuzzy-doc =
+    * LSH/simhash/winnow gates; this is Lee et al. 2021's granularity):
+    * every k-token window of an incoming document that already exists
+    * in the static corpus ([[graft.text.TextQueries.substringIndex]] —
+    * write it bucketed by `h` via `writeSubstringIndexTable`) is
+    * scrubbed, and the gate emits the batch operator's exact contract
+    * per document: (batch_id, ts, n_tokens, n_removed, n_spans,
+    * clean_hash) — bit-identical to
+    * [[graft.text.TextQueries.exactSubstringDedupAgainst]] on the same
+    * split (parity spec-pinned), including zero-match and shorter-
+    * than-k documents (posexplode_outer keeps them; they emit with
+    * n_removed = 0).
+    *
+    * Scale shape: the positional window hashes are pure per-row
+    * expressions; candidates meet the bucketed index in a stream-static
+    * LEFT OUTER equi-join (stateless — only the batch's window rows
+    * move, the static side carries no Exchange); the ONLY stateful
+    * operator is the watermark-scoped per-document collect_set of
+    * matched starts (state linear in matched windows per in-flight
+    * document, closed when the watermark passes its event time —
+    * append mode). The scrub itself is the SAME projection the batch
+    * path runs ([[graft.text.TextQueries.scrubSpansCols]]).
+    *
+    * The index is checked strict at plan time (kind + window length k
+    * + hash kind — a k or hash mismatch matches zero windows and every
+    * duplicated span survives the scrub unseen); build-stamped tables
+    * from `writeSubstringIndexTable` arm it end to end.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
+    * Output (append mode): one row per document once the watermark
+    * passes its `ts`.
+    */
+  def streamingSubstringGate(docs: DataFrame, corpusIndex: DataFrame,
+                             k: Int = 50, portableHash: Boolean = true,
+                             watermark: String = "10 minutes",
+                             unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    import graft.text.TextQueries
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    TextQueries.requireIndexCompatible(corpusIndex, TextQueries.KindSubstringTok,
+      portableHash, strict = !unsafeAssumeCompatible,
+      params = Map("k" -> k.toLong))
+    val h: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (portableHash) TextQueries.phash else (c => xxhash64(c))
+    val win = docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"), col("text"),
+        split(col("text"), " ").as("toks"))
+      // _outer: a document shorter than k tokens has no windows but
+      // must still pass the gate (null pos row, never matches)
+      .select(col("batch_id"), col("ts"), col("text"),
+        posexplode_outer(expr(TextQueries.ngramArrayExpr(k))).as(Seq("pos", "win")))
+      .select(col("batch_id"), col("ts"), col("text"), col("pos"),
+        h(col("win")).as("h"))
+    // left outer: unmatched windows keep their document alive with a
+    // null hit, which the conditional collect_set then skips
+    val starts = win
+      .join(corpusIndex.select(col("h"), lit(1).as("hit")), Seq("h"), "left_outer")
+      .groupBy(col("batch_id"), col("ts"), col("text"))
+      .agg(collect_set(when(col("hit") === 1, col("pos"))).as("starts"))
+    TextQueries.scrubSpansCols(
+      starts.withColumn("toks", split(col("text"), " ")),
+      k, Seq("batch_id", "ts"))
+  }
+
+  /** [[streamingSubstringGate]] at CHARACTER granularity (any-offset
+    * L-char windows — Lee et al. §4.1's byte-exact semantics): probes
+    * [[graft.text.TextQueries.substringCharsIndex]] (write it bucketed
+    * by `h` via `writeSubstringCharsIndexTable`) and emits
+    * (batch_id, ts, n_chars, n_removed, n_spans, clean_hash),
+    * bit-identical to
+    * [[graft.text.TextQueries.exactSubstringDedupCharsAgainst]] on the
+    * same split. Same shape: per-row window hashes, stateless
+    * stream-static left-outer probe, ONE watermark-scoped per-document
+    * collect_set, the batch scrub projection. */
+  def streamingSubstringCharsGate(docs: DataFrame, corpusIndex: DataFrame,
+                                  L: Int = 100, portableHash: Boolean = true,
+                                  watermark: String = "10 minutes",
+                                  unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    import graft.text.TextQueries
+    require(L >= 2, s"window length must be >= 2 chars, got $L")
+    TextQueries.requireIndexCompatible(corpusIndex, TextQueries.KindSubstringChar,
+      portableHash, strict = !unsafeAssumeCompatible,
+      params = Map("L" -> L.toLong))
+    val win = docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"), col("text"),
+        posexplode_outer(TextQueries.charWinHashCol(L, portableHash))
+          .as(Seq("pos", "h")))
+    val starts = win
+      .join(corpusIndex.select(col("h"), lit(1).as("hit")), Seq("h"), "left_outer")
+      .groupBy(col("batch_id"), col("ts"), col("text"))
+      .agg(collect_set(when(col("hit") === 1, col("pos"))).as("starts"))
+    TextQueries.scrubCharSpansCols(starts, L, Seq("batch_id", "ts"))
+  }
+
   /** Stream-static EXACT-Jaccard gate: incoming documents probe the
     * persisted COMPACT prefix index ([[graft.text.TextQueries.jaccardIndex]]
     * built with `hashOrdered = true` — write it bucketed by `h`) plus

@@ -592,7 +592,18 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * a fully-duplicated long doc paid len² — the long-doc pathology
     * sf-scale correctness cannot see). */
   private[text] def scrubSpans(pre: DataFrame, starts: DataFrame, k: Int): DataFrame =
-    pre.join(starts, Seq("doc_id"), "left")
+    scrubSpansCols(pre.join(starts, Seq("doc_id"), "left"), k, Seq("doc_id"))
+
+  /** The span-scrub PROJECTION over a frame already carrying `toks`
+    * (token array) and `starts` (matched 0-based window starts,
+    * possibly null): pure per-row expressions, which is what lets the
+    * STREAMING substring gate reuse it verbatim after its watermarked
+    * collect_set — bit-identical metrics to the batch path by
+    * construction. Emits `keyCols` ++ (n_tokens, n_removed, n_spans,
+    * clean_hash). */
+  private[graft] def scrubSpansCols(df: DataFrame, k: Int,
+                                    keyCols: Seq[String]): DataFrame =
+    df
       .withColumn("ss", expr("array_sort(coalesce(starts, CAST(array() AS ARRAY<INT>)))"))
       // each start's coverage is bounded by the NEXT start; the last
       // runs to its own window end (every window start p satisfies
@@ -601,7 +612,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
         s"""CASE WHEN size(ss) = 0 THEN CAST(array() AS ARRAY<INT>)
            |ELSE concat(slice(ss, 2, size(ss) - 1), array(size(toks))) END""".stripMargin))
       .select(
-        col("doc_id"),
+        keyCols.map(col) ++ Seq(
         size(col("toks")).as("n_tokens"),
         expr(s"aggregate(zip_with(ss, nxt, (a, b) -> least($k, b - a)), 0, (acc, x) -> acc + x)")
           .as("n_removed"),
@@ -615,7 +626,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
              |ELSE concat(slice(toks, 1, element_at(ss, 1)),
              |  flatten(zip_with(ss, nxt,
              |    (a, b) -> slice(toks, a + $k + 1, greatest(b - a - $k, 0))))) END)""".stripMargin))
-          .as("clean_hash"))
+          .as("clean_hash")): _*)
 
   /** The persistable side of incremental exact-substring dedup: the
     * DISTINCT window-hash set of the existing corpus — compact 8-byte
@@ -785,7 +796,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * ([[graft.functions.RollingHashWindows]]) that never materializes a
     * window. Same window boundaries by construction (both count code
     * points); result-level parity is spec-pinned. */
-  private def charWinHashCol(L: Int, portableHash: Boolean): org.apache.spark.sql.Column =
+  private[graft] def charWinHashCol(L: Int, portableHash: Boolean): org.apache.spark.sql.Column =
     if (portableHash)
       expr(s"transform(${charWinExpr(L)}, w -> ${phashFrag("w")})")
     else
@@ -804,7 +815,16 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * non-positive length is empty, so overlaps need no guard).
     * Output: (doc_id, n_chars, n_removed, n_spans, clean_hash). */
   private[text] def scrubCharSpans(pre: DataFrame, starts: DataFrame, L: Int): DataFrame =
-    pre.join(starts, Seq("doc_id"), "left")
+    scrubCharSpansCols(pre.join(starts, Seq("doc_id"), "left"), L, Seq("doc_id"))
+
+  /** [[scrubSpansCols]] at character granularity: the span-scrub
+    * projection over a frame carrying `text` and `starts` — pure
+    * per-row expressions, shared verbatim by the batch path and the
+    * streaming char-substring gate. Emits `keyCols` ++ (n_chars,
+    * n_removed, n_spans, clean_hash). */
+  private[graft] def scrubCharSpansCols(df: DataFrame, L: Int,
+                                        keyCols: Seq[String]): DataFrame =
+    df
       .withColumn("ss", expr("array_sort(coalesce(starts, CAST(array() AS ARRAY<INT>)))"))
       // every window start p satisfies p + L <= length(text), so the
       // last start's coverage cap length(text) yields exactly L
@@ -812,7 +832,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
         s"""CASE WHEN size(ss) = 0 THEN CAST(array() AS ARRAY<INT>)
            |ELSE concat(slice(ss, 2, size(ss) - 1), array(length(text))) END""".stripMargin))
       .select(
-        col("doc_id"),
+        keyCols.map(col) ++ Seq(
         length(col("text")).as("n_chars"),
         expr(s"aggregate(zip_with(ss, nxt, (a, b) -> least($L, b - a)), 0, (acc, x) -> acc + x)")
           .as("n_removed"),
@@ -826,7 +846,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
              |ELSE concat(substring(text, 1, element_at(ss, 1)),
              |  concat_ws('', zip_with(ss, nxt,
              |    (a, b) -> substring(text, a + $L + 1, b - a - $L)))) END""".stripMargin))
-          .as("clean_hash"))
+          .as("clean_hash")): _*)
 
   /** Exact-substring dedup at CHARACTER granularity: remove every
     * ≥ L-character span that appears verbatim more than once in the

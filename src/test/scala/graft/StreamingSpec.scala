@@ -550,6 +550,105 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming substring scrub gate == batch exactSubstringDedupAgainst on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.substringIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_sub_replay")
+    import spark.implicits._
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sub_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    dump(batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text")), "b1.parquet")
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingSubstringGate(in, idx)
+      .writeStream.format("memory").queryName("sub_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode aggregation: a group closes only when the watermark
+      // PASSES its event time — push it with a far-future sentinel doc
+      dump(Seq((999999L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"),
+        "sentinel advancing the watermark")).toDF("doc_id", "ts", "text"),
+        "b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("sub_replay").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+            r.getAs[Int]("n_spans"), r.getAs[String]("clean_hash"))).toMap
+      val want = graft.text.TextQueries
+        .exactSubstringDedupAgainst(batchDocs, corpus)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+            r.getAs[Int]("n_spans"), r.getAs[String]("clean_hash"))).toMap
+      // EVERY batch doc emits exactly once (zero-match and short docs
+      // included), with bit-identical scrub metrics and clean hash
+      assert(want.nonEmpty && want.values.exists(_._2 > 0),
+        "fixture must contain scrubbed cross-corpus spans")
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+      want.foreach { case (d, v) => assert(got(d) == v, s"doc $d: ${got(d)} vs $v") }
+      // the gate rejects a wrong-window or stripped index at plan time
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.streamingSubstringGate(in, idx, k = 30)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming char-substring scrub gate == batch exactSubstringDedupCharsAgainst on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.substringCharsIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_csub_replay")
+    import spark.implicits._
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csub_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    dump(batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text")), "b1.parquet")
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingSubstringCharsGate(in, idx)
+      .writeStream.format("memory").queryName("csub_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      dump(Seq((999999L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"),
+        "sentinel advancing the watermark")).toDF("doc_id", "ts", "text"),
+        "b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("csub_replay").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Int]("n_chars"), r.getAs[Int]("n_removed"),
+            r.getAs[Int]("n_spans"), r.getAs[String]("clean_hash"))).toMap
+      val want = graft.text.TextQueries
+        .exactSubstringDedupCharsAgainst(batchDocs, corpus)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_chars"), r.getAs[Int]("n_removed"),
+            r.getAs[Int]("n_spans"), r.getAs[String]("clean_hash"))).toMap
+      assert(want.nonEmpty && want.values.exists(_._2 > 0),
+        "fixture must contain scrubbed cross-corpus char spans")
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+      want.foreach { case (d, v) => assert(got(d) == v, s"doc $d: ${got(d)} vs $v") }
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.streamingSubstringCharsGate(in, idx, L = 80)
+      }
+    } finally q.stop()
+  }
+
   test("per-row HOF simhash fingerprint == the batch aggregate on every document") {
     val docs = Tables.documents(spark, sfDir)
     val viaAgg = graft.text.TextQueries.simhashFrameWide(docs).collect()
