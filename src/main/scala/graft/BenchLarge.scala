@@ -1434,7 +1434,19 @@ object BenchLarge {
         val regs = regressions(base.queries, results.toMap, tol,
           baseCalib = base.calib, freshCalib = Some(calibSec),
           baseCalibStr = base.calibStr, freshCalibStr = Some(calibStrSec))
-        if (regs.nonEmpty) {
+        // an entry timed here but absent from the committed baseline is
+        // an UNGATED query — the gate compares baseline->results, so it
+        // would silently skip the new entry forever (simhash_incr ran
+        // unprotected for three rounds this way). Fail as loudly as a
+        // regression: seal the number in the same change that adds the
+        // timed block.
+        val unsealed = results.keySet -- base.queries.keySet
+        if (unsealed.nonEmpty)
+          System.err.println(
+            s"UNSEALED ${unsealed.toSeq.sorted.mkString(", ")}: timed but " +
+              "missing from the committed baseline — merge this run's " +
+              "numbers (with provenance) so the gate protects them")
+        if (regs.nonEmpty || unsealed.nonEmpty) {
           regs.foreach(r => System.err.println(s"REGRESSION $r"))
           sys.exit(1)
         }

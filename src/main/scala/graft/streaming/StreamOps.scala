@@ -449,7 +449,16 @@ object StreamOps {
     */
   def streamingLshAgainst(docs: DataFrame, corpusIndex: DataFrame,
                           threshold: Double = 0.5,
-                          watermark: String = "10 minutes"): DataFrame = {
+                          watermark: String = "10 minutes",
+                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    // the gate's per-row band expressions are md5-based — a
+    // native-hash index collides on ZERO signatures; strict because a
+    // stripped index is the same surface with the guard disarmed
+    graft.text.TextQueries.requireIndexCompatible(corpusIndex,
+      graft.text.TextQueries.KindLshBand, portableHash = true,
+      column = "sig", strict = !unsafeAssumeCompatible,
+      params = Map("K" -> graft.text.TextQueries.K.toLong,
+        "bands" -> graft.text.TextQueries.BANDS.toLong))
     val enriched = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),

@@ -22,8 +22,8 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
 
   // MinHash parameters: k permutations in b bands of r rows
-  private[text] val K = 16
-  private[text] val BANDS = 4
+  private[graft] val K = 16
+  private[graft] val BANDS = 4
   private[text] val P = 1073741789L // prime < 2^30
   private[text] val H30 = 1073741824L // 2^30
 
@@ -366,12 +366,21 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  def bandSignatures(docs: DataFrame, portableHash: Boolean = true): DataFrame = {
+  def bandSignatures(docs: DataFrame, portableHash: Boolean = true,
+                     buildId: Option[String] = None): DataFrame = {
     val hashed =
       if (portableHash) phash(col("shingle"))
       else pmod(xxhash64(col("shingle")), lit(1L << 60))
     val sh = shingles(docs).select(col("doc_id"), hashed.as("h"))
+    // the LSH member of the index-contract stamp discipline: a
+    // native-hash band index probed by md5-hashed batch bands collides
+    // on ZERO signatures — the documented silent-zero-candidates hole,
+    // now plan-time-checked instead of scaladoc-only
     bandFrame(minhashWide(sh))
+      .select(col("doc_id"), col("band"),
+        col("sig").as("sig", indexMeta(KindLshBand, portableHash,
+          buildId = buildId,
+          params = Map("K" -> K.toLong, "bands" -> BANDS.toLong))))
   }
 
   /** Incremental dedup: match a NEW batch against an EXISTING corpus —
@@ -398,10 +407,11 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   def lshPairsAgainst(batch: DataFrame, corpus: DataFrame,
                       threshold: Double = 0.5,
                       corpusBands: Option[DataFrame] = None,
-                      portableHash: Boolean = true): DataFrame = {
+                      portableHash: Boolean = true,
+                      unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = lshMatchesAgainst(batch, corpus, threshold, corpusBands,
-      portableHash)
+      portableHash, unsafeAssumeCompatible)
     val best = Window.partitionBy("batch_id")
       .orderBy(col("jaccard").desc, col("corpus_id"))
     scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
@@ -423,7 +433,19 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   def lshMatchesAgainst(batch: DataFrame, corpus: DataFrame,
                         threshold: Double = 0.5,
                         corpusBands: Option[DataFrame] = None,
-                        portableHash: Boolean = true): DataFrame = {
+                        portableHash: Boolean = true,
+                        unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    // a handed-in band index must carry THIS call's hash kind (the
+    // zero-collision hole above) and band geometry, and — when both
+    // frames are build-stamped — come from THIS corpus snapshot
+    corpusBands.foreach { bands =>
+      requireIndexCompatible(bands, KindLshBand, portableHash,
+        column = "sig", strict = !unsafeAssumeCompatible,
+        params = Map("K" -> K.toLong, "bands" -> BANDS.toLong))
+      if (!unsafeAssumeCompatible)
+        requireSameBuild(bands, corpus, idxColumn = "sig",
+          sideColumn = "text", sideName = "corpus")
+    }
     val cBands = corpusBands.getOrElse(bandSignatures(corpus, portableHash))
     // PINNED, not recomputed: three consumers (the corpus-id prune, the
     // intersection join, the final left join) would otherwise each
@@ -485,10 +507,24 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * expressions ([[bandSigsExpr]] / [[shingleHashesExpr]]) are
     * md5-based, so a native-hash index would never collide with them.
     */
-  def corpusIndex(corpus: DataFrame): DataFrame =
-    bandSignatures(corpus).join(
+  def corpusIndex(corpus: DataFrame, buildId: Option[String] = None): DataFrame =
+    bandSignatures(corpus, buildId = buildId).join(
       corpus.select(col("doc_id"), shingleHashesExpr("text").as("hashes")),
       "doc_id")
+
+  /** Persist [[corpusIndex]] as a BUCKETED catalog table (bucketed +
+    * sorted by `sig`, the high-cardinality half of the (band, sig)
+    * probe key) — the production layout for the streaming LSH gate and
+    * the per-batch [[lshMatchesAgainst]] `corpusBands` side: the
+    * static side meets the probe Exchange-free on the bucket key.
+    * Stamps kind + hash kind + band geometry + one build id. Rebuild
+    * per corpus version. */
+  def writeLshIndexTable(corpus: DataFrame, table: String,
+                         buckets: Int = 64,
+                         buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    graft.ops.Scale.writeBucketed(corpusIndex(corpus, id), "sig", buckets, table)
+  }
 
   /** Doc ids of `corpus` sharing at least one word-n-gram with
     * `benchmark` — the contamination set, shared by [[decontaminate]]
@@ -829,6 +865,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val KindDocSide = "doc_hash_side"
   private[graft] val KindCorpusDf = "corpus_df"
   private[graft] val KindWinnowFp = "winnow_fp"
+  private[graft] val KindLshBand = "lsh_band"
   private[graft] val KindSimhashBand = "simhash_band"
   private[graft] val KindSubstringTok = "substring_tok"
   private[graft] val KindSubstringChar = "substring_char"

@@ -60,10 +60,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regs.head.startsWith("b:"))
   }
 
-  test("a newly added measurement with no baseline yet passes freely") {
+  test("regressions() ignores a measurement with no baseline — the MAIN's unsealed check owns that failure") {
+    // two-level contract: the regressions() primitive compares only
+    // baseline-covered entries (so an ONLY-mode partial run can reuse
+    // it safely), while the full-run gate in main() separately fails on
+    // timed-but-unsealed entries (results minus baseline keys) — the
+    // class that let simhash_incr run ungated for three rounds.
     val base = Map("a" -> 2.0)
     val fresh = Map("a" -> 2.0, "brand_new" -> 100.0)
     assert(BenchLarge.regressions(base, fresh, tol = 1.5).isEmpty)
+    assert((fresh.keySet -- base.keySet) == Set("brand_new"))
   }
 
   test("exactly at tolerance is not a regression (strict inequality)") {

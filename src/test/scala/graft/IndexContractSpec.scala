@@ -194,6 +194,49 @@ class IndexContractSpec extends AnyFunSuite {
     }
   }
 
+  test("lsh band index: wrong hash kind / stripped / cross-version fail loudly; escape hatch result-identical; streaming gate guarded") {
+    val bandsMd5 = TextQueries.bandSignatures(corpus)
+    assert(bandsMd5.schema("sig").metadata.getString("graft.index.kind") == "lsh_band")
+    // hash-kind mismatch: native-hash bands under the md5 probe collide
+    // on ZERO signatures — every near-duplicate silently waved through
+    // (this was scaladoc-only before; now plan-time)
+    val eH = intercept[IllegalArgumentException] {
+      TextQueries.lshMatchesAgainst(batch, corpus,
+        corpusBands = Some(TextQueries.bandSignatures(corpus, portableHash = false)))
+    }
+    assert(eH.getMessage.contains("hash"), eH.getMessage)
+    // stripped → strict loud failure; the pairs wrapper inherits it
+    intercept[IllegalArgumentException] {
+      TextQueries.lshPairsAgainst(batch, corpus,
+        corpusBands = Some(stripped(bandsMd5, "sig")))
+    }
+    // cross-version
+    intercept[IllegalArgumentException] {
+      TextQueries.lshMatchesAgainst(batch,
+        TextQueries.stampCorpusBuild(corpus, "v2"),
+        corpusBands = Some(TextQueries.bandSignatures(corpus, buildId = Some("v1"))))
+    }
+    // escape hatch: stripped-but-compatible == stamped
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = snap(TextQueries.lshMatchesAgainst(batch, corpus))
+    assert(want.nonEmpty, "fixture must produce lsh matches")
+    assert(snap(TextQueries.lshMatchesAgainst(batch, corpus,
+      corpusBands = Some(stripped(bandsMd5, "sig")),
+      unsafeAssumeCompatible = true)) == want)
+    // the streaming gate rejects a stripped static index at plan time;
+    // a corpusIndex-built (stamped) one passes
+    val in = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, ts TIMESTAMP, text STRING"))
+      .parquet(java.nio.file.Files.createTempDirectory("graft_idxl").toString)
+    val cidx = TextQueries.corpusIndex(corpus)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingLshAgainst(in, stripped(cidx, "sig"))
+    }
+    graft.streaming.StreamOps.streamingLshAgainst(in, cidx) // arms clean
+  }
+
   test("bucketed writer front doors: catalog-table path is result-identical, guards stay armed, probe engages the bucketing") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // force SMJ so the bucketed-static-side claim is actually exercised
@@ -202,6 +245,17 @@ class IndexContractSpec extends AnyFunSuite {
       TextQueries.writeWinnowIndexTable(corpus, "widx_t", buckets = 4)
       TextQueries.writeSimhashIndexTable(corpus, "sidx_t", buckets = 4)
       TextQueries.writeSubstringIndexTable(corpus, "ssidx_t", k = 50, buckets = 4)
+      TextQueries.writeLshIndexTable(corpus, "lidx_t", buckets = 4)
+      // the lsh table serves both the batch corpusBands side and the
+      // streaming gate, result-identical and guard-armed from the catalog
+      assert(spark.table("lidx_t").schema("sig").metadata
+        .getString("graft.index.kind") == "lsh_band")
+      val lTab = TextQueries.lshMatchesAgainst(batch, corpus,
+        corpusBands = Some(spark.table("lidx_t")
+          .select(col("doc_id"), col("band"), col("sig"))))
+      assert(lTab.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+        TextQueries.lshMatchesAgainst(batch, corpus)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
       // stamps ride through saveAsTable/spark.table — guards stay armed
       assert(spark.table("widx_t").schema("fp").metadata
         .getString("graft.index.kind") == "winnow_fp")
@@ -239,7 +293,7 @@ class IndexContractSpec extends AnyFunSuite {
         scrubSnap(TextQueries.exactSubstringDedupAgainst(batch, corpus, k = 50)))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      Seq("widx_t", "sidx_t", "ssidx_t")
+      Seq("widx_t", "sidx_t", "ssidx_t", "lidx_t")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
