@@ -556,6 +556,75 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("batch_id", "dup_of")
   }
 
+  /** Stream-static EDIT-DISTANCE gate: incoming documents probe the
+    * persisted winnow-fingerprint index for candidates and every
+    * candidate is VERIFIED by exact (banded) Levenshtein against the
+    * static corpus text — the verified-fuzzy member of the streaming
+    * gate family, closing the editdist family's streaming gap (LSH,
+    * simhash, winnow, jaccard, contain, substring already have gates).
+    * Emits one (batch_id, ts, dup_of, n_shared, dist, sim_ppm) verdict
+    * per corpus document with sim_ppm ≥ `minSimPpm` — bit-identical to
+    * the batch [[graft.text.TextQueries.editDistMatchesAgainst]] on the
+    * same split (replay parity spec-pinned; the batch
+    * `editDistAgainst` additionally keeps only the best match, a
+    * per-document window the caller applies downstream if wanted).
+    *
+    * Scale shape: per-row winnow fingerprints are a pure expression
+    * ([[graft.text.TextQueries.winnowFpsExpr]]); candidates meet the
+    * bucketed index in a stateless stream-static equi-join on `fp`
+    * (only the batch's fingerprint rows move); corpus TEXT attaches by
+    * a second stateless stream-static join on `dup_of` — per CANDIDATE,
+    * never per corpus row; the ONLY stateful operator is the
+    * watermark-scoped per-(document, candidate) shared-fingerprint
+    * count (append mode — a verdict emits once the watermark passes its
+    * event time). The Levenshtein is the batch path's banded-DP
+    * [[graft.text.TextQueries.levVerify]] projection: identical-text
+    * pairs settle on a byte compare, and the band explores only
+    * O(L·thr) cells yet yields the exact distance for every pair that
+    * can pass `minSimPpm`.
+    *
+    * The index is checked strict at plan time (kind + (k, w) + hash
+    * kind — a parameter mismatch shares zero fingerprints and silently
+    * waves every near-duplicate through); when both the index and
+    * `corpusText` carry build-id stamps ([[graft.text.TextQueries.stampCorpusBuild]]
+    * / `writeWinnowIndexTable`), a cross-version mix is rejected too —
+    * a stale text side would verify candidates against the WRONG
+    * document bytes, the silent-recall class the stamps exist for.
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING);
+    * `corpusText` is the static (doc_id, text) side of the SAME corpus
+    * snapshot the index was built from.
+    */
+  def streamingEditDistGate(docs: DataFrame, corpusIndex: DataFrame,
+                            corpusText: DataFrame,
+                            k: Int = 3, w: Int = 4, minShared: Long = 1,
+                            minSimPpm: Long = 500000L,
+                            watermark: String = "10 minutes",
+                            unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    import graft.text.TextQueries
+    TextQueries.requireIndexCompatible(corpusIndex, TextQueries.KindWinnowFp,
+      portableHash = true, column = "fp", strict = !unsafeAssumeCompatible,
+      params = Map("k" -> k.toLong, "w" -> w.toLong))
+    if (!unsafeAssumeCompatible)
+      TextQueries.requireSameBuild(corpusIndex, corpusText, idxColumn = "fp",
+        sideColumn = "text", sideName = "corpusText")
+    // stateless stages first: fp probe, then text attach per candidate
+    // (carrying t1/t2 through the count's group key keeps the query at
+    // ONE stateful operator — the substring gates' carry-text idiom)
+    val events = docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"), col("text").as("t1"),
+        explode(TextQueries.winnowFpsExpr(k, w)).as("fp"))
+      .join(corpusIndex.select(col("fp"), col("dup_of")), Seq("fp"))
+      .join(corpusText.select(col("doc_id").as("dup_of"), col("text").as("t2")),
+        Seq("dup_of"))
+    val counted = events
+      .groupBy(col("batch_id"), col("ts"), col("t1"), col("dup_of"), col("t2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    TextQueries.levVerify(counted,
+      Seq("batch_id", "ts", "dup_of", "n_shared"), minSimPpm)
+  }
+
   /** Stream-static EXACT-SUBSTRING scrub gate — the SPAN-level member
     * of the streaming gate family (doc-level exact = bloom, fuzzy-doc =
     * LSH/simhash/winnow gates; this is Lee et al. 2021's granularity):
@@ -648,6 +717,58 @@ object StreamOps {
       .groupBy(col("batch_id"), col("ts"), col("text"))
       .agg(collect_set(when(col("hit") === 1, col("pos"))).as("starts"))
     TextQueries.scrubCharSpansCols(starts, L, Seq("batch_id", "ts"))
+  }
+
+  /** Stream-static PARAGRAPH scrub gate — the CCNet-granularity member
+    * of the streaming gate family (Wenzek et al. 2020 §3.1: dedup by
+    * paragraph hash): every newline-separated paragraph of an incoming
+    * page that already exists in the static corpus
+    * ([[graft.text.ParagraphQueries.paragraphIndex]] — write it
+    * bucketed by `h` via `writeParagraphIndexTable`) is scrubbed, and
+    * the gate emits the batch operator's exact contract per page:
+    * (batch_id, ts, n_paras, n_removed, clean_hash) — bit-identical to
+    * [[graft.text.ParagraphQueries.paragraphDedupAgainst]] on the same
+    * split (replay parity spec-pinned), zero-match pages included.
+    * Batch-internal duplication deliberately does NOT scrub, matching
+    * the batch contract.
+    *
+    * Scale shape: paragraph strings never leave their partition — each
+    * occurrence reduces to a compact (page, idx, 60-bit hash) row
+    * before the stateless stream-static LEFT OUTER probe of the
+    * bucketed index (only the page's paragraph-hash rows move; the
+    * static side carries no Exchange); the ONLY stateful operator is
+    * the watermark-scoped per-page collect_set of matched positions
+    * (append mode — a page emits once the watermark passes its event
+    * time). The rebuild is the SAME projection the batch path runs
+    * ([[graft.text.ParagraphQueries.rebuildCols]]).
+    *
+    * The index is checked strict at plan time (kind + hash kind — a
+    * token-window or char-window index under this consumer, or a
+    * native-hash rebuild, matches zero paragraph hashes and every
+    * known paragraph survives unseen).
+    *
+    * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING) — one
+    * newline-separated page per row.
+    */
+  def streamingParagraphGate(docs: DataFrame, corpusIndex: DataFrame,
+                             watermark: String = "10 minutes",
+                             unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    import graft.text.{ParagraphQueries, TextQueries}
+    TextQueries.requireIndexCompatible(corpusIndex,
+      TextQueries.KindParagraphHash, portableHash = true, column = "h",
+      strict = !unsafeAssumeCompatible)
+    val occ = docs.withWatermark("ts", watermark)
+      .select(col("doc_id").as("batch_id"), col("ts"), col("text"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "para")))
+      .select(col("batch_id"), col("ts"), col("text"), col("idx"),
+        TextQueries.phash(col("para")).as("h"))
+    val removed = occ
+      .join(corpusIndex.select(col("h"), lit(1).as("hit")), Seq("h"), "left_outer")
+      .groupBy(col("batch_id"), col("ts"), col("text"))
+      .agg(collect_set(when(col("hit") === 1, col("idx"))).as("removed"))
+    ParagraphQueries.rebuildCols(
+      removed.withColumn("paras", split(col("text"), "\n")),
+      Seq("batch_id", "ts"))
   }
 
   /** Stream-static EXACT-Jaccard gate: incoming documents probe the

@@ -77,17 +77,27 @@ object ParagraphQueries {
     * the kept paragraphs re-render with their original separators.
     */
   private def rebuild(pages: DataFrame, removed: DataFrame): DataFrame =
-    pages.repartition(col("page_id"))
-      .select(col("page_id"), split(col("text"), "\n").as("paras"))
-      .join(removed, Seq("page_id"), "left")
-      .select(
-        col("page_id"),
+    rebuildCols(
+      pages.repartition(col("page_id"))
+        .select(col("page_id"), split(col("text"), "\n").as("paras"))
+        .join(removed, Seq("page_id"), "left"),
+      Seq("page_id"))
+
+  /** The rebuild PROJECTION alone — `df` must carry `paras`
+    * (ARRAY<STRING>) and a nullable `removed` (ARRAY<INT> of 0-based
+    * scrub positions) plus the `keyCols` to emit; shared verbatim by
+    * the batch [[rebuild]] join and the streaming gate (the
+    * `scrubSpansCols` factoring discipline — one scrub semantics, two
+    * drivers). */
+  private[graft] def rebuildCols(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(
+      keyCols.map(col) ++ Seq(
         size(col("paras")).as("n_paras"),
         coalesce(size(col("removed")), lit(0)).as("n_removed"),
         md5(expr(
           """concat_ws(chr(10), filter(paras,
             |  (p, j) -> NOT array_contains(coalesce(removed, CAST(array() AS ARRAY<INT>)), j)))""".stripMargin))
-          .as("clean_hash"))
+          .as("clean_hash")): _*)
 
   /** CCNet paragraph-level dedup, keep-first: a paragraph whose hash
     * occurs ≥ 2 times corpus-wide is scrubbed everywhere EXCEPT its
@@ -141,19 +151,47 @@ object ParagraphQueries {
     * the existing corpus — persistable, the incremental-family
     * discipline). Batch-internal duplication deliberately does NOT
     * scrub (composes with [[paragraphDedup]] over the batch itself).
+    *
+    * The index is checked STRICT at plan time (kind + hash kind — a
+    * char-window or token index under this consumer, or an index
+    * rebuilt with a native hash, matches zero paragraph hashes and
+    * every known paragraph survives the scrub unseen); a stripped
+    * index fails loudly, and `unsafeAssumeCompatible` downgrades to
+    * the lenient stamped-axes-only mode — never to unchecked.
     */
-  def paragraphDedupAgainst(batch: DataFrame, corpusIdx: DataFrame): DataFrame = {
+  def paragraphDedupAgainst(batch: DataFrame, corpusIdx: DataFrame,
+                            unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    TextQueries.requireIndexCompatible(corpusIdx, TextQueries.KindParagraphHash,
+      portableHash = true, column = "h", strict = !unsafeAssumeCompatible)
     val removed = occurrences(batch)
-      .join(corpusIdx, Seq("h"), "left_semi")
+      .join(corpusIdx.select("h"), Seq("h"), "left_semi")
       .groupBy("page_id").agg(collect_set(col("idx")).as("removed"))
     rebuild(batch, removed)
   }
 
   /** The persistable corpus paragraph-hash index: one distinct 60-bit
     * hash per paragraph ever seen. Unions cheaply as the corpus grows.
+    * Stamped kind + hash-kind (+ optional build id) on `h` — the
+    * [[TextQueries.winnowIndex]] metadata contract, checked by
+    * [[paragraphDedupAgainst]] and the streaming gate.
     */
-  def paragraphIndex(corpus: DataFrame): DataFrame =
+  def paragraphIndex(corpus: DataFrame, buildId: Option[String] = None): DataFrame =
     occurrences(corpus).select("h").distinct()
+      .select(col("h").as("h",
+        TextQueries.indexMeta(TextQueries.KindParagraphHash,
+          portableHash = true, buildId = buildId)))
+
+  /** Persist [[paragraphIndex]] as a BUCKETED catalog table (bucketed +
+    * sorted by `h`, the probe key) — the production layout: at probe
+    * time the static index side carries no Exchange; only the batch's
+    * paragraph-hash rows move. Rebuild (or union a delta) per corpus
+    * version. */
+  def writeParagraphIndexTable(corpus: DataFrame, table: String,
+                               buckets: Int = 64,
+                               buildId: Option[String] = None): Unit = {
+    val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
+    graft.ops.Scale.writeBucketed(paragraphIndex(corpus, id), "h", buckets, table)
+  }
 
   /** C4-style line + page filtering (Raffel et al. 2020 §2.2): a line
     * survives iff it has ≥ `minWords` words, (optionally) ends in

@@ -869,6 +869,7 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val KindSimhashBand = "simhash_band"
   private[graft] val KindSubstringTok = "substring_tok"
   private[graft] val KindSubstringChar = "substring_char"
+  private[graft] val KindParagraphHash = "paragraph_hash"
 
   private[graft] def indexMeta(kind: String, portableHash: Boolean,
                         tPpm: Option[Long] = None,

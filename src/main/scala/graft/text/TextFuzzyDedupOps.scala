@@ -149,7 +149,7 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     *    (O(L·thr), returns −1 past it) and still yields the EXACT
     *    distance for every pair that can pass the filter.
     * Emits keyCols ++ (dist, sim_ppm), filtered to sim_ppm ≥ min. */
-  private[text] def levVerify(df: DataFrame, keyCols: Seq[String],
+  private[graft] def levVerify(df: DataFrame, keyCols: Seq[String],
                         minSimPpm: Long): DataFrame =
     df.withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
@@ -246,6 +246,22 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
                          corpusIndex: Option[DataFrame] = None,
                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val best = Window.partitionBy("batch_id")
+      .orderBy(col("n_shared").desc, col("dup_of"))
+    winnowMatchCounts(batch, corpus, k, w, corpusIndex, unsafeAssumeCompatible)
+      .filter(col("n_shared") >= minShared)
+      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("dup_of"), col("n_shared"), col("n_fps"))
+  }
+
+  /** The shared candidate stage of [[winnowDedupAgainst]] and
+    * [[editDistMatchesAgainst]]: EVERY (batch doc, corpus doc) pair
+    * sharing ≥ 1 selected fingerprint, with the shared count — no
+    * best-match filter. Emits (batch_id, dup_of, n_shared, n_fps). */
+  private[graft] def winnowMatchCounts(batch: DataFrame, corpus: DataFrame,
+                                       k: Int, w: Int,
+                                       corpusIndex: Option[DataFrame],
+                                       unsafeAssumeCompatible: Boolean): DataFrame = {
     // a handed-in index must have been built at THIS consumer's (k, w)
     // — different parameters share zero fingerprints and silently wave
     // every near-duplicate through (strict: a stripped index is the
@@ -264,14 +280,9 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
       .select(col("doc_id"), col("fps")).localCheckpoint()
       .select(col("doc_id").as("batch_id"),
         size(col("fps")).cast("long").as("n_fps"), explode(col("fps")).as("fp"))
-    val best = Window.partitionBy("batch_id")
-      .orderBy(col("n_shared").desc, col("dup_of"))
     bf.join(cIdx, Seq("fp"))
       .groupBy("batch_id", "dup_of")
       .agg(count(lit(1)).as("n_shared"), max(col("n_fps")).as("n_fps"))
-      .filter(col("n_shared") >= minShared)
-      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-      .select(col("batch_id"), col("dup_of"), col("n_shared"), col("n_fps"))
   }
 
   /** Incremental edit-distance dedup: [[winnowDedupAgainst]]'s best
@@ -291,6 +302,36 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     // the candidate stage — this wrapper adds only the text-verify join
     val cand = winnowDedupAgainst(batch, corpus, k, w,
       corpusIndex = corpusIndex, unsafeAssumeCompatible = unsafeAssumeCompatible)
+    val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
+    val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
+    levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),
+      Seq("batch_id", "dup_of", "n_shared"), minSimPpm)
+  }
+
+  /** ALL Levenshtein-verified corpus matches per batch document (not
+    * just the best) — [[editDistAgainst]]'s contract without the
+    * best-match window, mirroring `lshMatchesAgainst`'s role next to
+    * `lshPairsAgainst`: the caller sees every corpus near-duplicate of
+    * each incoming document, which is the event-stream contract the
+    * streaming gate ([[graft.streaming.StreamOps.streamingEditDistGate]])
+    * replays. `minShared` bounds the verified set (candidates below it
+    * never pay the Levenshtein); verification itself is the shared
+    * banded-DP [[levVerify]] tail. Emits (batch_id, dup_of, n_shared,
+    * dist, sim_ppm), one row per verified pair.
+    *
+    * Scale shape: identical to [[editDistAgainst]] — the corpus
+    * contributes its compact fingerprint index for candidates; only
+    * matched pairs join text, and the per-batch-doc fan-out is bounded
+    * by the document frequency of its selected fingerprints. */
+  def editDistMatchesAgainst(batch: DataFrame, corpus: DataFrame,
+                             k: Int = 3, w: Int = 4, minShared: Long = 1,
+                             minSimPpm: Long = 500000L,
+                             corpusIndex: Option[DataFrame] = None,
+                             unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    val cand = winnowMatchCounts(batch, corpus, k, w,
+        corpusIndex, unsafeAssumeCompatible)
+      .filter(col("n_shared") >= minShared)
+      .select(col("batch_id"), col("dup_of"), col("n_shared"))
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
     levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),

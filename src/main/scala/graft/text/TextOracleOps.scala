@@ -779,6 +779,28 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |WHERE (CASE WHEN max_len = 0 THEN 1000000
          |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
 
+    // the matches variant: same candidate and verification algebra,
+    // NO best-match window — every qualifying (batch, corpus) pair
+    "dedup_editdist_matches" ->
+      s"""WITH $winnowFpsOracleCtes,
+         |bx AS (SELECT doc_id AS batch_id, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 1),
+         |cx AS (SELECT doc_id AS dup_of, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 0),
+         |m AS (SELECT batch_id, dup_of, count(*) AS n_shared
+         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |v AS (SELECT b.batch_id, b.dup_of, CAST(b.n_shared AS BIGINT) AS n_shared,
+         |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+         |        CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+         |      FROM m b JOIN documents x ON b.batch_id = x.doc_id
+         |               JOIN documents y ON b.dup_of = y.doc_id)
+         |SELECT batch_id, dup_of, n_shared, dist,
+         |  CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE (max_len - dist) * 1000000 // max_len END AS sim_ppm
+         |FROM v
+         |WHERE (CASE WHEN max_len = 0 THEN 1000000
+         |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
+
     "txt_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm

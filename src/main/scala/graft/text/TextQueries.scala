@@ -556,6 +556,14 @@ object TextQueries
       val docs = Tables.documents(s, dir)
       editDistAgainst(docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
+    },
+
+    // ---- ALL verified edit-distance matches per batch doc — the
+    // event-stream contract the streaming editdist gate replays ----
+    "dedup_editdist_matches" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      editDistMatchesAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
     }
   )
 }

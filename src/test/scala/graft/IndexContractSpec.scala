@@ -298,6 +298,41 @@ class IndexContractSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph: stripped index fails strict; wrong kind fails; escape hatch result-identical; streaming gate guarded") {
+    import graft.text.ParagraphQueries
+    val corpusPages = ParagraphQueries.segmentPages(corpus)
+    val batchPages = ParagraphQueries.segmentPages(batch)
+    val idx = ParagraphQueries.paragraphIndex(corpusPages)
+    assert(idx.schema("h").metadata.getString("graft.index.kind")
+      == "paragraph_hash")
+    val eS = intercept[IllegalArgumentException] {
+      ParagraphQueries.paragraphDedupAgainst(batchPages, stripped(idx, "h"))
+    }
+    assert(eS.getMessage.contains("no build metadata"), eS.getMessage)
+    // wrong kind: the token-substring index has the same one-hash-column
+    // shape — the kind stamp is the only tell
+    val eK = intercept[IllegalArgumentException] {
+      ParagraphQueries.paragraphDedupAgainst(batchPages,
+        TextQueries.substringIndex(corpus).select("h"))
+    }
+    assert(eK.getMessage.contains("index kind"), eK.getMessage)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val want = snap(ParagraphQueries.paragraphDedupAgainst(batchPages, idx))
+    assert(want.exists(_._3 > 0), "fixture must scrub at least one paragraph")
+    assert(snap(ParagraphQueries.paragraphDedupAgainst(batchPages,
+      stripped(idx, "h"), unsafeAssumeCompatible = true)) == want)
+    // the streaming gate rejects a stripped static index at plan time
+    val in = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, ts TIMESTAMP, text STRING"))
+      .parquet(java.nio.file.Files.createTempDirectory("graft_idxp").toString)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingParagraphGate(in, stripped(idx, "h"))
+    }
+  }
+
   test("stamps survive a parquet round-trip (the persisted-index path)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
     TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))

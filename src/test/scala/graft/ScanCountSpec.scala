@@ -84,6 +84,7 @@ object ScanCountGate {
     "dedup_contain_incr" -> 3,
     "dedup_contain_join" -> 4,
     "dedup_editdist_incr" -> 2,
+    "dedup_editdist_matches" -> 2,
     "dedup_editdist_pairs" -> 1,
     "dedup_exact" -> 1,
     // 4 = the lazy-persist build scans of lshMatchesAgainst's pinned

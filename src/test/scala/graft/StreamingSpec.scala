@@ -550,6 +550,116 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming editdist gate == batch editDistMatchesAgainst on replay") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.winnowIndex(corpus)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_editdist_replay")
+    import spark.implicits._
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_editdist_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    dump(batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text")), "b1.parquet")
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingEditDistGate(in, idx, corpus)
+      .writeStream.format("memory").queryName("editdist_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode aggregation: the per-(doc, candidate) count closes
+      // only when the watermark PASSES its event time — push it
+      dump(Seq((999999L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"),
+        "sentinel advancing the watermark")).toDF("doc_id", "ts", "text"),
+        "b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("editdist_replay").collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("dist"),
+          r.getAs[Long]("sim_ppm"))).toSet
+      val want = graft.text.TextQueries
+        .editDistMatchesAgainst(batchDocs, corpus)
+        .collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("dist"),
+          r.getAs[Long]("sim_ppm"))).toSet
+      // bit-identical verdicts: same pairs, same shared counts, same
+      // exact distances and integer sim_ppm — and more than one match
+      // per doc must be possible (the matches-not-best contract)
+      assert(want.nonEmpty, "fixture must produce verified editdist matches")
+      assert(got == want,
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      // the batch best-match query is a subset: every best verdict is
+      // among the gate's events
+      val best = graft.text.TextQueries
+        .editDistAgainst(batchDocs, corpus).collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"))).toSet
+      val gotPairs = got.map(t => (t._1, t._2))
+      assert(best.forall(gotPairs.contains),
+        s"missing best verdicts: ${best.filterNot(gotPairs.contains).take(3)}")
+      // a wrong-parameter index (k=4 probe over a k=3 index) is
+      // rejected at plan time, not silently recall-zero
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.streamingEditDistGate(in, idx, corpus, k = 4)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming paragraph gate == batch paragraphDedupAgainst on replay") {
+    import graft.text.ParagraphQueries
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpusPages = ParagraphQueries.segmentPages(all.filter(col("doc_id") % 2 === 0))
+    val batchPages = ParagraphQueries.segmentPages(all.filter(col("doc_id") % 2 === 1))
+    val idx = ParagraphQueries.paragraphIndex(corpusPages)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_para_replay")
+    import spark.implicits._
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_para_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.move(part, dropDir.resolve(name))
+    }
+    dump(batchPages.select(col("page_id").as("doc_id"), lit(t0).as("ts"),
+      col("text")), "b1.parquet")
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps.streamingParagraphGate(in, idx)
+      .writeStream.format("memory").queryName("para_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append-mode aggregation: pages close when the watermark passes
+      dump(Seq((999999L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"),
+        "sentinel advancing the watermark")).toDF("doc_id", "ts", "text"),
+        "b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("para_replay").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Int]("n_paras"), r.getAs[Int]("n_removed"),
+            r.getAs[String]("clean_hash"))).toMap
+      val want = ParagraphQueries.paragraphDedupAgainst(batchPages, idx)
+        .collect()
+        .map(r => r.getAs[Long]("page_id") ->
+          (r.getAs[Int]("n_paras"), r.getAs[Int]("n_removed"),
+            r.getAs[String]("clean_hash"))).toMap
+      // EVERY batch page emits exactly once (zero-match pages included)
+      // with bit-identical scrub metrics and clean hash
+      assert(want.nonEmpty && want.values.exists(_._2 > 0),
+        "fixture must contain corpus-known paragraphs to scrub")
+      assert(want.values.exists(_._2 == 0),
+        "fixture must also contain zero-match pages")
+      assert(got.keySet == want.keySet,
+        s"extra=${(got.keySet -- want.keySet).take(3)} missing=${(want.keySet -- got.keySet).take(3)}")
+      want.foreach { case (d, v) => assert(got(d) == v, s"page $d: ${got(d)} vs $v") }
+    } finally q.stop()
+  }
+
   test("streaming substring scrub gate == batch exactSubstringDedupAgainst on replay") {
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
