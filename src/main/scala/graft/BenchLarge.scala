@@ -1210,6 +1210,47 @@ object BenchLarge {
         all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0))
         .count()
     }
+    // CCNet keep-first paragraph dedup at the full corpus (~4M
+    // paragraphs over 2M pages; the template clique and the 1% planted
+    // dups duplicate WHOLE paragraphs): one compact h-keyed stats
+    // aggregate, one h-join (dup set Zipf-large, never broadcast), one
+    // page_id regroup + rebuild. The check forces n_removed AND the
+    // rebuilt clean_hash so the scrub projection really runs.
+    timed("paragraph_dedup", clearAfter = true) {
+      graft.text.ParagraphQueries.paragraphDedup(
+        graft.text.ParagraphQueries.segmentPages(docs(spark, nDocs, template)))
+        .agg((sum("n_removed") + sum(length(col("clean_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // incremental paragraph dedup: a 5% page batch scrubbed against the
+    // 95% corpus's distinct paragraph-hash index — the CCNet member of
+    // the incremental family next to winnow_incr/editdist_incr.
+    timed("paragraph_incr", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      val seg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        graft.text.ParagraphQueries.segmentPages(_)
+      graft.text.ParagraphQueries.paragraphDedupAgainst(
+        seg(all.filter(col("doc_id") % 20 === 0)),
+        graft.text.ParagraphQueries.paragraphIndex(
+          seg(all.filter(col("doc_id") % 20 =!= 0))))
+        .agg((sum("n_removed") + sum(length(col("clean_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
+    // C4 line+page filtering at the full corpus: pure map-only per-row
+    // arithmetic (zero exchanges — the scan-bound floor of the curation
+    // stack). Over the quality-varied cleanDocs corpus so both rule
+    // levels discriminate: 28-word pages segment into 10/10/8-token
+    // lines (all pass minWords=5, the 8-token tail keeps 3 lines ≥
+    // minKeptLines=3 → kept), while the ~10% short pages segment into
+    // 10/4 and fail BOTH the line rule (4 < 5) and the page rule
+    // (1 kept line < 3) — the check counts survivors + hash bytes.
+    timed("c4_filter", clearAfter = true) {
+      graft.text.ParagraphQueries.c4Filter(
+        graft.text.ParagraphQueries.segmentPages(cleanDocs(spark, nDocs, template)))
+        .agg((sum(when(col("kept"), 1L).otherwise(0L)) +
+          sum(length(col("clean_hash")))).as("chk"))
+        .collect()(0).getLong(0)
+    }
     // dedup-normalization at the full corpus: two RE2 regex passes +
     // md5 per row, map-only. The check forces both output columns.
     timed("txt_normalize", clearAfter = true) {
