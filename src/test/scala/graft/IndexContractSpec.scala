@@ -333,6 +333,32 @@ class IndexContractSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph bucketed writer: catalog-table path result-identical, guards armed, probe engages the bucketing") {
+    import graft.text.ParagraphQueries
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusPages = ParagraphQueries.segmentPages(corpus)
+      val batchPages = ParagraphQueries.segmentPages(batch)
+      ParagraphQueries.writeParagraphIndexTable(corpusPages, "pidx_t", buckets = 4)
+      // stamps ride through saveAsTable/spark.table — guards stay armed
+      assert(spark.table("pidx_t").schema("h").metadata
+        .getString("graft.index.kind") == "paragraph_hash")
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      val viaTab = ParagraphQueries.paragraphDedupAgainst(
+        batchPages, spark.table("pidx_t"))
+      assert(snap(viaTab) == snap(ParagraphQueries.paragraphDedupAgainst(
+        batchPages, ParagraphQueries.paragraphIndex(corpusPages))))
+      assert(viaTab.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "the paragraph probe must engage the table's h bucketing")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS pidx_t")
+    }
+  }
+
   test("stamps survive a parquet round-trip (the persisted-index path)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
     TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))
