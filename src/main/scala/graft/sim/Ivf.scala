@@ -94,14 +94,44 @@ object Ivf {
     * codegen to tens of seconds per query; a single self-contained
     * expression gives the optimizer nothing to copy.
     */
-  def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+  def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     // codegen'd argmin (graft.functions.IvfCellE12): same quantized
     // arithmetic and first-lowest tie rule as the nested-HOF form
     // (equality pinned in EmbeddingKernelSpec), evaluated as one tight
     // loop instead of interpreted lambdas
-    df.withColumn("cell", org.apache.spark.sql.GraftBridge.column(
+    val out = df.withColumn("cell", org.apache.spark.sql.GraftBridge.column(
       graft.functions.IvfCellE12(
         org.apache.spark.sql.GraftBridge.expression(df("embedding")), centroids)))
+    // stamp the centroid-set identity on `cell` (kind + nlist/dim + a
+    // 60-bit fingerprint of the centroid values): an assigned corpus
+    // probed under a DIFFERENT centroid set buckets the two sides by
+    // different partitions of the space, so qualifying neighbors land
+    // in cells the query never probes — silent recall loss, the
+    // jaccard/winnow index class in the ANN family. Checked strict by
+    // streamingAnnAgainst; survives parquet/catalog round-trips.
+    out.select(out.columns.map { c =>
+      if (c == "cell")
+        col(c).as(c, graft.text.TextQueries.indexMeta(
+          graft.text.TextQueries.KindIvfCell, portableHash = true,
+          params = Map("nlist" -> centroids.length.toLong,
+            "dim" -> centroids.head.length.toLong,
+            "chash" -> centroidFingerprint(centroids))))
+      else col(c)
+    }: _*)
+  }
+
+  /** 60-bit fingerprint of a centroid matrix: md5 over the
+    * shortest-round-trip double rendering (the SAME rendering the
+    * assignment expressions serialize, so equal fingerprints ⟺ equal
+    * assignment functions). Driver-side, O(nlist·dim) strings once per
+    * plan. */
+  def centroidFingerprint(centroids: Array[Array[Double]]): Long = {
+    val rendered = centroids.map(_.mkString(",")).mkString(";")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
 
   /** Append `dist_e12`: the MINIMUM quantized squared distance to any
     * centroid — i.e. the distance to the assigned cell's centroid

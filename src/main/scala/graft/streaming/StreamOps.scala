@@ -1242,13 +1242,30 @@ object StreamOps {
     * fits, else only the micro-batch's rows shuffle); state is zero, so
     * the gate runs forever at constant memory.
     *
+    * The assigned corpus is checked STRICT at plan time against THIS
+    * gate's centroid set (kind + nlist/dim + the 60-bit centroid
+    * fingerprint [[graft.sim.Ivf.centroidFingerprint]] stamped by
+    * [[graft.sim.Ivf.withCell]]): a corpus assigned under a different
+    * or stale centroid set buckets the two sides by different
+    * partitions of the space, so qualifying neighbors sit in cells the
+    * query never probes — silent recall loss with zero errors.
+    * `unsafeAssumeCompatible` downgrades to lenient for hand-assigned
+    * frames.
+    *
     * Input schema: (vec_id LONG, ts TIMESTAMP, embedding ARRAY<FLOAT>).
     */
   def streamingAnnAgainst(vecs: DataFrame, corpusAssigned: DataFrame,
                           centroids: Array[Array[Double]],
                           threshold: Double = 0.25,
-                          nprobe: Int = 1): DataFrame = {
+                          nprobe: Int = 1,
+                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    graft.text.TextQueries.requireIndexCompatible(corpusAssigned,
+      graft.text.TextQueries.KindIvfCell, portableHash = true,
+      column = "cell", strict = !unsafeAssumeCompatible,
+      params = Map("nlist" -> centroids.length.toLong,
+        "dim" -> centroids.head.length.toLong,
+        "chash" -> graft.sim.Ivf.centroidFingerprint(centroids)))
     val stream =
       if (nprobe == 1)
         graft.sim.Ivf.withCell(vecs, centroids)

@@ -638,15 +638,31 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * (incremental ingest = union + distinct), and persists as a plain
     * table; at n documents it holds ≤ n·k rows regardless of m, so m
     * can be sized generously (false-positive rate (1−e^{−kn/m})^k)
-    * without materializing m bits anywhere. */
-  def bloomBuild(seen: DataFrame, m: Long = 1L << 24, k: Int = 5): DataFrame =
+    * without materializing m bits anywhere. Stamped kind + hash kind +
+    * (m, k) on `bit` — a filter probed at a DIFFERENT geometry computes
+    * positions under another modulus/fan-out, so seen documents stop
+    * flagging: a silent FALSE NEGATIVE, the one failure Bloom's
+    * contract rules out. [[bloomProbe]] checks the stamps strict. */
+  def bloomBuild(seen: DataFrame, m: Long = 1L << 24, k: Int = 5,
+                 buildId: Option[String] = None): DataFrame =
     seen.select(explode(expr(bloomPositionsExpr(m, k))).as("bit")).distinct()
+      // metadata in a SECOND select: an Alias over a generator loses
+      // its explicitMetadata when the analyzer rewrites it
+      .select(col("bit").as("bit",
+        indexMeta(KindBloomBits, portableHash = true, buildId = buildId,
+          params = Map("m" -> m, "k" -> k.toLong))))
 
   /** Probe a batch against a built filter: a document is flagged iff
     * ALL its (distinct) bit positions are set — Bloom's contract: a
     * document whose exact text was seen ALWAYS flags (no false
     * negatives); an unseen document flags only at the false-positive
     * rate. Emits (doc_id, bloom_hit).
+    *
+    * The filter is checked STRICT at plan time (kind + hash kind +
+    * (m, k) — the geometry the probe recomputes positions under; any
+    * mismatch turns seen documents into silent false negatives).
+    * `unsafeAssumeCompatible` downgrades to the lenient
+    * stamped-axes-only mode for hand-built bit tables.
     *
     * Scale shape: the batch fans out to k compact (doc_id, bit) rows
     * per doc and equi-joins the filter on the uniformly-distributed bit
@@ -656,13 +672,18 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * neither side ever pays an all-pairs comparison.
     */
   def bloomProbe(batch: DataFrame, bits: DataFrame,
-                 m: Long = 1L << 24, k: Int = 5): DataFrame =
+                 m: Long = 1L << 24, k: Int = 5,
+                 unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    requireIndexCompatible(bits, KindBloomBits, portableHash = true,
+      column = "bit", strict = !unsafeAssumeCompatible,
+      params = Map("m" -> m, "k" -> k.toLong))
     batch
       .select(col("doc_id"), explode(expr(bloomPositionsExpr(m, k))).as("bit"))
-      .join(bits.withColumn("present", lit(true)), Seq("bit"), "left")
+      .join(bits.select("bit").withColumn("present", lit(true)), Seq("bit"), "left")
       .groupBy("doc_id")
       .agg((count(lit(1)) === sum(when(col("present"), 1L).otherwise(0L)))
         .as("bloom_hit"))
+  }
 
   /** The filter folded into ONE broadcastable row: a `bmap`
     * word-index → 64-bit-word map (bit b lives in word b div 64 at
@@ -700,9 +721,16 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * regardless of m), one count aggregate over the k-way positional
     * fan-out. Additive, so per-shard tables sum-merge like
     * [[graft.ops.Sketches.cmMerge]]. */
-  def cbfCounters(docs: DataFrame, m: Long = 1L << 24, k: Int = 5): DataFrame =
+  def cbfCounters(docs: DataFrame, m: Long = 1L << 24, k: Int = 5,
+                  buildId: Option[String] = None): DataFrame =
     docs.select(explode(expr(bloomPositionsExpr(m, k))).as("bit"))
       .groupBy("bit").agg(count(lit(1)).as("cnt"))
+      // same geometry stamps as bloomBuild, own kind: a forget pass at
+      // the wrong (m, k) subtracts the wrong cells and corrupts the
+      // counters silently — checked strict by cbfForget
+      .select(col("bit").as("bit",
+        indexMeta(KindCbfCells, portableHash = true, buildId = buildId,
+          params = Map("m" -> m, "k" -> k.toLong))), col("cnt"))
 
   /** Forget a document slice: subtract the slice's own counter table
     * cell-for-cell and drop exhausted cells. EXACT — because inserts
@@ -714,19 +742,37 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * shows up as negative cells — filtered here, pinned impossible
     * under the contract in the spec. */
   def cbfForget(counters: DataFrame, removed: DataFrame,
-                m: Long = 1L << 24, k: Int = 5): DataFrame =
+                m: Long = 1L << 24, k: Int = 5,
+                unsafeAssumeCompatible: Boolean = false): DataFrame = {
+    // a forget pass under the wrong geometry subtracts the WRONG cells
+    // — membership goes silently wrong in both directions (false
+    // negatives for remaining docs, ghost positives for removed ones)
+    requireIndexCompatible(counters, KindCbfCells, portableHash = true,
+      column = "bit", strict = !unsafeAssumeCompatible,
+      params = Map("m" -> m, "k" -> k.toLong))
     counters.join(
-        cbfCounters(removed, m, k).withColumnRenamed("cnt", "rm"),
+        cbfCounters(removed, m, k).select(col("bit"), col("cnt").as("rm")),
         Seq("bit"), "left")
       .select(col("bit"),
         (col("cnt") - coalesce(col("rm"), lit(0L))).as("cnt"))
       .filter(col("cnt") > 0)
+  }
 
   /** Adapter: the still-set positions of a counter table, in the shape
     * [[bloomProbe]]/[[bloomWordMapRow]] consume — the counting filter
-    * serves every downstream the plain filter does. */
-  def cbfBits(counters: DataFrame): DataFrame =
-    counters.filter(col("cnt") > 0).select("bit")
+    * serves every downstream the plain filter does. A stamped counter
+    * table re-stamps its geometry under [[KindBloomBits]] so the strict
+    * probe stays armed through the adapter; an unstamped one passes
+    * through unstamped (and the strict probe then fails loudly). */
+  def cbfBits(counters: DataFrame): DataFrame = {
+    val out = counters.filter(col("cnt") > 0).select("bit")
+    val m = counters.schema("bit").metadata
+    if (m.contains(IndexKindKey) && m.getString(IndexKindKey) == KindCbfCells) {
+      val b = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(m)
+        .putString(IndexKindKey, KindBloomBits).build()
+      out.select(col("bit").as("bit", b))
+    } else out
+  }
 
   // ---- exact-threshold set-similarity join (Bayardo, Ma & Srikant
   // 2007 "Scaling Up All Pairs Similarity Search" prefix filtering, in
@@ -870,6 +916,9 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
   private[graft] val KindSubstringTok = "substring_tok"
   private[graft] val KindSubstringChar = "substring_char"
   private[graft] val KindParagraphHash = "paragraph_hash"
+  private[graft] val KindBloomBits = "bloom_bits"
+  private[graft] val KindCbfCells = "cbf_cells"
+  private[graft] val KindIvfCell = "ivf_cell"
 
   private[graft] def indexMeta(kind: String, portableHash: Boolean,
                         tPpm: Option[Long] = None,

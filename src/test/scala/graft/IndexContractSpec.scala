@@ -359,6 +359,98 @@ class IndexContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom: wrong-geometry probe/forget fail loudly; stamps ride the cbf forget chain; escape hatch result-identical") {
+    val seen = corpus
+    val bits = TextQueries.bloomBuild(seen)
+    assert(bits.schema("bit").metadata.getLong("graft.index.param.m")
+      == (1L << 24))
+    // wrong m: positions computed under another modulus — a seen doc
+    // stops flagging (silent false negative, the one failure Bloom's
+    // contract rules out)
+    val eM = intercept[IllegalArgumentException] {
+      TextQueries.bloomProbe(batch, bits, m = 1L << 20)
+    }
+    assert(eM.getMessage.contains("build parameter m="), eM.getMessage)
+    // wrong k: different fan-out, same silent class
+    intercept[IllegalArgumentException] {
+      TextQueries.bloomProbe(batch, bits, k = 7)
+    }
+    // stripped bits table fails strict; the escape hatch must equal
+    // the stamped path exactly
+    val eS = intercept[IllegalArgumentException] {
+      TextQueries.bloomProbe(batch, stripped(bits, "bit"))
+    }
+    assert(eS.getMessage.contains("no build metadata"), eS.getMessage)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    // probe ALL docs: the seen half must flag (no false negatives)
+    val want = snap(TextQueries.bloomProbe(docs, bits))
+    assert(want.exists(_._2), "fixture must contain bloom hits")
+    assert(snap(TextQueries.bloomProbe(docs, stripped(bits, "bit"),
+      unsafeAssumeCompatible = true)) == want)
+    // counting filter: a forget pass at the wrong geometry would
+    // subtract the WRONG cells — rejected at plan time
+    val counters = TextQueries.cbfCounters(seen)
+    intercept[IllegalArgumentException] {
+      TextQueries.cbfForget(counters, batch, m = 1L << 20)
+    }
+    // stamps ride forget → cbfBits (re-kinded to bloom_bits), so the
+    // strict probe stays armed through the whole deletable-index chain
+    val after = TextQueries.cbfBits(TextQueries.cbfForget(counters, batch))
+    assert(after.schema("bit").metadata.getString("graft.index.kind")
+      == "bloom_bits")
+    assert(after.schema("bit").metadata.getLong("graft.index.param.k") == 5L)
+    TextQueries.bloomProbe(batch, after).collect()
+    // an unstamped counter table passes through cbfBits unstamped and
+    // the strict probe then fails loudly instead of silently missing
+    intercept[IllegalArgumentException] {
+      TextQueries.bloomProbe(batch,
+        TextQueries.cbfBits(stripped(counters, "bit")))
+    }
+  }
+
+  test("ivf: corpus assigned under different/stale centroids is rejected at plan time; stripped fails strict; escape hatch works") {
+    val all = Tables.embeddings(spark, sfDir)
+    val centsV1 = graft.sim.Ivf.trainCentroids(spark, sfDir, 8)
+    val centsV2 = graft.sim.Ivf.trainCentroids(spark, sfDir, 4)
+    val corpusV1 = graft.sim.Ivf.withCell(all.filter(col("vec_id") % 2 === 0), centsV1)
+    assert(corpusV1.schema("cell").metadata.getString("graft.index.kind")
+      == "ivf_cell")
+    assert(corpusV1.schema("cell").metadata.getLong("graft.index.param.chash")
+      == graft.sim.Ivf.centroidFingerprint(centsV1))
+    val stream = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        col("embedding"))
+    // different nlist: fails on the centroid-count axis
+    val eN = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingAnnAgainst(stream, corpusV1, centsV2)
+    }
+    assert(eN.getMessage.contains("build parameter"), eN.getMessage)
+    // same nlist/dim, different VALUES (a retrained centroid set):
+    // only the fingerprint catches it
+    val centsV1b = centsV1.map(_.clone())
+    centsV1b(0)(0) += 0.25
+    val eF = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingAnnAgainst(stream, corpusV1, centsV1b)
+    }
+    assert(eF.getMessage.contains("chash"), eF.getMessage)
+    // stripped assigned corpus fails strict; the escape hatch restores
+    // the pre-stamp behavior exactly
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingAnnAgainst(stream,
+        stripped(corpusV1, "cell"), centsV1)
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val want = snap(graft.streaming.StreamOps.streamingAnnAgainst(
+      stream, corpusV1, centsV1, threshold = 0.1))
+    assert(want.nonEmpty, "fixture must produce same-cell matches")
+    assert(snap(graft.streaming.StreamOps.streamingAnnAgainst(stream,
+      stripped(corpusV1, "cell"), centsV1, threshold = 0.1,
+      unsafeAssumeCompatible = true)) == want)
+  }
+
   test("stamps survive a parquet round-trip (the persisted-index path)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
     TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))
