@@ -591,6 +591,16 @@ object StreamOps {
     * a stale text side would verify candidates against the WRONG
     * document bytes, the silent-recall class the stamps exist for.
     *
+    * COST CAVEAT, measured: the verify fan-out is linear in candidate
+    * PAIRS, and a high-document-frequency fingerprint (shared
+    * boilerplate) multiplies those quadratically — the uncapped batch
+    * twin measured 143 s vs 14 s capped at sf0.1 on exactly this
+    * corpus shape. In production scrub frequent n-grams upstream
+    * ([[graft.text.TextQueries.scrubFrequentNgrams]]) and/or raise
+    * `minShared`; the batch twin additionally offers
+    * `maxMatchesPerDoc` (a per-doc strongest-candidates window, not
+    * expressible per-row in append streaming).
+    *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING);
     * `corpusText` is the static (doc_id, text) side of the SAME corpus
     * snapshot the index was built from.
@@ -1016,14 +1026,31 @@ object StreamOps {
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingBloomGate(docs: DataFrame, seen: DataFrame,
-                         m: Long = 1L << 24, k: Int = 5): DataFrame = {
+                         m: Long = 1L << 24, k: Int = 5,
+                         bits: Option[DataFrame] = None,
+                         unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import graft.text.TextQueries
-    val bloomRow = TextQueries.bloomWordMapRow(TextQueries.bloomBuild(seen, m, k))
+    // production path: hand in the PERSISTED bits table
+    // (TextQueries.bloomBuild written to parquet/catalog — the whole
+    // point of a Bloom index is that ingest never re-scans `seen`);
+    // it must carry this gate's geometry stamps, checked strict — a
+    // wrong-(m, k) filter turns seen documents into silent false
+    // negatives (they pass the gate and re-enter the corpus)
+    bits.foreach { b =>
+      TextQueries.requireIndexCompatible(b, TextQueries.KindBloomBits,
+        portableHash = true, column = "bit", strict = !unsafeAssumeCompatible,
+        params = Map("m" -> m, "k" -> k.toLong))
+    }
+    val bloomRow = TextQueries.bloomWordMapRow(
+        bits.getOrElse(TextQueries.bloomBuild(seen, m, k)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positions derive from text BEFORE the join (see
+    // bloomHitOfPositions' spelling-constraint scaladoc)
     docs
+      .withColumn("_bloom_pos", expr(TextQueries.bloomPositionsExpr(m, k)))
       .crossJoin(broadcast(bloomRow))
-      .filter(!TextQueries.bloomHitExpr(m, k))
-      .drop("bmap")
+      .filter(!TextQueries.bloomHitOfPositions)
+      .drop("bmap", "_bloom_pos")
   }
 
   /** Stateless streaming perplexity gate (the ingest form of CCNet's

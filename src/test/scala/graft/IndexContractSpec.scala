@@ -407,6 +407,24 @@ class IndexContractSpec extends AnyFunSuite {
       TextQueries.bloomProbe(batch,
         TextQueries.cbfBits(stripped(counters, "bit")))
     }
+    // streaming gate production path: a handed-in persisted bits table
+    // replaces the per-session rebuild, result-identical and checked
+    // strict against the gate's geometry
+    val survivors = graft.streaming.StreamOps
+      .streamingBloomGate(docs, seen, bits = Some(bits))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivorsInline = graft.streaming.StreamOps
+      .streamingBloomGate(docs, seen)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == survivorsInline && survivors.nonEmpty)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingBloomGate(docs, seen,
+        m = 1L << 20, bits = Some(bits))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingBloomGate(docs, seen,
+        bits = Some(stripped(bits, "bit")))
+    }
   }
 
   test("ivf: corpus assigned under different/stale centroids is rejected at plan time; stripped fails strict; escape hatch works") {
