@@ -319,19 +319,39 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * banded-DP [[levVerify]] tail. Emits (batch_id, dup_of, n_shared,
     * dist, sim_ppm), one row per verified pair.
     *
-    * Scale shape: identical to [[editDistAgainst]] — the corpus
-    * contributes its compact fingerprint index for candidates; only
-    * matched pairs join text, and the per-batch-doc fan-out is bounded
-    * by the document frequency of its selected fingerprints. */
+    * Scale shape: the candidate stage is [[editDistAgainst]]'s (compact
+    * fingerprint index, equi-join buckets) — but the VERIFY stage is
+    * linear in the number of candidate PAIRS, and under template
+    * duplication that is quadratic in the clique size: a boilerplate
+    * shared by a c-doc clique puts c/2 batch × c/2 corpus pairs through
+    * the two text joins (measured: 143 s at sf0.1 vs the best-match
+    * variant's sub-second, text shuffle dominated even though the DP
+    * settles on the byte-equality short-circuit). `maxMatchesPerDoc`
+    * bounds it exactly like [[editDistPairs]]' maxPairsPerDoc: each
+    * batch doc keeps only its strongest candidates (n_shared desc,
+    * dup_of asc — deterministic, oracle-expressible) before any text
+    * moves; 0 = unbounded, the event-stream-parity configuration the
+    * streaming gate replays. Production ingest wants the cap: per-doc
+    * match lists beyond a handful carry no curation signal. */
   def editDistMatchesAgainst(batch: DataFrame, corpus: DataFrame,
                              k: Int = 3, w: Int = 4, minShared: Long = 1,
                              minSimPpm: Long = 500000L,
+                             maxMatchesPerDoc: Int = 0,
                              corpusIndex: Option[DataFrame] = None,
                              unsafeAssumeCompatible: Boolean = false): DataFrame = {
-    val cand = winnowMatchCounts(batch, corpus, k, w,
+    val cand0 = winnowMatchCounts(batch, corpus, k, w,
         corpusIndex, unsafeAssumeCompatible)
       .filter(col("n_shared") >= minShared)
       .select(col("batch_id"), col("dup_of"), col("n_shared"))
+    val cand =
+      if (maxMatchesPerDoc <= 0) cand0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w1 = Window.partitionBy("batch_id")
+          .orderBy(col("n_shared").desc, col("dup_of"))
+        cand0.withColumn("_rk", row_number().over(w1))
+          .filter(col("_rk") <= maxMatchesPerDoc).drop("_rk")
+      }
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
     levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),

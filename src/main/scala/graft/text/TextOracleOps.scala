@@ -780,7 +780,8 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
 
     // the matches variant: same candidate and verification algebra,
-    // NO best-match window — every qualifying (batch, corpus) pair
+    // top-8 strongest candidates per batch doc (n_shared desc, dup_of
+    // asc — the query's deterministic production cap), then verify
     "dedup_editdist_matches" ->
       s"""WITH $winnowFpsOracleCtes,
          |bx AS (SELECT doc_id AS batch_id, unnest(fps) AS fp
@@ -789,11 +790,16 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |       FROM f WHERE doc_id % 2 = 0),
          |m AS (SELECT batch_id, dup_of, count(*) AS n_shared
          |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |r AS (SELECT batch_id, dup_of, n_shared,
+         |        row_number() OVER (PARTITION BY batch_id
+         |          ORDER BY n_shared DESC, dup_of) AS rn
+         |      FROM m),
          |v AS (SELECT b.batch_id, b.dup_of, CAST(b.n_shared AS BIGINT) AS n_shared,
          |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
          |        CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
-         |      FROM m b JOIN documents x ON b.batch_id = x.doc_id
-         |               JOIN documents y ON b.dup_of = y.doc_id)
+         |      FROM r b JOIN documents x ON b.batch_id = x.doc_id
+         |               JOIN documents y ON b.dup_of = y.doc_id
+         |      WHERE b.rn <= 8)
          |SELECT batch_id, dup_of, n_shared, dist,
          |  CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
          |       ELSE (max_len - dist) * 1000000 // max_len END AS sim_ppm

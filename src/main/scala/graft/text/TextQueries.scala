@@ -558,12 +558,13 @@ object TextQueries
         docs.filter(col("doc_id") % 2 === 0))
     },
 
-    // ---- ALL verified edit-distance matches per batch doc — the
-    // event-stream contract the streaming editdist gate replays ----
+    // ---- verified edit-distance matches per batch doc (strongest 8
+    // candidates each — the production cap; the streaming gate replays
+    // the uncapped event-stream form, parity-pinned at test scale) ----
     "dedup_editdist_matches" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       editDistMatchesAgainst(docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0))
+        docs.filter(col("doc_id") % 2 === 0), maxMatchesPerDoc = 8)
     }
   )
 }
