@@ -700,11 +700,20 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
 
   /** Per-row membership test against a bound `bmap` column: true iff
     * every one of the text's k bit positions is set — the expression
-    * twin of [[bloomProbe]]'s join-and-count (parity spec-pinned). */
-  private[graft] def bloomHitExpr(m: Long, k: Int): Column =
-    expr(s"""forall(${bloomPositionsExpr(m, k)},
-            |  p -> (coalesce(element_at(bmap, p div 64), 0L)
-            |        & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
+    * twin of [[bloomProbe]]'s join-and-count (parity spec-pinned).
+    *
+    * SPELLING CONSTRAINT: the positions derive from `text` BEFORE the
+    * bmap join ([[bloomHitOfPositions]] consumes the pre-computed
+    * array). The one-big-lambda form — `forall(transform(..text..),
+    * p -> ..bmap..)` filtered directly above the cross join — trips an
+    * optimizer INTERNAL_ERROR in batch execution (the predicate lands
+    * bound against the one-row side: "Could not find text#N in
+    * [bmap#M]"); splitting the text-only derivation to the stream side
+    * sidesteps it and is the better plan anyway (positions are a pure
+    * map over the stream, never re-derived under the join). */
+  private[graft] def bloomHitOfPositions: Column =
+    expr("""forall(_bloom_pos, p -> (coalesce(element_at(bmap, p div 64), 0L)
+           |  & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
 
   // ---- counting Bloom filter (Fan et al. 2000 "Summary Cache"): the
   // DELETABLE membership index. The plain filter above cannot forget —
