@@ -780,8 +780,8 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
 
     // the matches variant: same candidate and verification algebra,
-    // top-8 strongest candidates per batch doc (n_shared desc, dup_of
-    // asc — the query's deterministic production cap), then verify
+    // minShared >= 2 then the top-8 strongest candidates per batch doc
+    // (n_shared desc, dup_of asc — the query's production knobs)
     "dedup_editdist_matches" ->
       s"""WITH $winnowFpsOracleCtes,
          |bx AS (SELECT doc_id AS batch_id, unnest(fps) AS fp
@@ -789,7 +789,8 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |cx AS (SELECT doc_id AS dup_of, unnest(fps) AS fp
          |       FROM f WHERE doc_id % 2 = 0),
          |m AS (SELECT batch_id, dup_of, count(*) AS n_shared
-         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of
+         |      HAVING count(*) >= 2),
          |r AS (SELECT batch_id, dup_of, n_shared,
          |        row_number() OVER (PARTITION BY batch_id
          |          ORDER BY n_shared DESC, dup_of) AS rn
