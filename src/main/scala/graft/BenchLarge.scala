@@ -1182,6 +1182,17 @@ object BenchLarge {
         all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0))
         .count()
     }
+    // all-verified-matches edit-distance at the incremental shape,
+    // with the production knobs (minShared=2 evidence pruning + top-8
+    // cap — the cap is what bounds the 1100-doc template clique here:
+    // clique members share ALL fingerprints, so pruning can't help).
+    timed("editdist_matches", clearAfter = true) {
+      val all = docs(spark, nDocs, template)
+      graft.text.TextQueries.editDistMatchesAgainst(
+        all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0),
+        minShared = 2, maxMatchesPerDoc = 8)
+        .count()
+    }
     // PMI collocations at the full corpus: one bigram aggregate
     // (map-side combined), the >= minCount pair set broadcast through
     // both vocabulary lookups — the vocab never re-shuffles.
