@@ -95,6 +95,9 @@ object Ivf {
     * expression gives the optimizer nothing to copy.
     */
   def withCell(df: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty && centroids.head.nonEmpty,
+      "centroid matrix must be non-empty (nlist >= 1, dim >= 1): an empty " +
+        "set has no cells to assign")
     // codegen'd argmin (graft.functions.IvfCellE12): same quantized
     // arithmetic and first-lowest tie rule as the nested-HOF form
     // (equality pinned in EmbeddingKernelSpec), evaluated as one tight
@@ -120,16 +123,29 @@ object Ivf {
     }: _*)
   }
 
-  /** 60-bit fingerprint of a centroid matrix: md5 over the
-    * shortest-round-trip double rendering (the SAME rendering the
-    * assignment expressions serialize, so equal fingerprints ⟺ equal
-    * assignment functions). Driver-side, O(nlist·dim) strings once per
-    * plan. */
+  /** 60-bit fingerprint of a centroid matrix: md5 over the raw
+    * IEEE-754 bit patterns (`Double.doubleToLongBits`, big-endian, row
+    * by row, with nlist/dim framing). Equal fingerprints ⟺ equal
+    * centroid VALUES ⟺ equal assignment functions (both the codegen'd
+    * argmin and the HOF form consume the doubles directly). Hashing
+    * the bits rather than `toString` renderings keeps the fingerprint
+    * stable across JVM versions — JDK 19 changed Double.toString to
+    * shortest-round-trip, and a rendering-dependent fingerprint would
+    * spuriously reject a persisted assigned corpus after a JVM upgrade
+    * (strict `chash` check in streamingAnnAgainst). Driver-side,
+    * O(nlist·dim) once per plan. */
   def centroidFingerprint(centroids: Array[Array[Double]]): Long = {
-    val rendered = centroids.map(_.mkString(",")).mkString(";")
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(rendered.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(v: Long): Unit = {
+      buf.clear(); buf.putLong(v); md.update(buf.array())
+    }
+    putLong(centroids.length.toLong)
+    centroids.foreach { row =>
+      putLong(row.length.toLong)
+      row.foreach(d => putLong(java.lang.Double.doubleToLongBits(d)))
+    }
+    val hex = md.digest().take(8).map(b => f"$b%02x").mkString
     java.lang.Long.parseLong(hex.take(15), 16)
   }
 

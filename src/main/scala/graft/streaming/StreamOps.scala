@@ -535,19 +535,29 @@ object StreamOps {
     * `winnowDedupAgainst`'s job because a per-pair count is a join
     * aggregate, not a per-row predicate.
     *
+    * `maxDf` states the df cap the index was built with
+    * ([[graft.text.TextQueries.winnowIndex]]'s stop-fingerprint
+    * pruning) — a df-capped index bounds the per-fingerprint match
+    * fan-out (and with it this gate's per-batch state) at maxDf rows
+    * by construction, the production configuration for boilerplate-
+    * heavy corpora. Checked against the index stamp like k/w.
+    *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
   def streamingWinnowGate(docs: DataFrame, corpusIndex: DataFrame,
                           k: Int = 3, w: Int = 4,
                           watermark: String = "10 minutes",
-                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
-    // the static index must have been winnowed at THIS gate's (k, w) —
-    // different parameters select disjoint fingerprints and the probe
-    // join matches nothing, silently waving every duplicate through
+                          unsafeAssumeCompatible: Boolean = false,
+                          maxDf: Long = 0): DataFrame = {
+    // the static index must have been winnowed at THIS gate's
+    // (k, w, max_df) — different k/w select disjoint fingerprints and
+    // the probe join matches nothing, silently waving every duplicate
+    // through; a different df cap yields a different match set
     graft.text.TextQueries.requireIndexCompatible(corpusIndex,
       graft.text.TextQueries.KindWinnowFp, portableHash = true,
       column = "fp", strict = !unsafeAssumeCompatible,
-      params = Map("k" -> k.toLong, "w" -> w.toLong))
+      params = Map("k" -> k.toLong, "w" -> w.toLong,
+        "max_df" -> math.max(maxDf, 0L)))
     docs.withWatermark("ts", watermark)
       .select(col("doc_id").as("batch_id"), col("ts"),
         explode(graft.text.TextQueries.winnowFpsExpr(k, w)).as("fp"))
@@ -591,15 +601,27 @@ object StreamOps {
     * a stale text side would verify candidates against the WRONG
     * document bytes, the silent-recall class the stamps exist for.
     *
-    * COST CAVEAT, measured: the verify fan-out is linear in candidate
-    * PAIRS, and a high-document-frequency fingerprint (shared
-    * boilerplate) multiplies those quadratically — the uncapped batch
-    * twin measured 143 s vs 14 s capped at sf0.1 on exactly this
-    * corpus shape. In production scrub frequent n-grams upstream
+    * COST / STATE-SIZE CAVEAT, measured: the verify fan-out is linear
+    * in candidate PAIRS, and a high-document-frequency fingerprint
+    * (shared boilerplate) multiplies those quadratically — the
+    * uncapped batch twin measured 143 s vs 14 s capped at sf0.1 on
+    * exactly this corpus shape. The stateful count's group key carries
+    * the pair's FULL texts (t1, t2) so the verify can run without a
+    * re-join, which means state bytes within the watermark horizon are
+    * ~(candidate pairs) × (|t1| + |t2|): a fingerprint with document
+    * frequency D contributes up to D candidate rows PER ARRIVING DOC,
+    * so an uncapped index over a boilerplate-heavy corpus grows state
+    * quadratically in the clique size times document length. The
+    * production fix is INDEX-SIDE: build the index with
+    * `winnowIndex(maxDf = …)` (stop-fingerprint pruning) and state the
+    * same `maxDf` here — per-doc candidate fan-out is then ≤ maxDf per
+    * fingerprint BY CONSTRUCTION, bounding state before any row is
+    * stored. Also effective: scrub frequent n-grams upstream
     * ([[graft.text.TextQueries.scrubFrequentNgrams]]) and/or raise
-    * `minShared`; the batch twin additionally offers
-    * `maxMatchesPerDoc` (a per-doc strongest-candidates window, not
-    * expressible per-row in append streaming).
+    * `minShared` (pairs below it still enter state but never pay the
+    * DP); the batch twin additionally offers `maxMatchesPerDoc` (a
+    * per-doc strongest-candidates window, not expressible per-row in
+    * append streaming).
     *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING);
     * `corpusText` is the static (doc_id, text) side of the SAME corpus
@@ -610,11 +632,13 @@ object StreamOps {
                             k: Int = 3, w: Int = 4, minShared: Long = 1,
                             minSimPpm: Long = 500000L,
                             watermark: String = "10 minutes",
-                            unsafeAssumeCompatible: Boolean = false): DataFrame = {
+                            unsafeAssumeCompatible: Boolean = false,
+                            maxDf: Long = 0): DataFrame = {
     import graft.text.TextQueries
     TextQueries.requireIndexCompatible(corpusIndex, TextQueries.KindWinnowFp,
       portableHash = true, column = "fp", strict = !unsafeAssumeCompatible,
-      params = Map("k" -> k.toLong, "w" -> w.toLong))
+      params = Map("k" -> k.toLong, "w" -> w.toLong,
+        "max_df" -> math.max(maxDf, 0L)))
     if (!unsafeAssumeCompatible)
       TextQueries.requireSameBuild(corpusIndex, corpusText, idxColumn = "fp",
         sideColumn = "text", sideName = "corpusText")
@@ -1012,24 +1036,37 @@ object StreamOps {
     * drop every incoming document whose k Bloom bit positions are ALL
     * set in a filter built offline over the already-ingested corpus
     * ([[graft.text.TextQueries.bloomBuild]] →
-    * [[graft.text.TextQueries.bloomWordMapRow]]). A seen document
+    * [[graft.text.TextQueries.bloomDenseWordsRow]]). A seen document
     * always drops (no false negatives); an unseen one drops only at
     * the filter's false-positive rate. Zero streaming state: the dense
-    * word-map row is bounded at m/64 entries (~4 MB at m=2^24) BY
+    * word-array row is bounded at m/64 longs (~2 MB at m=2^24) BY
     * CONSTRUCTION — independent of corpus size — so each micro-batch
-    * pays one one-row broadcast and a per-row k-hash membership fold,
-    * the same cost envelope as the other stateless gates. Batch
+    * pays one one-row broadcast and a per-row k-hash O(1)-indexed
+    * membership fold, the same cost envelope as the other stateless
+    * gates. Batch
     * parity: the drop set equals `bloomProbe(..).filter(bloom_hit)`
     * exactly (spec-pinned — both sides are integer/bit arithmetic on
     * the same md5 hashes, no float boundary anywhere).
     *
+    * The filter comes from EXACTLY ONE of two sources, enforced at
+    * plan time (an inconsistent (seen, bits) pair would silently gate
+    * on whichever source this body happened to prefer): `seen` — the
+    * already-ingested corpus, rebuilt into a filter per session — or
+    * `bits` — the PERSISTED [[graft.text.TextQueries.bloomBuild]]
+    * table (the production front door: ingest never re-scans the
+    * corpus), geometry-checked strict against this gate's (m, k).
+    *
     * Input schema: (doc_id LONG, ts TIMESTAMP, text STRING).
     */
-  def streamingBloomGate(docs: DataFrame, seen: DataFrame,
+  def streamingBloomGate(docs: DataFrame, seen: Option[DataFrame] = None,
                          m: Long = 1L << 24, k: Int = 5,
                          bits: Option[DataFrame] = None,
                          unsafeAssumeCompatible: Boolean = false): DataFrame = {
     import graft.text.TextQueries
+    require(seen.isDefined != bits.isDefined,
+      "pass exactly ONE filter source: seen (corpus to rebuild from) OR " +
+        "bits (persisted bloomBuild table) — handing both is ambiguous " +
+        "and the loser would be silently ignored")
     // production path: hand in the PERSISTED bits table
     // (TextQueries.bloomBuild written to parquet/catalog — the whole
     // point of a Bloom index is that ingest never re-scans `seen`);
@@ -1041,16 +1078,20 @@ object StreamOps {
         portableHash = true, column = "bit", strict = !unsafeAssumeCompatible,
         params = Map("m" -> m, "k" -> k.toLong))
     }
-    val bloomRow = TextQueries.bloomWordMapRow(
-        bits.getOrElse(TextQueries.bloomBuild(seen, m, k)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the dense word-array row is a driver-built LocalRelation
+    // (bounded at m/64 longs by construction) — nothing to cache; each
+    // micro-batch re-broadcasts the ~2 MB row for free. Dense array,
+    // NOT a map row: see bloomDenseWordsRow's scaladoc for the
+    // measured linear-scan pathology the map form had.
+    val bloomRow = TextQueries.bloomDenseWordsRow(
+      bits.getOrElse(TextQueries.bloomBuild(seen.get, m, k)), m)
     // positions derive from text BEFORE the join (see
     // bloomHitOfPositions' spelling-constraint scaladoc)
     docs
       .withColumn("_bloom_pos", expr(TextQueries.bloomPositionsExpr(m, k)))
       .crossJoin(broadcast(bloomRow))
       .filter(!TextQueries.bloomHitOfPositions)
-      .drop("bmap", "_bloom_pos")
+      .drop("bwords", "_bloom_pos")
   }
 
   /** Stateless streaming perplexity gate (the ingest form of CCNet's
@@ -1287,6 +1328,9 @@ object StreamOps {
                           nprobe: Int = 1,
                           unsafeAssumeCompatible: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(centroids.nonEmpty && centroids.head.nonEmpty,
+      "centroid matrix must be non-empty (nlist >= 1, dim >= 1): an empty " +
+        "set has no cells to probe")
     graft.text.TextQueries.requireIndexCompatible(corpusAssigned,
       graft.text.TextQueries.KindIvfCell, portableHash = true,
       column = "cell", strict = !unsafeAssumeCompatible,

@@ -685,34 +685,49 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
         .as("bloom_hit"))
   }
 
-  /** The filter folded into ONE broadcastable row: a `bmap`
-    * word-index → 64-bit-word map (bit b lives in word b div 64 at
-    * offset b mod 64). Entries are bounded by m/64 regardless of how
-    * many documents the filter has absorbed — 2^24 bits is a ≤262k-entry
-    * (~4 MB) row — so this is the dense artifact the streaming gate
-    * broadcasts per micro-batch, built from the same sparse bits table
-    * the batch probe joins. */
-  def bloomWordMapRow(bits: DataFrame): DataFrame =
+  /** The filter folded into ONE DENSE broadcastable row: `bwords` is
+    * the ceil(m/64)-long word array (bit b lives in word b div 64 at
+    * offset b mod 64), ~2 MB at m=2^24 regardless of corpus size.
+    * This is what the streaming gate broadcasts per micro-batch — a
+    * dense ARRAY, deliberately not a word→value MAP row: `element_at`
+    * on a Spark map is a LINEAR SCAN of all entries per lookup, and
+    * the earlier map-row form of this gate side measured 121 s for a
+    * 20k-doc micro-batch against a 2M-doc filter
+    * (20k docs × k lookups × 262k-entry scans, per micro-batch); the
+    * dense array's O(1) indexing runs the same probe in under a
+    * second. Built by ONE bounded driver collect (≤ m/64 aggregated
+    * word rows BY CONSTRUCTION — independent of corpus size, the
+    * model-row collect class), so the row is a LocalRelation the
+    * per-batch plan re-broadcasts for free. */
+  def bloomDenseWordsRow(bits: DataFrame, m: Long = 1L << 24): DataFrame = {
+    val nWords = ((m + 63) / 64).toInt
+    val words = new Array[Long](nWords)
     bits
       .groupBy(expr("bit div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("bmap"))
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val spark = bits.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(words.toSeq)).toDF("bwords")
+  }
 
-  /** Per-row membership test against a bound `bmap` column: true iff
+  /** Per-row membership test against a bound `bwords` column: true iff
     * every one of the text's k bit positions is set — the expression
     * twin of [[bloomProbe]]'s join-and-count (parity spec-pinned).
+    * element_at on the dense array is 1-based and every p < m lands in
+    * bounds by construction, so no coalesce is needed.
     *
     * SPELLING CONSTRAINT: the positions derive from `text` BEFORE the
-    * bmap join ([[bloomHitOfPositions]] consumes the pre-computed
+    * bwords join ([[bloomHitOfPositions]] consumes the pre-computed
     * array). The one-big-lambda form — `forall(transform(..text..),
-    * p -> ..bmap..)` filtered directly above the cross join — trips an
-    * optimizer INTERNAL_ERROR in batch execution (the predicate lands
-    * bound against the one-row side: "Could not find text#N in
-    * [bmap#M]"); splitting the text-only derivation to the stream side
-    * sidesteps it and is the better plan anyway (positions are a pure
-    * map over the stream, never re-derived under the join). */
+    * p -> ..bwords..)` filtered directly above the cross join — trips
+    * an optimizer INTERNAL_ERROR in batch execution (the predicate
+    * lands bound against the one-row side: "Could not find text#N in
+    * [bwords#M]"); splitting the text-only derivation to the stream
+    * side sidesteps it and is the better plan anyway (positions are a
+    * pure map over the stream, never re-derived under the join). */
   private[graft] def bloomHitOfPositions: Column =
-    expr("""forall(_bloom_pos, p -> (coalesce(element_at(bmap, p div 64), 0L)
+    expr("""forall(_bloom_pos, p -> (element_at(bwords, cast(p div 64 as int) + 1)
            |  & shiftleft(1L, cast(p % 64 as int))) != 0)""".stripMargin)
 
   // ---- counting Bloom filter (Fan et al. 2000 "Summary Cache"): the
@@ -1011,7 +1026,23 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * skipping the checks. Their `unsafeAssumeCompatible` escape hatch
     * (for hand-built frames whose compatibility the caller vouches
     * for) downgrades to the lenient stamped-axes-only mode — never to
-    * no checking at all. */
+    * no checking at all.
+    *
+    * MIGRATION NOTE (strict-by-default rollout): `bloomProbe`,
+    * `cbfForget`, `paragraphDedupAgainst`, `streamingAnnAgainst`, the
+    * winnow/simhash/substring `*Against` consumers, and every
+    * index-consuming streaming gate check strict by default as of the
+    * round that introduced each stamp family. Indexes and assigned
+    * corpora PERSISTED BEFORE their family's stamps existed carry no
+    * metadata and now fail at plan time — by design (an unverifiable
+    * index is the silent-recall surface itself). To migrate: rebuild
+    * each persisted index once with the current builders (they stamp
+    * automatically), or pass `unsafeAssumeCompatible = true` to vouch
+    * for a known-compatible legacy frame while scheduling the rebuild.
+    * The same applies when a stamp's DEFINITION changes (e.g. the IVF
+    * centroid fingerprint moving from string renderings to raw IEEE-754
+    * bits): re-stamp by re-running the builder over the same inputs —
+    * values are unchanged, only the metadata is refreshed. */
   private[graft] def requireIndexCompatible(idx: DataFrame, kind: String,
                                             portableHash: Boolean,
                                             tPpm: Option[Long] = None,

@@ -189,23 +189,70 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * fingerprint (array_distinct per doc, so rows are unique). Write
     * bucketed by `fp` and the per-batch probe join's static side
     * carries no Exchange (the sorted/bucketed corpus-writer
-    * discipline). */
+    * discipline).
+    *
+    * `maxDf` > 0 enables STOP-FINGERPRINT pruning at build time: every
+    * fingerprint whose document frequency exceeds `maxDf` is dropped
+    * from the index — the stop-token idea of the prefix-filter
+    * literature (Bayardo et al. 2007 §5's frequent-token handling)
+    * applied to winnow fingerprints. A high-DF fingerprint is shared
+    * boilerplate, and it is exactly what makes downstream match
+    * consumers quadratic: a fingerprint shared by D documents puts
+    * ~(D/2)² candidate pairs through every `*Against` verify stage
+    * (measured 143 s vs 5.6 s at sf0.1 before the consumer-side knobs
+    * landed). Capping at the INDEX bounds every consumer at once —
+    * per-batch-doc candidate fan-out per fingerprint is ≤ maxDf by
+    * construction, before any consumer-side pruning.
+    *
+    * RECALL CONTRACT under the cap: a dropped fingerprint can only
+    * remove candidate EVIDENCE — surviving pairs keep exact
+    * `n_shared` over the kept fingerprints, but a pair whose shared
+    * fingerprints are ALL high-DF (template-clique members,
+    * boilerplate-only overlap) loses its candidates entirely. The
+    * winnowing guarantee ("every pair sharing a ≥ w+k−1-token run
+    * surfaces") therefore weakens to runs whose selected fingerprint
+    * has df ≤ maxDf — which is the intent: corpus-wide boilerplate is
+    * curation noise, not a near-duplicate signal. `maxDf = 0`
+    * (default) keeps the exact recall-1 index.
+    *
+    * The cap is STAMPED (`graft.index.param.max_df`) and checked by
+    * every consumer like k/w: a consumer expecting the exact index fed
+    * a capped one (or vice versa) computes different match sets with
+    * no visible error otherwise.
+    *
+    * Cost: one extra map-side-combined (fp → df) aggregate over the
+    * compact index rows plus a left-anti join against the bounded
+    * frequent set (each surviving entry needs > maxDf docs, so the set
+    * is ≤ total_fps/maxDf rows; AQE broadcasts it in practice). */
   def winnowIndex(corpus: DataFrame, k: Int = 3, w: Int = 4,
-                  buildId: Option[String] = None): DataFrame =
+                  buildId: Option[String] = None, maxDf: Long = 0): DataFrame = {
     // materialize BEFORE the explode: fps referenced once lets
     // CollapseProject inline the whole window-min/hash chain per
     // element (~60× per-row cost — the winnowPairs lesson; this path
     // measured >10 min vs seconds at 2M docs without it)
-    graft.ops.Scale.materializeCompact(
+    val raw = graft.ops.Scale.materializeCompact(
         winnowFrame(corpus, k, w).select(col("doc_id"), col("fps")))
       .select(col("doc_id").as("dup_of"), explode(col("fps")).as("fp"))
-      // metadata in a SECOND select: an Alias over a generator loses
-      // its explicitMetadata when the analyzer rewrites it to the
-      // Generate node's output attribute
-      .select(col("dup_of"),
-        col("fp").as("fp",
-          indexMeta(KindWinnowFp, portableHash = true, buildId = buildId,
-            params = Map("k" -> k.toLong, "w" -> w.toLong))))
+    val kept =
+      if (maxDf <= 0) raw
+      else {
+        // rows are distinct per (dup_of, fp), so count(*) per fp IS the
+        // document frequency; the aggregate combines map-side (compact
+        // longs), and the anti join's right side is df-bounded
+        val frequent = raw.groupBy("fp")
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+          .select("fp")
+        raw.join(frequent, Seq("fp"), "left_anti")
+      }
+    // metadata in a SECOND select: an Alias over a generator loses
+    // its explicitMetadata when the analyzer rewrites it to the
+    // Generate node's output attribute
+    kept.select(col("dup_of"),
+      col("fp").as("fp",
+        indexMeta(KindWinnowFp, portableHash = true, buildId = buildId,
+          params = Map("k" -> k.toLong, "w" -> w.toLong,
+            "max_df" -> math.max(maxDf, 0L)))))
+  }
 
   /** Persist [[winnowIndex]] as a BUCKETED catalog table (bucketed +
     * sorted by `fp`, the probe key) — the production layout for the
@@ -219,9 +266,10 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * version. */
   def writeWinnowIndexTable(corpus: DataFrame, table: String,
                             k: Int = 3, w: Int = 4, buckets: Int = 64,
-                            buildId: Option[String] = None): Unit = {
+                            buildId: Option[String] = None,
+                            maxDf: Long = 0): Unit = {
     val id = buildId.orElse(Some(java.util.UUID.randomUUID().toString))
-    val idx = winnowIndex(corpus, k, w, id)
+    val idx = winnowIndex(corpus, k, w, id, maxDf)
     try graft.ops.Scale.writeBucketed(idx, "fp", buckets, table)
     finally graft.ops.Scale.releaseCompact(idx)
   }
@@ -244,11 +292,13 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   def winnowDedupAgainst(batch: DataFrame, corpus: DataFrame,
                          k: Int = 3, w: Int = 4, minShared: Long = 1,
                          corpusIndex: Option[DataFrame] = None,
-                         unsafeAssumeCompatible: Boolean = false): DataFrame = {
+                         unsafeAssumeCompatible: Boolean = false,
+                         maxDf: Long = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val best = Window.partitionBy("batch_id")
       .orderBy(col("n_shared").desc, col("dup_of"))
-    winnowMatchCounts(batch, corpus, k, w, corpusIndex, unsafeAssumeCompatible)
+    winnowMatchCounts(batch, corpus, k, w, corpusIndex, unsafeAssumeCompatible,
+      maxDf)
       .filter(col("n_shared") >= minShared)
       .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
       .select(col("batch_id"), col("dup_of"), col("n_shared"), col("n_fps"))
@@ -261,21 +311,25 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   private[graft] def winnowMatchCounts(batch: DataFrame, corpus: DataFrame,
                                        k: Int, w: Int,
                                        corpusIndex: Option[DataFrame],
-                                       unsafeAssumeCompatible: Boolean): DataFrame = {
-    // a handed-in index must have been built at THIS consumer's (k, w)
-    // — different parameters share zero fingerprints and silently wave
-    // every near-duplicate through (strict: a stripped index is the
-    // same surface with the guards disarmed) — and, when both frames
-    // are build-stamped, from THIS corpus snapshot
+                                       unsafeAssumeCompatible: Boolean,
+                                       maxDf: Long = 0): DataFrame = {
+    // a handed-in index must have been built at THIS consumer's
+    // (k, w, max_df) — different k/w share zero fingerprints and
+    // silently wave every near-duplicate through; a different df cap
+    // computes a different match set with no visible error (strict: a
+    // stripped index is the same surface with the guards disarmed) —
+    // and, when both frames are build-stamped, from THIS corpus
+    // snapshot
     corpusIndex.foreach { idx =>
       requireIndexCompatible(idx, KindWinnowFp, portableHash = true,
         column = "fp", strict = !unsafeAssumeCompatible,
-        params = Map("k" -> k.toLong, "w" -> w.toLong))
+        params = Map("k" -> k.toLong, "w" -> w.toLong,
+          "max_df" -> math.max(maxDf, 0L)))
       if (!unsafeAssumeCompatible)
         requireSameBuild(idx, corpus, idxColumn = "fp", sideColumn = "text",
           sideName = "corpus")
     }
-    val cIdx = corpusIndex.getOrElse(winnowIndex(corpus, k, w))
+    val cIdx = corpusIndex.getOrElse(winnowIndex(corpus, k, w, maxDf = maxDf))
     val bf = winnowFrame(batch, k, w)
       .select(col("doc_id"), col("fps")).localCheckpoint()
       .select(col("doc_id").as("batch_id"),
@@ -297,11 +351,14 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
   def editDistAgainst(batch: DataFrame, corpus: DataFrame,
                       k: Int = 3, w: Int = 4, minSimPpm: Long = 500000L,
                       corpusIndex: Option[DataFrame] = None,
-                      unsafeAssumeCompatible: Boolean = false): DataFrame = {
-    // guards (kind / k / w / build-id vs the corpus snapshot) live in
-    // the candidate stage — this wrapper adds only the text-verify join
+                      unsafeAssumeCompatible: Boolean = false,
+                      maxDf: Long = 0): DataFrame = {
+    // guards (kind / k / w / max_df / build-id vs the corpus snapshot)
+    // live in the candidate stage — this wrapper adds only the
+    // text-verify join
     val cand = winnowDedupAgainst(batch, corpus, k, w,
-      corpusIndex = corpusIndex, unsafeAssumeCompatible = unsafeAssumeCompatible)
+      corpusIndex = corpusIndex, unsafeAssumeCompatible = unsafeAssumeCompatible,
+      maxDf = maxDf)
     val bt = batch.select(col("doc_id").as("batch_id"), col("text").as("t1"))
     val ct = corpus.select(col("doc_id").as("dup_of"), col("text").as("t2"))
     levVerify(cand.join(bt, "batch_id").join(ct, "dup_of"),
@@ -332,15 +389,24 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
     * dup_of asc — deterministic, oracle-expressible) before any text
     * moves; 0 = unbounded, the event-stream-parity configuration the
     * streaming gate replays. Production ingest wants the cap: per-doc
-    * match lists beyond a handful carry no curation signal. */
+    * match lists beyond a handful carry no curation signal.
+    *
+    * `maxDf` is the INDEX-side fix for the same quadratic
+    * ([[winnowIndex]]'s stop-fingerprint pruning): with a df-capped
+    * index even the recall-first consumer defaults (minShared=1,
+    * maxMatchesPerDoc=0) are bounded — per-fingerprint fan-out ≤ maxDf
+    * by construction, so no consumer downstream re-pays high-DF
+    * candidates before its own pruning. See winnowIndex's recall
+    * contract for what the cap can drop. */
   def editDistMatchesAgainst(batch: DataFrame, corpus: DataFrame,
                              k: Int = 3, w: Int = 4, minShared: Long = 1,
                              minSimPpm: Long = 500000L,
                              maxMatchesPerDoc: Int = 0,
                              corpusIndex: Option[DataFrame] = None,
-                             unsafeAssumeCompatible: Boolean = false): DataFrame = {
+                             unsafeAssumeCompatible: Boolean = false,
+                             maxDf: Long = 0): DataFrame = {
     val cand0 = winnowMatchCounts(batch, corpus, k, w,
-        corpusIndex, unsafeAssumeCompatible)
+        corpusIndex, unsafeAssumeCompatible, maxDf)
       .filter(col("n_shared") >= minShared)
       .select(col("batch_id"), col("dup_of"), col("n_shared"))
     val cand =

@@ -808,6 +808,36 @@ private[text] trait TextOracleOps { this: TextQueries.type =>
          |WHERE (CASE WHEN max_len = 0 THEN 1000000
          |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
 
+    // the df-capped twin: corpus fingerprints with document frequency
+    // > 1 are dropped BEFORE the candidate join (the index-side
+    // stop-fingerprint contract at its most aggressive setting — only
+    // fingerprints unique to one corpus doc remain; the query comment
+    // explains why this corpus needs the cap below its df 2-15
+    // collision band), then the recall-first consumer defaults
+    // (minShared=1, no per-doc cap) verify every candidate
+    "dedup_editdist_dfcap" ->
+      s"""WITH $winnowFpsOracleCtes,
+         |bx AS (SELECT doc_id AS batch_id, unnest(fps) AS fp
+         |       FROM f WHERE doc_id % 2 = 1),
+         |cx0 AS (SELECT doc_id AS dup_of, unnest(fps) AS fp
+         |        FROM f WHERE doc_id % 2 = 0),
+         |stop AS (SELECT fp FROM (
+         |    SELECT fp, count(*) AS df FROM cx0 GROUP BY fp) WHERE df > 1),
+         |cx AS (SELECT * FROM cx0 WHERE fp NOT IN (SELECT fp FROM stop)),
+         |m AS (SELECT batch_id, dup_of, count(*) AS n_shared
+         |      FROM bx JOIN cx USING (fp) GROUP BY batch_id, dup_of),
+         |v AS (SELECT m.batch_id, m.dup_of, CAST(m.n_shared AS BIGINT) AS n_shared,
+         |        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+         |        CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+         |      FROM m JOIN documents x ON m.batch_id = x.doc_id
+         |             JOIN documents y ON m.dup_of = y.doc_id)
+         |SELECT batch_id, dup_of, n_shared, dist,
+         |  CASE WHEN max_len = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE (max_len - dist) * 1000000 // max_len END AS sim_ppm
+         |FROM v
+         |WHERE (CASE WHEN max_len = 0 THEN 1000000
+         |            ELSE (max_len - dist) * 1000000 // max_len END) >= 500000""".stripMargin,
+
     "txt_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm

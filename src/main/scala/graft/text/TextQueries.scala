@@ -570,6 +570,28 @@ object TextQueries
       editDistMatchesAgainst(docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
         minShared = 2, maxMatchesPerDoc = 8)
+    },
+
+    // ---- the INDEX-side fix for the high-DF quadratic: a df-capped
+    // (stop-fingerprint, Bayardo et al.) winnow index under the
+    // RECALL-FIRST consumer defaults (minShared=1, no per-doc cap).
+    // maxDf=1 — only fingerprints UNIQUE to one corpus document enter
+    // the index — because this corpus's collision fan-out is a broad
+    // df 2-15 band (window-min bias concentrates selected fingerprints
+    // on globally small hash values), not a few monster-df outliers:
+    // measured at sf0.1, cap 8 still admits 156k of the uncapped 167k
+    // candidate pairs (114 s), cap 2 admits 23k (18 s), cap 1 admits
+    // 6.5k (7.8 s, in-family) — the operational lesson being that the
+    // cap must sit BELOW the corpus's noise-df band. Near-dup recall
+    // survives: a planted pair's distinctive fingerprints live in
+    // exactly ONE corpus doc (df=1 on the corpus side by definition).
+    // The cap is a stamped contract parameter (graft.index.param
+    // .max_df), so handing this index to an exact-index consumer
+    // fails at plan time ----
+    "dedup_editdist_dfcap" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      editDistMatchesAgainst(docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), maxDf = 1)
     }
   )
 }

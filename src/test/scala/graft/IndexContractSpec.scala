@@ -70,6 +70,51 @@ class IndexContractSpec extends AnyFunSuite {
       unsafeAssumeCompatible = true)) == want)
   }
 
+  test("winnow: df-cap (max_df) is a stamped contract parameter — mismatch fails loudly, capped index only removes candidate evidence") {
+    // the cap is stamped like k/w...
+    val capped = TextQueries.winnowIndex(corpus, maxDf = 8)
+    assert(capped.schema("fp").metadata.getLong("graft.index.param.max_df") == 8L)
+    assert(TextQueries.winnowIndex(corpus)
+      .schema("fp").metadata.getLong("graft.index.param.max_df") == 0L)
+    // ...and mismatched on EITHER side fails at plan time: a capped
+    // index under an exact-index consumer (and vice versa) computes a
+    // different match set with no visible error otherwise
+    val eCap = intercept[IllegalArgumentException] {
+      TextQueries.winnowDedupAgainst(batch, corpus, corpusIndex = Some(capped))
+    }
+    assert(eCap.getMessage.contains("max_df=8"), eCap.getMessage)
+    intercept[IllegalArgumentException] {
+      TextQueries.editDistMatchesAgainst(batch, corpus, maxDf = 8,
+        corpusIndex = Some(TextQueries.winnowIndex(corpus)))
+    }
+    // matching caps pass, and the handed-in index equals the lazy build
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("batch_id", "dup_of", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lazyBuilt = snap(TextQueries.winnowDedupAgainst(batch, corpus, maxDf = 8))
+    assert(snap(TextQueries.winnowDedupAgainst(batch, corpus, maxDf = 8,
+      corpusIndex = Some(capped))) == lazyBuilt)
+    // recall contract: the capped index's match set is a SUBSET of the
+    // exact index's per (batch, corpus) pair, with n_shared <= exact —
+    // dropping a fingerprint can only remove candidate evidence
+    val exact = TextQueries.winnowMatchCounts(batch, corpus, 3, 4, None,
+      unsafeAssumeCompatible = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cappedCounts = TextQueries.winnowMatchCounts(batch, corpus, 3, 4, None,
+      unsafeAssumeCompatible = false, maxDf = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cappedCounts.nonEmpty, "fixture must keep low-df matches")
+    cappedCounts.foreach { case (pair, n) =>
+      assert(exact.contains(pair) && n <= exact(pair),
+        s"capped index added evidence for $pair: $n vs ${exact.get(pair)}")
+    }
+    // and the index really prunes: every surviving fingerprint has
+    // df <= 8, so no fp appears with more than 8 distinct dup_of rows
+    val maxFanout = capped.groupBy("fp").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxFanout <= 8L, s"a fingerprint survived with df $maxFanout > 8")
+  }
+
   test("winnow: cross-version (index of one corpus build, text of another) fails loudly via the build-id stamps") {
     val idxV1 = TextQueries.winnowIndex(corpus, buildId = Some("corpus-v1"))
     val corpusV2 = TextQueries.stampCorpusBuild(corpus, "corpus-v2")
@@ -411,19 +456,28 @@ class IndexContractSpec extends AnyFunSuite {
     // replaces the per-session rebuild, result-identical and checked
     // strict against the gate's geometry
     val survivors = graft.streaming.StreamOps
-      .streamingBloomGate(docs, seen, bits = Some(bits))
+      .streamingBloomGate(docs, bits = Some(bits))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val survivorsInline = graft.streaming.StreamOps
-      .streamingBloomGate(docs, seen)
+      .streamingBloomGate(docs, Some(seen))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == survivorsInline && survivors.nonEmpty)
     intercept[IllegalArgumentException] {
-      graft.streaming.StreamOps.streamingBloomGate(docs, seen,
+      graft.streaming.StreamOps.streamingBloomGate(docs,
         m = 1L << 20, bits = Some(bits))
     }
     intercept[IllegalArgumentException] {
-      graft.streaming.StreamOps.streamingBloomGate(docs, seen,
+      graft.streaming.StreamOps.streamingBloomGate(docs,
         bits = Some(stripped(bits, "bit")))
+    }
+    // exactly one source: both (ambiguous — the loser would be
+    // silently ignored) and neither (nothing to gate on) fail loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingBloomGate(docs, Some(seen),
+        bits = Some(bits))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingBloomGate(docs)
     }
   }
 

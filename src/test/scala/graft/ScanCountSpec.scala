@@ -83,6 +83,7 @@ object ScanCountGate {
     "dedup_components" -> 0,
     "dedup_contain_incr" -> 3,
     "dedup_contain_join" -> 4,
+    "dedup_editdist_dfcap" -> 2,
     "dedup_editdist_incr" -> 2,
     "dedup_editdist_matches" -> 2,
     "dedup_editdist_pairs" -> 1,

@@ -607,6 +607,47 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       intercept[IllegalArgumentException] {
         graft.streaming.StreamOps.streamingEditDistGate(in, idx, corpus, k = 4)
       }
+      // a df-capped index under a gate that expects the exact index
+      // (maxDf=0 default) is the same silent-mismatch class
+      intercept[IllegalArgumentException] {
+        graft.streaming.StreamOps.streamingEditDistGate(in,
+          graft.text.TextQueries.winnowIndex(corpus, maxDf = 8), corpus)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming editdist gate over a df-capped index == batch twin at the same cap") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batchDocs = all.filter(col("doc_id") % 2 === 1)
+    val idx = graft.text.TextQueries.winnowIndex(corpus, maxDf = 8)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_editdist_dfcap")
+    import spark.implicits._
+    stageFile(batchDocs.select(col("doc_id"), lit(t0).as("ts"), col("text")),
+      dropDir, "b1.parquet")
+    val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
+    val q = graft.streaming.StreamOps
+      .streamingEditDistGate(in, idx, corpus, maxDf = 8)
+      .writeStream.format("memory").queryName("editdist_dfcap_replay")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stageFile(Seq((999999L, java.sql.Timestamp.valueOf("2026-01-01 02:00:00"),
+        "sentinel advancing the watermark")).toDF("doc_id", "ts", "text"),
+        dropDir, "b2.parquet")
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("batch_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("dist"),
+          r.getAs[Long]("sim_ppm"))
+      val got = spark.table("editdist_dfcap_replay").collect().map(key).toSet
+      val want = graft.text.TextQueries
+        .editDistMatchesAgainst(batchDocs, corpus, maxDf = 8)
+        .collect().map(key).toSet
+      assert(want.nonEmpty, "fixture must keep low-df verified matches")
+      assert(got == want,
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     } finally q.stop()
   }
 
@@ -977,7 +1018,7 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     all.select(col("doc_id"), lit(t0).as("ts"), col("text"))
       .coalesce(1).write.mode("overwrite").parquet(dropDir.toString)
     val in = spark.readStream.schema(docSchema).parquet(dropDir.toString)
-    val q = graft.streaming.StreamOps.streamingBloomGate(in, seen)
+    val q = graft.streaming.StreamOps.streamingBloomGate(in, Some(seen))
       .writeStream.format("memory").queryName("bloom_gate").outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -994,12 +1035,11 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
-  test("Bloom gate per-micro-batch plan: cached one-row filter, zero shuffles") {
-    import org.apache.spark.sql.execution.SparkPlan
+  test("Bloom gate per-micro-batch plan: local one-row dense filter, zero shuffles") {
+    import org.apache.spark.sql.execution.{SparkPlan, LocalTableScanExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val all = Tables.documents(spark, sfDir)
     val dropDir = java.nio.file.Files.createTempDirectory("graft_bloom_plan")
@@ -1007,7 +1047,7 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select(col("doc_id"), lit(t0).as("ts"), col("text")), dropDir, "b0.parquet")
     val q = graft.streaming.StreamOps
       .streamingBloomGate(spark.readStream.schema(docSchema).parquet(dropDir.toString),
-        all.filter(col("doc_id") % 2 === 0))
+        Some(all.filter(col("doc_id") % 2 === 0)))
       .writeStream.format("memory").queryName("bloom_plan").outputMode("append").start()
     try {
       q.processAllAvailable()
@@ -1024,8 +1064,12 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       }
       val plan = org.apache.spark.sql.GraftBridge.lastBatchPlan(q)
       val nodes = expand(plan)
-      assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
-        s"the persisted filter row must be served from cache:\n$plan")
+      // the dense word-array row is a driver-built LocalRelation — the
+      // static side must cost the micro-batch NOTHING beyond its
+      // broadcast (no recompute, no cache machinery, no scan of the
+      // bits table)
+      assert(nodes.exists(_.isInstanceOf[LocalTableScanExec]),
+        s"the dense filter row must be a local one-row relation:\n$plan")
       assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,
         s"expected exactly the one-row filter broadcast join:\n$plan")
       assert(!nodes.exists {
