@@ -123,7 +123,9 @@ object BenchLarge {
   final case class LargeBaseline(rows: Long, docs: Long, vecs: Long,
                                  queries: Map[String, Double],
                                  calib: Option[Double] = None,
-                                 calibStr: Option[Double] = None)
+                                 calibStr: Option[Double] = None,
+                                 seals: Map[String, (Double, Double)] = Map.empty,
+                                 minOutputs: Map[String, Long] = Map.empty)
 
   private def asNum(k: String, n: graft.binning.MetaNode): Double = n match {
     case graft.binning.MetaNode.MNum(v) => v
@@ -135,9 +137,32 @@ object BenchLarge {
     import graft.binning.{MetaNode, MetaTree}
     val root = MetaTree.parse(json).asInstanceOf[MetaNode.MObj]
     val qs = root.obj("queries").fields.map { case (k, v) => k -> asNum(k, v) }.toMap
+    // per-entry seal provenance (`seals`: name -> [calib, calib_str] at
+    // the moment that entry's number was committed): baselines sealed
+    // on hosts of different speeds stop sharing one global stamp — the
+    // gate normalizes each budget by ITS seal pair, so a loud-sealed
+    // entry isn't double-relaxed and a quiet-sealed one isn't gated
+    // against the file-level stamp it was never measured at. Entries
+    // absent here fall back to the file-level calib/calib_str.
+    val seals = root.get("seals").map(_.asInstanceOf[MetaNode.MObj].fields.map {
+      case (k, MetaNode.MArr(Seq(a, b))) => k -> (asNum(k, a), asNum(k, b))
+      case (k, other) =>
+        throw new IllegalArgumentException(s"seal '$k' must be [calib, calib_str]: $other")
+    }.toMap).getOrElse(Map.empty[String, (Double, Double)])
+    // minimum-output budgets (`min_outputs`: name -> floor for that
+    // entry's committed `outputs` value): recall audits seal their
+    // recall_ppm here, and a recall DROP fails the gate exactly like a
+    // time regression — quality budgets, not just speed budgets.
+    val minOut = root.get("min_outputs").map(
+      _.asInstanceOf[MetaNode.MObj].fields.map {
+        case (k, MetaNode.MInt(v)) => k -> v
+        case (k, other) =>
+          throw new IllegalArgumentException(s"min_output '$k' is not an integer: $other")
+      }.toMap).getOrElse(Map.empty[String, Long])
     LargeBaseline(root.int("rows"), root.int("docs"), root.int("vecs"), qs,
       root.get("calib").map(asNum("calib", _)),
-      root.get("calib_str").map(asNum("calib_str", _)))
+      root.get("calib_str").map(asNum("calib_str", _)),
+      seals, minOut)
   }
 
   /** Queries that regressed past `tol ×` their baseline time, plus any
@@ -151,26 +176,54 @@ object BenchLarge {
     * fixed driver-side overheads (job launch, checkpoint rounds) that
     * don't speed up with the calibration kernel, so shrinking budgets
     * on a faster host would manufacture false regressions out of the
-    * unscalable part — a uniformly faster host just passes. */
+    * unscalable part — a uniformly faster host just passes.
+    *
+    * PER-ENTRY seal provenance (`seals`: name -> the (calib, calib_str)
+    * measured when THAT entry's number was committed) overrides the
+    * file-level pair for its entry: r9-r13 baselines were sealed across
+    * windows spanning calib_str 1.68-3.67, and normalizing every budget
+    * against one global stamp meant loud-sealed entries carried ~2×
+    * hidden slack while quiet-sealed ones flagged on ordinary weather —
+    * the six-flags-per-run hand-adjudication ritual. With seals, each
+    * budget compares THIS run's speed against the speed its own number
+    * was measured at.
+    *
+    * `minOutputs` (name -> floor) gates committed OUTPUT values from
+    * below: an entry present in the fresh `outputs` with a value under
+    * its floor fails like a time regression (recall drops are silent
+    * otherwise — the time can even IMPROVE when recall is lost). Floors
+    * are exact counts/ppms, never calib-scaled. */
   def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
                   tol: Double, baseCalib: Option[Double] = None,
                   freshCalib: Option[Double] = None,
                   baseCalibStr: Option[Double] = None,
-                  freshCalibStr: Option[Double] = None): Seq[String] = {
+                  freshCalibStr: Option[Double] = None,
+                  seals: Map[String, (Double, Double)] = Map.empty,
+                  minOutputs: Map[String, Long] = Map.empty,
+                  freshOutputs: Map[String, Long] = Map.empty): Seq[String] = {
     def ratio(b: Option[Double], f: Option[Double]) =
       (for (bb <- b; ff <- f if bb > 0 && ff > 0) yield ff / bb).getOrElse(1.0)
     // max of the numeric and string kernels: relax-only, and the string
     // kernel captures the allocation/string-shuffle weather the numeric
     // kernel demonstrably misses (see LargeBaseline scaladoc)
-    val scale = math.max(ratio(baseCalib, freshCalib),
-      ratio(baseCalibStr, freshCalibStr)).max(1.0)
+    def scaleOf(name: String): Double = {
+      val (bc, bs) = seals.get(name)
+        .map { case (c, s) => (Some(c), Some(s)) }
+        .getOrElse((baseCalib, baseCalibStr))
+      math.max(ratio(bc, freshCalib), ratio(bs, freshCalibStr)).max(1.0)
+    }
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
+      scale = scaleOf(name)
       got <- fresh.get(name) if got > base * tol * scale
     } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s (host-speed scale ${f2(scale)})"
     val missing = (baseline.keySet -- fresh.keySet).toSeq.sorted
       .map(n => s"$n: measured by baseline but missing from this run")
-    slow ++ missing
+    val under = for {
+      (name, floor) <- minOutputs.toSeq.sortBy(_._1)
+      got <- freshOutputs.get(name) if got < floor
+    } yield s"$name: output $got under its committed floor $floor (quality budget — recall/coverage dropped)"
+    slow ++ missing ++ under
   }
 
   private def events(spark: SparkSession, rows: Long): DataFrame =
@@ -326,6 +379,10 @@ object BenchLarge {
         .values.foreach(_.unpersist(blocking = false))
       protectedIds.clear()
     }
+    // per-entry time budget for the ADAPTIVE re-measure (set after the
+    // calibration kernels run; None = no committed baseline for the
+    // name, or ONLY mode / size mismatch — no adaptive passes then)
+    var adaptiveBudget: String => Option[Double] = _ => None
     def timed(name: String, clearBetween: Boolean = false, passes: Int = 2,
               clearAfter: Boolean = false)(f: => Long): Unit = {
       if (only.nonEmpty && !only(name)) return
@@ -335,10 +392,30 @@ object BenchLarge {
         val out = f
         ((System.nanoTime() - t0) / 1e9, out)
       }
-      val runs = (1 to passes).map { i =>
-        val r = pass()
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      (1 to passes).foreach { i =>
+        runs += pass()
         if (clearBetween && i < passes) spark.catalog.clearCache()
-        r
+      }
+      // adaptive weather re-measure (the in-run form of the manual
+      // "isolated ONLY-mode adjudication" ritual): when the min of the
+      // normal passes would still flag against this entry's
+      // calib-scaled budget, run up to two extra passes — a
+      // host-contention spike or block-manager-pressure inflation
+      // clears on a re-pass (the r10s2f/r13 flag class, every one of
+      // which adjudicated as weather), while a REAL code regression is
+      // slow on every pass and still fails the gate. Extra passes use
+      // the entry's own clearing discipline, so they measure the same
+      // thing the normal passes do.
+      adaptiveBudget(name).foreach { budget =>
+        var extra = 0
+        while (runs.map(_._1).min > budget && extra < 2) {
+          if (clearBetween) spark.catalog.clearCache()
+          System.err.println(s"[bench] $name min ${f2(runs.map(_._1).min)} s " +
+            s"over its ${f2(budget)} s budget — adaptive re-pass ${extra + 1}")
+          runs += pass()
+          extra += 1
+        }
       }
       if (clearAfter) {
         spark.catalog.clearCache()
@@ -403,6 +480,34 @@ object BenchLarge {
       println(s"""{"metric":"bench_large_calib","calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)}}""")
       spark.stop()
       return
+    }
+
+    // committed baseline, parsed UP FRONT: the adaptive re-measure
+    // needs each entry's calib-scaled budget while the suite runs (the
+    // end-of-run gate reuses the same parse). ONLY mode skips both.
+    val baselinePath =
+      if (only.nonEmpty) ""  // partial coverage would flag every unnamed query
+      else sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
+    val tol = sys.env.getOrElse("SPARK_GRAFT_LARGE_TOL", "1.5").toDouble
+    val baseOpt: Option[LargeBaseline] =
+      if (baselinePath.nonEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath)))
+        Some(parseBaseline(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      else None
+    adaptiveBudget = name => for {
+      b <- baseOpt if b.rows == rows && b.docs == nDocs && b.vecs == nVecs
+      base <- b.queries.get(name)
+    } yield {
+      // per-entry seal pair, falling back to the file-level stamps
+      val (bc, bs) = b.seals.get(name)
+        .map { case (c, s) => (Some(c), Some(s)) }
+        .getOrElse((b.calib, b.calibStr))
+      val scale = math.max(
+        bc.filter(_ > 0).map(calibSec / _).getOrElse(1.0),
+        bs.filter(_ > 0).map(calibStrSec / _).getOrElse(1.0)).max(1.0)
+      base * tol * scale
     }
 
     timed("hist_3d_rel") {
@@ -1419,6 +1524,196 @@ object BenchLarge {
           sum(round(col("ratio") * 1e6).cast("long"))).as("chk"))
         .collect()(0).getLong(0)
     }
+    // ---- df-capped winnow index A/B (the index-side fix for the
+    // high-DF verify quadratic): the RECALL-FIRST consumer defaults
+    // (minShared=1, no per-doc cap) that blow up over an exact index
+    // on a boilerplate corpus stay bounded over a df-capped one. The
+    // fixture is a FIXED 200k-doc corpus with a 5000-doc template
+    // clique (the longdoc-family fixed-sub-corpus precedent): at the
+    // main corpus's 1100-doc clique the quadratic hides under the
+    // index-build cost (open ≈ capped ≈ 13 s at 2M — measured), while
+    // 5000 clique members put ~250 batch × 4750 corpus = 1.2M
+    // identical-text pairs through the open verify (two text joins
+    // each) vs ~none over the capped index, whose df>64 stop
+    // fingerprints never admit the clique as candidates. The cap's
+    // timing win is THE measurement here; `editdist_matches` above
+    // keeps the consumer-knobbed column (exact index, minShared=2 +
+    // top-8 cap) at the full corpus.
+    val AB_N = 200000L; val AB_TEMPLATE = 5000L
+    timed("editdist_matches_open", clearAfter = true) {
+      val all = docs(spark, AB_N, AB_TEMPLATE)
+      graft.text.TextQueries.editDistMatchesAgainst(
+        all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0))
+        .count()
+    }
+    timed("editdist_matches_dfcap", clearAfter = true) {
+      val all = docs(spark, AB_N, AB_TEMPLATE)
+      graft.text.TextQueries.editDistMatchesAgainst(
+        all.filter(col("doc_id") % 20 === 0), all.filter(col("doc_id") % 20 =!= 0),
+        maxDf = 64)
+        .count()
+    }
+
+    // ---- streaming-gate throughput at the incremental-ingest shape:
+    // a 20k-doc micro-batch (10k exact corpus dups with remapped ids +
+    // 10k genuinely novel docs) replayed through four representative
+    // stream-static gates against PRE-MATERIALIZED 2M-doc indexes
+    // (built untimed — production keeps them as bucketed tables; the
+    // timed body is query start + the replay micro-batches + the
+    // watermark-closing sentinel batch, i.e. what ingest pays per
+    // batch). maxFilesPerTrigger=1 pins the file→micro-batch mapping so
+    // append-mode aggregates close deterministically inside the timed
+    // window. Without these entries a stream-static probe plan
+    // regression (e.g. the static side re-shuffling per micro-batch)
+    // would be invisible to the gate.
+    if (only.isEmpty || only.exists(_.startsWith("stream_"))) {
+      val corpus = docs(spark, nDocs, template)
+      val gateBatch = corpus.filter(col("doc_id") % 200 === 7)
+        .select((col("doc_id") + nDocs).as("doc_id"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          col("text"))
+        .union(spark.range(10000).select(
+          (col("id") + 2L * nDocs).as("doc_id"),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          concat_ws(" ", (0 until 18).map(k =>
+            concat(lit(s"new${k}_"), pmod(hash(col("id"), lit(k + 137)), lit(5000)))): _*)
+            .as("text")))
+      val sentinel = spark.range(1).select(
+        (col("id") + 3L * nDocs).as("doc_id"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 02:00:00")).as("ts"),
+        lit("sentinel advancing the watermark").as("text"))
+      val docSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      // one staged drop-dir for all gates: b1 = the 20k-doc batch,
+      // b2 = the sentinel (staged second → later mtime → second
+      // micro-batch under maxFilesPerTrigger=1)
+      val dropDir = java.nio.file.Files.createTempDirectory("graft_gate_replay")
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gate_tmp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, dropDir.resolve(name))
+      }
+      stage(gateBatch, "b1.parquet")
+      Thread.sleep(1100)  // file-source ordering is mtime-based
+      stage(sentinel, "b2.parquet")
+      var gateSeq = 0
+      def replayCount(gate: DataFrame => DataFrame): Long = {
+        gateSeq += 1
+        val qn = s"gate_replay_$gateSeq"
+        val in = spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dropDir.toString)
+        val q = gate(in).writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try { q.processAllAvailable(); spark.table(qn).count() }
+        finally { q.stop(); spark.sql(s"DROP VIEW IF EXISTS $qn") }
+      }
+      def wants(name: String) = only.isEmpty || only(name)
+      // every probe-keyed index is a BUCKETED catalog table (the
+      // production layout the writers exist for): the static side of
+      // each per-micro-batch stream-static join carries no Exchange —
+      // only the batch's rows re-cluster to the bucket layout. An
+      // in-memory (materializeCompact) static side would re-shuffle the
+      // corpus-sized index EVERY micro-batch, which is exactly the plan
+      // regression these entries exist to catch.
+      def withTable(table: String)(write: => Unit)(body: DataFrame => Unit): Unit = {
+        write
+        try body(spark.table(table))
+        finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+      // LSH gate: band-bucket candidates + exact-Jaccard verify per
+      // micro-batch against the (band, sig, hashes) corpus index
+      if (wants("stream_lsh_gate"))
+        withTable("bl_lsh_idx")(
+          graft.text.TextQueries.writeLshIndexTable(corpus, "bl_lsh_idx")) { idx =>
+          timed("stream_lsh_gate") {
+            replayCount(in => graft.streaming.StreamOps.streamingLshAgainst(in, idx))
+          }
+        }
+      // char-substring scrub gate: any-offset L=100 window hashes probe
+      // the distinct-hash index, matched spans scrub per document
+      if (wants("stream_substr_chars_gate"))
+        withTable("bl_char_idx")(
+          graft.text.TextQueries.writeSubstringCharsIndexTable(corpus,
+            "bl_char_idx", L = 100, portableHash = false)) { idx =>
+          timed("stream_substr_chars_gate") {
+            replayCount(in => graft.streaming.StreamOps.streamingSubstringCharsGate(
+              in, idx, L = 100, portableHash = false))
+          }
+        }
+      // edit-distance gate over the DF-CAPPED winnow index (the
+      // production configuration §editdist_matches_dfcap measures in
+      // batch form): candidates bounded at df<=64 per fingerprint
+      // before the banded-DP verify
+      if (wants("stream_editdist_gate"))
+        withTable("bl_win_idx")(
+          graft.text.TextQueries.writeWinnowIndexTable(corpus, "bl_win_idx",
+            maxDf = 64)) { idx =>
+          val corpusText = prebuild(corpus)
+          timed("stream_editdist_gate") {
+            replayCount(in => graft.streaming.StreamOps.streamingEditDistGate(
+              in, idx, corpusText, maxDf = 64))
+          }
+          releasePrebuilt()
+        }
+      // Bloom gate: persisted stamped bits table, one dense word-map
+      // row broadcast per micro-batch; survivors = the 10k novel docs
+      if (wants("stream_bloom_gate")) {
+        val bloomBits = prebuild(graft.text.TextQueries.bloomBuild(corpus))
+        timed("stream_bloom_gate") {
+          replayCount(in => graft.streaming.StreamOps.streamingBloomGate(
+            in, bits = Some(bloomBits)))
+        }
+        releasePrebuilt()
+      }
+    }
+
+    // ---- ANN recall gates at the full vector corpus: committed
+    // recall_ppm floors next to the time budgets (min_outputs in
+    // BENCH_LARGE.json) — a centroid/probe/codebook change that loses
+    // recall FAILS the gate even if it runs faster. nQ=16 queries,
+    // k=10, brute-force ground truth recomputed in-entry (ONLY-mode
+    // self-contained, the ann_recall pattern).
+    timed("ivf_recall_p1", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.sim.Ivf.kmeans(sample, 8)
+      graft.sim.SimilarityQueries.annRecallOn(emb, cents, nQ = 16, k = 10,
+          nprobe = 1)
+        .agg((sum("n_hit") * lit(1000000L) / lit(160L)).cast("long"))
+        .collect()(0).getLong(0)
+    }
+    timed("ivf_recall_p2", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.sim.Ivf.kmeans(sample, 8)
+      graft.sim.SimilarityQueries.annRecallOn(emb, cents, nQ = 16, k = 10,
+          nprobe = 2)
+        .agg((sum("n_hit") * lit(1000000L) / lit(160L)).cast("long"))
+        .collect()(0).getLong(0)
+    }
+    timed("ivfpq_recall", clearAfter = true) {
+      val emb = embeddings(spark, nVecs)
+      val sample = emb.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents = graft.sim.Ivf.kmeans(sample, 8)
+      val cbs = graft.sim.Pq.trainCodebooksOn(sample, cents)
+      graft.sim.SimilarityQueries.ivfPqRecallOn(emb, cents, cbs, nQ = 16, k = 10)
+        .agg((sum("n_hit") * lit(1000000L) / lit(160L)).cast("long"))
+        .collect()(0).getLong(0)
+    }
+
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
     // at the full corpus size: the flagship user query gets a committed
@@ -1471,21 +1766,16 @@ object BenchLarge {
     spark.stop()
 
     // ---- regression gate against the committed baseline -------------
-    val baselinePath =
-      if (only.nonEmpty) ""  // partial coverage would flag every unnamed query
-      else sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
-    val tol = sys.env.getOrElse("SPARK_GRAFT_LARGE_TOL", "1.5").toDouble
-    if (baselinePath.nonEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath))) {
-      val base = parseBaseline(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
-        java.nio.charset.StandardCharsets.UTF_8))
+    baseOpt.foreach { base =>
       if (base.rows != rows || base.docs != nDocs || base.vecs != nVecs) {
         System.err.println(s"gate skipped: run sizes ($rows rows, $nDocs docs, $nVecs vecs) " +
           s"differ from baseline (${base.rows}, ${base.docs}, ${base.vecs})")
       } else {
         val regs = regressions(base.queries, results.toMap, tol,
           baseCalib = base.calib, freshCalib = Some(calibSec),
-          baseCalibStr = base.calibStr, freshCalibStr = Some(calibStrSec))
+          baseCalibStr = base.calibStr, freshCalibStr = Some(calibStrSec),
+          seals = base.seals, minOutputs = base.minOutputs,
+          freshOutputs = checks.toMap)
         // an entry timed here but absent from the committed baseline is
         // an UNGATED query — the gate compares baseline->results, so it
         // would silently skip the new entry forever (simhash_incr ran
@@ -1508,8 +1798,8 @@ object BenchLarge {
           .getOrElse("")
         System.err.println(s"gate ok: ${results.size} queries within ${f2(tol)} x of $baselinePath$scaleNote")
       }
-    } else if (baselinePath.nonEmpty) {
-      System.err.println(s"gate skipped: no baseline at $baselinePath")
     }
+    if (baseOpt.isEmpty && baselinePath.nonEmpty)
+      System.err.println(s"gate skipped: no baseline at $baselinePath")
   }
 }

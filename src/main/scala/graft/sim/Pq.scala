@@ -40,6 +40,18 @@ object Pq {
       .orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbs = trainCodebooksOn(sample, cents)
+    trained((dir, M, KCODES)) = cbs
+    lastKey = Some((dir, M, KCODES))
+    cbs
+  }
+
+  /** [[trainCodebooks]] over an in-memory sample — the corpus-scale
+    * bench path (no table dir, no oracle-literal caching). Same
+    * deterministic math: k-means init = first KCODES residual slices,
+    * fixed iterations. */
+  def trainCodebooksOn(sample: Array[Array[Double]],
+                       cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % M == 0, s"dim $dim not divisible by $M subspaces")
     val dsub = dim / M
@@ -47,12 +59,9 @@ object Pq {
       val c = cents(Ivf.assign(v, cents))
       Array.tabulate(dim)(d => v(d) - c(d))
     }
-    val cbs = Array.tabulate(M) { sub =>
+    Array.tabulate(M) { sub =>
       Ivf.kmeans(residuals.map(_.slice(sub * dsub, (sub + 1) * dsub)), KCODES)
     }
-    trained((dir, M, KCODES)) = cbs
-    lastKey = Some((dir, M, KCODES))
-    cbs
   }
 
   private val trained =

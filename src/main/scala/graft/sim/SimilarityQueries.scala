@@ -814,6 +814,51 @@ object SimilarityQueries {
         expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
   }
 
+  /** IVF-PQ recall audit over a frame: exact brute-force top-k (ground
+    * truth, the same broadcast-query stream as [[annRecallOn]]) vs the
+    * compressed-corpus path — ADC ranking over the m=8 residual codes,
+    * SHORTLIST exact re-rank, single-cell probe (the emb_ivfpq_topk
+    * plan). Emits (qid, n_hit, recall_ppm); recall lost here is the sum
+    * of cell-boundary loss (the IVF axis) AND quantization loss (the PQ
+    * axis), which is exactly why it needs its own committed floor next
+    * to the uncompressed probes'. */
+  def ivfPqRecallOn(e: DataFrame, cents: Array[Array[Double]],
+                    cbs: Array[Array[Array[Double]]],
+                    nQ: Int = 10, k: Int = 5): DataFrame = {
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select(col("qid"), col("cid"))
+    }
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
+    val exact = topk(broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
+    val withRes = Pq.withResidual(Ivf.withCell(e, cents), cents)
+    val corpus = withRes
+      .withColumn("codes", Pq.encodeCol(col("res"), cbs))
+      .select(col("vec_id").as("cid"), col("embedding").as("e2"),
+        col("cell"), col("codes"))
+    val qr = withRes.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+        col("cell"), col("res").as("qr"))
+    val adc = broadcast(qr).join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= Pq.SHORTLIST)
+    val ann = topk(shortlist
+      .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
+    val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** Grid (cutoffs, bins) of the last [[semdedupPca]] run, for the
     * oracle builder (the cached-literal pattern). */
   @volatile private[graft] var cachedPcaGrid: Option[(Array[Array[Long]], Int)] = None
