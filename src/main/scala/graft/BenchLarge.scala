@@ -192,7 +192,17 @@ object BenchLarge {
     * below: an entry present in the fresh `outputs` with a value under
     * its floor fails like a time regression (recall drops are silent
     * otherwise — the time can even IMPROVE when recall is lost). Floors
-    * are exact counts/ppms, never calib-scaled. */
+    * are exact counts/ppms, never calib-scaled.
+    *
+    * `graceSec` is an ADDITIVE term on every budget (budget =
+    * base·tol·scale + grace): each entry carries fixed driver-side
+    * overheads — job launch, stage scheduling, a System.gc() — that
+    * inflate additively under host load, not multiplicatively, and the
+    * 15-30 s calibration kernels cannot see them. A 0.62 s map-only
+    * entry measured 3.26 s on a calib_str-4.17 window (5.3× its quiet
+    * seal against the kernel's 2.48× — every other multiplicative
+    * budget in the same run held), while for any entry whose baseline
+    * is seconds-scale the ~1 s grace is noise that masks nothing. */
   def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
                   tol: Double, baseCalib: Option[Double] = None,
                   freshCalib: Option[Double] = None,
@@ -200,7 +210,8 @@ object BenchLarge {
                   freshCalibStr: Option[Double] = None,
                   seals: Map[String, (Double, Double)] = Map.empty,
                   minOutputs: Map[String, Long] = Map.empty,
-                  freshOutputs: Map[String, Long] = Map.empty): Seq[String] = {
+                  freshOutputs: Map[String, Long] = Map.empty,
+                  graceSec: Double = 1.0): Seq[String] = {
     def ratio(b: Option[Double], f: Option[Double]) =
       (for (bb <- b; ff <- f if bb > 0 && ff > 0) yield ff / bb).getOrElse(1.0)
     // max of the numeric and string kernels: relax-only, and the string
@@ -215,8 +226,8 @@ object BenchLarge {
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
       scale = scaleOf(name)
-      got <- fresh.get(name) if got > base * tol * scale
-    } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s (host-speed scale ${f2(scale)})"
+      got <- fresh.get(name) if got > base * tol * scale + graceSec
+    } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s + ${f2(graceSec)} s grace (host-speed scale ${f2(scale)})"
     val missing = (baseline.keySet -- fresh.keySet).toSeq.sorted
       .map(n => s"$n: measured by baseline but missing from this run")
     val under = for {
@@ -374,9 +385,12 @@ object BenchLarge {
       out
     }
     def releasePrebuilt(): Unit = {
+      // blocking: the release is UNTIMED, and an async drain can
+      // overlap the next entry's memory-hungry stages (see the
+      // clearAfter sweep note below)
       spark.sparkContext.getPersistentRDDs
         .filter { case (id, _) => protectedIds(id) }
-        .values.foreach(_.unpersist(blocking = false))
+        .values.foreach(_.unpersist(blocking = true))
       protectedIds.clear()
     }
     // per-entry time budget for the ADAPTIVE re-measure (set after the
@@ -418,8 +432,13 @@ object BenchLarge {
         }
       }
       if (clearAfter) {
-        spark.catalog.clearCache()
-        // catalog.clearCache misses localCheckpoint blocks
+        // RDD-level sweep FIRST, catalog entries second:
+        // catalog.clearCache() unpersists its cache RDDs ASYNC (no
+        // blocking overload reaches it), and an RDD already marked
+        // unpersisted no longer shows in getPersistentRDDs — so
+        // sweeping first (blocking) is the only order that actually
+        // waits for the SQL-cache blocks too.
+        // catalog.clearCache still misses localCheckpoint blocks
         // (Scale.materializeCompact) and .persist'd RDDs whose frames
         // went out of scope — across 80+ entries they accumulate in
         // the block manager and squeeze execution memory for LATE
@@ -428,9 +447,18 @@ object BenchLarge {
         // registered pre-built frames (see `prebuild` above); the one
         // deliberate cross-entry cache persist (`pairs`) sits between
         // two no-clearAfter entries and is released explicitly.
+        // BLOCKING: the sweep is untimed, and with blocking=false the
+        // block drain runs asynchronously INTO the next entry — on a
+        // slow host window substr_dedup_chars' pass-1 sort started
+        // while the previous entries' ~GBs of blocks were still
+        // draining and died with UNABLE_TO_ACQUIRE_MEMORY (twice,
+        // same entry; isolated ONLY-mode run of the same code passed).
+        // Waiting here costs nothing measured and removes that whole
+        // flake class.
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => protectedIds(id) }
-          .values.foreach(_.unpersist(blocking = false))
+          .values.foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
       }
       require(runs.map(_._2).distinct.size == 1,
         s"$name output changed between passes: ${runs.map(_._2).mkString(", ")}")
@@ -489,6 +517,7 @@ object BenchLarge {
       if (only.nonEmpty) ""  // partial coverage would flag every unnamed query
       else sys.env.getOrElse("SPARK_GRAFT_LARGE_BASELINE", "BENCH_LARGE.json")
     val tol = sys.env.getOrElse("SPARK_GRAFT_LARGE_TOL", "1.5").toDouble
+    val grace = sys.env.getOrElse("SPARK_GRAFT_LARGE_GRACE", "1.0").toDouble
     val baseOpt: Option[LargeBaseline] =
       if (baselinePath.nonEmpty &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(baselinePath)))
@@ -507,7 +536,7 @@ object BenchLarge {
       val scale = math.max(
         bc.filter(_ > 0).map(calibSec / _).getOrElse(1.0),
         bs.filter(_ > 0).map(calibStrSec / _).getOrElse(1.0)).max(1.0)
-      base * tol * scale
+      base * tol * scale + grace
     }
 
     timed("hist_3d_rel") {
@@ -1775,7 +1804,7 @@ object BenchLarge {
           baseCalib = base.calib, freshCalib = Some(calibSec),
           baseCalibStr = base.calibStr, freshCalibStr = Some(calibStrSec),
           seals = base.seals, minOutputs = base.minOutputs,
-          freshOutputs = checks.toMap)
+          freshOutputs = checks.toMap, graceSec = grace)
         // an entry timed here but absent from the committed baseline is
         // an UNGATED query — the gate compares baseline->results, so it
         // would silently skip the new entry forever (simhash_incr ran

@@ -172,16 +172,16 @@ class BenchGateSpec extends AnyFunSuite {
     // and the budget is exactly 1.5x the number as measured.
     val base = Map("editdist" -> 14.74)
     val seals = Map("editdist" -> (1.33, 3.35))
-    // 23.0 s: passes the seal-normalized budget (14.74 * 1.5 = 22.11? no
-    // — fails: 23.0 > 22.11), so assert the flag fires with seals...
-    assert(BenchLarge.regressions(base, Map("editdist" -> 23.0), tol = 1.5,
+    // 24.0 s fails the seal-normalized budget (14.74 * 1.5 * 1.0 + 1.0
+    // grace = 23.11)...
+    assert(BenchLarge.regressions(base, Map("editdist" -> 24.0), tol = 1.5,
       baseCalib = Some(1.13), freshCalib = Some(1.2),
       baseCalibStr = Some(1.68), freshCalibStr = Some(2.0),
       seals = seals).nonEmpty,
-      "seal-normalized: 23.0 > 14.74 * 1.5 * 1.0 must flag")
+      "seal-normalized: 24.0 > 14.74 * 1.5 * 1.0 + 1.0 must flag")
     // ...while WITHOUT the seal the same number hides inside the
-    // file-stamp-scaled budget (14.74 * 1.5 * (2.0/1.68) = 26.3)
-    assert(BenchLarge.regressions(base, Map("editdist" -> 23.0), tol = 1.5,
+    // file-stamp-scaled budget (14.74 * 1.5 * (2.0/1.68) + 1.0 = 27.3)
+    assert(BenchLarge.regressions(base, Map("editdist" -> 24.0), tol = 1.5,
       baseCalib = Some(1.13), freshCalib = Some(1.2),
       baseCalibStr = Some(1.68), freshCalibStr = Some(2.0)).isEmpty,
       "file-stamp scaling hides the same slowdown — the slack seals remove")
@@ -209,6 +209,28 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchLarge.regressions(base, Map("ivf_recall_p1" -> 9.0),
       tol = 1.5, minOutputs = Map("ivf_recall_p1" -> 700000L),
       freshOutputs = Map.empty).isEmpty)
+  }
+
+  test("the additive grace covers fixed overheads on tiny entries without masking seconds-scale regressions") {
+    // a 0.62 s map-only entry measured 3.26 s on a calib_str-4.17
+    // window (scale 2.48): multiplicative budget 2.31 flags pure
+    // weather, the +1 s grace clears it...
+    assert(BenchLarge.regressions(Map("cdc_chunks" -> 0.62),
+      Map("cdc_chunks" -> 3.26), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(4.17),
+      baseCalib = Some(1.13), freshCalib = Some(1.45)).isEmpty)
+    // ...while a REAL 4x regression on a quiet window still fails
+    // (0.62 * 1.5 + 1.0 = 1.93 < 2.5)
+    assert(BenchLarge.regressions(Map("cdc_chunks" -> 0.62),
+      Map("cdc_chunks" -> 2.5), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(1.68),
+      baseCalib = Some(1.13), freshCalib = Some(1.13)).nonEmpty)
+    // grace = 0 restores the pure multiplicative gate
+    assert(BenchLarge.regressions(Map("cdc_chunks" -> 0.62),
+      Map("cdc_chunks" -> 3.26), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(4.17),
+      baseCalib = Some(1.13), freshCalib = Some(1.45),
+      graceSec = 0.0).nonEmpty)
   }
 
   test("the committed seals map only names committed queries, and floors only name committed entries") {
