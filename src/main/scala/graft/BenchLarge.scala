@@ -728,20 +728,40 @@ object BenchLarge {
     // instead of per token (~8x the window rows on these ~150-char
     // docs — the measured cost of byte-exact Lee et al. semantics
     // over the token compromise); L sized to the synthetic doc shape
-    // as k=8 tokens is above
-    timed("substr_dedup_chars", clearBetween = true, clearAfter = true) {
-      graft.text.TextQueries.exactSubstringDedupChars(docs(spark, nDocs, template),
-        L = 60, portableHash = false, persistLineage = persist)
-        .filter(col("n_removed") > 0).count()
+    // as k=8 tokens is above.
+    // 64 shuffle partitions for the two char entries ONLY — the
+    // partitions-sized-to-memory discipline (the brief's executor-
+    // sizing rule) applied where it is actually needed: these entries
+    // shuffle ~180M positional rows, and at 32 partitions a task's
+    // sort slice plus the persisted occ frame is marginal against the
+    // 24g heap's execution pool — 2 of 4 full runs died in pass 1
+    // with UNABLE_TO_ACQUIRE_MEMORY under loud-host task overlap
+    // (isolated runs of the same code passed; the blocking clearAfter
+    // sweep removed the cross-entry half of the pressure, this
+    // removes the within-entry half). Halving the slice costs nothing
+    // measurable at this scale (committed 109.58 s baseline vs
+    // 65-83 s recent runs) and is exactly what a production job sizes
+    // for data volume.
+    def withShufflePartitions(n: Int)(body: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    // keep-one twin at char granularity: same kernel fan-out, pinned
-    // ONCE via persistLineage (without it Catalyst instantiated the
-    // dominant-cost subtree under both the argmin aggregate and the
-    // starts-recovery join — a ~2x) — expected ≈ the remove-all number
-    timed("substr_dedup_chars_keep", clearBetween = true, clearAfter = true) {
-      graft.text.TextQueries.exactSubstringDedupCharsKeep(docs(spark, nDocs, template),
-        L = 60, portableHash = false, persistLineage = persist)
-        .filter(col("n_removed") > 0).count()
+    withShufflePartitions(64) {
+      timed("substr_dedup_chars", clearBetween = true, clearAfter = true) {
+        graft.text.TextQueries.exactSubstringDedupChars(docs(spark, nDocs, template),
+          L = 60, portableHash = false, persistLineage = persist)
+          .filter(col("n_removed") > 0).count()
+      }
+      // keep-one twin at char granularity: same kernel fan-out, pinned
+      // ONCE via persistLineage (without it Catalyst instantiated the
+      // dominant-cost subtree under both the argmin aggregate and the
+      // starts-recovery join — a ~2x) — expected ≈ the remove-all number
+      timed("substr_dedup_chars_keep", clearBetween = true, clearAfter = true) {
+        graft.text.TextQueries.exactSubstringDedupCharsKeep(docs(spark, nDocs, template),
+          L = 60, portableHash = false, persistLineage = persist)
+          .filter(col("n_removed") > 0).count()
+      }
     }
     // gear-CDC fingerprints at the full corpus: map-only byte-loop
     // kernel (~150-byte docs -> 1-3 chunks); the check sums chunk
