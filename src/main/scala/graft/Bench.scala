@@ -11,9 +11,28 @@ import org.apache.spark.sql.SparkSession
   * queries (e.g. the calibration columns) measure real work.
   */
 object Bench {
+  /** ONLY-mode artifact naming: a partial run must never masquerade as
+    * a full one — the full artifact goes to `out`, a filtered run to
+    * `<out-stem>_only.json` (spec-pinned in BenchOnlySpec). */
+  def outPathFor(out: String, onlyMode: Boolean): String =
+    if (!onlyMode) out
+    else if (out.endsWith(".json")) out.stripSuffix(".json") + "_only.json"
+    else out + "_only"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ONLY mode (mirrors BenchLarge's SPARK_GRAFT_LARGE_ONLY): time a
+    // named subset — adjudicating one query's drift should not cost a
+    // full 204-query run. The JSON carries "only":true and is written
+    // to a *_only.json path so a partial run never overwrites (or
+    // reads as) the full-run artifact.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,7 +51,9 @@ object Bench {
     // compilation of each query's generated code, pass 2 is the
     // steady-state throughput a long-running cluster job sees
     val failures = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val results = selected.map { case (name, fn) =>
       // isolate queries from each other's garbage: without this, one
       // allocation-heavy query taxes its successors with collection
       // pauses inside THEIR timed region (BENCH_r01 recorded two 11 s
@@ -56,13 +77,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    val onlyTag = if (only.nonEmpty) "\"only\":true," else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a bounded stdout tail — with 100+ per-query
     // entries the JSON line outgrows it (BENCH_r08 lost 56 of 109
     // times), so the full line is also written to a file the driver
     // (or a human) can copy verbatim
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val out = outPathFor(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
+      onlyMode = only.nonEmpty)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }

@@ -202,7 +202,20 @@ object BenchLarge {
     * entry measured 3.26 s on a calib_str-4.17 window (5.3× its quiet
     * seal against the kernel's 2.48× — every other multiplicative
     * budget in the same run held), while for any entry whose baseline
-    * is seconds-scale the ~1 s grace is noise that masks nothing. */
+    * is seconds-scale the ~1 s grace is noise that masks nothing.
+    *
+    * The grace each entry actually receives is CAPPED at its own
+    * scaled baseline: grace_eff = min(graceSec, base·scale). A flat
+    * +1 s would more than triple the effective budget of every
+    * sub-second entry and blind the gate to small-entry absolute
+    * regressions (a 0.3 s entry regressing 4× to 1.2 s would pass);
+    * with the cap, a sub-second entry's quiet-window budget is at
+    * worst base·(tol+1) — still a meaningful multiplicative gate —
+    * while the loud-window additive-overhead case the grace exists
+    * for (the 0.62 s entry at scale 2.48 → grace 1.0, budget 3.31 s)
+    * keeps clearing. MASKING BOUND, stated: the gate cannot see an
+    * absolute regression smaller than min(graceSec, base·scale)
+    * seconds on any entry. */
   def regressions(baseline: Map[String, Double], fresh: Map[String, Double],
                   tol: Double, baseCalib: Option[Double] = None,
                   freshCalib: Option[Double] = None,
@@ -226,8 +239,9 @@ object BenchLarge {
     val slow = for {
       (name, base) <- baseline.toSeq.sortBy(_._1)
       scale = scaleOf(name)
-      got <- fresh.get(name) if got > base * tol * scale + graceSec
-    } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s + ${f2(graceSec)} s grace (host-speed scale ${f2(scale)})"
+      graceEff = math.min(graceSec, base * scale)
+      got <- fresh.get(name) if got > base * tol * scale + graceEff
+    } yield s"$name: ${f2(got)} s > ${f2(tol)} x baseline ${f2(base)} s + ${f2(graceEff)} s grace (host-speed scale ${f2(scale)})"
     val missing = (baseline.keySet -- fresh.keySet).toSeq.sorted
       .map(n => s"$n: measured by baseline but missing from this run")
     val under = for {
@@ -333,6 +347,12 @@ object BenchLarge {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val checks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // entries that cleared their budget ONLY via adaptive re-passes —
+    // emitted machine-readable so retry-until-pass on the same entry
+    // round over round is auditable instead of invisible (a bimodal
+    // real regression is slow on most passes but fast once; one
+    // weather-pass is fine, the SAME name here every round is not)
+    val adaptiveCleared = scala.collection.mutable.LinkedHashSet.empty[String]
 
     // Every query is measured as the MIN OF TWO consecutive passes.
     // Pass 1 doubles as the warm-up (JIT + whole-stage-codegen
@@ -430,6 +450,8 @@ object BenchLarge {
           runs += pass()
           extra += 1
         }
+        // cleared ONLY because a re-pass came in under budget → mark it
+        if (extra > 0 && runs.map(_._1).min <= budget) adaptiveCleared += name
       }
       if (clearAfter) {
         // RDD-level sweep FIRST, catalog entries second:
@@ -536,7 +558,8 @@ object BenchLarge {
       val scale = math.max(
         bc.filter(_ > 0).map(calibSec / _).getOrElse(1.0),
         bs.filter(_ > 0).map(calibStrSec / _).getOrElse(1.0)).max(1.0)
-      base * tol * scale + grace
+      // same grace_eff the end-of-run gate computes (see regressions)
+      base * tol * scale + math.min(grace, base * scale)
     }
 
     timed("hist_3d_rel") {
@@ -1642,16 +1665,23 @@ object BenchLarge {
       // b2 = the sentinel (staged second → later mtime → second
       // micro-batch under maxFilesPerTrigger=1)
       val dropDir = java.nio.file.Files.createTempDirectory("graft_gate_replay")
-      def stage(df: DataFrame, name: String): Unit = {
+      // file-source ordering is mtime-based: stamp explicit, strictly
+      // increasing mtimes (no sleep — coarse-mtime filesystems would
+      // make a 1 s sleep fragile and it costs wall-clock for nothing)
+      def stage(df: DataFrame, name: String, mtimeMs: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("graft_gate_tmp")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(_.toString.endsWith(".parquet")).findFirst.get
-        java.nio.file.Files.move(part, dropDir.resolve(name))
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+          finally listing.close()
+        val dest = dropDir.resolve(name)
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       }
-      stage(gateBatch, "b1.parquet")
-      Thread.sleep(1100)  // file-source ordering is mtime-based
-      stage(sentinel, "b2.parquet")
+      stage(gateBatch, "b1.parquet", 1000000000000L)
+      stage(sentinel, "b2.parquet", 1000000002000L)
       var gateSeq = 0
       def replayCount(gate: DataFrame => DataFrame): Long = {
         gateSeq += 1
@@ -1811,7 +1841,16 @@ object BenchLarge {
       if (results.contains("hist_3d_rel") && results.contains("hist_3d_shard"))
         (2.0 * rows / (results("hist_3d_rel") + results("hist_3d_shard"))).toLong
       else 0L
-    println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)},"queries":$qs,"outputs":$cs}""")
+    // adaptive_cleared: names that only cleared their budget via
+    // re-passes this run (auditable weather-pass trail, see timed());
+    // run_seals: THIS run's (calib, calib_str) stamped per measured
+    // entry — copy into the committed baseline's `seals` when merging
+    // this run's numbers so every budget carries per-entry provenance
+    val ac = adaptiveCleared.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rs = results.keys.map(k =>
+      "\"" + k + "\":[" + f2(calibSec) + "," + f2(calibStrSec) + "]")
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"bench_large","value":${f2(total)},"unit":"sec","rows":$rows,"docs":$nDocs,"vecs":$nVecs,"events_per_sec":$evPerSec,"calib":${f2(calibSec)},"calib_str":${f2(calibStrSec)},"adaptive_cleared":$ac,"run_seals":$rs,"queries":$qs,"outputs":$cs}""")
     spark.stop()
 
     // ---- regression gate against the committed baseline -------------

@@ -118,6 +118,13 @@ object Ivf {
           graft.text.TextQueries.KindIvfCell, portableHash = true,
           params = Map("nlist" -> centroids.length.toLong,
             "dim" -> centroids.head.length.toLong,
+            // chash_fmt versions the fingerprint DEFINITION (2 = raw
+            // IEEE-754 bits, the r14 format; 1 = the retired toString
+            // rendering): a format bump re-fingerprints every persisted
+            // corpus, and without the version key the strict check
+            // would report that as a generic value mismatch — implying
+            // stale centroids when the centroids are fine
+            "chash_fmt" -> 2L,
             "chash" -> centroidFingerprint(centroids))))
       else col(c)
     }: _*)

@@ -1331,11 +1331,28 @@ object StreamOps {
     require(centroids.nonEmpty && centroids.head.nonEmpty,
       "centroid matrix must be non-empty (nlist >= 1, dim >= 1): an empty " +
         "set has no cells to probe")
+    // fingerprint-format pre-check: a corpus stamped under the retired
+    // v1 fingerprint (toString renderings, pre-r14) carries `chash`
+    // but no `chash_fmt` — fail naming the FORMAT change, because the
+    // generic value-mismatch message would imply stale centroids when
+    // only the fingerprint definition moved (re-assigning with
+    // Ivf.withCell under the same centroids re-stamps it)
+    val cellMeta = corpusAssigned.schema("cell").metadata
+    val chashKey = graft.text.TextQueries.IndexParamPrefix + "chash"
+    val fmtKey = graft.text.TextQueries.IndexParamPrefix + "chash_fmt"
+    require(unsafeAssumeCompatible ||
+      !cellMeta.contains(chashKey) || cellMeta.contains(fmtKey),
+      "assigned corpus carries a centroid fingerprint in the legacy v1 " +
+        "format (Double.toString renderings): the fingerprint definition " +
+        "changed to raw IEEE-754 bits (v2) — the centroids themselves may " +
+        "be identical; re-run Ivf.withCell over the corpus with the same " +
+        "centroid set to re-stamp it (values need not change)")
     graft.text.TextQueries.requireIndexCompatible(corpusAssigned,
       graft.text.TextQueries.KindIvfCell, portableHash = true,
       column = "cell", strict = !unsafeAssumeCompatible,
       params = Map("nlist" -> centroids.length.toLong,
         "dim" -> centroids.head.length.toLong,
+        "chash_fmt" -> 2L,
         "chash" -> graft.sim.Ivf.centroidFingerprint(centroids)))
     val stream =
       if (nprobe == 1)

@@ -705,7 +705,18 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     bits
       .groupBy(expr("bit div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("word"))
-      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+      .collect().foreach { r =>
+        val w = r.getLong(0)
+        // a bit position >= m is reachable only through
+        // unsafeAssumeCompatible or a hand-built bits frame whose
+        // geometry disagrees with the m passed here — name the
+        // mismatch instead of throwing a bare AIOOBE
+        require(w >= 0 && w < nWords,
+          s"bloomDenseWordsRow: bit position in word $w exceeds the " +
+          s"m=$m geometry ($nWords words) — the bits frame was built " +
+          s"under a different m than the one passed to this call")
+        words(w.toInt) = r.getLong(1)
+      }
     val spark = bits.sparkSession
     import spark.implicits._
     Seq(Tuple1(words.toSeq)).toDF("bwords")

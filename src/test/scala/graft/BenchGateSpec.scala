@@ -220,7 +220,7 @@ class BenchGateSpec extends AnyFunSuite {
       baseCalibStr = Some(1.68), freshCalibStr = Some(4.17),
       baseCalib = Some(1.13), freshCalib = Some(1.45)).isEmpty)
     // ...while a REAL 4x regression on a quiet window still fails
-    // (0.62 * 1.5 + 1.0 = 1.93 < 2.5)
+    // (grace capped at base: 0.62 * 1.5 + 0.62 = 1.55 < 2.5)
     assert(BenchLarge.regressions(Map("cdc_chunks" -> 0.62),
       Map("cdc_chunks" -> 2.5), tol = 1.5,
       baseCalibStr = Some(1.68), freshCalibStr = Some(1.68),
@@ -231,6 +231,39 @@ class BenchGateSpec extends AnyFunSuite {
       baseCalibStr = Some(1.68), freshCalibStr = Some(4.17),
       baseCalib = Some(1.13), freshCalib = Some(1.45),
       graceSec = 0.0).nonEmpty)
+  }
+
+  test("the grace is capped at base*scale: a tiny entry keeps a meaningful multiplicative gate on quiet windows") {
+    // MASKING BOUND: grace_eff = min(graceSec, base*scale). Under a
+    // flat +1 s, a 0.3 s entry regressing 4x to 1.2 s on a QUIET
+    // window (scale 1.0) passed (budget 0.45 + 1.0 = 1.45); with the
+    // cap its grace is 0.3 s and the budget 0.75 s — the 4x flags.
+    assert(BenchLarge.regressions(Map("tiny" -> 0.3),
+      Map("tiny" -> 1.2), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(1.68),
+      baseCalib = Some(1.13), freshCalib = Some(1.13)).nonEmpty,
+      "a 4x regression on a 0.3 s entry at scale 1.0 must flag")
+    // an in-budget tiny entry (worst-case quiet budget base*(tol+1) =
+    // 0.75 s) still clears
+    assert(BenchLarge.regressions(Map("tiny" -> 0.3),
+      Map("tiny" -> 0.7), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(1.68),
+      baseCalib = Some(1.13), freshCalib = Some(1.13)).isEmpty)
+    // the loud-window additive-overhead case the grace exists for
+    // (cdc_chunks, scale 2.48) keeps its full 1 s grace because
+    // base*scale = 1.54 > graceSec — both directions hold at once
+    assert(BenchLarge.regressions(Map("cdc_chunks" -> 0.62),
+      Map("cdc_chunks" -> 3.26), tol = 1.5,
+      baseCalibStr = Some(1.68), freshCalibStr = Some(4.17),
+      baseCalib = Some(1.13), freshCalib = Some(1.45)).isEmpty,
+      "the loud-window fixed-overhead case must still pass under the cap")
+  }
+
+  test("Bench ONLY-mode writes to a *_only.json path — a partial run never overwrites the full artifact") {
+    assert(Bench.outPathFor("bench_out.json", onlyMode = false) === "bench_out.json")
+    assert(Bench.outPathFor("bench_out.json", onlyMode = true) === "bench_out_only.json")
+    assert(Bench.outPathFor("/tmp/b.json", onlyMode = true) === "/tmp/b_only.json")
+    assert(Bench.outPathFor("custom_out", onlyMode = true) === "custom_out_only")
   }
 
   test("the committed seals map only names committed queries, and floors only name committed entries") {

@@ -523,6 +523,40 @@ class IndexContractSpec extends AnyFunSuite {
       unsafeAssumeCompatible = true)) == want)
   }
 
+  test("ivf: a legacy-v1 fingerprint stamp (chash without chash_fmt) fails naming the FORMAT change, not stale centroids") {
+    val all = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, 8)
+    val assigned = graft.sim.Ivf.withCell(all.filter(col("vec_id") % 2 === 0), cents)
+    // simulate a pre-r14 persisted corpus: same stamp axes but the
+    // fingerprint was computed under the retired toString definition —
+    // identified by the ABSENCE of chash_fmt (the version key)
+    val legacy = assigned.select(assigned.columns.map { c =>
+      if (c == "cell")
+        col(c).as(c, TextQueries.indexMeta(TextQueries.KindIvfCell,
+          portableHash = true,
+          params = Map("nlist" -> cents.length.toLong,
+            "dim" -> cents.head.length.toLong,
+            "chash" -> 12345L)))
+      else col(c)
+    }: _*)
+    val stream = all.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingAnnAgainst(stream, legacy, cents)
+    }
+    assert(e.getMessage.contains("legacy v1") &&
+      e.getMessage.contains("fingerprint definition"), e.getMessage)
+    // the migration is RE-STAMPING (Ivf.withCell under the same
+    // centroids), which the v2-stamped `assigned` frame demonstrates;
+    // the escape hatch cannot vouch past a chash VALUE mismatch by
+    // design (value checks run even lenient), so a legacy frame must
+    // be re-assigned — exactly what the error message says
+    assert(graft.streaming.StreamOps.streamingAnnAgainst(stream, assigned,
+      cents, threshold = 0.1).count() > 0)
+  }
+
   test("stamps survive a parquet round-trip (the persisted-index path)") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_idxrt")
     TextQueries.winnowIndex(corpus, buildId = Some("rt-1"))
