@@ -1793,6 +1793,96 @@ object BenchLarge {
         .collect()(0).getLong(0)
     }
 
+    // ---- PRODUCTION-GEOMETRY ANN: nlist ≈ √N (1414 cells over 2M
+    // vectors), the geometry a 100 TB deployment actually runs — the
+    // nlist=8 entries above gate a toy geometry where cell-boundary
+    // loss dominates and a recall regression at real geometry is
+    // invisible. The production split is explicit here: ONE offline
+    // index build persisted as a cell-bucketed cell-sorted catalog
+    // table (ivf_sqrt_assign times it), exact ground truth computed
+    // ONCE untimed (it is the audit, not the engine, and is identical
+    // across rungs), then an nprobe ladder (1/4/16) whose entries time
+    // the QUERY path — probed cells collected bounded (nQ·nprobe ids)
+    // and pushed as an `isin` on the stored cell column, so each rung
+    // reads O(nprobe·N/nlist) rows: the inverted-file access shape.
+    // Every rung seals BOTH a time budget and a min_outputs recall
+    // floor; the IVF-PQ pair (encode pass + multi-probe ADC recall at
+    // the middle rung) decomposes quantization loss from cell-boundary
+    // loss at the same geometry.
+    locally {
+      val sqrtNames = Seq("ivf_sqrt_assign", "ivf_sqrt_recall_p1",
+        "ivf_sqrt_recall_p4", "ivf_sqrt_recall_p16",
+        "ivfpq_sqrt_encode", "ivfpq_sqrt_recall")
+      def w(n: String) = only.isEmpty || only(n)
+      if (sqrtNames.exists(w)) {
+        val emb = embeddings(spark, nVecs)
+        val nlist = 1414 // ≈ sqrt(2M)
+        // production recipe: train the coarse quantizer on a bounded
+        // sample (~6 pts/cell here; driver state 8192×64 doubles = 4 MB)
+        val sample = emb.filter(col("vec_id") < 8192)
+          .orderBy("vec_id").select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        val cents = graft.sim.Ivf.kmeans(sample, nlist, iters = 4)
+        val cbs = graft.sim.Pq.trainCodebooksOn(sample, cents)
+        val nQ = 16
+        val k = 10
+        def writeAssigned(): Unit = graft.ops.Scale.writeBucketed(
+          graft.sim.Ivf.withCell(emb, cents), "cell", 64, "bl_ivf_sqrt")
+        def writeCoded(): Unit = graft.ops.Scale.writeBucketed(
+          graft.sim.Pq.withResidualFast(spark.table("bl_ivf_sqrt"), cents)
+            .withColumn("codes", graft.sim.Pq.encodeCol(col("res"), cbs))
+            .drop("res"),
+          "cell", 64, "bl_ivfpq_sqrt")
+        try {
+          // the index build IS the timed body: one full-corpus argmin
+          // pass at nlist=1414 (early-abandoning codegen kernel) + the
+          // bucketed write — the offline cost a deployment pays once
+          timed("ivf_sqrt_assign") {
+            writeAssigned()
+            spark.table("bl_ivf_sqrt")
+              .agg(sum(col("cell").cast("long"))).collect()(0).getLong(0)
+          }
+          // ONLY-mode self-containment: a rung selected without the
+          // assign entry builds its input untimed
+          if (!w("ivf_sqrt_assign")) writeAssigned()
+          // ground truth once, untimed (shared by all rungs + PQ)
+          graft.sim.SimilarityQueries.exactTopkOf(emb, nQ, k)
+            .write.mode("overwrite").format("parquet")
+            .saveAsTable("bl_ivf_sqrt_gt")
+          Seq(1, 4, 16).foreach { np =>
+            timed(s"ivf_sqrt_recall_p$np") {
+              graft.sim.SimilarityQueries.annRecallOnAssigned(
+                  spark.table("bl_ivf_sqrt"), spark.table("bl_ivf_sqrt_gt"),
+                  cents, nQ = nQ, k = k, nprobe = np)
+                .agg((sum("n_hit") * lit(1000000L) / lit(nQ * k)).cast("long"))
+                .collect()(0).getLong(0)
+            }
+          }
+          // PQ encode pass at the same geometry: per-cell residuals
+          // (reference-object kernel) + m=8 codebook argmin, persisted
+          // next to the uncompressed lists
+          timed("ivfpq_sqrt_encode") {
+            writeCoded()
+            spark.table("bl_ivfpq_sqrt")
+              .agg(sum(element_at(col("codes"), 1).cast("long")))
+              .collect()(0).getLong(0)
+          }
+          if (!w("ivfpq_sqrt_encode") && w("ivfpq_sqrt_recall")) writeCoded()
+          timed("ivfpq_sqrt_recall", clearAfter = true) {
+            graft.sim.SimilarityQueries.ivfPqRecallOnAssigned(
+                spark.table("bl_ivfpq_sqrt"), spark.table("bl_ivf_sqrt_gt"),
+                cents, cbs, nQ = nQ, k = k, nprobe = 4)
+              .agg((sum("n_hit") * lit(1000000L) / lit(nQ * k)).cast("long"))
+              .collect()(0).getLong(0)
+          }
+        } finally {
+          spark.sql("DROP TABLE IF EXISTS bl_ivf_sqrt")
+          spark.sql("DROP TABLE IF EXISTS bl_ivf_sqrt_gt")
+          spark.sql("DROP TABLE IF EXISTS bl_ivfpq_sqrt")
+        }
+      }
+    }
+
     // the composed cleaning pipeline — decontaminate + quality filter +
     // LSH dedup as ONE plan with the cleaned intermediate persisted —
     // at the full corpus size: the flagship user query gets a committed

@@ -4,8 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen'd embedding kernels. The similarity queries quantize
   * per-element products to integers (`CAST(round(x*y*1e12) AS BIGINT)`,
@@ -130,7 +130,13 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
         val cent = centroids(c)
         var acc = 0L
         var d = 0
-        while (d < dim) {
+        // early abandonment: each quantized term is >= 0, so acc only
+        // grows — once it reaches the running best this cell cannot
+        // win (and an equal later cell never replaces an earlier one,
+        // so the ties-to-lowest rule is preserved exactly). At
+        // production geometry (nlist ≈ √N) most cells abandon within
+        // a few dims, turning the O(nlist·dim) scan sub-linear in dim.
+        while (d < dim && acc < best) {
           val diff = a.getFloat(d).toDouble - cent(d)
           acc += QuantKernels.qround(diff * diff * 1e12)
           d += 1
@@ -169,7 +175,9 @@ case class IvfCellE12(child: Expression, centroids: Array[Array[Double]])
          |    int $bestC = 0;
          |    for (int $c = 0; $c < ${centroids.length}; $c++) {
          |      long $acc = 0L;
-         |      for (int $d = 0; $d < $dim; $d++) {
+         |      // early abandonment (terms >= 0; equal-later never wins,
+         |      // preserving ties-to-lowest exactly)
+         |      for (int $d = 0; $d < $dim && $acc < $best; $d++) {
          |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
          |        final double $p = $diff * $diff * 1e12;
          |        $acc += ${QuantKernels.qroundJava(p)};
@@ -221,7 +229,9 @@ case class IvfMinDistE12(child: Expression, centroids: Array[Array[Double]])
         val cent = centroids(c)
         var acc = 0L
         var d = 0
-        while (d < dim) {
+        // early abandonment — same monotone-accumulator argument as
+        // IvfCellE12 (the min over full evaluations is unchanged)
+        while (d < dim && acc < best) {
           val diff = a.getFloat(d).toDouble - cent(d)
           acc += QuantKernels.qround(diff * diff * 1e12)
           d += 1
@@ -258,7 +268,8 @@ case class IvfMinDistE12(child: Expression, centroids: Array[Array[Double]])
          |    long $best = Long.MAX_VALUE;
          |    for (int $c = 0; $c < ${centroids.length}; $c++) {
          |      long $acc = 0L;
-         |      for (int $d = 0; $d < $dim; $d++) {
+         |      // early abandonment (terms >= 0, min unchanged)
+         |      for (int $d = 0; $d < $dim && $acc < $best; $d++) {
          |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
          |        final double $p = $diff * $diff * 1e12;
          |        $acc += ${QuantKernels.qroundJava(p)};
@@ -492,4 +503,284 @@ case class SignLshBucketE12(child: Expression, planes: Array[Array[Long]])
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBucketE12 =
     copy(child = newChild)
+}
+
+/** All-cells quantized squared distances Σ_d round((x_d − c_d)²·1e12)
+  * as array<long> in cell order — the probe-selection kernel: the
+  * nprobe nearest cells come from pair-sorting this array
+  * (`sim.Ivf.withProbesFast`). Centroids ride along as a reference
+  * object, so the expression stays O(1)-sized at any nlist — the HOF
+  * form's centroid LITERAL is a ~90k-node expression tree at the
+  * production geometry nlist ≈ √N (1414 cells × 64 dims), which the
+  * analyzer/optimizer pays on every plan that embeds it. Bit-parity
+  * with the HOF distance list pinned in EmbeddingKernelSpec. Null on
+  * dim mismatch or a null element (the HOF list nulls every entry). */
+case class IvfDistsE12(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_dists_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_dists_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      val out = new Array[Long](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var acc = 0L
+        var d = 0
+        while (d < dim) {
+          val diff = a.getFloat(d).toDouble - cent(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        out(c) = acc
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val p = ctx.freshName("p")
+      val hasNull = ctx.freshName("hasNull")
+      val dim = centroids(0).length
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long[] $out = new long[${centroids.length}];
+         |    for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |        final double $p = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(p)};
+         |      }
+         |      $out[$c] = $acc;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfDistsE12 =
+    copy(child = newChild)
+}
+
+/** Top-`nprobe` nearest cell ids in (distance, cell-id) ascending order
+  * — the probe list as ONE codegen'd kernel: distance computation and
+  * the nprobe-sized insertion select fuse into a single tight loop
+  * with early abandonment against the current nprobe-th best, so no
+  * nlist-length distance array is materialized and no interpreted
+  * array_sort runs (the HOF pair-sort chain measured ~1.8 s PER
+  * INVOCATION on a 16-row frame at nlist=1414 — per-invocation
+  * interpreter overhead, not row work). Order and tie rule are
+  * identical to `sim.Ivf.withProbes`'s lexicographic (dist, id)
+  * pair-sort: cells iterate in id order and an equal-distance later
+  * cell inserts AFTER the earlier one (equality spec-pinned).
+  * Requires nprobe ≤ nlist; null rules match the other IVF kernels. */
+case class IvfProbesE12(child: Expression, centroids: Array[Array[Double]],
+                        nprobe: Int)
+  extends UnaryExpression {
+
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nprobe must be in [1, nlist=${centroids.length}], got $nprobe")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_probes_e12 expects array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_probes_e12"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (a.numElements() != dim) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      val bd = Array.fill(nprobe)(Long.MaxValue)
+      val bi = new Array[Int](nprobe)
+      var c = 0
+      while (c < centroids.length) {
+        val cent = centroids(c)
+        var acc = 0L
+        var d = 0
+        // abandon once this cell can no longer displace the nprobe-th
+        // best (equal distance inserts after, so >= is safe)
+        while (d < dim && acc < bd(nprobe - 1)) {
+          val diff = a.getFloat(d).toDouble - cent(d)
+          acc += QuantKernels.qround(diff * diff * 1e12)
+          d += 1
+        }
+        if (acc < bd(nprobe - 1)) {
+          var p = nprobe - 1
+          while (p > 0 && bd(p - 1) > acc) {
+            bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+          }
+          bd(p) = acc; bi(p) = c
+        }
+        c += 1
+      }
+      new GenericArrayData(bi)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val pr = ctx.freshName("pr")
+      val hasNull = ctx.freshName("hasNull")
+      val dim = centroids(0).length
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long[] $bd = new long[$nprobe];
+         |    int[] $bi = new int[$nprobe];
+         |    java.util.Arrays.fill($bd, Long.MAX_VALUE);
+         |    for (int $c = 0; $c < ${centroids.length}; $c++) {
+         |      long $acc = 0L;
+         |      for (int $d = 0; $d < $dim && $acc < $bd[$nprobe - 1]; $d++) {
+         |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |        final double $pr = $diff * $diff * 1e12;
+         |        $acc += ${QuantKernels.qroundJava(pr)};
+         |      }
+         |      if ($acc < $bd[$nprobe - 1]) {
+         |        int $p = $nprobe - 1;
+         |        while ($p > 0 && $bd[$p - 1] > $acc) {
+         |          $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |        }
+         |        $bd[$p] = $acc; $bi[$p] = $c;
+         |      }
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bi);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfProbesE12 =
+    copy(child = newChild)
+}
+
+/** Residual vector x − centroid(cell) as array<double> — the reference-
+  * object form of `sim.Pq.withResidual`'s `zip_with(embedding,
+  * element_at(cents, cell + 1), (x, c) -> CAST(x AS DOUBLE) - c)`
+  * (bit-parity pinned: both are exact double subtraction, no
+  * quantization — the PQ encode/ADC kernels quantize downstream). At
+  * production geometry the HOF form's centroid literal is the same
+  * ~90k-node tree [[IvfDistsE12]] avoids; this kernel also evaluates
+  * per-PROBED-cell residuals in multi-probe ADC, where the `cell`
+  * column is an exploded probe id rather than the assigned cell.
+  * Null if the cell id is outside [0, nlist) or the dims mismatch. */
+case class IvfResidualE12(emb: Expression, cell: Expression,
+                          centroids: Array[Array[Double]])
+  extends BinaryExpression {
+
+  override def left: Expression = emb
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult = (emb.dataType, cell.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ivf_residual_e12 expects (array<float>, int), got ($l, $r)")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_residual_e12"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val c = r.asInstanceOf[Int]
+    val dim = centroids(0).length
+    if (a.numElements() != dim || c < 0 || c >= centroids.length) null
+    else if ((0 until dim).exists(a.isNullAt)) null
+    else {
+      val cent = centroids(c)
+      val out = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        out(d) = a.getFloat(d).toDouble - cent(d)
+        d += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val out = ctx.freshName("out")
+      val d = ctx.freshName("d")
+      val hasNull = ctx.freshName("hasNull")
+      val dim = centroids(0).length
+      s"""
+         |if ($a.numElements() != $dim || $c < 0 || $c >= ${centroids.length}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $hasNull = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double[] $out = new double[$dim];
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $out[$d] = ((double) $a.getFloat($d)) - $cents[$c][$d];
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IvfResidualE12 =
+    copy(emb = newLeft, cell = newRight)
 }

@@ -186,7 +186,12 @@ object Ivf {
     * lexicographically gives both orders in one array_sort; the same
     * pair-sort runs in DuckDB ([[probesSql]]) so the engines agree
     * exactly.
-    */
+    *
+    * RETAINED AS THE ORACLE-SHAPED REFERENCE: every query path uses
+    * [[withProbesFast]] (same probes, spec-pinned) — this HOF form
+    * carries the centroid literal the DuckDB oracle mirrors, and the
+    * parity spec is what entitles the fast kernel to the oracle's
+    * green check. */
   def withProbes(df: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     val dists = distsSpark(centroids)
     val k = centroids.length
@@ -196,6 +201,24 @@ object Ivf {
         expr(s"slice(transform(array_sort($pairs), p -> CAST(element_at(p, 2) AS INT)), 1, $nprobe)"))
       .drop("ds")
   }
+
+  /** [[withProbes]] via ONE codegen'd reference-object kernel
+    * ([[graft.functions.IvfProbesE12]]) — identical probe lists
+    * (same lexicographic (dist, id) order and tie rule; equality
+    * spec-pinned) with neither the HOF form's centroid LITERAL (a
+    * ~90k-node expression tree at production geometry nlist ≈ √N)
+    * nor its interpreted pair-sort (measured ~1.8 s PER INVOCATION
+    * on a 16-row frame at nlist=1414). The distance scan and the
+    * nprobe-selection fuse with early abandonment, so the probe
+    * side costs O(nlist·dim_eff) per row inside whole-stage
+    * codegen. This is the probe path the corpus-scale recall
+    * ladder and the streaming ANN gate use. */
+  def withProbesFast(df: DataFrame, centroids: Array[Array[Double]],
+                     nprobe: Int): DataFrame =
+    df.withColumn("probes", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IvfProbesE12(
+        org.apache.spark.sql.GraftBridge.expression(df("embedding")),
+        centroids, nprobe)))
 
   /** DuckDB literal for the centroid matrix (shortest-round-trip doubles
     * — both engines parse them back to identical IEEE values). */

@@ -87,6 +87,18 @@ object Pq {
     df.withColumn("res", expr(
       s"zip_with(embedding, element_at(${centsSpark(cents)}, cell + 1), (x, c) -> CAST(x AS DOUBLE) - c)"))
 
+  /** [[withResidual]] via the codegen'd reference-object kernel
+    * ([[graft.functions.IvfResidualE12]]) — bit-identical residuals
+    * (both are exact double subtraction; parity spec-pinned) without
+    * the centroid literal, which at production geometry (nlist ≈ √N)
+    * is a ~90k-node expression tree. This is the encode path the
+    * corpus-scale IVF-PQ entries use. */
+  def withResidualFast(df: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("res", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IvfResidualE12(
+        org.apache.spark.sql.GraftBridge.expression(df("embedding")),
+        org.apache.spark.sql.GraftBridge.expression(df("cell")), cents)))
+
   /** Codes column via the codegen'd [[graft.functions.PqEncodeE12]]. */
   def encodeCol(res: Column, cbs: Array[Array[Array[Double]]]): Column =
     org.apache.spark.sql.GraftBridge.column(graft.functions.PqEncodeE12(

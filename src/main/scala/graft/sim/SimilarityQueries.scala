@@ -327,7 +327,7 @@ object SimilarityQueries {
       val cents = Ivf.trainCentroids(s, dir, k = 8)
       val assigned = Ivf.withCell(Tables.embeddings(s, dir), cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val q = Ivf.withProbes(
+      val q = Ivf.withProbesFast(
           Tables.embeddings(s, dir).filter(col("vec_id") < 10), cents, nprobe = 2)
         .select(col("vec_id").as("qid"), col("embedding").as("e1"),
           explode(col("probes")).as("cell"))
@@ -800,7 +800,7 @@ object SimilarityQueries {
       .withColumn("cosine", cosineE12(col("e1"), col("e2"))))
     val assigned = Ivf.withCell(e, cents)
       .select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
-    val qp = Ivf.withProbes(e.filter(col("vec_id") < nQ), cents, nprobe = nprobe)
+    val qp = Ivf.withProbesFast(e.filter(col("vec_id") < nQ), cents, nprobe = nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("e1"),
         explode(col("probes")).as("cell"))
     val ann = topk(broadcast(qp).join(assigned, Seq("cell"))
@@ -821,7 +821,20 @@ object SimilarityQueries {
     * plan). Emits (qid, n_hit, recall_ppm); recall lost here is the sum
     * of cell-boundary loss (the IVF axis) AND quantization loss (the PQ
     * axis), which is exactly why it needs its own committed floor next
-    * to the uncompressed probes'. */
+    * to the uncompressed probes'.
+    *
+    * PRODUCTION-GEOMETRY DECOMPOSITION (measured at 2M vectors,
+    * nlist = 1414 ≈ √N, nQ=16 k=10, the `*_sqrt` BENCH_LARGE
+    * entries over [[ivfPqRecallOnAssigned]]): uncompressed recall
+    * climbs the nprobe ladder 55.0% → 63.1% → 73.1% (nprobe 1/4/16)
+    * — the cell-boundary axis, ~1 s of probe time per 4× nprobe on
+    * the bucketed inverted lists — while IVF-PQ at nprobe=4 lands at
+    * 34.4%, so quantization loss at this geometry is 63.1 − 34.4 =
+    * 28.7 points under the SHORTLIST=64 re-rank. The nlist=8 toy
+    * geometry this function's own entry gates (78/86% at nprobe 1/2,
+    * PQ 20.6%) is cell-boundary-dominated and does NOT represent the
+    * √N plan a 100 TB deployment runs — both are gated because a
+    * regression can hide in either regime. */
   def ivfPqRecallOn(e: DataFrame, cents: Array[Array[Double]],
                     cbs: Array[Array[Array[Double]]],
                     nQ: Int = 10, k: Int = 5): DataFrame = {
@@ -854,6 +867,148 @@ object SimilarityQueries {
     val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
+  }
+
+  /** Exact brute-force top-k ground truth (qid, cid) for the first `nQ`
+    * vec_ids of `e` — the audit side of every recall entry, factored
+    * out so the production-geometry ladder computes it ONCE (it is
+    * identical across nprobe rungs and the PQ variant) instead of
+    * per-entry. One broadcast of the nQ query rows against a single
+    * corpus scan; the rank window partitions by qid (nQ groups). */
+  def exactTopkOf(e: DataFrame, nQ: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("e2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    broadcast(q).join(c, col("qid") =!= col("cid"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("qid"), col("cid"))
+  }
+
+  /** IVF recall against a PRE-ASSIGNED corpus — the production split:
+    * the index build (cell assignment, [[Ivf.withCell]]) is an offline
+    * pass persisted once; the query path probes the stored inverted
+    * lists. `assigned` is (vec_id, embedding, cell) carrying the
+    * ivf_cell stamp, checked STRICT against `cents` (kind + nlist/dim
+    * + versioned centroid fingerprint — a corpus assigned under a
+    * different or stale centroid set silently loses recall, and a
+    * recall AUDIT computed against the wrong index would certify it).
+    * `exact` is the (qid, cid) ground truth ([[exactTopkOf]]).
+    *
+    * Inverted-list access: the nQ·nprobe probed cell ids (a BOUNDED
+    * driver collect, ≤ a few hundred ints by construction) become an
+    * `isin` pushdown on the stored `cell` column — on a cell-bucketed,
+    * cell-sorted table this prunes buckets and skips row groups, so
+    * the query reads O(nprobe · N/nlist) rows, not the corpus: the
+    * inverted-FILE shape that makes IVF sub-linear at 100 TB.
+    * Emits (qid, n_hit, recall_ppm). */
+  def annRecallOnAssigned(assigned: DataFrame, exact: DataFrame,
+                          cents: Array[Array[Double]],
+                          nQ: Int = 10, k: Int = 5, nprobe: Int = 1): DataFrame = {
+    graft.text.TextQueries.requireIndexCompatible(assigned,
+      graft.text.TextQueries.KindIvfCell, portableHash = true,
+      column = "cell", strict = true,
+      params = Map("nlist" -> cents.length.toLong,
+        "dim" -> cents.head.length.toLong,
+        "chash_fmt" -> 2L,
+        "chash" -> Ivf.centroidFingerprint(cents)))
+    // the nQ query rows are collected ONCE (bounded by construction)
+    // into a local relation: a table-backed query side would re-scan
+    // the corpus-sized index for every consumer of the frame (probe
+    // eval, probed-cell collect, join, final recall join — a vec_id
+    // pushdown prunes nothing on a cell-sorted layout)
+    val queries = localQueriesOf(assigned, nQ)
+    val qp = Ivf.withProbesFast(queries, cents, nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+        explode(col("probes")).as("cell"))
+    // bounded by construction: nQ * nprobe cell ids
+    val cells = qp.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val ann = broadcast(qp).join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $k").as("recall_ppm"))
+  }
+
+  /** The first `nQ` (vec_id, embedding) rows of a corpus-sized frame as
+    * a LOCAL relation — one bounded collect (nQ rows by construction),
+    * so downstream probe/join/recall consumers never re-scan the big
+    * frame for the tiny query side. */
+  private def localQueriesOf(corpus: DataFrame, nQ: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val rows = corpus.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+  }
+
+  /** IVF-PQ recall against a PRE-ENCODED corpus (`coded`: (vec_id,
+    * embedding, cell, codes), stamp-checked like
+    * [[annRecallOnAssigned]]) with MULTI-PROBE ADC: each query
+    * evaluates a residual per PROBED cell (the residual is relative to
+    * the probed cell's centroid, not the query's own —
+    * [[graft.functions.IvfResidualE12]] on the exploded probe id),
+    * ADC-ranks the probed cells' codes, takes one SHORTLIST per query
+    * across all probes, and exact-re-ranks the shortlist. Same
+    * inverted-list `isin` pruning as the uncompressed path. Recall
+    * lost here decomposes as cell-boundary loss (the IVF axis, shrunk
+    * by nprobe) + quantization loss (the PQ axis, bounded by the
+    * shortlist re-rank). Emits (qid, n_hit, recall_ppm). */
+  def ivfPqRecallOnAssigned(coded: DataFrame, exact: DataFrame,
+                            cents: Array[Array[Double]],
+                            cbs: Array[Array[Array[Double]]],
+                            nQ: Int = 10, k: Int = 5, nprobe: Int = 1): DataFrame = {
+    graft.text.TextQueries.requireIndexCompatible(coded,
+      graft.text.TextQueries.KindIvfCell, portableHash = true,
+      column = "cell", strict = true,
+      params = Map("nlist" -> cents.length.toLong,
+        "dim" -> cents.head.length.toLong,
+        "chash_fmt" -> 2L,
+        "chash" -> Ivf.centroidFingerprint(cents)))
+    val queries = localQueriesOf(coded, nQ)
+    val qp = Ivf.withProbesFast(queries, cents, nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("e1"),
+        explode(col("probes")).as("cell"))
+      .withColumn("qr", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.IvfResidualE12(
+          org.apache.spark.sql.GraftBridge.expression(col("e1")),
+          org.apache.spark.sql.GraftBridge.expression(col("cell")), cents)))
+    val cells = qp.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val corpus = coded.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("e2"),
+        col("cell"), col("codes"))
+    val adc = broadcast(qp).join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
+    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= Pq.SHORTLIST)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    val ann = shortlist
+      .withColumn("cosine", cosineE12(col("e1"), col("e2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val hits = exact.join(ann, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .select(col("qid"), col("n_hit"),
         expr(s"n_hit * 1000000 div $k").as("recall_ppm"))

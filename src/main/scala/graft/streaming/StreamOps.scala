@@ -1360,7 +1360,7 @@ object StreamOps {
           .select(col("vec_id").as("qid"), col("ts"),
             col("embedding").as("e1"), col("cell"))
       else
-        graft.sim.Ivf.withProbes(vecs, centroids, nprobe)
+        graft.sim.Ivf.withProbesFast(vecs, centroids, nprobe)
           .select(col("vec_id").as("qid"), col("ts"),
             col("embedding").as("e1"), explode(col("probes")).as("cell"))
     val corpus = corpusAssigned.select(col("vec_id").as("dup_of"),

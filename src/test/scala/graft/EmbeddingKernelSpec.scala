@@ -115,6 +115,89 @@ class EmbeddingKernelSpec extends AnyFunSuite {
     vecs.foreach { case (id, v) => assert(a(id) == qd(v, cents(cell(id)))) }
   }
 
+  test("withProbesFast == withProbes (IvfDistsE12 vs the HOF centroid literal), inside codegen") {
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
+    val e = Tables.embeddings(spark, sfDir)
+    for (np <- Seq(1, 3, 8)) {
+      val a = graft.sim.Ivf.withProbesFast(e, cents, np).select("vec_id", "probes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val b = graft.sim.Ivf.withProbes(e, cents, np).select("vec_id", "probes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(a == b, s"probe mismatch at nprobe=$np")
+    }
+    val plan = graft.sim.Ivf.withProbesFast(e, cents, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("ivf_probes_e12") && l.trim.startsWith("*(")),
+      plan.take(800))
+  }
+
+  test("withResidualFast == withResidual (IvfResidualE12 vs the HOF centroid literal)") {
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
+    val e = graft.sim.Ivf.withCell(Tables.embeddings(spark, sfDir), cents)
+    val a = graft.sim.Pq.withResidualFast(e, cents).select("vec_id", "res")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = graft.sim.Pq.withResidual(e, cents).select("vec_id", "res")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    // out-of-range cell id nulls instead of throwing
+    val bad = e.withColumn("cell", lit(9999))
+    assert(graft.sim.Pq.withResidualFast(bad, cents)
+      .filter(col("res").isNotNull).isEmpty)
+  }
+
+  test("annRecallOnAssigned == annRecallOn at identical geometry (the pre-assigned production split)") {
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
+    val e = Tables.embeddings(spark, sfDir)
+    val assigned = graft.sim.Ivf.withCell(e, cents)
+    val exact = graft.sim.SimilarityQueries.exactTopkOf(e, nQ = 10, k = 5)
+    for (np <- Seq(1, 2)) {
+      val a = graft.sim.SimilarityQueries
+        .annRecallOnAssigned(assigned, exact, cents, nQ = 10, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = graft.sim.SimilarityQueries
+        .annRecallOn(e, cents, nQ = 10, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a == b, s"recall mismatch at nprobe=$np")
+    }
+    // the strict stamp check rejects a stripped assigned frame
+    val stripped = assigned.select(assigned.columns.map {
+      case "cell" => col("cell").as("cell",
+        new org.apache.spark.sql.types.MetadataBuilder().build())
+      case c => col(c)
+    }: _*)
+    intercept[IllegalArgumentException] {
+      graft.sim.SimilarityQueries.annRecallOnAssigned(
+        stripped, exact, cents, nQ = 10, k = 5, nprobe = 1)
+    }
+  }
+
+  test("ivfPqRecallOnAssigned at nprobe=1 == ivfPqRecallOn (own-cell residual, single probe)") {
+    val cents = graft.sim.Ivf.trainCentroids(spark, sfDir, k = 8)
+    val e = Tables.embeddings(spark, sfDir)
+    val sample = e.filter(col("vec_id") < graft.sim.Ivf.SAMPLE_N)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cbs = graft.sim.Pq.trainCodebooksOn(sample, cents)
+    val coded = graft.sim.Pq.withResidualFast(
+        graft.sim.Ivf.withCell(e, cents), cents)
+      .withColumn("codes", graft.sim.Pq.encodeCol(col("res"), cbs)).drop("res")
+    val exact = graft.sim.SimilarityQueries.exactTopkOf(e, nQ = 10, k = 5)
+    val a = graft.sim.SimilarityQueries
+      .ivfPqRecallOnAssigned(coded, exact, cents, cbs, nQ = 10, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.sim.SimilarityQueries
+      .ivfPqRecallOn(e, cents, cbs, nQ = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // multi-probe at the same geometry can only gain recall (it is a
+    // superset of the single-probe candidate set)
+    val p2 = graft.sim.SimilarityQueries
+      .ivfPqRecallOnAssigned(coded, exact, cents, cbs, nQ = 10, k = 5, nprobe = 2)
+      .agg(sum("n_hit")).collect()(0).getLong(0)
+    val p1 = a.toSeq.map(_._2).sum
+    assert(p2 >= p1, s"nprobe=2 recall $p2 under nprobe=1 $p1")
+  }
+
   test("RvqCellE12 == coarse-then-fine driver reference on the embeddings table") {
     // hand-built codebooks (NOT trainRvq: the trained-literal caches are
     // fail-loud on a second (dir, k) and belong to the query oracles)
