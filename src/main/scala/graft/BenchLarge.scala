@@ -1812,7 +1812,7 @@ object BenchLarge {
     locally {
       val sqrtNames = Seq("ivf_sqrt_assign", "ivf_sqrt_recall_p1",
         "ivf_sqrt_recall_p4", "ivf_sqrt_recall_p16",
-        "ivfpq_sqrt_encode", "ivfpq_sqrt_recall")
+        "ivfpq_sqrt_encode", "ivfpq_sqrt_recall", "stream_ann_gate")
       def w(n: String) = only.isEmpty || only(n)
       if (sqrtNames.exists(w)) {
         val emb = embeddings(spark, nVecs)
@@ -1874,6 +1874,55 @@ object BenchLarge {
                 cents, cbs, nQ = nQ, k = k, nprobe = 4)
               .agg((sum("n_hit") * lit(1000000L) / lit(nQ * k)).cast("long"))
               .collect()(0).getLong(0)
+          }
+          // streaming ANN gate at the SAME production geometry — the
+          // fifth member of the streaming-gate family (lsh / substr /
+          // editdist / bloom): a 20k-vector micro-batch probes the
+          // cell-bucketed 2M-vector assigned table through
+          // streamingAnnAgainst (stateless stream-static join, strict
+          // stamp check, nprobe=4). No sentinel file: the gate is
+          // zero-state, so nothing waits on a watermark. The batch
+          // vectors are EXACT twins of corpus ids 0..2000 (same hash
+          // embedding, shifted vec_id) and the threshold sits at 0.8,
+          // so the committed output is the 2000 planted duplicates —
+          // a recall observable — while the entry times the honest
+          // in-cell scoring fan-out: nprobe x N/nlist ~ 5656
+          // candidates PER QUERY (11M wide rows per micro-batch; the
+          // first cut used 20k queries and the default 0.25
+          // threshold, which pushed 113M candidate rows through the
+          // join and >1 GB of near-threshold pairs into the memory
+          // sink — audit-sink artifacts, not the production shape).
+          if (w("stream_ann_gate")) {
+            val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("vec_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("ts",
+                org.apache.spark.sql.types.TimestampType),
+              org.apache.spark.sql.types.StructField("embedding",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType))))
+            val vecDir = java.nio.file.Files.createTempDirectory("graft_ann_gate")
+            val batch = embeddings(spark, 2000L).select(
+              (col("vec_id") + nVecs).as("vec_id"),
+              lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+              col("embedding"))
+            val tmp = java.nio.file.Files.createTempDirectory("graft_ann_gate_tmp")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val listing = java.nio.file.Files.list(tmp)
+            val part =
+              try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+              finally listing.close()
+            java.nio.file.Files.move(part, vecDir.resolve("b1.parquet"))
+            timed("stream_ann_gate") {
+              val in = spark.readStream.schema(vecSchema).parquet(vecDir.toString)
+              val q = in.transform(s => graft.streaming.StreamOps
+                  .streamingAnnAgainst(s, spark.table("bl_ivf_sqrt"), cents,
+                    threshold = 0.8, nprobe = 4))
+                .writeStream.format("memory").queryName("ann_gate_replay")
+                .outputMode("append").start()
+              try { q.processAllAvailable(); spark.table("ann_gate_replay").count() }
+              finally { q.stop(); spark.sql("DROP VIEW IF EXISTS ann_gate_replay") }
+            }
           }
         } finally {
           spark.sql("DROP TABLE IF EXISTS bl_ivf_sqrt")

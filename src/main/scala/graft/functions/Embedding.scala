@@ -505,95 +505,6 @@ case class SignLshBucketE12(child: Expression, planes: Array[Array[Long]])
     copy(child = newChild)
 }
 
-/** All-cells quantized squared distances Σ_d round((x_d − c_d)²·1e12)
-  * as array<long> in cell order — the probe-selection kernel: the
-  * nprobe nearest cells come from pair-sorting this array
-  * (`sim.Ivf.withProbesFast`). Centroids ride along as a reference
-  * object, so the expression stays O(1)-sized at any nlist — the HOF
-  * form's centroid LITERAL is a ~90k-node expression tree at the
-  * production geometry nlist ≈ √N (1414 cells × 64 dims), which the
-  * analyzer/optimizer pays on every plan that embeds it. Bit-parity
-  * with the HOF distance list pinned in EmbeddingKernelSpec. Null on
-  * dim mismatch or a null element (the HOF list nulls every entry). */
-case class IvfDistsE12(child: Expression, centroids: Array[Array[Double]])
-  extends UnaryExpression {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"ivf_dists_e12 expects array<float>, got $other")
-  }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "ivf_dists_e12"
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val dim = centroids(0).length
-    if (a.numElements() != dim) null
-    else if ((0 until dim).exists(a.isNullAt)) null
-    else {
-      val out = new Array[Long](centroids.length)
-      var c = 0
-      while (c < centroids.length) {
-        val cent = centroids(c)
-        var acc = 0L
-        var d = 0
-        while (d < dim) {
-          val diff = a.getFloat(d).toDouble - cent(d)
-          acc += QuantKernels.qround(diff * diff * 1e12)
-          d += 1
-        }
-        out(c) = acc
-        c += 1
-      }
-      new GenericArrayData(out)
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cents = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val out = ctx.freshName("out")
-      val c = ctx.freshName("c")
-      val d = ctx.freshName("d")
-      val acc = ctx.freshName("acc")
-      val diff = ctx.freshName("diff")
-      val p = ctx.freshName("p")
-      val hasNull = ctx.freshName("hasNull")
-      val dim = centroids(0).length
-      s"""
-         |if ($a.numElements() != $dim) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  boolean $hasNull = false;
-         |  for (int $d = 0; $d < $dim; $d++) {
-         |    if ($a.isNullAt($d)) { $hasNull = true; break; }
-         |  }
-         |  if ($hasNull) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    long[] $out = new long[${centroids.length}];
-         |    for (int $c = 0; $c < ${centroids.length}; $c++) {
-         |      long $acc = 0L;
-         |      for (int $d = 0; $d < $dim; $d++) {
-         |        final double $diff = ((double) $a.getFloat($d)) - $cents[$c][$d];
-         |        final double $p = $diff * $diff * 1e12;
-         |        $acc += ${QuantKernels.qroundJava(p)};
-         |      }
-         |      $out[$c] = $acc;
-         |    }
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |  }
-         |}
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): IvfDistsE12 =
-    copy(child = newChild)
-}
-
 /** Top-`nprobe` nearest cell ids in (distance, cell-id) ascending order
   * — the probe list as ONE codegen'd kernel: distance computation and
   * the nprobe-sized insertion select fuse into a single tight loop
@@ -714,7 +625,7 @@ case class IvfProbesE12(child: Expression, centroids: Array[Array[Double]],
   * (bit-parity pinned: both are exact double subtraction, no
   * quantization — the PQ encode/ADC kernels quantize downstream). At
   * production geometry the HOF form's centroid literal is the same
-  * ~90k-node tree [[IvfDistsE12]] avoids; this kernel also evaluates
+  * ~90k-node tree [[IvfProbesE12]] avoids; this kernel also evaluates
   * per-PROBED-cell residuals in multi-probe ADC, where the `cell`
   * column is an exploded probe id rather than the assigned cell.
   * Null if the cell id is outside [0, nlist) or the dims mismatch. */

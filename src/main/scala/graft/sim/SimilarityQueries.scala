@@ -901,10 +901,15 @@ object SimilarityQueries {
     *
     * Inverted-list access: the nQ·nprobe probed cell ids (a BOUNDED
     * driver collect, ≤ a few hundred ints by construction) become an
-    * `isin` pushdown on the stored `cell` column — on a cell-bucketed,
-    * cell-sorted table this prunes buckets and skips row groups, so
-    * the query reads O(nprobe · N/nlist) rows, not the corpus: the
-    * inverted-FILE shape that makes IVF sub-linear at 100 TB.
+    * `isin` pushdown on the stored `cell` column, and the merge-join
+    * shape keeps the scan BUCKETED so that pushdown prunes whole
+    * bucket files (SelectedBucketsCount < total — plan-pinned; a
+    * broadcast probe side would let the planner drop the bucketed
+    * layout and decode every file). The scan reads only files that
+    * can hold probed cells — the inverted-FILE shape that makes IVF
+    * sub-linear at 100 TB, with pruning granularity set by the bucket
+    * count (size buckets, or range-partition by cell, so nQ·nprobe
+    * cells touch a small file fraction at deployment scale).
     * Emits (qid, n_hit, recall_ppm). */
   def annRecallOnAssigned(assigned: DataFrame, exact: DataFrame,
                           cents: Array[Array[Double]],
@@ -930,7 +935,18 @@ object SimilarityQueries {
     val corpus = assigned.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("vec_id").as("cid"), col("embedding").as("e2"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    val ann = broadcast(qp).join(corpus, Seq("cell"))
+    // merge-join hint, NOT broadcast: under a broadcast join the
+    // planner auto-disables the bucketed layout (no distribution to
+    // exploit) and the In filter only drops rows AFTER a full decode.
+    // The merge join keeps the corpus side bucketed — zero Exchange
+    // (only the tiny probe side re-clusters), no sort (the lists are
+    // cell-sorted on disk), and the pushed In filter BUCKET-PRUNES the
+    // scan (SelectedBucketsCount < total, plan-pinned in PlanSpec):
+    // the inverted-FILE access shape, reading only files that can
+    // hold probed cells. Pruning granularity is the bucket count —
+    // a deployment sizes buckets (or range-partitions by cell) so
+    // nprobe·nQ cells touch a small fraction of files.
+    val ann = qp.hint("shuffle_merge").join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", cosineE12(col("e1"), col("e2")))
       .withColumn("rank", row_number().over(w))
@@ -995,7 +1011,9 @@ object SimilarityQueries {
     val corpus = coded.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("vec_id").as("cid"), col("embedding").as("e2"),
         col("cell"), col("codes"))
-    val adc = broadcast(qp).join(corpus, Seq("cell"))
+    // merge-join for the bucket-pruned inverted-list scan — see
+    // annRecallOnAssigned for the full rationale
+    val adc = qp.hint("shuffle_merge").join(corpus, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
