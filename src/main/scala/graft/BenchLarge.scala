@@ -1819,10 +1819,11 @@ object BenchLarge {
         val nlist = 1414 // ≈ sqrt(2M)
         // production recipe: train the coarse quantizer on a bounded
         // sample (~6 pts/cell here; driver state 8192×64 doubles = 4 MB)
-        val sample = emb.filter(col("vec_id") < 8192)
+        val sampleN = 8192
+        val cents = graft.sim.Ivf.trainCentroidsOn(emb, nlist, sampleN, iters = 4)
+        val sample = emb.filter(col("vec_id") < sampleN)
           .orderBy("vec_id").select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-        val cents = graft.sim.Ivf.kmeans(sample, nlist, iters = 4)
         val cbs = graft.sim.Pq.trainCodebooksOn(sample, cents)
         val nQ = 16
         val k = 10

@@ -386,6 +386,25 @@ object Ivf {
 
   // ---- kmeans‖ (Bahmani et al. 2011, "Scalable k-means++") ----
 
+  /** Train a coarse quantizer of `k` cells from a BOUNDED deterministic
+    * sample of `df` — the production IVF recipe at any geometry: the
+    * first `sampleN` vectors by vec_id collect to the driver (state =
+    * sampleN·dim doubles, independent of corpus size; 8192×64 ≈ 4 MB)
+    * and seed a fixed-iteration Lloyd refine ([[kmeans]]). For
+    * production geometry k ≈ √N, pick sampleN a few × k (the
+    * corpus-scale entries use 8192 for k=1414, ~6 points per cell) and
+    * a small `iters` — quantizer quality saturates fast on a bounded
+    * sample, and the downstream recall floors gate the result. For
+    * init past the sample's structural cap, use [[kmeansParInit]]. */
+  def trainCentroidsOn(df: DataFrame, k: Int, sampleN: Int,
+                       iters: Int = 10): Array[Array[Double]] = {
+    require(sampleN >= k, s"sampleN=$sampleN must be >= k=$k")
+    val sample = df.filter(col("vec_id") < sampleN)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    kmeans(sample, k, iters)
+  }
+
   /** Deterministic distributed kmeans‖ initialization: `rounds` passes
     * of D²-proportional OVERSAMPLING (expected `l` new candidates per
     * round, the paper's l ≈ 2k), then a driver-side weighted Lloyd over
