@@ -1846,10 +1846,17 @@ object BenchLarge {
           // ONLY-mode self-containment: a rung selected without the
           // assign entry builds its input untimed
           if (!w("ivf_sqrt_assign")) writeAssigned()
-          // ground truth once, untimed (shared by all rungs + PQ)
-          graft.sim.SimilarityQueries.exactTopkOf(emb, nQ, k)
-            .write.mode("overwrite").format("parquet")
-            .saveAsTable("bl_ivf_sqrt_gt")
+          // ground truth once, untimed (shared by all RECALL rungs) —
+          // but only when a recall rung is actually selected: the
+          // brute-force 2M×nQ cosine scan is exactly the untimed
+          // minutes ONLY mode exists to avoid, and assign/encode/
+          // stream_ann_gate never read it
+          val needsGt = Seq("ivf_sqrt_recall_p1", "ivf_sqrt_recall_p4",
+            "ivf_sqrt_recall_p16", "ivfpq_sqrt_recall").exists(w)
+          if (needsGt)
+            graft.sim.SimilarityQueries.exactTopkOf(emb, nQ, k)
+              .write.mode("overwrite").format("parquet")
+              .saveAsTable("bl_ivf_sqrt_gt")
           Seq(1, 4, 16).foreach { np =>
             timed(s"ivf_sqrt_recall_p$np") {
               graft.sim.SimilarityQueries.annRecallOnAssigned(

@@ -1331,22 +1331,42 @@ object StreamOps {
     require(centroids.nonEmpty && centroids.head.nonEmpty,
       "centroid matrix must be non-empty (nlist >= 1, dim >= 1): an empty " +
         "set has no cells to probe")
-    // fingerprint-format pre-check: a corpus stamped under the retired
-    // v1 fingerprint (toString renderings, pre-r14) carries `chash`
-    // but no `chash_fmt` — fail naming the FORMAT change, because the
-    // generic value-mismatch message would imply stale centroids when
-    // only the fingerprint definition moved (re-assigning with
-    // Ivf.withCell under the same centroids re-stamps it)
+    // fingerprint-format pre-check: a corpus stamped before the
+    // `chash_fmt` version key existed carries `chash` without it. Two
+    // distinct provenances land there, and the message must name the
+    // right one (a generic value-mismatch would imply stale centroids
+    // when only the fingerprint DEFINITION moved): if the stamped
+    // value equals the v2 fingerprint of THIS gate's centroids, the
+    // corpus was assigned under the r14 raw-IEEE format (identical
+    // values, only the version key missing) — re-stamping is a pure
+    // metadata refresh; otherwise it is the retired v1 toString
+    // rendering (or genuinely different centroids — v1 values are
+    // indistinguishable from a mismatch, which is why v1 was retired)
+    // and a re-assignment under the same centroid set resolves both.
     val cellMeta = corpusAssigned.schema("cell").metadata
     val chashKey = graft.text.TextQueries.IndexParamPrefix + "chash"
     val fmtKey = graft.text.TextQueries.IndexParamPrefix + "chash_fmt"
-    require(unsafeAssumeCompatible ||
-      !cellMeta.contains(chashKey) || cellMeta.contains(fmtKey),
-      "assigned corpus carries a centroid fingerprint in the legacy v1 " +
-        "format (Double.toString renderings): the fingerprint definition " +
-        "changed to raw IEEE-754 bits (v2) — the centroids themselves may " +
-        "be identical; re-run Ivf.withCell over the corpus with the same " +
-        "centroid set to re-stamp it (values need not change)")
+    if (!unsafeAssumeCompatible &&
+        cellMeta.contains(chashKey) && !cellMeta.contains(fmtKey)) {
+      val v2 = graft.sim.Ivf.centroidFingerprint(centroids)
+      val stamped = cellMeta.getLong(chashKey)
+      if (stamped == v2)
+        throw new IllegalArgumentException(
+          "assigned corpus carries a centroid fingerprint that MATCHES the " +
+            "v2 (raw IEEE-754) fingerprint of this gate's centroids but is " +
+            "missing the chash_fmt version key (r14-format stamp, pre-" +
+            "versioning): the centroid VALUES are identical — re-run " +
+            "Ivf.withCell over the corpus with the same centroid set to " +
+            "refresh the stamp (a metadata-only change)")
+      else
+        throw new IllegalArgumentException(
+          "assigned corpus carries an unversioned centroid fingerprint that " +
+            "does not match this gate's centroids under the v2 (raw " +
+            "IEEE-754) definition: either a legacy v1 (Double.toString) " +
+            "stamp — the centroids themselves may be identical — or a " +
+            "genuinely different centroid set; re-run Ivf.withCell over " +
+            "the corpus with this gate's centroid set to re-stamp it")
+    }
     graft.text.TextQueries.requireIndexCompatible(corpusAssigned,
       graft.text.TextQueries.KindIvfCell, portableHash = true,
       column = "cell", strict = !unsafeAssumeCompatible,

@@ -219,13 +219,22 @@ class EmbeddingKernelSpec extends AnyFunSuite {
       .ivfPqRecallOn(e, cents, cbs, nQ = 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b)
-    // multi-probe at the same geometry can only gain recall (it is a
-    // superset of the single-probe candidate set)
+    // EMPIRICAL pin for this dataset/geometry, NOT a true invariant:
+    // multi-probe widens the CANDIDATE set (a superset), but the fixed
+    // SHORTLIST ADC cut runs before the exact re-rank, so candidates
+    // from the extra probed cell can displace true neighbors from the
+    // shortlist — IVF-PQ recall is not monotone in nprobe in general
+    // (shortlist truncation breaks the superset argument; the
+    // uncompressed IVF path, with no shortlist, IS monotone). If this
+    // fails after a parameter or data change, that is the mechanism —
+    // re-pin the observed values rather than hunting a regression.
     val p2 = graft.sim.SimilarityQueries
       .ivfPqRecallOnAssigned(coded, exact, cents, cbs, nQ = 10, k = 5, nprobe = 2)
       .agg(sum("n_hit")).collect()(0).getLong(0)
     val p1 = a.toSeq.map(_._2).sum
-    assert(p2 >= p1, s"nprobe=2 recall $p2 under nprobe=1 $p1")
+    assert(p2 >= p1, s"nprobe=2 recall $p2 under nprobe=1 $p1 — empirical " +
+      "pin: shortlist truncation makes IVF-PQ recall non-monotone in " +
+      "nprobe in general (see comment); re-pin if geometry/data changed")
   }
 
   test("RvqCellE12 == coarse-then-fine driver reference on the embeddings table") {

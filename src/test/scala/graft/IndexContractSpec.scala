@@ -547,7 +547,25 @@ class IndexContractSpec extends AnyFunSuite {
       graft.streaming.StreamOps.streamingAnnAgainst(stream, legacy, cents)
     }
     assert(e.getMessage.contains("legacy v1") &&
-      e.getMessage.contains("fingerprint definition"), e.getMessage)
+      e.getMessage.contains("unversioned centroid fingerprint"), e.getMessage)
+    // the OTHER unversioned provenance: a corpus stamped under the r14
+    // raw-IEEE fingerprint before the version key existed — the chash
+    // VALUE matches v2 exactly, so the message must say the values are
+    // identical (metadata-only refresh), never imply stale centroids
+    val r14 = assigned.select(assigned.columns.map { c =>
+      if (c == "cell")
+        col(c).as(c, TextQueries.indexMeta(TextQueries.KindIvfCell,
+          portableHash = true,
+          params = Map("nlist" -> cents.length.toLong,
+            "dim" -> cents.head.length.toLong,
+            "chash" -> graft.sim.Ivf.centroidFingerprint(cents))))
+      else col(c)
+    }: _*)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.streamingAnnAgainst(stream, r14, cents)
+    }
+    assert(e2.getMessage.contains("MATCHES the v2") &&
+      e2.getMessage.contains("identical"), e2.getMessage)
     // the migration is RE-STAMPING (Ivf.withCell under the same
     // centroids), which the v2-stamped `assigned` frame demonstrates;
     // the escape hatch cannot vouch past a chash VALUE mismatch by

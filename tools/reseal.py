@@ -41,6 +41,14 @@ def main():
 
     if named:
         targets = named
+        # an explicit name absent from the committed baseline would
+        # silently ADD a brand-new entry+seal (a typo becomes a phantom
+        # budget); new entries are added by the BenchLarge merge flow,
+        # never by reseal
+        unknown = [t for t in targets if t not in base.get("queries", {})]
+        if unknown:
+            sys.exit("not in the committed baseline (reseal refreshes existing "
+                     f"entries, it never adds): {', '.join(sorted(unknown))}")
     else:
         targets = [q for q in run["queries"]
                    if seal_all or q not in base.get("seals", {})]
@@ -48,12 +56,13 @@ def main():
     if missing:
         sys.exit(f"not measured by this run: {', '.join(sorted(missing))}")
 
+    seals = base.setdefault("seals", collections.OrderedDict())
     for name in targets:
         base["queries"][name] = run["queries"][name]
-        base["seals"][name] = run_seals[name]
+        seals[name] = run_seals[name]
     base["value"] = round(sum(base["queries"].values()), 2)
     stamp = datetime.date.today().isoformat()
-    base["merge_note"] += (
+    base["merge_note"] = base.get("merge_note", "") + (
         f" | reseal {stamp}: {len(targets)} entries re-sealed from a "
         f"gate-green run at calib {run['calib']} / calib_str {run['calib_str']}.")
     json.dump(base, open(base_path, "w"), indent=0)
