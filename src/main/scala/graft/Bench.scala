@@ -19,6 +19,13 @@ object Bench {
     else if (out.endsWith(".json")) out.stripSuffix(".json") + "_only.json"
     else out + "_only"
 
+  /** The mode tags the JSON line carries (spec-pinned): a partial run
+    * is always marked `"only":true`, a warm partial additionally
+    * `"warm":true` — so an artifact's protocol is self-describing. */
+  def modeTags(onlyMode: Boolean, warm: Boolean): String =
+    (if (onlyMode) "\"only\":true," else "") +
+      (if (warm) "\"warm\":true," else "")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +40,27 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"SPARK_GRAFT_BENCH_ONLY names unregistered queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    // WARM mode (ONLY-mode companion): cold ONLY numbers are biased
+    // 2-3x high for sub-second queries — a full run warms each query
+    // with the ~200 that precede it in the same JVM (shared codegen
+    // paths, shuffle/broadcast machinery, JIT tiers), which a 2-query
+    // ONLY run never gets. Warm mode sweeps the selected set once
+    // UNTIMED, then runs the normal timed protocol — so ONLY numbers
+    // become usable for ABSOLUTE drift calls, not just relative/plan
+    // comparisons, at ~2x the filtered cost. Meaningless without ONLY
+    // (a full run already self-warms), so it fail-louds there.
+    // value: "true"/"1"..."9" = that many untimed sweeps (a single
+    // sweep measured ~1.5x-high on sub-second controls — C2 needs more
+    // executions of the shared infra than 3 runs of 4 queries provide)
+    val warmSweeps: Int = sys.env.get("SPARK_GRAFT_BENCH_WARM") match {
+      case None => 0
+      case Some(v) if v.equalsIgnoreCase("true") => 1
+      case Some(v) => v.toInt
+    }
+    val warm = warmSweeps > 0
+    require(!warm || only.nonEmpty,
+      "SPARK_GRAFT_BENCH_WARM is only meaningful with SPARK_GRAFT_BENCH_ONLY " +
+        "(a full run self-warms: every query is preceded by the rest of the suite)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,6 +81,14 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer[String]()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    // warm sweep: every selected query once, untimed — pays the
+    // cross-query JIT/infra warming a full run gives for free
+    (1 to warmSweeps).foreach { _ =>
+      selected.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => } // the timed loop reports failures
+      }
+    }
     val results = selected.map { case (name, fn) =>
       // isolate queries from each other's garbage: without this, one
       // allocation-heavy query taxes its successors with collection
@@ -73,11 +109,27 @@ object Bench {
       // a failed query must not masquerade as a fast one
       name -> (if (failures.contains(name)) -1.0 else times.min)
     }
+    // JVM-state diagnostic (stderr, never the JSON contract): suite
+    // growth loads more classes and fills the JIT code heaps, and
+    // late-alphabet queries inherit that state — the r15/r16 scrub-
+    // family investigation needed exactly these numbers to separate
+    // "this plan got slower" from "the JVM this plan runs in got
+    // heavier". Printed every run so future drift calls have them.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(p => f"${p.getName}=${p.getUsage.getUsed / 1048576.0}%.1f MiB")
+      val classes = java.lang.management.ManagementFactory.getClassLoadingMXBean
+        .getLoadedClassCount
+      System.err.println(
+        s"[bench] jvm-state: loaded_classes=$classes ${pools.mkString(" ")}")
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val onlyTag = if (only.nonEmpty) "\"only\":true," else ""
+    val onlyTag = modeTags(only.nonEmpty, warm)
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$onlyTag"queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a bounded stdout tail — with 100+ per-query

@@ -59,7 +59,16 @@ case class PqEncodeE12(child: Expression, codebooks: PqKernels.Codebooks)
         val cw = codebooks(sub)(j)
         var acc = 0L
         var d = 0
-        while (d < dsub) {
+        // early abandonment: the accumulator is a monotone sum of
+        // non-negative quantized terms, so once acc >= best this code
+        // cannot win — and ties-to-lowest is preserved exactly (the
+        // update rule is strict <, so an equal-later code never
+        // displaces; abandoning at >= can only skip codes that would
+        // not have updated). Nulls were pre-checked above, so no
+        // check is skipped. At kcodes=256 production capacity this is
+        // what keeps the full-corpus encode pass affordable — the
+        // same argument as the IvfCellE12/IvfProbesE12 kernels.
+        while (d < dsub && acc < best) {
           val diff = r.getDouble(sub * dsub + d) - cw(d)
           acc += QuantKernels.qround(diff * diff * 1e12)
           d += 1
@@ -104,7 +113,10 @@ case class PqEncodeE12(child: Expression, codebooks: PqKernels.Codebooks)
          |      int $bestJ = 0;
          |      for (int $j = 0; $j < $k; $j++) {
          |        long $acc = 0L;
-         |        for (int $d = 0; $d < $dsub; $d++) {
+         |        // early abandonment (see nullSafeEval): monotone
+         |        // non-negative accumulator + strict-< update keeps
+         |        // ties-to-lowest exact; nulls pre-checked above
+         |        for (int $d = 0; $d < $dsub && $acc < $best; $d++) {
          |          final double $diff = $r.getDouble($sub * $dsub + $d) - $cb[$sub][$j][$d];
          |          final double $p = $diff * $diff * 1e12;
          |          $acc += ${QuantKernels.qroundJava(p)};

@@ -307,12 +307,14 @@ object Ivf {
     * session. The cache above only records what was last trained per
     * (dir, k), for the oracle builder. */
   def trainCentroids(spark: SparkSession, dir: String, k: Int): Array[Array[Double]] = {
-    val vecs = graft.Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < SAMPLE_N)
-      .orderBy("vec_id")
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cents = kmeans(vecs, k)
+    // delegates to the parameterized production recipe
+    // ([[trainCentroidsOn]] — bounded deterministic sample + driver
+    // Lloyd), so the oracle-green registered queries exercise the SAME
+    // code path the corpus-scale √N-geometry entries run; sampleN =
+    // SAMPLE_N and the default iteration count keep the trained
+    // literals bit-identical to the historical direct-kmeans training
+    // (the cached-literal oracles depend on that determinism).
+    val cents = trainCentroidsOn(graft.Tables.embeddings(spark, dir), k, SAMPLE_N)
     trained((dir, k)) = cents
     lastKey = Some((dir, k))
     cents

@@ -48,19 +48,28 @@ object Pq {
 
   /** [[trainCodebooks]] over an in-memory sample — the corpus-scale
     * bench path (no table dir, no oracle-literal caching). Same
-    * deterministic math: k-means init = first KCODES residual slices,
-    * fixed iterations. */
+    * deterministic math: k-means init = first `kcodes` residual
+    * slices, fixed iterations. `kcodes` defaults to the sf-scale
+    * [[KCODES]]; the production √N-geometry entries pass the customary
+    * 256 — their 8192-vector training sample (vs the sf oracle's 256)
+    * populates a full-capacity codebook, and the capacity is exactly
+    * what bounds quantization loss at fixed SHORTLIST (measured in
+    * BENCH_LARGE's ivfpq_sqrt_* ladder). */
   def trainCodebooksOn(sample: Array[Array[Double]],
-                       cents: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+                       cents: Array[Array[Double]],
+                       kcodes: Int = KCODES): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % M == 0, s"dim $dim not divisible by $M subspaces")
+    require(sample.length >= kcodes,
+      s"codebook capacity kcodes=$kcodes exceeds the ${sample.length}-vector " +
+        "training sample (k-means needs at least one point per code)")
     val dsub = dim / M
     val residuals = sample.map { v =>
       val c = cents(Ivf.assign(v, cents))
       Array.tabulate(dim)(d => v(d) - c(d))
     }
     Array.tabulate(M) { sub =>
-      Ivf.kmeans(residuals.map(_.slice(sub * dsub, (sub + 1) * dsub)), KCODES)
+      Ivf.kmeans(residuals.map(_.slice(sub * dsub, (sub + 1) * dsub)), kcodes)
     }
   }
 

@@ -982,16 +982,20 @@ object SimilarityQueries {
     * evaluates a residual per PROBED cell (the residual is relative to
     * the probed cell's centroid, not the query's own —
     * [[graft.functions.IvfResidualE12]] on the exploded probe id),
-    * ADC-ranks the probed cells' codes, takes one SHORTLIST per query
-    * across all probes, and exact-re-ranks the shortlist. Same
+    * ADC-ranks the probed cells' codes, takes one `shortlist` per
+    * query across all probes, and exact-re-ranks the shortlist. Same
     * inverted-list `isin` pruning as the uncompressed path. Recall
     * lost here decomposes as cell-boundary loss (the IVF axis, shrunk
     * by nprobe) + quantization loss (the PQ axis, bounded by the
-    * shortlist re-rank). Emits (qid, n_hit, recall_ppm). */
+    * shortlist re-rank — `shortlist` is one of the two levers that
+    * shrink it, the other being codebook capacity; BENCH_LARGE's
+    * ivfpq_sqrt_* ladder measures both). Emits (qid, n_hit,
+    * recall_ppm). */
   def ivfPqRecallOnAssigned(coded: DataFrame, exact: DataFrame,
                             cents: Array[Array[Double]],
                             cbs: Array[Array[Array[Double]]],
-                            nQ: Int = 10, k: Int = 5, nprobe: Int = 1): DataFrame = {
+                            nQ: Int = 10, k: Int = 5, nprobe: Int = 1,
+                            shortlist: Int = Pq.SHORTLIST): DataFrame = {
     graft.text.TextQueries.requireIndexCompatible(coded,
       graft.text.TextQueries.KindIvfCell, portableHash = true,
       column = "cell", strict = true,
@@ -1017,10 +1021,10 @@ object SimilarityQueries {
       .filter(col("qid") =!= col("cid"))
       .withColumn("adc", Pq.adcCol(col("qr"), col("codes"), cbs))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid"))
-    val shortlist = adc.withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= Pq.SHORTLIST)
+    val short = adc.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    val ann = shortlist
+    val ann = short
       .withColumn("cosine", cosineE12(col("e1"), col("e2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).select(col("qid"), col("cid"))

@@ -266,6 +266,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.outPathFor("custom_out", onlyMode = true) === "custom_out_only")
   }
 
+  test("Bench mode tags are self-describing: only runs tagged only, warm runs tagged only+warm, full runs untagged") {
+    assert(Bench.modeTags(onlyMode = false, warm = false) === "")
+    assert(Bench.modeTags(onlyMode = true, warm = false) === "\"only\":true,")
+    assert(Bench.modeTags(onlyMode = true, warm = true) ===
+      "\"only\":true,\"warm\":true,")
+    // warm-without-only is rejected by the main (a full run self-warms)
+    // — the tag helper never emits a bare warm tag in practice, but its
+    // output stays parseable if it ever did
+    assert(Bench.modeTags(onlyMode = false, warm = true) === "\"warm\":true,")
+  }
+
   test("the committed seals map only names committed queries, and floors only name committed entries") {
     val p = java.nio.file.Paths.get("BENCH_LARGE.json")
     assume(java.nio.file.Files.exists(p))
