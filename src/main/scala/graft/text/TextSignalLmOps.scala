@@ -596,39 +596,92 @@ private[text] trait TextSignalLmOps { this: TextQueries.type =>
     }
     // bottom-level normalizer: total pair types N1+(··)
     val totTy = bT(2).agg(count(lit(1)).cast("double").as("tot_ty"))
-    // the recursive probability, built bottom-up; a missing context at
-    // any level (pruned or unseen) backs off with lambda = 1
-    var p: Column = coalesce(col("t1").cast("double"), lit(0.5)) / col("tot_ty")
-    for (i <- 2 until n)
-      p = coalesce(
-        greatest(coalesce(col(s"t$i"), lit(0L)).cast("double") - discount, lit(0.0)) / col(s"den$i"),
-        lit(0.0)) +
-        coalesce(lit(discount) * col(s"ty$i") / col(s"den$i"), lit(1.0)) * p
-    p = coalesce(
+    // the per-level probability terms, shared by both plan shapes below
+    // (IDENTICAL expression trees — double arithmetic is not
+    // reassociated by Catalyst, so the two shapes are bit-equal)
+    val p1: Column = coalesce(col("t1").cast("double"), lit(0.5)) / col("tot_ty")
+    def pMid(i: Int, below: Column): Column = coalesce(
+      greatest(coalesce(col(s"t$i"), lit(0L)).cast("double") - discount, lit(0.0)) / col(s"den$i"),
+      lit(0.0)) +
+      coalesce(lit(discount) * col(s"ty$i") / col(s"den$i"), lit(1.0)) * below
+    def pTop(below: Column): Column = coalesce(
       greatest(coalesce(col("cnt"), lit(0L)).cast("double") - discount, lit(0.0)) / col(s"den$n"),
       lit(0.0)) +
-      coalesce(lit(discount) * col(s"ty$n") / col(s"den$n"), lit(1.0)) * p
-    var scored = docs
+      coalesce(lit(discount) * col(s"ty$n") / col(s"den$n"), lit(1.0)) * below
+
+    val pre = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(ngramArrayExpr(n))).as("g"))
-    for (i <- 1 to n)
-      scored = scored.withColumn(s"w$i", element_at(split(col("g"), " "), i))
-    scored = scored
-      .join(broadcast(tc.select("g", "cnt")), Seq("g"), "left")
-      .join(broadcast(ctxN), wc(1, n - 1), "left")
-    for (i <- (n - 1) to 2 by -1)
+
+    if (topV.isEmpty) {
+      // UNPRUNED fast path (the registered sf-scale configuration):
+      // every scored transition is, by construction, a retained gram
+      // type — tc is the full inventory — so every model-table lookup
+      // HITS, and the whole recursion can be precomputed ONCE PER GRAM
+      // TYPE on the model side. The scoring pass then probes a single
+      // broadcast (g → p) instead of 2(n−1)+2 of them. This is not
+      // (mainly) a row-count win: fusing 10 broadcast probes + the
+      // n-gram Generate into one whole-stage-codegen span generates a
+      // method far past HotSpot's 8000-bytecode DontCompileHugeMethods
+      // JIT ceiling — measured at n=5/sf0.1: 34-42 s per pass with
+      // 131-164 s of aggregate JIT-thread time and 4-8 s GC, against
+      // ~1 s of actual data work. Nesting each level's 2-probe join
+      // chain on the BUILD side of the level above keeps every span
+      // small (max 2 probe bodies), so the generated code JITs.
+      // Under topV the precompute is unsound (a pruned transition must
+      // cascade through partial lookups), so the pruned path below
+      // keeps the general join chain — which is also the bounded-state
+      // shape web scale requires (model tables vocab-bounded; a g-keyed
+      // table over the full inventory is not).
+      var pLvl: DataFrame = bT(2)
+        .join(broadcast(midT(2)), wc(n - 1, n - 1), "left")
+        .join(broadcast(bT(1)), Seq(s"w$n"), "left")
+        .crossJoin(broadcast(totTy))
+        .select(wc(n - 1, n).map(col) :+ pMid(2, p1).as("_p"): _*)
+      for (i <- 3 until n)
+        pLvl = bT(i)
+          .join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")
+          .join(broadcast(pLvl), wc(n - i + 2, n), "left")
+          .select(wc(n - i + 1, n).map(col) :+ pMid(i, col("_p")).as("_p"): _*)
+      val pg = sided
+        .join(broadcast(ctxN), wc(1, n - 1), "left")
+        .join(broadcast(pLvl), wc(2, n), "left")
+        .select(col("g"), pTop(col("_p")).as("_p"))
+      pre
+        .join(broadcast(pg), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_transitions"),
+          round(avg(-log(col("_p"))), 6).as(s"nll_kn$n"))
+    } else {
+      // PRUNED general path: a transition's gram (or any suffix level)
+      // may be missing from the retained model — the recursion must
+      // evaluate per transition row with lambda = 1 backoff at every
+      // level whose context was pruned away, so each level's tables
+      // join onto the fan-out individually.
+      var p: Column = p1
+      for (i <- 2 until n) p = pMid(i, p)
+      p = pTop(p)
+      var scored = pre
+      for (i <- 1 to n)
+        scored = scored.withColumn(s"w$i", element_at(split(col("g"), " "), i))
       scored = scored
-        .join(broadcast(bT(i)), wc(n - i + 1, n), "left")
-        .join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")
-    scored
-      .join(broadcast(bT(1)), Seq(s"w$n"), "left")
-      .crossJoin(broadcast(totTy))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_transitions"),
-        round(avg(-log(p)), 6).as(s"nll_kn$n"))
+        .join(broadcast(tc.select("g", "cnt")), Seq("g"), "left")
+        .join(broadcast(ctxN), wc(1, n - 1), "left")
+      for (i <- (n - 1) to 2 by -1)
+        scored = scored
+          .join(broadcast(bT(i)), wc(n - i + 1, n), "left")
+          .join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")
+      scored
+        .join(broadcast(bT(1)), Seq(s"w$n"), "left")
+        .crossJoin(broadcast(totTy))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_transitions"),
+          round(avg(-log(p)), 6).as(s"nll_kn$n"))
+    }
   }
 
   /** The [[kneserNeyScoreN]] DuckDB oracle, generated for any order —
