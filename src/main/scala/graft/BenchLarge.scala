@@ -336,6 +336,12 @@ object BenchLarge {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the run's plan diversity (the
+      // graft.Bench rationale: at the 100-entry default, a long
+      // many-query JVM re-Janinos and re-JITs byte-identical generated
+      // classes every pass; gates are ceilings, so faster passes only
+      // tighten them)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.binning.{BinAxis, Binning, NdHistogramAgg}
