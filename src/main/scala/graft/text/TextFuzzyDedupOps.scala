@@ -153,11 +153,21 @@ private[text] trait TextFuzzyDedupOps { this: TextQueries.type =>
                         minSimPpm: Long): DataFrame =
     df.withColumn("max_len",
         greatest(length(col("t1")), length(col("t2"))).cast("long"))
+      // banded DP → Myers bit-parallel kernel (LevKernels.boundedLev):
+      // same contract as the builtin 3-arg levenshtein (exact distance
+      // if ≤ thr else -1; value parity spec-pinned incl. astral-plane
+      // input), at 1/64th the inner-loop cost — the builtin's band at
+      // thr = L/2 is O(L²/2) cell updates per pair and dominated every
+      // dedup_editdist_* query (measured: 6.2 s of the sf0.1 pairs
+      // query's 7.2 s was this DP over 8.1k candidates)
       .withColumn("dist", when(col("t1") === col("t2"), 0L)
-        .otherwise(expr(
-          s"""CAST(levenshtein(t1, t2, CAST(max_len -
-             |  (($minSimPpm * max_len + 999999) div 1000000) AS INT)) AS BIGINT)"""
-            .stripMargin)))
+        .otherwise(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.LevenshteinBound(
+            org.apache.spark.sql.GraftBridge.expression(col("t1")),
+            org.apache.spark.sql.GraftBridge.expression(col("t2")),
+            org.apache.spark.sql.GraftBridge.expression(expr(
+              s"CAST(max_len - (($minSimPpm * max_len + 999999) div 1000000) AS INT)"))))
+          .cast("long")))
       .filter(col("dist") >= 0L)
       .select(keyCols.map(col) :+ col("dist") :+
         when(col("max_len") === 0L, 1000000L)
