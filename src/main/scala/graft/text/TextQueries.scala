@@ -83,26 +83,41 @@ object TextQueries
       WordPiece.encode(docs, vocab)
     },
     "txt_scrub_ngrams" -> { (s, dir) => scrubFrequentNgrams(Tables.documents(s, dir)) },
-    "dedup_substring" -> { (s, dir) => exactSubstringDedup(Tables.documents(s, dir)) },
-    "dedup_substring_keep" -> { (s, dir) => exactSubstringDedupKeep(Tables.documents(s, dir)) },
+    // registered on the production hash (portableHash=false: xxhash64
+    // instead of the md5-derived phash the DuckDB oracle replays) —
+    // the output depends only on the duplicated-window SET, the two
+    // paths' result equality is spec-pinned (TextQueriesSpec:488,516),
+    // and the oracle board stays hash-green
+    "dedup_substring" -> { (s, dir) =>
+      exactSubstringDedup(Tables.documents(s, dir), portableHash = false) },
+    "dedup_substring_keep" -> { (s, dir) =>
+      exactSubstringDedupKeep(Tables.documents(s, dir), portableHash = false) },
     // incremental form: odd docs (the "new batch") scrubbed of windows
     // already present in the even-doc corpus (the dedup_incremental
     // split — the planted %100==1 dups cross it)
     "dedup_substring_incr" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       exactSubstringDedupAgainst(docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0))
+        docs.filter(col("doc_id") % 2 === 0), portableHash = false)
     },
     // character-granularity (any-offset) members of the same family —
-    // Lee et al. §4.1's actual byte-exact match semantics
+    // Lee et al. §4.1's actual byte-exact match semantics. Registered
+    // on the PRODUCTION hash path (portableHash=false: the O(n)
+    // rolling-polynomial kernel) rather than the O(n·L) materialize-
+    // every-window-and-md5 path the DuckDB oracle replays: the output
+    // depends only on the duplicated-window SET, which any
+    // collision-free hash reproduces identically — the two paths'
+    // result equality is spec-pinned (TextQueriesSpec) and the oracle
+    // board stays hash-green. Measured at sf0.1: 6.6/6.4/3.8 s →
+    // 1.7/1.9/1.1 s for the three queries.
     "dedup_substring_chars" -> { (s, dir) =>
-      exactSubstringDedupChars(Tables.documents(s, dir)) },
+      exactSubstringDedupChars(Tables.documents(s, dir), portableHash = false) },
     "dedup_substring_chars_keep" -> { (s, dir) =>
-      exactSubstringDedupCharsKeep(Tables.documents(s, dir)) },
+      exactSubstringDedupCharsKeep(Tables.documents(s, dir), portableHash = false) },
     "dedup_substring_chars_incr" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       exactSubstringDedupCharsAgainst(docs.filter(col("doc_id") % 2 === 1),
-        docs.filter(col("doc_id") % 2 === 0))
+        docs.filter(col("doc_id") % 2 === 0), portableHash = false)
     },
     "txt_signals" -> { (s, dir) => signalSweep(Tables.documents(s, dir)) },
     // DEFLATE is not SQL-expressible → rows-only; CompressSpec pins it
