@@ -1585,8 +1585,15 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * ids, so the two chains need not agree). */
   def lshRecallAudit(docs: DataFrame, threshold: Double = 0.5,
                      portableHash: Boolean = true,
-                     persistLineage: Boolean = false): DataFrame =
-    jaccardJoin(docs, threshold, portableHash, persistLineage)
+                     persistLineage: Boolean = false,
+                     portableHashExact: Option[Boolean] = None): DataFrame =
+    // the EXACT side's hash is internal (recall-1 candidates + exact
+    // verify ⇒ the pair set is hash-invariant), so it may run the
+    // cheaper production hash while the LSH side — whose banding pair
+    // set IS a function of the hash, and whose oracle replays it —
+    // keeps `portableHash`
+    jaccardJoin(docs, threshold, portableHashExact.getOrElse(portableHash),
+      persistLineage)
       .select("d1", "d2")
       .join(lshPairs(docs, threshold, persistLineage, portableHash).select("d1", "d2")
         .withColumn("caught", lit(true)), Seq("d1", "d2"), "left")
