@@ -627,30 +627,42 @@ private[text] trait TextSignalLmOps { this: TextQueries.type =>
       // method far past HotSpot's 8000-bytecode DontCompileHugeMethods
       // JIT ceiling — measured at n=5/sf0.1: 34-42 s per pass with
       // 131-164 s of aggregate JIT-thread time and 4-8 s GC, against
-      // ~1 s of actual data work. Nesting each level's 2-probe join
-      // chain on the BUILD side of the level above keeps every span
-      // small (max 2 probe bodies), so the generated code JITs.
+      // ~1 s of actual data work.
+      //
+      // Shape of the precompute, second iteration: each level's two
+      // tables pre-join into ONE per-level lookup L_i (an independent
+      // 1-probe span, so all levels' broadcast builds run in
+      // PARALLEL), and the per-gram table joins them FLAT — one
+      // (n+1)-probe span over the vocab-sized gram table, the same
+      // probe count the n=3 scorer has always run fused over the
+      // full corpus fan-out. The first iteration nested each level on
+      // the build side of the one above, which kept spans small but
+      // SERIALIZED ~n broadcast builds; under a JIT/GC-loud JVM each
+      // sequential build pays elevated stage latency, which measured
+      // as a 3.7-23.5 s spread across same-code full-suite runs.
+      // The probability expression is the SAME nested tree evaluated
+      // on the flat row (storing no intermediate changes no double),
+      // so results stay bit-equal to the pruned path.
+      //
       // Under topV the precompute is unsound (a pruned transition must
       // cascade through partial lookups), so the pruned path below
       // keeps the general join chain — which is also the bounded-state
       // shape web scale requires (model tables vocab-bounded; a g-keyed
       // table over the full inventory is not).
-      var pLvl: DataFrame = bT(2)
-        .join(broadcast(midT(2)), wc(n - 1, n - 1), "left")
+      var pg = sided
+        .join(broadcast(ctxN), wc(1, n - 1), "left")
+      for (i <- (n - 1) to 2 by -1)
+        pg = pg.join(
+          broadcast(bT(i).join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")),
+          wc(n - i + 1, n), "left")
+      var p: Column = p1
+      for (i <- 2 until n) p = pMid(i, p)
+      val pgP = pg
         .join(broadcast(bT(1)), Seq(s"w$n"), "left")
         .crossJoin(broadcast(totTy))
-        .select(wc(n - 1, n).map(col) :+ pMid(2, p1).as("_p"): _*)
-      for (i <- 3 until n)
-        pLvl = bT(i)
-          .join(broadcast(midT(i)), wc(n - i + 1, n - 1), "left")
-          .join(broadcast(pLvl), wc(n - i + 2, n), "left")
-          .select(wc(n - i + 1, n).map(col) :+ pMid(i, col("_p")).as("_p"): _*)
-      val pg = sided
-        .join(broadcast(ctxN), wc(1, n - 1), "left")
-        .join(broadcast(pLvl), wc(2, n), "left")
-        .select(col("g"), pTop(col("_p")).as("_p"))
+        .select(col("g"), pTop(p).as("_p"))
       pre
-        .join(broadcast(pg), Seq("g"), "left")
+        .join(broadcast(pgP), Seq("g"), "left")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_transitions"),
