@@ -375,12 +375,89 @@ object Ivf {
     refinedCache(lk)
   }
 
-  /** Sample-train + corpus-refine in one call (the emb_kmeans query
-    * path); records the refined centroids for the oracle builder. */
+  /** Driver-side Lloyd refinement over an in-memory vector set — the
+    * bounded-sample twin of [[lloydRefine]]: the IDENTICAL assignment
+    * kernel ([[graft.functions.IvfCellE12]]'s quantized arithmetic via
+    * [[assignQuantized]], ties → lowest cell), identical empty-cell
+    * rule, identical 1e-9 mean rounding. Spec-pinned equal to
+    * [[lloydRefine]] on the same rows (KmeansSpec). O(n·k·dim) driver
+    * work, zero distributed jobs. */
+  def lloydRefineLocal(vectors: Array[Array[Double]],
+                       init: Array[Array[Double]],
+                       iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty && iters >= 0)
+    val dim = init.head.length
+    var cents = init
+    for (_ <- 0 until iters) {
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Long](cents.length)
+      vectors.foreach { v =>
+        val c = assignQuantized(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else Array.tabulate(dim)(d => math.rint(sums(c)(d) / counts(c) * 1e9) / 1e9)
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid index under the QUANTIZED squared distance
+    * Σ_d qround((x_d − c_d)²·1e12) — the driver twin of the codegen'd
+    * [[graft.functions.IvfCellE12]] (same `qround`, same ties → lowest
+    * cell), so driver-side refinement assigns exactly as the
+    * distributed passes would. */
+  def assignQuantized(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var acc = 0L
+      var d = 0
+      while (d < v.length && acc < best) {
+        val diff = v(d) - cent(d)
+        acc += graft.functions.QuantKernels.qround(diff * diff * 1e12)
+        d += 1
+      }
+      if (acc < best) { best = acc; bestC = c }
+      c += 1
+    }
+    bestC
+  }
+
+  /** Sample-train + sample-refine in one call (the emb_kmeans /
+    * semdedup_km / prototypes / d4 / inertia query path); records the
+    * refined centroids for the oracle builder.
+    *
+    * BOUNDED-SAMPLE TRAINING END TO END (r16 verdict #5, carrying
+    * r15 #6): both the init AND the `iters` Lloyd refinement passes now
+    * train on the deterministic SAMPLE_N-vector sample — one tiny
+    * collect and pure driver arithmetic — instead of running
+    * `1 + iters` distributed corpus passes per query construct. At
+    * 100 TB a full-corpus refinement per query was `iters` corpus
+    * scans; the sample recipe is the standard quantizer-training shape
+    * ([[trainCentroidsOn]]) at any scale, and the refinement arithmetic
+    * is unchanged ([[lloydRefineLocal]] ≡ [[lloydRefine]] on the same
+    * rows, spec-pinned). The published centroids CHANGE where the
+    * corpus outgrows SAMPLE_N (they are now a function of the sample,
+    * as the init always was); every consuming query's DuckDB oracle is
+    * built from the same session-trained literals, so the boards stay
+    * hash-green — re-verified at sf0.001/0.01/0.1. */
   def refineCentroids(spark: SparkSession, dir: String, k: Int,
                       iters: Int = 5): Array[Array[Double]] = {
-    val init = trainCentroids(spark, dir, k)
-    val cents = lloydRefine(graft.Tables.embeddings(spark, dir), init, iters)
+    val sample = sampleVectors(graft.Tables.embeddings(spark, dir), SAMPLE_N)
+    val init = kmeans(sample, k)
+    // record the init exactly as trainCentroids would (same sample,
+    // same iterations): a session running both an emb_ivf_* query and
+    // a refined query must publish ONE consistent literal set per
+    // (dir, k)
+    trained((dir, k)) = init
+    lastKey = Some((dir, k))
+    val cents = lloydRefineLocal(sample, init, iters)
     refinedCache((dir, k)) = cents
     lastRefinedKey = Some((dir, k))
     cents
@@ -401,11 +478,17 @@ object Ivf {
   def trainCentroidsOn(df: DataFrame, k: Int, sampleN: Int,
                        iters: Int = 10): Array[Array[Double]] = {
     require(sampleN >= k, s"sampleN=$sampleN must be >= k=$k")
-    val sample = df.filter(col("vec_id") < sampleN)
+    kmeans(sampleVectors(df, sampleN), k, iters)
+  }
+
+  /** The bounded deterministic training sample as driver doubles: first
+    * `sampleN` vectors by vec_id — the ONE sample definition every
+    * driver-side trainer shares ([[trainCentroidsOn]],
+    * [[refineCentroids]]). */
+  private[graft] def sampleVectors(df: DataFrame, sampleN: Int): Array[Array[Double]] =
+    df.filter(col("vec_id") < sampleN)
       .orderBy("vec_id").select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    kmeans(sample, k, iters)
-  }
 
   /** Deterministic distributed kmeans‖ initialization: `rounds` passes
     * of D²-proportional OVERSAMPLING (expected `l` new candidates per

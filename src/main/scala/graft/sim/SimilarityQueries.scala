@@ -286,10 +286,11 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cell"))
     },
 
-    // full k-means over the corpus (the SemDeDup paper's clustering
-    // step): bounded-sample init, then 5 distributed Lloyd iterations —
-    // one corpus pass each, k x dim tiny rows to the driver per pass —
-    // and the REFINED centroids bake into the same codegen'd argmin
+    // k-means with 5 extra Lloyd refinement passes past the 10-pass
+    // init: trained end-to-end on the bounded deterministic sample
+    // (driver-side — zero distributed training jobs; the r16-verdict
+    // bounded-training item), REFINED centroids baked into the same
+    // codegen'd argmin over the full corpus
     "emb_kmeans" -> { (s, dir) =>
       val cents = Ivf.refineCentroids(s, dir, k = 8, iters = 5)
       Ivf.withCell(Tables.embeddings(s, dir), cents)
@@ -441,7 +442,7 @@ object SimilarityQueries {
     // CLUSTERS as the candidate buckets. Same tail as emb_semdedup /
     // emb_semdedup_pca (exact cosine within bucket → CC → min-id
     // representative); only the partition of the space differs — the
-    // corpus-refined Lloyd centroids of emb_kmeans (same k, so the two
+    // sample-refined Lloyd centroids of emb_kmeans (same k, so the two
     // queries share one cached literal set). The %4 slice bounds the
     // k=8 oracle's within-cell pair count; at corpus scale k is tens of
     // thousands (the paper's 50k at 100M) and occupancy n/k stays put.

@@ -1452,7 +1452,8 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     * join: recall 1 is the contract. */
   def containJoin(docs: DataFrame, threshold: Double = 0.8,
                   portableHash: Boolean = true,
-                  persistLineage: Boolean = false): DataFrame = {
+                  persistLineage: Boolean = false,
+                  hotThreshold: Long = 1000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val tPpm = math.round(threshold * 1e6)
@@ -1473,11 +1474,16 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
              |  size(ord) - cast(($tPpm * size(ord) + 999999) div 1000000 as int) + 1)""".stripMargin))
           .as("h")))
     // detect-then-salt, the selfPairs discipline for this ASYMMETRIC
-    // join: keys with df > hotThreshold (≤ |sh|/threshold of them by
+    // join: keys with df > hotThreshold (≤ |sh|/hotThreshold of them by
     // construction — broadcastable) take the salted path so a
     // template-clique shingle's prefDf×df pair fan-out spreads across
-    // reducers; cold keys pay nothing extra
-    val hotThreshold = 1000L
+    // reducers; cold keys pay only a broadcast-probe. The hot set stays
+    // a LAZY subtree on purpose: its three consumers' freq aggregations
+    // are byte-identical, so runtime exchange reuse executes freq once
+    // inside the main job — an eager collected detection (measured) and
+    // an eager checkpoint (measured) both cost a serialized extra pass
+    // that the lazy shape hides in the job's own parallelism
+    // (5.2 s / 5.1 s vs 4.6 s warm ONLY at sf0.1).
     val prefK = pref.withColumnRenamed("doc_id", "d1")
     val shK = sh.select(col("h"), col("doc_id").as("d2"))
     val hot = freq.filter(col("df") > hotThreshold).select("h")
@@ -1490,16 +1496,28 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .unionAll(candHot.select("d1", "d2"))
       .filter(col("d1") =!= col("d2"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Count-only semi-verify, ONE consumption of the candidate set
+    // (guide §2 shuffle volume / §2.4 remove shuffles): fan d1's
+    // compact (doc_id, h) rows out once per candidate, LEFT-join the
+    // container side on (d2, h), and take BOTH counts from the same
+    // aggregation — count(1) over the fan-out IS |A| (the sizes table
+    // recomputed it from its own corpus re-shingle), and the matched
+    // rows are |A∩B|. Equivalence with the former
+    // cand⋈inter⋈sizes shape: every candidate pair shares ≥ 1 token by
+    // construction (cold and hot branches both meet on a shared h), so
+    // the inner verification join never dropped a candidate, and
+    // count(1) per (d1,d2) equals sizes.n because sh holds one row per
+    // distinct (doc_id, shingle). Removes the second candidate-subtree
+    // evaluation, the sizes corpus pass, and two pair-keyed joins.
     val inter = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sh.as("s2"),
-        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("d1", "d2"))
-      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
-      .select(col("d1"), col("d2"), col("inter"), col("n1.n").as("n1"))
+        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"), "left")
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n1"), count(col("s2.doc_id")).as("inter"))
+    inter
       .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("n1"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"))
       .withColumn("contain_ppm",
         expr("inter * 1000000L div n1").cast("long"))
   }

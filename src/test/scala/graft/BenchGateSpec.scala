@@ -277,6 +277,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.modeTags(onlyMode = false, warm = true) === "\"warm\":true,")
   }
 
+  test("Bench tail-proof lines: per-query records stay under 1 KB and the compact total line is bounded and map-free") {
+    // the driver keeps a bounded stdout tail; BENCH_r15/r16 lost the
+    // ~7 KB full line to it (parsed: null). The contract restored here:
+    // each per-query record is its own short line, and the LAST stdout
+    // line is a compact total without the per-query map.
+    val pq = Bench.perQueryLine("dedup_substring_chars_incr", 123.456789012)
+    assert(pq === """{"q":"dedup_substring_chars_incr","sec":123.456789012}""")
+    assert(pq.length < 1024, "a per-query line must fit any bounded tail")
+    // longest registered name today is ~26 chars; even a 100-char name
+    // with a full-precision double stays far under the bound
+    assert(Bench.perQueryLine("x" * 100, 1.23456789012345e-4).length < 1024)
+    val cl = Bench.compactLine(186.25, 204, "", "[]", "/root/testdata/sf0.1")
+    assert(cl ===
+      """{"metric":"total","value":186.25,"unit":"sec","n":204,"failures":[],"sf":"/root/testdata/sf0.1"}""")
+    assert(cl.length < 2000, "the compact line must fit the driver's tail whole")
+    // mode tags thread through so a partial run's compact line is
+    // self-describing too
+    assert(Bench.compactLine(1.0, 2, "\"only\":true,", "[]", "sf") ===
+      """{"metric":"total","value":1.0,"unit":"sec","only":true,"n":2,"failures":[],"sf":"sf"}""")
+  }
+
   test("the committed seals map only names committed queries, and floors only name committed entries") {
     val p = java.nio.file.Paths.get("BENCH_LARGE.json")
     assume(java.nio.file.Files.exists(p))

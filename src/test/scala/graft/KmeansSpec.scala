@@ -74,6 +74,26 @@ class KmeansSpec extends AnyFunSuite {
     assert(rep.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("driver-side lloydRefineLocal equals the distributed lloydRefine on the same rows") {
+    // the bounded-sample refinement path (refineCentroids) must be the
+    // SAME function as the distributed passes it replaced — identical
+    // quantized assignment, empty-cell rule, 1e-9 mean rounding
+    val vecs = fixture(300, 8)
+    val df = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    val init = vecs.take(4).map(_.clone())
+    val dist = Ivf.lloydRefine(df, init, iters = 3)
+    val local = Ivf.lloydRefineLocal(vecs, init, iters = 3)
+    assert(local.map(_.toSeq).toSeq == dist.map(_.toSeq).toSeq)
+    // empty-cell stability carries over
+    val vecs2 = Array.fill(20)(Array(1.0, 1.0)) ++ Array.fill(20)(Array(-1.0, -1.0))
+    val init2 = Array(Array(1.0, 1.0), Array(-1.0, -1.0),
+      Array(9.0, 9.0), Array(-9.0, -9.0))
+    val got2 = Ivf.lloydRefineLocal(vecs2, init2, iters = 2)
+    assert(got2(2).toSeq == Seq(9.0, 9.0) && got2(3).toSeq == Seq(-9.0, -9.0))
+  }
+
   test("refinement never increases quantized inertia over the init assignment") {
     val vecs = fixture(300, 8)
     val df = vecs.zipWithIndex

@@ -889,6 +889,20 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(full.nonEmpty && full == brute)
   }
 
+  test("containJoin salted (hot-key) path equals the plain path — detect-then-salt changes distribution, never output") {
+    // force the detection to fire: at hotThreshold=2 the fixture's
+    // shared shingles are "hot", so the salted cold/hot union runs;
+    // at the default threshold nothing is hot and the plain join runs.
+    // Both must produce the identical pair set (the selfPairs contract
+    // in asymmetric form).
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2", "inter", "n1", "contain_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val plain = snap(TextQueries.containJoin(docs, threshold = 0.8))
+    val salted = snap(TextQueries.containJoin(docs, threshold = 0.8, hotThreshold = 2L))
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("jaccardJoinAgainst == brute-force batch x corpus; pre-built index path identical") {
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
