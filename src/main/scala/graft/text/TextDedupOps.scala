@@ -261,19 +261,31 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val cand = if (persistLineage)
       cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else cand0
-    // exact Jaccard on candidates only (LSH prunes the O(n^2) space)
+    // exact Jaccard on candidates only (LSH prunes the O(n^2) space).
+    // Count-only verify over ONE consumption of the candidate set
+    // (guide §2.4): fan d1's compact (doc_id, h) rows out once per
+    // candidate, LEFT-join the d2 side on (d2, h), and take BOTH |A|
+    // and |A∩B| from the same aggregation — count(1) over the fan-out
+    // IS |A| (one row per distinct shingle of d1, kept by the left
+    // join whether or not d2 matches), so the former shape's second
+    // candidate-subtree evaluation, its d1-sizes corpus pass, and the
+    // pair-keyed cand⋈inter rejoin all drop out of the plan.
+    // Equivalence: inter ⊆ cand by construction and a band-collision
+    // pair with zero shared shingles aggregates to inter=0 — exactly
+    // the jaccard-0 row the old left-join+fill produced — so the
+    // filtered output is identical for every threshold.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sh.as("s2"), col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("d1", "d2"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"), "left")
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n1"), count(col("s2.doc_id")).as("inter"))
+    inter
       .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
-        (col("n1.n") + col("n2.n") - col("inter")).as("uni"),
-        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+        (col("n1") + col("n2.n") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("n1") + col("n2.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -885,15 +897,24 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
       .select(col("d1"), col("d2"), col("n1.n").as("na"), col("n2.n").as("nb"))
       .filter(lit(tPpm) * greatest(col("na"), col("nb"))
         <= lit(1000000L) * least(col("na"), col("nb")))
-    // candidates share ≥1 token by construction → inner joins throughout
+    // Count-only verify over ONE consumption of the length-filtered
+    // candidate set (guide §2.4, the lshPairs/containJoin shape): the
+    // d2 side LEFT-joins on (d2, h) so count(1) over the d1 fan-out IS
+    // |A| — the former candLen⋈inter pair-keyed rejoin (and with it the
+    // second evaluation of the whole prefix-candidate subtree) drops
+    // out; |B| re-joins from the sizes table it already came from.
+    // Equivalence: candidates share ≥ 1 prefix token by construction,
+    // so the former inner verify never dropped a candidate pair.
     val inter = candLen.select("d1", "d2")
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sh.as("s2"),
-        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    candLen.join(inter, Seq("d1", "d2"))
+        col("d2") === col("s2.doc_id") && col("s1.h") === col("s2.h"), "left")
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("na"), count(col("s2.doc_id")).as("inter"))
+    inter
+      .join(sizes.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("uni"))
+        (col("na") + col("n2.n") - col("inter")).as("uni"))
       .filter(col("inter") * lit(1000000L) >= lit(tPpm) * col("uni"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
   }
