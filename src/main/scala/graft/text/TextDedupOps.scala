@@ -492,19 +492,24 @@ private[text] trait TextDedupOps { this: TextQueries.type =>
     val shB = graft.ops.Scale.pinPersisted(
       shingles(batch).select(col("doc_id"), phash(col("shingle")).as("h")),
       "lsh_against")
-    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Count-only verify over ONE consumption of the candidate set (the
+    // lshPairs shape): count(1) over the corpus-side fan-out IS the
+    // candidate corpus doc's shingle count (every candidate has bands,
+    // hence ≥ 1 shingle, so the inner sc join never drops a pair; a
+    // band collision with no shared shingle aggregates to inter=0 —
+    // the jaccard-0 row the old left-join+fill produced). Drops the
+    // sizesC aggregate and the pair-keyed cand⋈inter rejoin.
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
       .join(shC.as("sc"), col("corpus_id") === col("sc.doc_id"))
       .join(broadcast(shB).as("sb"),
-        col("batch_id") === col("sb.doc_id") && col("sc.h") === col("sb.h"))
-      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("batch_id", "corpus_id"), "left")
-      .na.fill(0L, Seq("inter"))
+        col("batch_id") === col("sb.doc_id") && col("sc.h") === col("sb.h"), "left")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("n2"), count(col("sb.doc_id")).as("inter"))
+    inter
       .join(broadcast(sizesB).as("n1"), col("batch_id") === col("n1.doc_id"))
-      .join(broadcast(sizesC).as("n2"), col("corpus_id") === col("n2.doc_id"))
       .select(col("batch_id"), col("corpus_id"),
-        (col("inter").cast("double") / (col("n1.n") + col("n2.n") - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("n1.n") + col("n2") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
